@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, SchemaUnion}
+
+class RelationalSpec extends SparkSpec {
+
+  test("every registered query runs and every query has its oracle") {
+    assert(SparkEntry.queries.nonEmpty)
+    val missingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missingOracle.isEmpty, s"oracles without queries: $missingOracle")
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("dbMerge: union of columns, NULL padding, alphabetical order") {
+    import spark.implicits._
+    val x = Seq((1, "a")).toDF("k", "b_col")
+    val y = Seq((2, 9.5)).toDF("k", "a_col")
+    val m = SchemaUnion.dbMerge(x, y)
+    assert(m.columns.toSeq == Seq("a_col", "b_col", "k"))
+    val rows = m.orderBy("k").collect().toSeq
+    assert(rows == Seq(Row(null, "a", 1), Row(9.5, null, 2)))
+  }
+
+  test("u1 schema union pads missing columns with null") {
+    val df = Relational.queries("u1_schema_union")(spark, sf)
+    assert(df.columns.toSeq == df.columns.toSeq.sorted)
+    assert(df.filter(col("nation").isNull).count() > 0)
+    assert(df.filter(col("acctbal").isNull).count() > 0)
+  }
+
+  test("u4 keep-first dedup keeps exactly one row per key") {
+    val df = Relational.queries("u4_keepfirst_dedup")(spark, sf)
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("x2 explode_outer emits a NULL row for unmatched docs") {
+    val df = Relational.queries("x2_classify_explode_outer")(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    // every doc appears at least once (outer), matched docs more than once
+    assert(df.select("doc_id").distinct().count() == docs)
+  }
+
+  test("x1 double explode word counts reconstruct sentence sizes") {
+    val df = Relational.queries("x1_double_explode")(spark, sf)
+    val bad = df.groupBy("doc_id", "sent_idx").count()
+      .filter(col("count") <= 3) // kept sentences all have > 3 words
+    assert(bad.count() == 0)
+  }
+
+  test("w1 fill-forward never un-fills within a user") {
+    val df = Relational.queries("w1_fill_forward")(spark, sf)
+    assert(df.count() == Tables.events(spark, sf).count())
+  }
+
+  test("w3 positional repair rewrites exactly 5 rows") {
+    val df = Relational.queries("w3_positional_repair")(spark, sf)
+    assert(df.filter(col("source_fixed").startsWith("repair-")).count() == 5)
+  }
+
+  test("q3 ordered limit is deterministic") {
+    val a = Relational.queries("q3_top_revenue")(spark, sf).collect().toSeq
+    val b = Relational.queries("q3_top_revenue")(spark, sf).collect().toSeq
+    assert(a == b && a.size == 10)
+  }
+
+  test("f6 NA-coercion produces literal NA prefix for nullified fields") {
+    val df = Relational.queries("f6_na_concat")(spark, sf)
+    assert(df.filter(col("description").startsWith("NA: ")).count() > 0)
+    assert(df.filter(col("description").isNull).count() == 0)
+  }
+}
