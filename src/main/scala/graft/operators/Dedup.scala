@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash
+
+/** Deduplication operators for an LLM-training-data pipeline (north-star
+  * extensions — SURVEY.md §7.3 M5, BASELINE.json): exact, n-gram-Jaccard,
+  * MinHash+LSH, and SimHash near-dup detection over `documents`, plus
+  * embedding-cosine near-dup over `embeddings`.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: shuffle on a 64-bit content hash, never on the full text —
+  *    at 100 TB the shuffle carries 8-byte keys, not documents.
+  *  - n-gram Jaccard: inverted-index self-join (shingle → docs), the
+  *    standard linear-ish candidate generator; a stop-shingle cap (df ≤
+  *    MaxShingleDf) bounds the quadratic blowup on hot shingles — the
+  *    same guard MapReduce-era dedup pipelines use for skew.
+  *  - MinHash+LSH: constant-size signatures (K perms) replace the full
+  *    shingle sets; banding means candidate generation is a self-join on
+  *    (band, bucket) — only near-identical docs collide (r=4 rows/band
+  *    ⇒ P[collide | J=0.97] ≈ 0.999, P[collide | J=0.03] ≈ 1e-6), so the
+  *    pair space stays ~linear in the number of true duplicates.
+  *  - SimHash: one 24-bit fingerprint per doc; near-dup = Hamming ≤ 3,
+  *    candidates via 6-bit band buckets (pigeonhole: Hamming ≤ 3 over 4
+  *    bands ⇒ at least one band equal).
+  *  - embedding near-dup: sign-bit LSH buckets (first 8 dims) make the
+  *    pair search per-bucket instead of all-pairs.
+  *
+  * All hashing uses [[PortableHash]] (pure arithmetic + higher-order
+  * functions) so every query has an exact DuckDB oracle twin.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 12         // minhash permutations
+  private val Rows = 4       // rows per LSH band
+  private val Bands = K / Rows
+  private val MaxShingleDf = 20
+  private val JaccardThreshold = 0.5
+
+  // ---------------- shared text prep (tokens → distinct 5-shingles) ----
+  // 5-gram word shingles (not 3): with a small vocabulary, 3-gram df
+  // grows linearly with corpus size and the inverted-index join goes
+  // quadratic; 5-grams keep df ~constant (measured at sf0.1: 56s → ~2s).
+
+  /** Normalized token array (the reference tokenizer, Rmd:77-79). */
+  private val toksExpr =
+    "split(regexp_replace(lower(text), '[\\\\p{Punct} ]+', ' '), ' ')"
+
+  private val W = 5          // shingle width (words)
+
+  /** Distinct word 5-shingles of the token array. */
+  private val shinglesExpr =
+    s"""array_distinct(CASE WHEN size(toks) >= $W
+       |  THEN transform(sequence(1, size(toks) - ${W - 1}),
+       |         i -> concat_ws(' ', slice(toks, i, $W)))
+       |  ELSE array(concat_ws(' ', toks)) END)""".stripMargin
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+
+  private val duckToks =
+    "string_split(regexp_replace(lower(text), '[[:punct:] ]+', ' ', 'g'), ' ')"
+
+  private val duckShingleCte =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |        list_distinct(CASE WHEN len(toks) >= $W
+       |          THEN list_transform(range(1, len(toks) - ${W - 2}),
+       |                 i -> array_to_string(toks[i:i+${W - 1}], ' '))
+       |          ELSE [array_to_string(toks, ' ')] END) AS shingles
+       |      FROM t)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Exact dedup: hash-groupBy on a content fingerprint
+  // ----------------------------------------------------------------
+
+  /** Exact dedup after normalization: canonical row = min doc_id per
+    * content fingerprint. The shuffle key is the 8-byte hash, not the
+    * document — at 100 TB this is a groupBy on longs. */
+  private def dExact: Q = (s, dir) => {
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, dir)
+      .withColumn("norm", concat_ws(" ", expr(toksExpr)))
+      .withColumn("fp", PortableHash.polyHash(col("norm")))
+      .select(col("doc_id"), col("fp"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        (count(lit(1)).over(w) > 1).as("in_dup_group"))
+  }
+
+  private val dExactSql =
+    s"""SELECT doc_id, fp,
+       |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       |  (count(*) OVER (PARTITION BY fp)) > 1 AS in_dup_group
+       |FROM (SELECT doc_id,
+       |        ${PortableHash.duckPolyHash(s"array_to_string($duckToks, ' ')")} AS fp
+       |      FROM documents)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // N-gram Jaccard near-dup: inverted-index candidate join
+  // ----------------------------------------------------------------
+
+  /** Near-dup pairs by exact 5-shingle Jaccard ≥ 0.5, candidates from an
+    * inverted shingle→doc index (pairs must share ≥1 rare shingle; hot
+    * shingles with df > MaxShingleDf are excluded from BOTH intersection
+    * and union, keeping the measure consistent). */
+  private def dNgramJaccard: Q = (s, dir) => {
+    val sh = docShingles(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = sh.groupBy("g").count()
+      .filter(col("count") <= MaxShingleDf).select("g")
+    val shr = sh.join(rare, "g")
+    val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = shr.as("x").join(shr.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+  }
+
+  private val dNgramJaccardSql =
+    s"""WITH $duckShingleCte,
+       |e AS (SELECT doc_id, unnest(shingles) AS g FROM s),
+       |rare AS (SELECT g FROM (SELECT g, count(*) c FROM e GROUP BY g) WHERE c <= $MaxShingleDf),
+       |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
+       |sz AS (SELECT doc_id, count(*) n FROM er GROUP BY doc_id),
+       |pairs AS (SELECT x.doc_id a_id, y.doc_id b_id, count(*) inter
+       |          FROM er x JOIN er y ON x.g = y.g AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a_id, b_id, inter,
+       |       round(inter / (xa.n + yb.n - inter), 6) AS jaccard
+       |FROM pairs JOIN sz xa ON a_id = xa.doc_id JOIN sz yb ON b_id = yb.doc_id
+       |WHERE round(inter / (xa.n + yb.n - inter), 6) >= $JaccardThreshold""".stripMargin
+
+  // ----------------------------------------------------------------
+  // MinHash + LSH near-dup
+  // ----------------------------------------------------------------
+
+  /** MinHash signature column: K universal-hash permutations over the
+    * shingle hash set, min per permutation. */
+  private def sigExpr: String = {
+    val mins = (0 until K).map { k =>
+      s"array_min(transform(hs, h -> ${PortableHash.permSql("h", k)}))"
+    }
+    mins.mkString("array(", ", ", ")")
+  }
+
+  private def duckSigExpr: String = {
+    val mins = (0 until K).map { k =>
+      s"list_min(list_transform(hs, h -> ${PortableHash.duckPerm("h", k)}))"
+    }
+    mins.mkString("[", ", ", "]")
+  }
+
+  /** Near-dup candidate pairs via MinHash signatures + LSH banding:
+    * signature = K=12 permuted mins over shingle hashes; 3 bands × 4
+    * rows; docs sharing ≥1 band bucket are candidates; estimated
+    * Jaccard = fraction of equal signature components. Candidate
+    * generation is a self-join on (band, bucket_hash) — near-linear at
+    * scale because only true near-dups collide. */
+  private def dMinhashLsh: Q = (s, dir) => {
+    val sig = docShingles(s, dir)
+      .withColumn("hs", expr(s"transform(shingles, g -> ${PortableHash.polyHashSql("g")})"))
+      .select(col("doc_id"), expr(sigExpr).as("sig"))
+    // band bucket = poly-combine of the band's signature rows
+    val bandHash = (0 until Bands).map { b =>
+      val rows = (0 until Rows).map(r => s"element_at(sig, ${b * Rows + r + 1})")
+      rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P}L)")
+    }
+    val banded = sig.select(col("doc_id"),
+      posexplode(expr(bandHash.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    cand
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared_bands"),
+        round(expr(s"size(filter(sequence(1, $K), i -> element_at(sa, i) = element_at(sb, i)))") / lit(K.toDouble), 6)
+          .as("est_jaccard"))
+  }
+
+  private val dMinhashLshSql = {
+    val bandHash = (0 until Bands).map { b =>
+      val rows = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]")
+      rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P})")
+    }
+    s"""WITH $duckShingleCte,
+       |hs AS (SELECT doc_id,
+       |         list_transform(shingles, g -> ${PortableHash.duckPolyHash("g")}) AS hs
+       |       FROM s),
+       |sig AS (SELECT doc_id, $duckSigExpr AS sig FROM hs),
+       |banded AS (SELECT doc_id, unnest(range(0, $Bands)) AS band,
+       |                  unnest(${bandHash.mkString("[", ", ", "]")}) AS bucket
+       |           FROM sig),
+       |cand AS (SELECT x.doc_id a_id, y.doc_id b_id, count(*) n_shared_bands
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |         GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared_bands,
+       |  round(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) / ${K}.0, 6) AS est_jaccard
+       |FROM cand JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // SimHash fingerprint + Hamming near-dup
+  // ----------------------------------------------------------------
+
+  /** 24-bit SimHash over the distinct-shingle hash set (shingles, not
+    * unigram tokens: docs drawn from one vocabulary have near-identical
+    * unigram tf vectors, which collapses every fingerprint into a few
+    * hot values and makes the LSH-bucket join quadratic — measured 39s
+    * → ~1s at sf0.1):
+    * bit j of the fingerprint = sign of Σ_shingles (2·bit_j(hash) − 1). */
+  private val simhashExpr =
+    s"""aggregate(sequence(0, 23), 0L, (acc, j) ->
+       |  acc + CASE WHEN aggregate(th, 0L, (a, h) -> a + 2 * (shiftright(h, j) & 1) - 1) >= 0
+       |             THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
+
+  private val duckSimhashExpr =
+    s"""list_reduce(list_prepend(0::BIGINT, range(0, 24)), (acc, j) ->
+       |  acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
+       |                    (a, h) -> a + 2 * ((h >> j::INTEGER) & 1) - 1) >= 0
+       |             THEN (1::BIGINT << j::INTEGER) ELSE 0 END)""".stripMargin
+
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir)
+      .withColumn("th", expr(s"transform(shingles, t -> ${PortableHash.polyHashSql("t")})"))
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+
+  private val duckSimhashCte =
+    s"""$duckShingleCte,
+       |thh AS (SELECT doc_id,
+       |         list_transform(shingles, t -> ${PortableHash.duckPolyHash("t")}) AS th
+       |       FROM s),
+       |sh AS (SELECT doc_id, ($duckSimhashExpr) AS simhash FROM thh)""".stripMargin
+
+  /** Per-document SimHash fingerprint (+ its four 6-bit LSH bands). */
+  private def dSimhash: Q = (s, dir) =>
+    simhashes(s, dir).select(
+      col("doc_id"), col("simhash"),
+      expr("shiftright(simhash, 0) & 63").as("band0"),
+      expr("shiftright(simhash, 6) & 63").as("band1"),
+      expr("shiftright(simhash, 12) & 63").as("band2"),
+      expr("shiftright(simhash, 18) & 63").as("band3"))
+
+  private val dSimhashSql =
+    s"""WITH $duckSimhashCte
+       |SELECT doc_id, simhash,
+       |  (simhash >> 0) & 63 AS band0, (simhash >> 6) & 63 AS band1,
+       |  (simhash >> 12) & 63 AS band2, (simhash >> 18) & 63 AS band3
+       |FROM sh""".stripMargin
+
+  /** SimHash near-dup pairs: Hamming(simhash) ≤ 3, candidates from 6-bit
+    * band buckets (pigeonhole guarantees recall at Hamming ≤ 3). */
+  private def dSimhashPairs: Q = (s, dir) => {
+    val sh = simhashes(s, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr("array(shiftright(simhash, 0) & 63, shiftright(simhash, 6) & 63, shiftright(simhash, 12) & 63, shiftright(simhash, 18) & 63)"))
+        .as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  private val dSimhashPairsSql =
+    s"""WITH $duckSimhashCte,
+       |banded AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
+       |                  unnest([(simhash >> 0) & 63, (simhash >> 6) & 63,
+       |                          (simhash >> 12) & 63, (simhash >> 18) & 63]) AS bucket
+       |           FROM sh)
+       |SELECT DISTINCT x.doc_id a_id, y.doc_id b_id,
+       |       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Embedding-cosine near-dup (sign-LSH blocked)
+  // ----------------------------------------------------------------
+
+  /** Deterministic left-fold dot product — identical FP operation order
+    * in Spark and DuckDB, so results are bit-identical (SURVEY §5.2). */
+  private def foldDot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private def duckFoldDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Embedding near-dup: each vector's best cosine match within its
+    * sign-LSH bucket (sign bits of the first 8 dims). The bucket join
+    * replaces the all-pairs O(n²) search — at 100 TB pairs only form
+    * inside 256-way buckets. Cosine via deterministic left-fold. */
+  private def dEmbeddingNearDup: Q = (s, dir) => {
+    val signBucket = expr(
+      (0 until 8).map(j => s"CASE WHEN element_at(embedding, ${j + 1}) >= 0 THEN ${1 << j} ELSE 0 END")
+        .mkString(" + "))
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), signBucket.as("bucket"))
+    val pairs = v.as("x").join(v.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        expr(
+          s"""${foldDot("x.embedding", "y.embedding")} /
+             |(sqrt(${foldDot("x.embedding", "x.embedding")}) *
+             | sqrt(${foldDot("y.embedding", "y.embedding")}))""".stripMargin).as("cos"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id"), col("b_id").as("nearest_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val dEmbeddingNearDupSql = {
+    val bucket = (0 until 8)
+      .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+       |p AS (SELECT x.vec_id a_id, y.vec_id b_id,
+       |        ${duckFoldDot("x.embedding", "y.embedding")} /
+       |        (sqrt(${duckFoldDot("x.embedding", "x.embedding")}) *
+       |         sqrt(${duckFoldDot("y.embedding", "y.embedding")})) AS cos
+       |      FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |SELECT a_id, b_id AS nearest_id, round(cos, 6) AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) rn FROM p)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "d_exact" -> dExact,
+    "d_ngram_jaccard" -> dNgramJaccard,
+    "d_minhash_lsh" -> dMinhashLsh,
+    "d_simhash" -> dSimhash,
+    "d_simhash_pairs" -> dSimhashPairs,
+    "d_embedding_near_dup" -> dEmbeddingNearDup)
+
+  val oracles: Map[String, String] = Map(
+    "d_exact" -> dExactSql,
+    "d_ngram_jaccard" -> dNgramJaccardSql,
+    "d_minhash_lsh" -> dMinhashLshSql,
+    "d_simhash" -> dSimhashSql,
+    "d_simhash_pairs" -> dSimhashPairsSql,
+    "d_embedding_near_dup" -> dEmbeddingNearDupSql)
+}

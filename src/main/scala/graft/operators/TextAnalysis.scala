@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash
+
+/** Text-analysis operators for an LLM-training-data pipeline (north-star
+  * extensions beyond reference parity — SURVEY.md §7.3 M5, BASELINE.json):
+  * token counting, quality scoring, language identification, and document
+  * fingerprinting, all over the `documents` table.
+  *
+  * Everything is built from Catalyst built-in expressions (no UDFs), so:
+  *  - the whole module is narrow (zero shuffles — per-row projections the
+  *    parquet scan feeds directly; at 100 TB these scale linearly with
+  *    input splits and stay inside whole-stage codegen),
+  *  - every query has an exact DuckDB oracle twin.
+  *
+  * The reference's text processing is the `detect.csa` tokenizer
+  * (hi-csa-db.Rmd:75-88: punctuation→space normalization + whitespace
+  * split); these operators generalize that tokenizer.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared tokenizer — the reference's normalize+split (Rmd:77-79). */
+  private def tokens(c: Column): Column =
+    split(regexp_replace(lower(c), "[\\p{Punct} ]+", " "), " ")
+
+  private def duckTokens(inner: String): String =
+    s"string_split(regexp_replace(lower($inner), '[[:punct:] ]+', ' ', 'g'), ' ')"
+
+  // ----------------------------------------------------------------
+  // Token counting: whitespace tokens + BPE-ish regex tokens
+  // ----------------------------------------------------------------
+
+  /** Whitespace token count, BPE-ish subword-boundary token count
+    * (word chars runs + single non-space punctuation, the GPT-2-style
+    * pre-tokenizer shape), and chars-per-token ratio. */
+  private def tTokenCount: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      round(col("n_chars").cast("double") /
+        size(split(trim(col("text")), "\\s+")), 6).as("chars_per_token"))
+
+  private val tTokenCountSql =
+    """SELECT doc_id,
+      | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+      | len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS bpe_tokens,
+      | round(n_chars / len(regexp_split_to_array(trim(text), '\s+')), 6) AS chars_per_token
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Quality scoring: length / punctuation / stopword heuristics
+  // ----------------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "is", "and", "to", "in")
+  private def stopwordArray = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private def duckStopwordList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Heuristic document-quality score (Gopher/C4-style filters): word
+    * count, mean word length, stopword ratio, alpha ratio — combined
+    * into one score. Pure per-row arithmetic: one stage at any scale. */
+  private def tQualityScore: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("double"))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => array_contains(expr(stopwordArray), t)))
+          / col("n_words"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / col("n_chars"))
+      .withColumn("mean_word_len",
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / col("n_words"))
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(
+          when(col("n_words") >= 20, lit(0.25)).otherwise(lit(0.0))
+            + when(col("stop_ratio").between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0))
+            + when(col("alpha_ratio") >= 0.7, lit(0.25)).otherwise(lit(0.0))
+            + when(col("mean_word_len").between(3.0, 10.0), lit(0.25)).otherwise(lit(0.0)),
+          2).as("quality"))
+
+  private val tQualityScoreSql = {
+    val toks = duckTokens("text")
+    s"""SELECT doc_id,
+       | CAST(n_words AS BIGINT) AS n_words,
+       | round(stop_ratio, 6) AS stop_ratio,
+       | round(alpha_ratio, 6) AS alpha_ratio,
+       | round(mean_word_len, 6) AS mean_word_len,
+       | round(
+       |   (CASE WHEN n_words >= 20 THEN 0.25 ELSE 0.0 END)
+       |   + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+       |   + (CASE WHEN alpha_ratio >= 0.7 THEN 0.25 ELSE 0.0 END)
+       |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END),
+       |  2) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    len(toks)::DOUBLE AS n_words,
+       |    len(list_filter(toks, t -> list_contains($duckStopwordList, t))) / len(toks)::DOUBLE AS stop_ratio,
+       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
+       |                (acc, x) -> acc + x)::DOUBLE / len(toks) AS mean_word_len
+       |  FROM (SELECT doc_id, text, n_chars, $toks AS toks FROM documents))""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // Language identification: profile-overlap heuristic
+  // ----------------------------------------------------------------
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "english" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "dbish"   -> Seq("table", "row", "column", "key", "query", "customer"),
+    "computish" -> Seq("spark", "hash", "sort", "agg", "merge", "batch"))
+
+  /** N-gram/stopword-profile language ID: score the token stream against
+    * each language profile (count of profile hits), argmax with a fixed
+    * tie-break order. The classic fastText/langid heuristic reduced to
+    * built-ins; per-row, zero shuffle. */
+  private def tLangId: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+    val scored = langProfiles.foldLeft(d) { case (df, (name, words)) =>
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      df.withColumn(s"score_$name",
+        size(filter(col("toks"), t => array_contains(expr(arr), t))).cast("long"))
+    }
+    scored.select(
+      col("doc_id"),
+      col("score_english"), col("score_dbish"), col("score_computish"),
+      when(col("score_english") >= col("score_dbish")
+          && col("score_english") >= col("score_computish"), "english")
+        .when(col("score_dbish") >= col("score_computish"), "dbish")
+        .otherwise("computish").as("pred_lang"))
+  }
+
+  private val tLangIdSql = {
+    val toks = duckTokens("text")
+    val scores = langProfiles.map { case (name, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($arr, t))) AS score_$name"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id, score_english, score_dbish, score_computish,
+       | CASE WHEN score_english >= score_dbish AND score_english >= score_computish THEN 'english'
+       |      WHEN score_dbish >= score_computish THEN 'dbish'
+       |      ELSE 'computish' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents))""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // Document fingerprinting: rolling/polynomial hash
+  // ----------------------------------------------------------------
+
+  /** Content fingerprint: polynomial rolling hash of the normalized
+    * text (exact-dup key) + the min token hash (a 1-permutation
+    * minhash, the winnowing primitive). Portable hash (PortableHash)
+    * so the oracle computes identical values. */
+  private def tFingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("norm", concat_ws(" ", tokens(col("text"))))
+      .select(
+        col("doc_id"),
+        PortableHash.polyHash(col("norm")).as("fingerprint"),
+        expr(s"array_min(transform(${"split(norm, ' ')"}, t -> ${PortableHash.polyHashSql("t")}))")
+          .as("min_token_hash"))
+
+  private val tFingerprintSql = {
+    val toks = duckTokens("text")
+    s"""SELECT doc_id,
+       | ${PortableHash.duckPolyHash("norm")} AS fingerprint,
+       | list_min(list_transform(string_split(norm, ' '),
+       |   t -> ${PortableHash.duckPolyHash("t")})) AS min_token_hash
+       |FROM (SELECT doc_id, array_to_string($toks, ' ') AS norm FROM documents)""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "t_token_count" -> tTokenCount,
+    "t_quality_score" -> tQualityScore,
+    "t_lang_id" -> tLangId,
+    "t_fingerprint" -> tFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "t_token_count" -> tTokenCountSql,
+    "t_quality_score" -> tQualityScoreSql,
+    "t_lang_id" -> tLangIdSql,
+    "t_fingerprint" -> tFingerprintSql)
+}
