@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.pipelines.Flagship
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,15 +18,23 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
       (Flagship.queries, Flagship.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Flagship.policyDb(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each query is
+    * wrapped to first register graft's native Catalyst expressions
+    * (idempotent, per-session). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+    modules.iterator.map(_._1).reduce(_ ++ _).map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        fn(s, dir)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -23,13 +23,23 @@ import org.apache.spark.sql.functions._
 object PortableHash {
   val P = 1000000007L
 
-  /** Polynomial rolling hash of a string column; empty string → 0. */
-  def polyHash(c: Column): Column =
-    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+  /** Polynomial rolling hash of a string column; empty string → 0.
+    * Backed by the native codegen'd [[PolyHash]] expression (requires
+    * `GraftFunctions.register(spark)` — SparkEntry wraps every query
+    * with it). The interpreted HOF formulation it replaces is kept in
+    * [[polyHashHofSql]] for reference/tests. */
+  def polyHash(c: Column): Column = {
+    import org.apache.spark.sql.functions.expr
+    expr(s"graft_polyhash(${c.toString})")
+  }
 
   /** SQL-expression text of polyHash for reuse inside lambda bodies
     * (Spark's HOF lambda variables only compose via expr strings). */
   def polyHashSql(inner: String): String =
+    s"graft_polyhash($inner)"
+
+  /** The pure-built-in (interpreted) equivalent — same values. */
+  def polyHashHofSql(inner: String): String =
     s"aggregate(split($inner, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % ${P}L)"
 
   def permA(k: Int): Long = 2L * k + 1

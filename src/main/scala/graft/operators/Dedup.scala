@@ -51,19 +51,28 @@ object Dedup {
   private val toksExpr =
     "split(regexp_replace(lower(text), '[\\\\p{Punct} ]+', ' '), ' ')"
 
-  private val W = 5          // shingle width (words)
+  private val W = 5          // shingle width (words), fixed in ShingleHashes too
 
-  /** Distinct word 5-shingles of the token array. */
-  private val shinglesExpr =
-    s"""array_distinct(CASE WHEN size(toks) >= $W
-       |  THEN transform(sequence(1, size(toks) - ${W - 1}),
-       |         i -> concat_ws(' ', slice(toks, i, $W)))
-       |  ELSE array(concat_ws(' ', toks)) END)""".stripMargin
-
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  /** Exploded (doc_id, shingle_hash) index — the shared primitive under
+    * minhash/simhash/jaccard. Shingles are hashed to 8-byte longs BEFORE
+    * any shuffle (a 30-char shingle string would quadruple shuffle
+    * volume); downstream signature aggregation is a plain codegen'd
+    * groupBy with map-side combine.
+    *
+    * Built on the native `graft_shingle_hashes` expression (one compiled
+    * normalize→tokenize→window→hash pass per document, see
+    * [[org.apache.spark.sql.graft.ShingleHashes]]) instead of chained
+    * higher-order functions. The HOF formulation was measured 20×+
+    * slower at sf0.1: lambdas are interpreted per shingle, and
+    * Catalyst's CollapseProject inlines the token-array expression at
+    * each of its use sites, re-running the 600-char regexp three times
+    * per row — and up to K times when a K-iteration fold consumes the
+    * array (317s for the simhash pair query; now ~1s). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+      .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+  }
 
   private val duckToks =
     "string_split(regexp_replace(lower(text), '[[:punct:] ]+', ' ', 'g'), ' ')"
@@ -85,6 +94,7 @@ object Dedup {
     * content fingerprint. The shuffle key is the 8-byte hash, not the
     * document — at 100 TB this is a groupBy on longs. */
   private def dExact: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     val w = Window.partitionBy(col("fp"))
     Tables.documents(s, dir)
       .withColumn("norm", concat_ws(" ", expr(toksExpr)))
@@ -111,14 +121,18 @@ object Dedup {
     * shingles with df > MaxShingleDf are excluded from BOTH intersection
     * and union, keeping the measure consistent). */
   private def dNgramJaccard: Q = (s, dir) => {
-    val sh = docShingles(s, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
-    val rare = sh.groupBy("g").count()
-      .filter(col("count") <= MaxShingleDf).select("g")
-    val shr = sh.join(rare, "g")
+    val sh = shingleHashes(s, dir)
+    val rare = sh.groupBy("h").count()
+      .filter(col("count") <= MaxShingleDf).select("h")
+    // persist: the filtered index feeds three consumers (sizes + both
+    // sides of the pair join); without it Spark re-derives the shingle
+    // pipeline per consumer. At 100 TB this is the step you'd
+    // materialize to a bucketed table instead.
+    val shr = sh.join(rare, "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = shr.as("x").join(shr.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -132,12 +146,13 @@ object Dedup {
 
   private val dNgramJaccardSql =
     s"""WITH $duckShingleCte,
-       |e AS (SELECT doc_id, unnest(shingles) AS g FROM s),
-       |rare AS (SELECT g FROM (SELECT g, count(*) c FROM e GROUP BY g) WHERE c <= $MaxShingleDf),
-       |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
+       |e AS (SELECT doc_id, ${PortableHash.duckPolyHash("g")} AS h
+       |      FROM (SELECT doc_id, unnest(shingles) AS g FROM s)),
+       |rare AS (SELECT h FROM (SELECT h, count(*) c FROM e GROUP BY h) WHERE c <= $MaxShingleDf),
+       |er AS (SELECT e.doc_id, e.h FROM e JOIN rare USING (h)),
        |sz AS (SELECT doc_id, count(*) n FROM er GROUP BY doc_id),
        |pairs AS (SELECT x.doc_id a_id, y.doc_id b_id, count(*) inter
-       |          FROM er x JOIN er y ON x.g = y.g AND x.doc_id < y.doc_id
+       |          FROM er x JOIN er y ON x.h = y.h AND x.doc_id < y.doc_id
        |          GROUP BY 1, 2)
        |SELECT a_id, b_id, inter,
        |       round(inter / (xa.n + yb.n - inter), 6) AS jaccard
@@ -148,21 +163,27 @@ object Dedup {
   // MinHash + LSH near-dup
   // ----------------------------------------------------------------
 
-  /** MinHash signature column: K universal-hash permutations over the
-    * shingle hash set, min per permutation. */
-  private def sigExpr: String = {
-    val mins = (0 until K).map { k =>
-      s"array_min(transform(hs, h -> ${PortableHash.permSql("h", k)}))"
-    }
-    mins.mkString("array(", ", ", ")")
-  }
-
   private def duckSigExpr: String = {
     val mins = (0 until K).map { k =>
       s"list_min(list_transform(hs, h -> ${PortableHash.duckPerm("h", k)}))"
     }
     mins.mkString("[", ", ", "]")
   }
+
+  /** MinHash signatures: K universal-hash permutations over the shingle
+    * hash set, min per permutation — as K codegen'd `min` aggregates
+    * over the exploded index (partial+final agg, map-side combine; no
+    * interpreted array folds). Persisted because three consumers read
+    * it (banding + both sides of the estimate join). */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    shingleHashes(s, dir)
+      .groupBy("doc_id")
+      .agg(
+        min(expr(PortableHash.permSql("h", 0))).as("m0"),
+        (1 until K).map(k => min(expr(PortableHash.permSql("h", k))).as(s"m$k")): _*)
+      .select(col("doc_id"),
+        expr((0 until K).map(k => s"m$k").mkString("array(", ", ", ")")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Near-dup candidate pairs via MinHash signatures + LSH banding:
     * signature = K=12 permuted mins over shingle hashes; 3 bands × 4
@@ -171,9 +192,7 @@ object Dedup {
     * generation is a self-join on (band, bucket_hash) — near-linear at
     * scale because only true near-dups collide. */
   private def dMinhashLsh: Q = (s, dir) => {
-    val sig = docShingles(s, dir)
-      .withColumn("hs", expr(s"transform(shingles, g -> ${PortableHash.polyHashSql("g")})"))
-      .select(col("doc_id"), expr(sigExpr).as("sig"))
+    val sig = signatures(s, dir)
     // band bucket = poly-combine of the band's signature rows
     val bandHash = (0 until Bands).map { b =>
       val rows = (0 until Rows).map(r => s"element_at(sig, ${b * Rows + r + 1})")
@@ -226,21 +245,26 @@ object Dedup {
     * hot values and makes the LSH-bucket join quadratic — measured 39s
     * → ~1s at sf0.1):
     * bit j of the fingerprint = sign of Σ_shingles (2·bit_j(hash) − 1). */
-  private val simhashExpr =
-    s"""aggregate(sequence(0, 23), 0L, (acc, j) ->
-       |  acc + CASE WHEN aggregate(th, 0L, (a, h) -> a + 2 * (shiftright(h, j) & 1) - 1) >= 0
-       |             THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
-
   private val duckSimhashExpr =
     s"""list_reduce(list_prepend(0::BIGINT, range(0, 24)), (acc, j) ->
        |  acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
        |                    (a, h) -> a + 2 * ((h >> j::INTEGER) & 1) - 1) >= 0
        |             THEN (1::BIGINT << j::INTEGER) ELSE 0 END)""".stripMargin
 
+  /** Per-doc SimHash via 24 codegen'd per-bit `sum` aggregates over the
+    * exploded shingle-hash index (one pass, map-side combine), then one
+    * arithmetic assembly of the fingerprint. Persisted: the pair query
+    * joins it against itself. */
   private def simhashes(s: SparkSession, dir: String): DataFrame =
-    docShingles(s, dir)
-      .withColumn("th", expr(s"transform(shingles, t -> ${PortableHash.polyHashSql("t")})"))
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+    shingleHashes(s, dir)
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("2 * (shiftright(h, 0) & 1) - 1")).as("c0"),
+        (1 until 24).map(j => sum(expr(s"2 * (shiftright(h, $j) & 1) - 1")).as(s"c$j")): _*)
+      .select(col("doc_id"),
+        expr((0 until 24).map(j => s"CASE WHEN c$j >= 0 THEN ${1L << j}L ELSE 0L END")
+          .mkString(" + ")).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val duckSimhashCte =
     s"""$duckShingleCte,

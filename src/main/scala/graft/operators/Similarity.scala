@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (north-star extensions
+  * — SURVEY.md §7.3 M5, BASELINE.json): brute-force cosine top-k as the
+  * exact baseline, a sign-bit LSH (multi-probe) approximate variant as
+  * the 100 TB scale path, and blocked all-vectors kNN.
+  *
+  * Scale design:
+  *  - brute-force top-k: one narrow pass over the vectors + a broadcast
+  *    1-row query; `orderBy(desc).limit(k)` executes as
+  *    TakeOrderedAndProject (per-partition top-k, driver merge) — no
+  *    global sort, scales to any vector count.
+  *  - ANN: candidates restricted to sign-LSH buckets within Hamming ≤ 1
+  *    of the query bucket (9 of 256 buckets ⇒ ~28× fewer distance
+  *    computations, same top results for clustered data). At 100 TB the
+  *    bucket id is a partition key: the probe touches 9 partitions.
+  *  - blocked kNN: per-label blocks bound the pair space (the IVF idea:
+  *    a coarse quantizer — here the given label — limits each lookup to
+  *    one cell).
+  *
+  * All cosine math is a LEFT-FOLD dot product (`aggregate` over
+  * `zip_with`) so Spark and the DuckDB oracle execute the identical
+  * FP operation order — results are bit-identical, no tolerance needed.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 10
+  private val QueryVec = 0L  // vec_id of the query vector
+
+  // ---------------- portable cosine ----------------
+
+  private def foldDot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private def cosExpr(a: String, b: String): String =
+    s"""${foldDot(a, b)} / (sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)}))"""
+
+  private def duckFoldDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private def duckCosExpr(a: String, b: String): String =
+    s"""${duckFoldDot(a, b)} / (sqrt(${duckFoldDot(a, a)}) * sqrt(${duckFoldDot(b, b)}))"""
+
+  /** 8-bit sign-LSH bucket (axis-aligned hyperplanes on dims 1..8). */
+  private val bucketExpr = (0 until 8)
+    .map(j => s"CASE WHEN element_at(embedding, ${j + 1}) >= 0 THEN ${1 << j} ELSE 0 END")
+    .mkString(" + ")
+
+  private val duckBucketExpr = (0 until 8)
+    .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
+    .mkString(" + ")
+
+  // ----------------------------------------------------------------
+  // Brute-force cosine top-k (exact baseline)
+  // ----------------------------------------------------------------
+
+  /** Exact top-K by cosine to the query vector: broadcast the 1-row
+    * query, one narrow scan, TakeOrderedAndProject. */
+  private def sCosineTopk: Q = (s, dir) => {
+    val v = Tables.embeddings(s, dir)
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"))
+    v.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(cosExpr("embedding", "qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val sCosineTopkSql =
+    s"""WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id = $QueryVec),
+       |scored AS (SELECT vec_id, label, ${duckCosExpr("embedding", "qe")} AS cos
+       |           FROM embeddings CROSS JOIN q WHERE vec_id <> $QueryVec)
+       |SELECT vec_id, label, round(cos, 6) AS cosine FROM scored
+       |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+
+  // ----------------------------------------------------------------
+  // ANN: multi-probe sign-LSH top-k
+  // ----------------------------------------------------------------
+
+  /** Approximate top-K: only vectors whose sign-LSH bucket is within
+    * Hamming ≤ 1 of the query's bucket are scored (multi-probe over 9
+    * of 256 buckets), then exact cosine rank among the candidates. */
+  private def sAnnLsh: Q = (s, dir) => {
+    val v = Tables.embeddings(s, dir)
+      .withColumn("bucket", expr(bucketExpr))
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+    v.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .filter(expr("bit_count(bucket ^ qbucket) <= 1"))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        expr(cosExpr("embedding", "qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("label"), col("bucket"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  private val sAnnLshSql =
+    s"""WITH v AS (SELECT vec_id, label, embedding, ($duckBucketExpr) AS bucket FROM embeddings),
+       |q AS (SELECT embedding qe, bucket qbucket FROM v WHERE vec_id = $QueryVec),
+       |cands AS (SELECT vec_id, label, bucket, ${duckCosExpr("embedding", "qe")} AS cos
+       |          FROM v CROSS JOIN q
+       |          WHERE vec_id <> $QueryVec AND bit_count(xor(bucket, qbucket)) <= 1)
+       |SELECT vec_id, label, bucket, round(cos, 6) AS cosine FROM cands
+       |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Blocked kNN: top-3 neighbours per vector within its label cell
+  // ----------------------------------------------------------------
+
+  /** All-vectors kNN, blocked by label (IVF-style coarse cell): for
+    * each vector its top-3 same-label neighbours by cosine. The pair
+    * space is Σ_cells n_cell² — bounded per cell, shuffled on the
+    * block key, never a global cross join. */
+  private def sBlockedKnn: Q = (s, dir) => {
+    val v = Tables.embeddings(s, dir)
+    val pairs = v.as("x").join(v.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        col("x.label").as("label"),
+        expr(cosExpr("x.embedding", "y.embedding")).as("cos"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id"), col("rank").cast("long").as("rank"),
+        col("b_id"), col("label"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val sBlockedKnnSql =
+    s"""WITH p AS (SELECT x.vec_id a_id, y.vec_id b_id, x.label AS label,
+       |             ${duckCosExpr("x.embedding", "y.embedding")} AS cos
+       |           FROM embeddings x JOIN embeddings y
+       |             ON x.label = y.label AND x.vec_id <> y.vec_id)
+       |SELECT a_id, rank, b_id, label, round(cos, 6) AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
+       |      FROM p)
+       |WHERE rank <= 3""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "s_cosine_topk" -> sCosineTopk,
+    "s_ann_lsh" -> sAnnLsh,
+    "s_blocked_knn" -> sBlockedKnn)
+
+  val oracles: Map[String, String] = Map(
+    "s_cosine_topk" -> sCosineTopkSql,
+    "s_ann_lsh" -> sAnnLshSql,
+    "s_blocked_knn" -> sBlockedKnnSql)
+}

@@ -167,7 +167,8 @@ object TextAnalysis {
     * text (exact-dup key) + the min token hash (a 1-permutation
     * minhash, the winnowing primitive). Portable hash (PortableHash)
     * so the oracle computes identical values. */
-  private def tFingerprint: Q = (s, dir) =>
+  private def tFingerprint: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("norm", concat_ws(" ", tokens(col("text"))))
       .select(
@@ -175,6 +176,7 @@ object TextAnalysis {
         PortableHash.polyHash(col("norm")).as("fingerprint"),
         expr(s"array_min(transform(${"split(norm, ' ')"}, t -> ${PortableHash.polyHashSql("t")}))")
           .as("min_token_hash"))
+  }
 
   private val tFingerprintSql = {
     val toks = duckTokens("text")

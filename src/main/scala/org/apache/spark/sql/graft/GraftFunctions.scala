@@ -1,0 +1,173 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression computing PortableHash's polynomial
+  * rolling hash: H(s) = fold over code points of (acc·31 + cp) mod P.
+  *
+  * Same value as the higher-order-function formulation
+  * (`aggregate(split(s,''), ...)`, `PortableHash.polyHashHofSql`) and as
+  * the DuckDB oracle twin (`PortableHash.duckPolyHash`), but executed as
+  * one codegen'd JVM loop per value instead of an interpreted Catalyst
+  * lambda per CHARACTER. `doGenCode` delegates to a static helper, so
+  * hashing stays inside whole-stage codegen spans. */
+case class PolyHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PolyHash.compute(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.PolyHash.compute($c)")
+
+  protected override def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  final val P: Long = 1000000007L
+
+  /** Static helper the generated code calls (the companion class gets a
+    * static forwarder, so `...graft.PolyHash.compute` is valid Java).
+    * Iterates CODE POINTS to match `ascii()` / DuckDB `ord()`. */
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = (acc * 31 + cp) % P
+    }
+    acc
+  }
+}
+
+/** Native Catalyst expression emitting the distinct hashed word
+  * W-shingles of a text column as `array<long>` — the fused form of
+  *
+  * {{{ transform(array_distinct(shingles(tokens(text))), polyhash) }}}
+  *
+  * Semantics replicate the built-in pipeline exactly (and therefore the
+  * DuckDB oracle): lower-case, collapse `[\p{Punct} ]+` runs to one
+  * space, split on single spaces keeping boundary empties (Java
+  * `split(" ", -1)` — same as Spark's `split`), join each W-token
+  * window with single spaces, PolyHash the joined string, distinct.
+  * Texts shorter than W tokens yield one hash of the whole normalized
+  * string.
+  *
+  * Why native: the HOF formulation is interpreted per shingle AND
+  * Catalyst's CollapseProject inlines the token-array expression at each
+  * of its three use sites, re-running the regexp per row per site —
+  * measured 7.3s/pass at sf0.1 vs ~0.3s for this expression. One
+  * compiled pass, no intermediate shingle strings, stays inside
+  * whole-stage codegen. */
+case class ShingleHashes(child: Expression, width: Int = 5)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], width)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ShingleHashes.compute($c, $width)")
+
+  protected override def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private final val P = PolyHash.P
+
+  /** Java-regex `\p{Punct}` = the 32 ASCII punctuation chars. */
+  private def isPunctOrSpace(cp: Int): Boolean =
+    cp == ' ' || (cp < 128 && !Character.isLetterOrDigit(cp) && !Character.isWhitespace(cp) && cp > 32)
+
+  def compute(s: UTF8String, width: Int): ArrayData = {
+    // normalize: lower-case + collapse [\p{Punct} ]+ runs to one space
+    val str = s.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    var inRun = false
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if (isPunctOrSpace(cp)) {
+        if (!inRun) { sb.append(' '); inRun = true }
+      } else { sb.appendCodePoint(cp); inRun = false }
+    }
+    val tokens = sb.toString.split(" ", -1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    def hashRange(from: Int, until: Int): Long = {
+      var acc = 0L
+      var t = from
+      while (t < until) {
+        if (t > from) acc = (acc * 31 + ' '.toInt) % P
+        val tok = tokens(t)
+        var j = 0
+        while (j < tok.length) {
+          val cp = tok.codePointAt(j)
+          j += Character.charCount(cp)
+          acc = (acc * 31 + cp) % P
+        }
+        t += 1
+      }
+      acc
+    }
+    if (tokens.length >= width) {
+      var w = 0
+      while (w <= tokens.length - width) {
+        out.add(hashRange(w, w + width))
+        w += 1
+      }
+    } else {
+      out.add(hashRange(0, tokens.length))
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Registers graft's native Catalyst expressions in a session's
+  * FunctionRegistry so they are usable from `expr(...)` strings
+  * (including inside higher-order-function lambdas).
+  *
+  * Lives under `org.apache.spark.sql` because `SparkSession.sessionState`
+  * and `AbstractDataType` are `private[sql]`; this is the standard
+  * library-extension seam when the session is handed to us already built
+  * (the driver contract passes a ready SparkSession, so a
+  * `spark.sql.extensions` injection point isn't available). Registration
+  * is idempotent and per-session. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val polyId = FunctionIdentifier("graft_polyhash")
+    if (!reg.functionExists(polyId)) {
+      reg.registerFunction(
+        polyId,
+        new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+        (children: Seq[Expression]) => PolyHash(children.head))
+    }
+    val shingleId = FunctionIdentifier("graft_shingle_hashes")
+    if (!reg.functionExists(shingleId)) {
+      reg.registerFunction(
+        shingleId,
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        (children: Seq[Expression]) => ShingleHashes(children.head))
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("s_cosine_topk returns k rows in descending cosine order") {
+    val rows = Similarity.queries("s_cosine_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    val cosines = rows.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+
+  test("s_ann_lsh results are a subset of the brute-force candidate set") {
+    val brute = Similarity.queries("s_cosine_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = Similarity.queries("s_ann_lsh")(spark, sf).collect()
+    assert(ann.length <= 10)
+    // every ANN hit that is also in the exact top-10 must carry the same cosine
+    val bruteCos = Similarity.queries("s_cosine_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cosine")).toMap
+    ann.foreach { r =>
+      val id = r.getLong(0)
+      if (brute.contains(id))
+        assert(math.abs(bruteCos(id) - r.getAs[Double]("cosine")) < 1e-9)
+    }
+  }
+
+  test("s_blocked_knn: <=3 neighbours per vector, all same-label") {
+    val df = Similarity.queries("s_blocked_knn")(spark, sf)
+    assert(df.groupBy("a_id").count().filter(col("count") > 3).count() == 0)
+    val v = Tables.embeddings(spark, sf).select(col("vec_id"), col("label").as("true_label"))
+    val joined = df.join(v, df("a_id") === v("vec_id"))
+    assert(joined.filter(col("label") =!= col("true_label")).count() == 0)
+  }
+
+  test("native graft_polyhash equals the HOF formulation") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val df = Tables.documents(spark, sf).select(
+      expr("graft_polyhash(text)").as("native"),
+      expr(functions.PortableHash.polyHashHofSql("text")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native graft_shingle_hashes equals the built-in pipeline") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val toks = "split(regexp_replace(lower(text), '[\\\\p{Punct} ]+', ' '), ' ')"
+    val hof =
+      s"""array_sort(transform(array_distinct(CASE WHEN size($toks) >= 5
+         |  THEN transform(sequence(1, size($toks) - 4), i -> concat_ws(' ', slice($toks, i, 5)))
+         |  ELSE array(concat_ws(' ', $toks)) END), g -> graft_polyhash(g)))""".stripMargin
+    val df = Tables.documents(spark, sf).select(
+      expr("array_sort(graft_shingle_hashes(text))").as("native"),
+      expr(hof).as("hofv"))
+    assert(df.filter(to_json(col("native")) =!= to_json(col("hofv"))).count() == 0)
+  }
+}
