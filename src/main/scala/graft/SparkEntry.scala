@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.pipelines.Flagship
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +20,9 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
+      (Graph.queries, Graph.oracles),
+      (EventStreams.queries, EventStreams.oracles),
+      (Multimodal.queries, Multimodal.oracles),
       (Flagship.queries, Flagship.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

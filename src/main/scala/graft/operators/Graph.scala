@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Link-graph operators (SURVEY.md §2 A3/J3/S2, §7.3 M4): the reference
+  * crawls the web into a page/edge graph (Rcrawler `NetworkData=TRUE`,
+  * hi-csa-db.Rmd:111-119) and consumes per-page IN/OUT degrees plus a
+  * bounded-depth BFS frontier (MaxDepth). Here the graph derives from
+  * the harness star schema: region→nation→{customer, supplier} edges
+  * with namespaced string node ids.
+  *
+  * Scale notes:
+  *  - degrees: one groupBy per direction on the edge list — partial
+  *    aggregation makes this linear; the join back to nodes is a shuffle
+  *    on node id.
+  *  - BFS (the crawler's frontier loop, J3): driver-side iteration of
+  *    DataFrame ops — per level one join + anti-join, with
+  *    `localCheckpoint` cutting the lineage so plan size stays constant
+  *    in depth (SURVEY §4.2). Frontiers shuffle on node id only.
+  *  - label propagation: same iterative pattern; min() is exact, so the
+  *    oracle mirrors the iterations as unrolled CTEs.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MaxDepth = 3
+  // component diameter here is 4 (leaf→nation→region→nation→leaf);
+  // 6 rounds guarantee convergence with margin
+  private val LpIters = 6
+
+  // ---------------- graph construction (shared) ----------------
+
+  /** Directed edges: region → nation → customer | supplier. */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select(
+      concat(lit("R"), col("n_regionkey")).as("src"),
+      concat(lit("N"), col("n_nationkey")).as("dst"))
+    val c = Tables.customer(s, dir).select(
+      concat(lit("N"), col("c_nationkey")).as("src"),
+      concat(lit("C"), col("c_custkey")).as("dst"))
+    val p = Tables.supplier(s, dir).select(
+      concat(lit("N"), col("s_nationkey")).as("src"),
+      concat(lit("S"), col("s_suppkey")).as("dst"))
+    n.unionByName(c).unionByName(p)
+  }
+
+  private val duckEdgesCte =
+    """edges AS (
+      |  SELECT 'R' || n_regionkey AS src, 'N' || n_nationkey AS dst FROM nation
+      |  UNION ALL
+      |  SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer
+      |  UNION ALL
+      |  SELECT 'N' || s_nationkey, 'S' || s_suppkey FROM supplier)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // A3 — per-node in/out degrees (the crawler INDEX OUT/IN columns)
+  // ----------------------------------------------------------------
+
+  private def gDegrees: Q = (s, dir) => {
+    val e = edges(s, dir)
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  private val gDegreesSql =
+    s"""WITH $duckEdgesCte,
+       |o AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src),
+       |i AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst)
+       |SELECT coalesce(o.node, i.node) AS node,
+       |       coalesce(out_degree, 0) AS out_degree,
+       |       coalesce(in_degree, 0) AS in_degree
+       |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin
+
+  // ----------------------------------------------------------------
+  // J3/S2 — bounded-depth BFS (the crawler frontier loop)
+  // ----------------------------------------------------------------
+
+  /** Generic level-synchronous BFS: per level, expand the frontier
+    * through the edge list, drop already-visited nodes with a left-anti
+    * join, checkpoint to keep the plan flat. Returns (node, depth) with
+    * depth = first (minimal) level reached. */
+  def bfs(edgeDf: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    var visited = seeds.select(col("node"), lit(0).as("depth"))
+    var frontier = seeds.select(col("node"))
+    var d = 1
+    while (d <= maxDepth) {
+      val next = edgeDf.join(frontier, edgeDf("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(next.withColumn("depth", lit(d)))
+      frontier = next
+      d += 1
+    }
+    visited
+  }
+
+  private def gBfs: Q = (s, dir) => {
+    import s.implicits._
+    val seeds = Seq("R0").toDF("node")
+    bfs(edges(s, dir), seeds, MaxDepth)
+      .select(col("node"), col("depth").cast("long").as("depth"))
+  }
+
+  private val gBfsSql =
+    s"""WITH RECURSIVE $duckEdgesCte,
+       |walk(node, depth) AS (
+       |  SELECT 'R0', 0
+       |  UNION ALL
+       |  SELECT e.dst, w.depth + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.depth < $MaxDepth)
+       |SELECT node, min(depth) AS depth FROM walk GROUP BY node""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Label-propagation connected components (iterative min-label)
+  // ----------------------------------------------------------------
+
+  /** LpIters rounds of min-label propagation over the undirected view:
+    * label(v) ← min(label(v), min over neighbours). Exact (string min),
+    * so the oracle unrolls the same iterations as CTEs. */
+  private def gCcLabelprop: Q = (s, dir) => {
+    val e = edges(s, dir)
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var i = 0
+    while (i < LpIters) {
+      val fromNbr = und.join(labels, und("src") === labels("node"))
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(fromNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels
+  }
+
+  private val gCcLabelpropSql = {
+    val iters = (0 until LpIters).map { i =>
+      s"""l${i + 1} AS (
+         |  SELECT l.node, least(l.label, coalesce(m.nbr_label, l.label)) AS label
+         |  FROM l$i l LEFT JOIN (
+         |    SELECT u.dst AS node, min(l$i.label) AS nbr_label
+         |    FROM und u JOIN l$i ON u.src = l$i.node GROUP BY u.dst) m
+         |  ON l.node = m.node)"""
+    }.mkString(",\n")
+    s"""WITH $duckEdgesCte,
+       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |l0 AS (SELECT node, node AS label
+       |       FROM (SELECT DISTINCT src AS node FROM und)),
+       |$iters
+       |SELECT node, label FROM l$LpIters""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "g_degrees" -> gDegrees,
+    "g_bfs" -> gBfs,
+    "g_cc_labelprop" -> gCcLabelprop)
+
+  val oracles: Map[String, String] = Map(
+    "g_degrees" -> gDegreesSql,
+    "g_bfs" -> gBfsSql,
+    "g_cc_labelprop" -> gCcLabelpropSql)
+}

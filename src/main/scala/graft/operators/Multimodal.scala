@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column operators (north-star — SURVEY.md §7.3 M5,
+  * BASELINE.json): image/audio/video payloads as opaque `binary` columns
+  * with typed metadata, plus decode / frame-sample / feature-extract
+  * plumbing.
+  *
+  * The container has no media codecs, so the DECODE step is a
+  * deterministic stub (documented at each site); everything Spark-side —
+  * binary schema, chunked frame iteration, per-partition batch decode,
+  * feature schema — is real and tested. Payload bytes are the UTF-8
+  * encoding of the document text (ASCII), which lets the DuckDB oracle
+  * compute identical values through VARCHAR functions (DuckDB 1.0 has no
+  * md5/substring over BLOB).
+  *
+  * Scale notes: all three queries are narrow per-row projections /
+  * generators over the scan — no shuffle, linear in input splits. Frame
+  * explosion multiplies rows by payload-size/64 BEFORE any shuffle, so
+  * downstream aggs see fixed-size frames, the same shape a video
+  * pipeline needs (decode fan-out at the map side).
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val FrameBytes = 64
+  private val SampleEvery = 4
+
+  /** The opaque payload column (stub: UTF-8 bytes of the text). */
+  private def withPayload(df: DataFrame): DataFrame =
+    df.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  // ----------------------------------------------------------------
+  // Binary column + typed metadata
+  // ----------------------------------------------------------------
+
+  /** Binary payload with typed metadata: byte length, content digest,
+    * magic-bytes prefix, and deterministic width/height/format tags (the
+    * stub for image-header parsing). */
+  private def mBinaryMeta: Q = (s, dir) =>
+    withPayload(Tables.documents(s, dir)).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("digest"),
+      hex(substring(col("payload"), 1, 8)).as("magic"),
+      (lit(16) + col("doc_id") % 64).cast("long").as("width"),
+      (lit(16) + (col("doc_id") * 7) % 64).cast("long").as("height"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+
+  private val mBinaryMetaSql =
+    """SELECT doc_id,
+      | octet_length(encode(text)) AS n_bytes,
+      | md5(text) AS digest,
+      | hex(substring(text, 1, 8)) AS magic,
+      | 16 + doc_id % 64 AS width,
+      | 16 + (doc_id * 7) % 64 AS height,
+      | (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Frame sampling: chunk the payload, keep every k-th frame
+  // ----------------------------------------------------------------
+
+  /** Frame extraction + sampling: split the payload into 64-byte frames
+    * (a generator: one row per frame), keep every 4th, digest each. The
+    * row-explosion happens map-side before any shuffle — the shape of a
+    * video frame-sampling stage. */
+  private def mFrameSample: Q = (s, dir) =>
+    withPayload(Tables.documents(s, dir))
+      .withColumn("n_frames",
+        ((length(col("payload")) + FrameBytes - 1) / FrameBytes).cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % SampleEvery === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(substring(col("payload"), col("frame_idx") * FrameBytes + 1, lit(FrameBytes)))
+          .as("frame_digest"))
+
+  private val mFrameSampleSql =
+    s"""SELECT doc_id, frame_idx,
+       |  md5(substring(text, (frame_idx * $FrameBytes + 1)::BIGINT, $FrameBytes)) AS frame_digest
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, (octet_length(encode(text)) + ${FrameBytes - 1}) // $FrameBytes))
+       |          AS frame_idx
+       |      FROM documents)
+       |WHERE frame_idx % $SampleEvery = 0""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Feature extraction (stubbed decode → numeric feature vector)
+  // ----------------------------------------------------------------
+
+  /** Stub "decode + featurize": byte-class ratios as the feature vector
+    * (a real pipeline would decode pixels/samples here; ratios of exact
+    * integer counts divide to bit-identical doubles in both engines). */
+  private def mFeatures: Q = (s, dir) =>
+    withPayload(Tables.documents(s, dir))
+      .withColumn("n", length(col("payload")).cast("double"))
+      .select(
+        col("doc_id"),
+        array(
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / col("n"),
+          length(regexp_replace(col("text"), "[^0-9]", "")) / col("n"),
+          length(regexp_replace(col("text"), "[^ ]", "")) / col("n"),
+          col("n") / 1000.0).as("features"))
+
+  private val mFeaturesSql =
+    """SELECT doc_id,
+      | [length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n,
+      |  length(regexp_replace(text, '[^0-9]', '', 'g')) / n,
+      |  length(regexp_replace(text, '[^ ]', '', 'g')) / n,
+      |  n / 1000.0] AS features
+      |FROM (SELECT doc_id, text, octet_length(encode(text))::DOUBLE AS n FROM documents)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Per-partition batch decode plumbing (Dataset + mapPartitions)
+  // ----------------------------------------------------------------
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+      mean_byte: Double, frames: Int)
+
+  /** The Scala analogue of a Pandas-UDF/mapInPandas decode stage:
+    * per-partition iteration so a real decoder could amortize model/codec
+    * init across the batch (the Spark-side plumbing the SURVEY asks to
+    * keep real while stubbing the codec itself). */
+  def decodePartitions(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // STUB: a real implementation would initialize the codec once here.
+      it.map { r =>
+        val bytes = r.payload
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
+          if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+          (bytes.length + FrameBytes - 1) / FrameBytes)
+      }
+    }
+  }
+
+  /** Typed media table for [[decodePartitions]]. */
+  def mediaRecords(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+      .as[MediaRecord]
+  }
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "m_binary_meta" -> mBinaryMeta,
+    "m_frame_sample" -> mFrameSample,
+    "m_features" -> mFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "m_binary_meta" -> mBinaryMetaSql,
+    "m_frame_sample" -> mFrameSampleSql,
+    "m_features" -> mFeaturesSql)
+}

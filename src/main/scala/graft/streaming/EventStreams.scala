@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Event-time windowing over the `events` table — the Structured
+  * Streaming extension flagged in SURVEY.md §2.10 (the reference is
+  * strictly batch; "streams" there means data sources).
+  *
+  * Design: every windowed aggregation is defined ONCE as a DataFrame
+  * transform that works identically on a batch frame and on a streaming
+  * frame (the Spark unified-API contract). The harness oracle checks the
+  * batch instantiations; `streamingTumbling` + the stateful ops run the
+  * same logic through `readStream` with a watermark (spec-tested against
+  * the batch results).
+  *
+  * Scale notes: tumbling/sliding aggs are hash aggregations keyed by
+  * (window, key) — partial agg + shuffle on the composite key, AQE
+  * coalesced. Session windows shuffle by user_id and merge per key. The
+  * watermark bounds streaming state; at 100 TB/day the state store holds
+  * only open windows past the watermark.
+  */
+object EventStreams {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ----------------------------------------------------------------
+  // shared transforms (batch == streaming)
+  // ----------------------------------------------------------------
+
+  /** 1-day tumbling window per event_type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** 1-day window sliding every 12h per event_type (each event in 2 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows per user with an 8h inactivity gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "8 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ----------------------------------------------------------------
+  // harness queries (batch instantiation) + DuckDB oracles
+  // ----------------------------------------------------------------
+
+  private def stTumbling: Q = (s, dir) => tumbling(Tables.events(s, dir))
+
+  private val stTumblingSql =
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+      |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def stSliding: Q = (s, dir) => sliding(Tables.events(s, dir))
+
+  private val stSlidingSql =
+    """SELECT window_start, event_type, count(*) AS n_events,
+      |       round(sum(value), 6) AS sum_value
+      |FROM (SELECT unnest([time_bucket(INTERVAL '12 hours', ts),
+      |                     time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours'])
+      |             AS window_start,
+      |             event_type, value
+      |      FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
+  private def stSession: Q = (s, dir) => sessions(Tables.events(s, dir))
+
+  /** Session semantics: an event exactly `gap` after its predecessor
+    * starts a NEW session (Spark windows are [start, end)), hence >= in
+    * the oracle's gap test; session_end = last ts + gap. */
+  private val stSessionSql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '8 hours'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL '8 hours' AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sess""".stripMargin
+
+  // ----------------------------------------------------------------
+  // true streaming builders (spec-tested)
+  // ----------------------------------------------------------------
+
+  /** Raw parquet schema of events (ts as nanos-long; see Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events parquet with event-time watermark;
+    * feed it to [[tumbling]]/[[sliding]]/[[sessions]] unchanged. */
+  def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+  }
+
+  /** Tumbling aggregation as a genuine streaming query. */
+  def streamingTumbling(s: SparkSession, dir: String): DataFrame =
+    tumbling(eventStream(s, dir))
+
+  // ---- custom state: running per-user stats via mapGroupsWithState ----
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserState(n: Long, sum: Double, max: Double)
+  case class UserStats(user_id: Long, n: Long, sum: Double, max: Double)
+
+  /** Custom stateful operator (KeyValueGroupedDataset.mapGroupsWithState):
+    * running count/sum/max per user, updated per micro-batch. The
+    * SURVEY-mandated demonstration of arbitrary stateful processing. */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserStats](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue))
+          val next = rows.foldLeft(prev) { (st, e) =>
+            UserState(st.n + 1, st.sum + e.value, math.max(st.max, e.value))
+          }
+          state.update(next)
+          UserStats(user, next.n, next.sum, next.max)
+      }
+  }
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "st_tumbling" -> stTumbling,
+    "st_sliding" -> stSliding,
+    "st_session" -> stSession)
+
+  val oracles: Map[String, String] = Map(
+    "st_tumbling" -> stTumblingSql,
+    "st_sliding" -> stSlidingSql,
+    "st_session" -> stSessionSql)
+}

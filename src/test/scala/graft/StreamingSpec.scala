@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  test("streamingTumbling produces the same result as the batch tumbling agg") {
+    val q = EventStreams.streamingTumbling(spark, sf)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventStreams.queries("st_tumbling")(spark, sf)
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("runningUserStats accumulates state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(EventStreams.UserEvent(1L, 10.0), EventStreams.UserEvent(1L, 5.0),
+        EventStreams.UserEvent(2L, 7.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.UserEvent(1L, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("user_stats")
+        .groupBy("user_id").agg(max("n").as("n"), max("sum").as("sum"), max("max").as("max"))
+        .orderBy("user_id").collect().toSeq
+      assert(rows == Seq(Row(1L, 3L, 35.0, 20.0), Row(2L, 1L, 7.0, 7.0)))
+    } finally q.stop()
+  }
+
+  test("sessions: no two sessions of one user overlap") {
+    val df = EventStreams.queries("st_session")(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val overlaps = df
+      .withColumn("prev_end", lag("session_end", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
+    assert(overlaps.count() == 0)
+  }
+}
