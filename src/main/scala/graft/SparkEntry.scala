@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Graph, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, Scrape, Similarity, TextAnalysis}
 import graft.pipelines.Flagship
 import graft.streaming.EventStreams
 
@@ -23,6 +23,7 @@ object SparkEntry {
       (Graph.queries, Graph.oracles),
       (EventStreams.queries, EventStreams.oracles),
       (Multimodal.queries, Multimodal.oracles),
+      (Scrape.queries, Scrape.oracles),
       (Flagship.queries, Flagship.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's scrape pipeline operators (SURVEY §2 S3/W1/X1/A4 —
+  * hi-csa-db.Rmd:141-285), oracle-checked over a DOM-elements table
+  * derived deterministically from `documents` (the fixture stands in for
+  * parsed HTML; FIXTURES.md B5).
+  *
+  * Element derivation: each document's text splits into sentences
+  * (posexplode keeps document order); position tags the element kind —
+  * every 7th element is an "h3" section header, every 3rd an "h4"
+  * sub-header, the rest are "p" paragraphs. That reproduces the exact
+  * shape the reference walks: ordered elements with section context to
+  * carry forward.
+  *
+  * Scale: the fill-forward windows partition by doc_id (never global
+  * order — SURVEY §7.5(6)), so documents parallelize perfectly; the
+  * explodes are map-side generators.
+  */
+object Scrape {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared: ordered (doc_id, pos, tag, text) element table. */
+  private def elements(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " the ")).as(Seq("pos", "etext")))
+      .select(col("doc_id"), col("pos"),
+        when(col("pos") % 7 === 0, "h3")
+          .when(col("pos") % 3 === 0, "h4")
+          .otherwise("p").as("tag"),
+        col("etext"))
+
+  private val duckElementsCte =
+    """elems AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos % 7 = 0 THEN 'h3'
+      |         WHEN pos % 3 = 0 THEN 'h4'
+      |         ELSE 'p' END AS tag,
+      |    etext
+      |  FROM (SELECT doc_id,
+      |          unnest(range(1, len(sents) + 1)) - 1 AS pos,
+      |          unnest(sents) AS etext
+      |        FROM (SELECT doc_id, string_split(text, ' the ') AS sents
+      |              FROM documents)))""".stripMargin
+
+  // ----------------------------------------------------------------
+  // W1 — stateful fill-forward WITH the h3-resets-h4 rule
+  // ----------------------------------------------------------------
+
+  /** The reference's central scrape operator (Rmd:174-212): walk
+    * elements in document order carrying the active h3; an h4 carries
+    * forward too but an intervening h3 RESETS it (sentinel trick:
+    * h3 rows write '' into the h4 stream, nullif turns it back into the
+    * reference's `H4 = NA`); emit only paragraph rows tagged with their
+    * section context. */
+  private def w1ScrapeFill: Q = (s, dir) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    elements(s, dir)
+      .withColumn("h3", last(when(col("tag") === "h3", col("etext")), ignoreNulls = true).over(w))
+      .withColumn("h4_raw", last(
+        when(col("tag") === "h3", lit(""))
+          .when(col("tag") === "h4", col("etext")), ignoreNulls = true).over(w))
+      .filter(col("tag") === "p")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("h3"), nullif(col("h4_raw"), lit("")).as("h4"),
+        col("etext").as("paragraph"))
+  }
+
+  private val w1ScrapeFillSql =
+    s"""WITH $duckElementsCte
+       |SELECT doc_id, pos, h3, nullif(h4_raw, '') AS h4, etext AS paragraph
+       |FROM (
+       |  SELECT doc_id, pos, tag, etext,
+       |    last_value(CASE WHEN tag = 'h3' THEN etext END IGNORE NULLS)
+       |      OVER w AS h3,
+       |    last_value(CASE WHEN tag = 'h3' THEN ''
+       |                    WHEN tag = 'h4' THEN etext END IGNORE NULLS)
+       |      OVER w AS h4_raw
+       |  FROM elems
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |WHERE tag = 'p'""".stripMargin
+
+  // ----------------------------------------------------------------
+  // X1 (nested form) — flatten array<struct> links, INNER explode
+  // ----------------------------------------------------------------
+
+  /** The reference's list_to_dataframe (Rmd:216-270) over a nested
+    * links column: paragraphs carry array<struct<ltext,href>> links
+    * (derived: one link per long-enough word); the INNER explode drops
+    * link-less paragraphs exactly like the reference drops them. */
+  private def x1NestedLinks: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " the ")).as(Seq("pos", "para")))
+      .withColumn("links", expr(
+        """transform(filter(split(para, ' '), t -> length(t) >= 6),
+          |  t -> named_struct('ltext', t, 'href', concat('https://example.org/', t)))""".stripMargin))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        explode(col("links")).as("link"))
+      .select(col("doc_id"), col("pos"),
+        col("link.ltext").as("ltext"), col("link.href").as("href"))
+
+  private val x1NestedLinksSql =
+    """SELECT doc_id, pos, link['ltext'] AS ltext, link['href'] AS href
+      |FROM (
+      |  SELECT doc_id, pos,
+      |    unnest(list_transform(
+      |      list_filter(string_split(para, ' '), t -> length(t) >= 6),
+      |      t -> {'ltext': t, 'href': 'https://example.org/' || t})) AS link
+      |  FROM (SELECT doc_id,
+      |          unnest(range(1, len(paras) + 1)) - 1 AS pos,
+      |          unnest(paras) AS para
+      |        FROM (SELECT doc_id, string_split(text, ' the ') AS paras
+      |              FROM documents)))""".stripMargin
+
+  // ----------------------------------------------------------------
+  // A4 — group-collect: rebuild the section tree shape
+  // ----------------------------------------------------------------
+
+  /** The implicit h3/h4 grouping (Rmd:179-212): paragraphs re-grouped
+    * under their section as a sorted array of structs (sort_array gives
+    * the deterministic order collect_list lacks). */
+  private def a4GroupCollect: Q = (s, dir) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    elements(s, dir)
+      .withColumn("h3", last(when(col("tag") === "h3", col("etext")), ignoreNulls = true).over(w))
+      .filter(col("tag") === "p" && col("h3").isNotNull)
+      .groupBy(col("doc_id"), col("h3"))
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sort_array(collect_list(struct(col("pos").cast("long").as("pos"),
+          col("etext").as("paragraph")))).as("paragraphs"))
+  }
+
+  private val a4GroupCollectSql =
+    s"""WITH $duckElementsCte,
+       |filled AS (
+       |  SELECT doc_id, pos, tag, etext,
+       |    last_value(CASE WHEN tag = 'h3' THEN etext END IGNORE NULLS)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h3
+       |  FROM elems)
+       |SELECT doc_id, h3, count(*) AS n_paragraphs,
+       |       list({'pos': pos, 'paragraph': etext} ORDER BY pos, etext) AS paragraphs
+       |FROM filled WHERE tag = 'p' AND h3 IS NOT NULL
+       |GROUP BY doc_id, h3""".stripMargin
+
+  // ----------------------------------------------------------------
+  // S3 — HTML fetch + DOM parse (fixture-grade, regex-based)
+  // ----------------------------------------------------------------
+
+  /** HTML element extraction (Rmd:151-171): an html column is built
+    * from the document (the fixture "fetch"), then h3/p elements and
+    * anchor hrefs are pulled out with regexes — the fixture-grade
+    * parse SURVEY §7.4 chose over a jsoup UDF. */
+  private def s3HtmlParse: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("html", concat(
+        lit("<html><h3>doc "), col("doc_id"), lit("</h3><p>"),
+        regexp_replace(col("text"), " the ", "</p><p>"),
+        lit("</p><a href=\""), col("source"), lit("\">src</a></html>")))
+      .select(
+        col("doc_id"),
+        regexp_extract(col("html"), "<h3>(.*?)</h3>", 1).as("h3"),
+        size(expr("regexp_extract_all(html, '<p>(.*?)</p>', 1)")).cast("long").as("n_paragraphs"),
+        element_at(expr("regexp_extract_all(html, '<p>(.*?)</p>', 1)"), 1).as("first_paragraph"),
+        regexp_extract(col("html"), "<a href=\"(.*?)\">", 1).as("href"))
+
+  private val s3HtmlParseSql =
+    """SELECT doc_id,
+      | regexp_extract(html, '<h3>(.*?)</h3>', 1) AS h3,
+      | len(regexp_extract_all(html, '<p>(.*?)</p>', 1)) AS n_paragraphs,
+      | regexp_extract_all(html, '<p>(.*?)</p>', 1)[1] AS first_paragraph,
+      | regexp_extract(html, '<a href="(.*?)">', 1) AS href
+      |FROM (SELECT doc_id,
+      |        '<html><h3>doc ' || doc_id || '</h3><p>' ||
+      |        replace(text, ' the ', '</p><p>') ||
+      |        '</p><a href="' || source || '">src</a></html>' AS html
+      |      FROM documents)""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "w1_scrape_fill" -> w1ScrapeFill,
+    "x1_nested_links" -> x1NestedLinks,
+    "a4_group_collect" -> a4GroupCollect,
+    "s3_html_parse" -> s3HtmlParse)
+
+  val oracles: Map[String, String] = Map(
+    "w1_scrape_fill" -> w1ScrapeFillSql,
+    "x1_nested_links" -> x1NestedLinksSql,
+    "a4_group_collect" -> a4GroupCollectSql,
+    "s3_html_parse" -> s3HtmlParseSql)
+}

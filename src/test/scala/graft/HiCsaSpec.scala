@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.HiCsa
+import graft.sources.Sources
+
+/** Golden-parity tests (SURVEY §5.2): miniature fixtures exercising the
+  * reference pipeline's observable quirks — NA string-coercion, inner vs
+  * outer explode, keep-first dedup, positional repair, alphabetical
+  * db_merge ordering — with exact expected rows. */
+class HiCsaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scraped = Seq(
+    // (Mitigation, Practice, Description, Resource, doc_pos)
+    ("Soil Health", "Cover Crop", "plant cover", "/docs/cc.pdf", 1L),
+    ("Soil Health", "Cover Crop", "dup practice, later pos", "http://x/cc2", 2L),
+    ("Energy Efficiency", "Old A", "desc a", "http://x/a", 3L),
+    ("Energy Efficiency", "Old B", "desc b", "http://x/b", 4L),
+    ("Nutrient Mgmt", null, "no practice scraped", "http://x/n", 5L))
+    .toDF("Mitigation", "Practice", "Description", "Resource", "doc_pos")
+
+  private val lexicon = Seq("cover" -> "Cover Crop", "nutrient" -> "Nutrient Plan")
+
+  test("technicalDb absolutizes only relative URLs (P7)") {
+    val t = HiCsa.technicalDb(scraped, "https://base.org")
+    val urls = t.orderBy("doc_pos").select("Resource").as[String].collect().toSeq
+    assert(urls == Seq("https://base.org/docs/cc.pdf", "http://x/cc2",
+      "http://x/a", "http://x/b", "http://x/n"))
+  }
+
+  test("practiceLookup keeps the FIRST occurrence in document order (U4)") {
+    val lookup = HiCsa.practiceLookup(HiCsa.technicalDb(scraped, "https://base.org"))
+    val cc = lookup.filter(col("Practice") === "Cover Crop").collect()
+    assert(cc.length == 1 && cc(0).getString(1) == "Soil Health")
+  }
+
+  test("policyDb: NA coercion, outer explode, lookup join with null misses (F6/X2/J1)") {
+    val policy = Seq(
+      // matches both lexicon keywords -> 2 rows
+      (Option("P1"), Option("covers cover and nutrient goals"), Option("v1"),
+        Option("cover nutrient"), Option("r1")),
+      // matches nothing, all-null paste inputs -> the literal NA row
+      (Option.empty[String], Option.empty[String], Option.empty[String],
+        Option("unrelated goals"), Option("r2")))
+      .toDF("GuidingPolicy", "PolicyDescription", "Verbiage", "CsaGoals", "Resource")
+    val pracMiti = Seq(("Cover Crop", "Soil Health")).toDF("Practice", "Mitigation")
+    val rows = HiCsa.policyDb(policy, lexicon, pracMiti)
+      .orderBy(asc_nulls_last("Practice")).collect().toSeq
+    assert(rows == Seq(
+      Row("Policy", "Soil Health", "Cover Crop", "P1: covers cover and nutrient goals See v1.", "r1"),
+      // practice matched by the classifier but absent from the lookup -> null Mitigation
+      Row("Policy", null, "Nutrient Plan", "P1: covers cover and nutrient goals See v1.", "r1"),
+      // no classifier match -> single row with null practice + R's "NA" coercion
+      Row("Policy", null, null, "NA: NA See NA.", "r2")))
+  }
+
+  test("repairTechnical overwrites by POSITION and fills null practices (W3)") {
+    val repaired = HiCsa.repairTechnical(scraped, "Energy Efficiency", Seq("New A", "New B"))
+    val energy = repaired.filter(col("Mitigation") === "Energy Efficiency")
+      .orderBy("doc_pos").select("Practice").as[String].collect().toSeq
+    assert(energy == Seq("New A", "New B"))
+    val filled = repaired.filter(col("Mitigation") === "Nutrient Mgmt")
+      .select("Practice").as[String].collect().toSeq
+    assert(filled == Seq("no practice scraped"))
+  }
+
+  test("finalDb unions the three streams, drops null mitigation, canonical order (U2/P2)") {
+    val tech = HiCsa.repairTechnical(
+      HiCsa.technicalDb(scraped, "https://base.org"), "Energy Efficiency", Seq("New A", "New B"))
+    val policy = Seq(("Policy", "Soil Health", "Cover Crop", "d", "r"))
+      .toDF("Type", "Mitigation", "Practice", "Description", "Resource")
+    val support = Seq(
+      (Option("Support"), Option("Outreach"), Option.empty[String], Option("s-desc"), Option("s-r")),
+      (Option("Support"), Option("Outreach"), Option.empty[String], Option.empty[String], Option("dropped")))
+      .toDF("Type", "Mitigation", "Practice", "Description", "Resource")
+    val db = HiCsa.finalDb(tech, policy, HiCsa.supportDb(support))
+    assert(db.columns.toSeq == Seq("Type", "Mitigation", "Practice", "Description", "Resource"))
+    assert(db.count() == 7) // 5 technical + 1 policy + 1 support (null-desc dropped)
+    assert(db.filter(col("Type") === "Support").count() == 1)
+    val preview = HiCsa.preview(db, 3).select("Mitigation").as[String].collect().toSeq
+    assert(preview == preview.sorted)
+  }
+
+  test("cacheOrCompute computes once, then serves the parquet cache (S1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache").toString
+    val path = s"$dir/cached"
+    var computes = 0
+    def thunk = { computes += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val first = Sources.cacheOrCompute(spark, path)(thunk)
+    assert(first.count() == 2 && computes == 1)
+    val second = Sources.cacheOrCompute(spark, path)(thunk)
+    assert(second.count() == 2 && computes == 1) // cache hit: thunk not re-evaluated
+  }
+
+  test("headerless CSV scan yields positional columns (S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(f, "a,1\nb,2\n")
+    val df = Sources.readHeaderlessCsv(spark, f.toString)
+    assert(df.columns.toSeq == Seq("_c0", "_c1"))
+    assert(df.count() == 2)
+  }
+
+  test("parquet sink round-trips with and without compression (K1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1, "x")).toDF("k", "v")
+    Sources.writeParquet(df, s"$dir/c", compressed = true)
+    Sources.writeParquet(df, s"$dir/u", compressed = false)
+    assert(spark.read.parquet(s"$dir/c").collect().toSeq ==
+      spark.read.parquet(s"$dir/u").collect().toSeq)
+  }
+}
