@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.SchemaUnion
+
+/** Property-based laws (SURVEY §5.2): db_merge schema algebra, the
+  * detect.csa classifier's containment law, and the explode_outer
+  * row-count law, over ScalaCheck-generated inputs (sampled with a fixed
+  * seed sequence — the scalatest/scalacheck bridge artifact is not in
+  * the offline cache, so sampling is driven manually). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val colNameGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+  private val schemaGen = Gen.chooseNum(1, 4).flatMap(k =>
+    Gen.listOfN(k, colNameGen).map(_.distinct))
+
+  test("dbMerge law: columns = sorted union, rows = sum, null padding") {
+    val cases = samples(for {
+      cx <- schemaGen; cy <- schemaGen
+      nx <- Gen.chooseNum(0, 5); ny <- Gen.chooseNum(0, 5)
+    } yield (cx, cy, nx, ny), 12)
+    assert(cases.nonEmpty)
+    cases.foreach { case (cx, cy, nx, ny) =>
+      val x = spark.range(nx.toLong).toDF("id")
+        .select(col("id") +: cx.map(c => concat(lit(c), col("id")).as(c)): _*)
+      val y = spark.range(ny.toLong).toDF("id")
+        .select(col("id") +: cy.map(c => concat(lit(c), col("id")).as(c)): _*)
+      val m = SchemaUnion.dbMerge(x, y)
+      assert(m.columns.toSeq == ("id" :: (cx ++ cy).distinct).sorted)
+      assert(m.count() == nx.toLong + ny.toLong)
+      (cx.toSet -- cy.toSet).foreach { c =>
+        assert(m.filter(col(c).isNull).count() >= ny.toLong)
+      }
+    }
+  }
+
+  private val wordGen = Gen.oneOf("spark", "join", "stream", "vector", "noise", "other", "plain")
+  private val textGen = Gen.chooseNum(0, 8).flatMap(k =>
+    Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+
+  test("classifier law: matches are a subset of the lexicon, in lexicon order") {
+    val practices = functions.Lexicon.entries.map(_._2)
+    val texts = samples(textGen, 40)
+    val df = texts.toDF("text")
+      .withColumn("tokens", split(regexp_replace(col("text"), "[\\p{Punct} ]+", " "), " "))
+      .withColumn("matched", expr(
+        s"""transform(
+           |  filter(${functions.Lexicon.sparkArrayLiteral},
+           |         kv -> exists(tokens, t -> t rlike concat('(?i)', kv.k))),
+           |  kv -> kv.p)""".stripMargin))
+    df.select("matched").as[Seq[String]].collect().foreach { m =>
+      assert(m.forall(practices.contains))
+      assert(m == practices.filter(m.contains)) // lexicon order preserved
+    }
+  }
+
+  test("explode_outer law: rows = sum(max(1, |matches|))") {
+    val sizeLists = samples(Gen.listOfN(5, Gen.chooseNum(0, 4)), 10)
+    sizeLists.foreach { sizes =>
+      val df = sizes.zipWithIndex
+        .map { case (k, i) => (i.toLong, (0 until k).map(_.toString)) }
+        .toDF("id", "xs")
+      val exploded = df.select(col("id"), explode_outer(col("xs")))
+      assert(exploded.count() == sizes.map(k => math.max(1, k)).sum.toLong)
+    }
+  }
+
+  test("polyhash law: native == HOF on arbitrary ascii strings") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val strs = samples(asciiGen, 60)
+    assert(strs.exists(_.nonEmpty))
+    val df = strs.toDF("s").select(
+      expr("graft_polyhash(s)").as("native"),
+      expr(functions.PortableHash.polyHashHofSql("s")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+}
