@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Graph, Multimodal, Relational, Scrape, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Scrape, Similarity, TextAnalysis}
 import graft.pipelines.Flagship
 import graft.streaming.EventStreams
 
@@ -17,6 +17,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
+      (RelationalExt.queries, RelationalExt.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -340,15 +340,15 @@ object Dedup {
     val signBucket = expr(
       (0 until 8).map(j => s"CASE WHEN element_at(embedding, ${j + 1}) >= 0 THEN ${1 << j} ELSE 0 END")
         .mkString(" + "))
+    // norms precomputed per vector, BELOW the pair join (one fold per
+    // pair instead of three — Similarity.scala has the measurement)
     val v = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), signBucket.as("bucket"))
+      .select(col("vec_id"), col("embedding"), signBucket.as("bucket"),
+        expr(s"sqrt(${foldDot("embedding", "embedding")})").as("nrm"))
     val pairs = v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        expr(
-          s"""${foldDot("x.embedding", "y.embedding")} /
-             |(sqrt(${foldDot("x.embedding", "x.embedding")}) *
-             | sqrt(${foldDot("y.embedding", "y.embedding")}))""".stripMargin).as("cos"))
+        expr(s"${foldDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm)").as("cos"))
     val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id").asc)
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -359,11 +359,11 @@ object Dedup {
     val bucket = (0 until 8)
       .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH v AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, embedding, ($bucket) AS bucket,
+       |             sqrt(${duckFoldDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
        |p AS (SELECT x.vec_id a_id, y.vec_id b_id,
-       |        ${duckFoldDot("x.embedding", "y.embedding")} /
-       |        (sqrt(${duckFoldDot("x.embedding", "x.embedding")}) *
-       |         sqrt(${duckFoldDot("y.embedding", "y.embedding")})) AS cos
+       |        ${duckFoldDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
        |      FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
        |SELECT a_id, b_id AS nearest_id, round(cos, 6) AS cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) rn FROM p)

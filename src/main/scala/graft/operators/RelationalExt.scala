@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational breadth beyond the reference's direct surface (SURVEY
+  * §2.4/§2.5 note these as "trivially available" — made explicit here
+  * so the engine's join/set/agg surface is complete): semi/anti joins,
+  * intersect/except, rollup/cube, pivot, and the salted-join skew
+  * mitigation pattern.
+  */
+object RelationalExt {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Salt = 8
+
+  // ----------------------------------------------------------------
+  // Salted join — the manual skew-mitigation pattern
+  // ----------------------------------------------------------------
+
+  /** Skew-proof fact join: the big side salts its key (deterministic
+    * salt from an existing column), the small side replicates across
+    * all salt values; the join key becomes (key, salt), splitting any
+    * hot key across Salt reducers. Semantically identical to the plain
+    * join — the oracle IS the plain join. AQE's skew-join handles the
+    * common case at runtime; explicit salting is the belt-and-braces
+    * pattern for known-pathological keys at 100 TB. */
+  private def j4SaltedJoin: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+      .withColumn("salt", (col("l_linenumber") % Salt).cast("int"))
+    val o = Tables.orders(s, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  private val j4SaltedJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Semi / anti joins
+  // ----------------------------------------------------------------
+
+  /** Customers with vs without orders: left_semi ∪ left_anti, tagged —
+    * the J3 `visited` check's two halves made explicit. */
+  private def j5SemiAnti: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("active").as("status"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("prospect").as("status"))
+    withOrders.unionByName(without)
+  }
+
+  private val j5SemiAntiSql =
+    """SELECT c_custkey, 'active' AS status FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, 'prospect' FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Set operations
+  // ----------------------------------------------------------------
+
+  /** Nations having both customers and suppliers (INTERSECT distinct). */
+  private def u5Intersect: Q = (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+
+  private val u5IntersectSql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier""".stripMargin
+
+  /** Nations with customers but no suppliers (EXCEPT distinct). */
+  private def u6Except: Q = (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+
+  private val u6ExceptSql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Multi-dimensional aggregation
+  // ----------------------------------------------------------------
+
+  /** ROLLUP over (returnflag, linestatus): subtotals + grand total,
+    * NULL-filled grouping columns — partial agg handles every grouping
+    * set in one shuffle. */
+  private def a5Rollup: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+
+  private val a5RollupSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       round(sum(l_quantity), 6) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** CUBE over the same dimensions (adds the per-linestatus margins). */
+  private def a6Cube: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+
+  private val a6CubeSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** PIVOT linestatus → columns (explicit value list keeps the plan
+    * single-pass; Spark pivots with an implicit distinct otherwise). */
+  private def a7Pivot: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+
+  private val a7PivotSql =
+    """SELECT l_returnflag,
+      |       count(*) FILTER (l_linestatus = 'F') AS F,
+      |       count(*) FILTER (l_linestatus = 'O') AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "j4_salted_join" -> j4SaltedJoin,
+    "j5_semi_anti" -> j5SemiAnti,
+    "u5_intersect" -> u5Intersect,
+    "u6_except" -> u6Except,
+    "a5_rollup" -> a5Rollup,
+    "a6_cube" -> a6Cube,
+    "a7_pivot" -> a7Pivot)
+
+  val oracles: Map[String, String] = Map(
+    "j4_salted_join" -> j4SaltedJoinSql,
+    "j5_semi_anti" -> j5SemiAntiSql,
+    "u5_intersect" -> u5IntersectSql,
+    "u6_except" -> u6ExceptSql,
+    "a5_rollup" -> a5RollupSql,
+    "a6_cube" -> a6CubeSql,
+    "a7_pivot" -> a7PivotSql)
+}

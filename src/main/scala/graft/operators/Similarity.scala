@@ -40,16 +40,27 @@ object Similarity {
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
 
-  private def cosExpr(a: String, b: String): String =
-    s"""${foldDot(a, b)} / (sqrt(${foldDot(a, a)}) * sqrt(${foldDot(b, b)}))"""
+  /** cos from a precomputed per-vector norm column on each side: the
+    * pair stage folds ONCE (the cross dot), not three times — at n²
+    * pair counts the norm precompute is the difference between 1 and 3
+    * interpreted array folds per pair (measured ~3× at sf0.1). */
+  private def cosExpr(a: String, b: String, normA: String, normB: String): String =
+    s"""${foldDot(a, b)} / ($normA * $normB)"""
 
   private def duckFoldDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
        |  list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  private def duckCosExpr(a: String, b: String): String =
-    s"""${duckFoldDot(a, b)} / (sqrt(${duckFoldDot(a, a)}) * sqrt(${duckFoldDot(b, b)}))"""
+  private def duckCosExpr(a: String, b: String, normA: String, normB: String): String =
+    s"""${duckFoldDot(a, b)} / ($normA * $normB)"""
+
+  /** Per-vector L2 norm column (computed once, before any pair join). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(s"sqrt(${foldDot("embedding", "embedding")})"))
+
+  private val duckNormExpr =
+    s"sqrt(${duckFoldDot("embedding", "embedding")})"
 
   /** 8-bit sign-LSH bucket (axis-aligned hyperplanes on dims 1..8). */
   private val bucketExpr = (0 until 8)
@@ -67,22 +78,23 @@ object Similarity {
   /** Exact top-K by cosine to the query vector: broadcast the 1-row
     * query, one narrow scan, TakeOrderedAndProject. */
   private def sCosineTopk: Q = (s, dir) => {
-    val v = Tables.embeddings(s, dir)
+    val v = withNorm(Tables.embeddings(s, dir))
     val q = v.filter(col("vec_id") === QueryVec)
-      .select(col("embedding").as("qe"))
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
     v.filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        expr(cosExpr("embedding", "qe")).as("cos"))
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(K)
       .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cosine"))
   }
 
   private val sCosineTopkSql =
-    s"""WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id = $QueryVec),
-       |scored AS (SELECT vec_id, label, ${duckCosExpr("embedding", "qe")} AS cos
-       |           FROM embeddings CROSS JOIN q WHERE vec_id <> $QueryVec)
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v WHERE vec_id = $QueryVec),
+       |scored AS (SELECT vec_id, label, ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS cos
+       |           FROM v CROSS JOIN q WHERE vec_id <> $QueryVec)
        |SELECT vec_id, label, round(cos, 6) AS cosine FROM scored
        |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
 
@@ -94,15 +106,15 @@ object Similarity {
     * Hamming ≤ 1 of the query's bucket are scored (multi-probe over 9
     * of 256 buckets), then exact cosine rank among the candidates. */
   private def sAnnLsh: Q = (s, dir) => {
-    val v = Tables.embeddings(s, dir)
+    val v = withNorm(Tables.embeddings(s, dir))
       .withColumn("bucket", expr(bucketExpr))
     val q = v.filter(col("vec_id") === QueryVec)
-      .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"), col("bucket").as("qbucket"))
     v.filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(q))
       .filter(expr("bit_count(bucket ^ qbucket) <= 1"))
       .select(col("vec_id"), col("label"), col("bucket"),
-        expr(cosExpr("embedding", "qe")).as("cos"))
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(K)
       .select(col("vec_id"), col("label"), col("bucket"),
@@ -110,9 +122,11 @@ object Similarity {
   }
 
   private val sAnnLshSql =
-    s"""WITH v AS (SELECT vec_id, label, embedding, ($duckBucketExpr) AS bucket FROM embeddings),
-       |q AS (SELECT embedding qe, bucket qbucket FROM v WHERE vec_id = $QueryVec),
-       |cands AS (SELECT vec_id, label, bucket, ${duckCosExpr("embedding", "qe")} AS cos
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
+       |                  ($duckBucketExpr) AS bucket FROM embeddings),
+       |q AS (SELECT embedding qe, nrm qnrm, bucket qbucket FROM v WHERE vec_id = $QueryVec),
+       |cands AS (SELECT vec_id, label, bucket,
+       |            ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS cos
        |          FROM v CROSS JOIN q
        |          WHERE vec_id <> $QueryVec AND bit_count(xor(bucket, qbucket)) <= 1)
        |SELECT vec_id, label, bucket, round(cos, 6) AS cosine FROM cands
@@ -127,12 +141,12 @@ object Similarity {
     * space is Σ_cells n_cell² — bounded per cell, shuffled on the
     * block key, never a global cross join. */
   private def sBlockedKnn: Q = (s, dir) => {
-    val v = Tables.embeddings(s, dir)
+    val v = withNorm(Tables.embeddings(s, dir))
     val pairs = v.as("x").join(v.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
         col("x.label").as("label"),
-        expr(cosExpr("x.embedding", "y.embedding")).as("cos"))
+        expr(cosExpr("x.embedding", "y.embedding", "x.nrm", "y.nrm")).as("cos"))
     val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -141,9 +155,10 @@ object Similarity {
   }
 
   private val sBlockedKnnSql =
-    s"""WITH p AS (SELECT x.vec_id a_id, y.vec_id b_id, x.label AS label,
-       |             ${duckCosExpr("x.embedding", "y.embedding")} AS cos
-       |           FROM embeddings x JOIN embeddings y
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |p AS (SELECT x.vec_id a_id, y.vec_id b_id, x.label AS label,
+       |             ${duckCosExpr("x.embedding", "y.embedding", "x.nrm", "y.nrm")} AS cos
+       |           FROM v x JOIN v y
        |             ON x.label = y.label AND x.vec_id <> y.vec_id)
        |SELECT a_id, rank, b_id, label, round(cos, 6) AS cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
