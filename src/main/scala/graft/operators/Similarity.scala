@@ -166,14 +166,52 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
 
   // ----------------------------------------------------------------
+  // Per-group exact top-k via the custom TypedImperativeAggregate
+  // ----------------------------------------------------------------
+
+  /** Per-label top-3 matches to the query vector through `graft_topk`
+    * (TopKByScore, a TypedImperativeAggregate): each partition keeps a
+    * k-bounded buffer per label, the shuffle carries O(labels·k) rows
+    * however many vectors exist — the composable form of
+    * TakeOrderedAndProject. Scores are pre-rounded to 6dp so the
+    * oracle's rank ties resolve identically. */
+  private def sTopkAgg: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val v = withNorm(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    v.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(expr(cosExpr("embedding", "qe", "nrm", "qnrm")), 6).as("cos"))
+      .groupBy(col("label"))
+      .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+      .select(col("label"), explode(col("top")).as("hit"))
+      .select(col("label"), col("hit.id").as("vec_id"), col("hit.score").as("cosine"))
+  }
+
+  private val sTopkAggSql =
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v WHERE vec_id = $QueryVec),
+       |scored AS (SELECT vec_id, label,
+       |             round(${duckCosExpr("embedding", "qe", "nrm", "qnrm")}, 6) AS cos
+       |           FROM v CROSS JOIN q WHERE vec_id <> $QueryVec)
+       |SELECT label, vec_id, cos AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY label
+       |        ORDER BY cos DESC, vec_id) AS rn FROM scored)
+       |WHERE rn <= 3""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
-    "s_blocked_knn" -> sBlockedKnn)
+    "s_blocked_knn" -> sBlockedKnn,
+    "s_topk_agg" -> sTopkAgg)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
-    "s_blocked_knn" -> sBlockedKnnSql)
+    "s_blocked_knn" -> sBlockedKnnSql,
+    "s_topk_agg" -> sTopkAggSql)
 }

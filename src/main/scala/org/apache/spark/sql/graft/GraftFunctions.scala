@@ -169,5 +169,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
         (children: Seq[Expression]) => ShingleHashes(children.head))
     }
+    val topkId = FunctionIdentifier("graft_topk")
+    if (!reg.functionExists(topkId)) {
+      reg.registerFunction(
+        topkId,
+        new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+        (children: Seq[Expression]) => TopKByScore(children(0), children(1), children(2)))
+    }
   }
 }

@@ -56,4 +56,17 @@ class SimilaritySpec extends SparkSpec {
       expr(hof).as("hofv"))
     assert(df.filter(to_json(col("native")) =!= to_json(col("hofv"))).count() == 0)
   }
+
+  test("graft_topk merges partial buffers across partitions exactly") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, (i * 37 % 101).toDouble)).toDF("id", "score")
+    val top = df.repartition(7) // force multiple partial buffers + merge
+      .agg(expr("graft_topk(score, id, 5)").as("t"))
+      .select(explode(col("t")).as("hit"))
+      .select(col("hit.score"), col("hit.id")).collect().toSeq
+    val expected = (1L to 1000L).map(i => ((i * 37 % 101).toDouble, i))
+      .sortBy { case (s0, i) => (-s0, i) }.take(5)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) == expected)
+  }
 }
