@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Scrape, Similarity, TextAnalysis}
-import graft.pipelines.Flagship
+import graft.pipelines.{CleanCorpus, Flagship}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
       (EventStreams.queries, EventStreams.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Scrape.queries, Scrape.oracles),
-      (Flagship.queries, Flagship.oracles))
+      (Flagship.queries, Flagship.oracles),
+      (CleanCorpus.queries, CleanCorpus.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,7 +36,7 @@ import graft.functions.PortableHash
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 12         // minhash permutations
+  private[graft] val K = 12         // minhash permutations
   private val Rows = 4       // rows per LSH band
   private val Bands = K / Rows
   private val MaxShingleDf = 20
@@ -48,7 +48,7 @@ object Dedup {
   // quadratic; 5-grams keep df ~constant (measured at sf0.1: 56s → ~2s).
 
   /** Normalized token array (the reference tokenizer, Rmd:77-79). */
-  private val toksExpr =
+  private[graft] val toksExpr =
     "split(regexp_replace(lower(text), '[\\\\p{Punct} ]+', ' '), ' ')"
 
   private val W = 5          // shingle width (words), fixed in ShingleHashes too
@@ -68,16 +68,16 @@ object Dedup {
     * each of its use sites, re-running the 600-char regexp three times
     * per row — and up to K times when a K-iteration fold consumes the
     * array (317s for the simhash pair query; now ~1s). */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleHashes(s: SparkSession, dir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("h"))
   }
 
-  private val duckToks =
+  private[graft] val duckToks =
     "string_split(regexp_replace(lower(text), '[[:punct:] ]+', ' ', 'g'), ' ')"
 
-  private val duckShingleCte =
+  private[graft] val duckShingleCte =
     s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
        |s AS (SELECT doc_id,
        |        list_distinct(CASE WHEN len(toks) >= $W
@@ -163,7 +163,7 @@ object Dedup {
   // MinHash + LSH near-dup
   // ----------------------------------------------------------------
 
-  private def duckSigExpr: String = {
+  private[graft] def duckSigExpr: String = {
     val mins = (0 until K).map { k =>
       s"list_min(list_transform(hs, h -> ${PortableHash.duckPerm("h", k)}))"
     }
@@ -175,7 +175,7 @@ object Dedup {
     * over the exploded index (partial+final agg, map-side combine; no
     * interpreted array folds). Persisted because three consumers read
     * it (banding + both sides of the estimate join). */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def signatures(s: SparkSession, dir: String): DataFrame =
     shingleHashes(s, dir)
       .groupBy("doc_id")
       .agg(
@@ -191,7 +191,9 @@ object Dedup {
     * Jaccard = fraction of equal signature components. Candidate
     * generation is a self-join on (band, bucket_hash) — near-linear at
     * scale because only true near-dups collide. */
-  private def dMinhashLsh: Q = (s, dir) => {
+  /** MinHash+LSH candidate pairs with estimated Jaccard — the shared
+    * near-dup candidate generator (also consumed by CleanCorpus). */
+  private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
     // band bucket = poly-combine of the band's signature rows
     val bandHash = (0 until Bands).map { b =>
@@ -213,12 +215,16 @@ object Dedup {
           .as("est_jaccard"))
   }
 
-  private val dMinhashLshSql = {
+  private def dMinhashLsh: Q = (s, dir) => minhashCandidates(s, dir)
+
+  /** DuckDB CTE chain ending in `mh(a_id, b_id, n_shared_bands,
+    * est_jaccard)` — the oracle twin of [[minhashCandidates]]. */
+  private[graft] val duckMinhashCandCte: String = {
     val bandHash = (0 until Bands).map { b =>
       val rows = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]")
       rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P})")
     }
-    s"""WITH $duckShingleCte,
+    s"""$duckShingleCte,
        |hs AS (SELECT doc_id,
        |         list_transform(shingles, g -> ${PortableHash.duckPolyHash("g")}) AS hs
        |       FROM s),
@@ -229,11 +235,15 @@ object Dedup {
        |cand AS (SELECT x.doc_id a_id, y.doc_id b_id, count(*) n_shared_bands
        |         FROM banded x JOIN banded y
        |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-       |         GROUP BY 1, 2)
-       |SELECT a_id, b_id, n_shared_bands,
-       |  round(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) / ${K}.0, 6) AS est_jaccard
-       |FROM cand JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id""".stripMargin
+       |         GROUP BY 1, 2),
+       |mh AS (SELECT a_id, b_id, n_shared_bands,
+       |         round(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) / ${K}.0, 6) AS est_jaccard
+       |       FROM cand JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id)""".stripMargin
   }
+
+  private val dMinhashLshSql =
+    s"""WITH $duckMinhashCandCte
+       |SELECT a_id, b_id, n_shared_bands, est_jaccard FROM mh""".stripMargin
 
   // ----------------------------------------------------------------
   // SimHash fingerprint + Hamming near-dup

@@ -133,8 +133,65 @@ object RelationalExt {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ----------------------------------------------------------------
+  // TPC-H-shaped headline queries (multi-join chains for the optimizer)
+  // ----------------------------------------------------------------
+
+  /** Q5 shape: revenue by nation through a five-table join chain with a
+    * same-nation constraint — dimensions broadcast, fact joins shuffle,
+    * AQE reorders/coalesces. */
+  private def q5NationRevenue: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q5NationRevenueSql =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Q18 shape: large-order customers — aggregate, HAVING-filter, join
+    * the qualifying keys back to the facts (the filter side is an
+    * aggregation output, broadcast when small). */
+  private def q18LargeOrders: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 6).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(big, col("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+  }
+
+  private val q18LargeOrdersSql =
+    """SELECT c_name, o_orderkey, o_totalprice, total_qty
+      |FROM (SELECT l_orderkey, round(sum(l_quantity), 6) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 6) > 300) big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q5_nation_revenue" -> q5NationRevenue,
+    "q18_large_orders" -> q18LargeOrders,
     "j4_salted_join" -> j4SaltedJoin,
     "j5_semi_anti" -> j5SemiAnti,
     "u5_intersect" -> u5Intersect,
@@ -144,6 +201,8 @@ object RelationalExt {
     "a7_pivot" -> a7Pivot)
 
   val oracles: Map[String, String] = Map(
+    "q5_nation_revenue" -> q5NationRevenueSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "j4_salted_join" -> j4SaltedJoinSql,
     "j5_semi_anti" -> j5SemiAntiSql,
     "u5_intersect" -> u5IntersectSql,

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -153,28 +153,37 @@ object ShingleHashes {
   * `spark.sql.extensions` injection point isn't available). Registration
   * is idempotent and per-session. */
 object GraftFunctions {
+
+  /** The three injectable functions, shared by both registration paths. */
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      (children: Seq[Expression]) => PolyHash(children.head)),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head)),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      (children: Seq[Expression]) => TopKByScore(children(0), children(1), children(2))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val polyId = FunctionIdentifier("graft_polyhash")
-    if (!reg.functionExists(polyId)) {
-      reg.registerFunction(
-        polyId,
-        new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
-        (children: Seq[Expression]) => PolyHash(children.head))
-    }
-    val shingleId = FunctionIdentifier("graft_shingle_hashes")
-    if (!reg.functionExists(shingleId)) {
-      reg.registerFunction(
-        shingleId,
-        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
-        (children: Seq[Expression]) => ShingleHashes(children.head))
-    }
-    val topkId = FunctionIdentifier("graft_topk")
-    if (!reg.functionExists(topkId)) {
-      reg.registerFunction(
-        topkId,
-        new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
-        (children: Seq[Expression]) => TopKByScore(children(0), children(1), children(2)))
+    functions.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }
+}
+
+/** `spark.sql.extensions` injection point — the config-driven
+  * alternative to `GraftFunctions.register` for sessions the library
+  * gets to build itself:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
 }
