@@ -133,6 +133,37 @@ object RelationalExt {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ----------------------------------------------------------------
+  // Distribution aggregates
+  // ----------------------------------------------------------------
+
+  /** Sketch aggregates for 100 TB interactive analytics:
+    * approx_count_distinct (HyperLogLog++) and approx percentiles
+    * (t-digest-ish). Sketches are engine-specific, so this query has NO
+    * DuckDB oracle — the driver records the weaker rows-only check; the
+    * spec bounds the estimates against exact values instead. */
+  private def a8ApproxStats: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+
+  /** Exact interpolated percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition. */
+  private def a9Percentiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "transform(percentile(l_quantity, array(0.25, 0.5, 0.75)), x -> round(x, 6))")
+        .as("qty_quartiles"))
+
+  private val a9PercentilesSql =
+    """SELECT l_returnflag,
+      | list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), x -> round(x, 6))
+      |   AS qty_quartiles
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------------
   // TPC-H-shaped headline queries (multi-join chains for the optimizer)
   // ----------------------------------------------------------------
 
@@ -192,6 +223,8 @@ object RelationalExt {
   val queries: Map[String, Q] = Map(
     "q5_nation_revenue" -> q5NationRevenue,
     "q18_large_orders" -> q18LargeOrders,
+    "a8_approx_stats" -> a8ApproxStats,
+    "a9_percentiles" -> a9Percentiles,
     "j4_salted_join" -> j4SaltedJoin,
     "j5_semi_anti" -> j5SemiAnti,
     "u5_intersect" -> u5Intersect,
@@ -200,9 +233,12 @@ object RelationalExt {
     "a6_cube" -> a6Cube,
     "a7_pivot" -> a7Pivot)
 
+  // a8_approx_stats intentionally has no oracle (sketches are
+  // engine-specific); rows-only check + spec bounds.
   val oracles: Map[String, String] = Map(
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "a9_percentiles" -> a9PercentilesSql,
     "j4_salted_join" -> j4SaltedJoinSql,
     "j5_semi_anti" -> j5SemiAntiSql,
     "u5_intersect" -> u5IntersectSql,

@@ -74,4 +74,19 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(col("description").startsWith("NA: ")).count() > 0)
     assert(df.filter(col("description").isNull).count() == 0)
   }
+
+  test("a8 approx sketches are within tolerance of exact values") {
+    val approx = SparkEntry.queries("a8_approx_stats")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_quantity, 0.5)").as("median"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (parts, median)) =>
+      val (aParts, aMedian) = approx(flag)
+      assert(math.abs(aParts - parts).toDouble / parts < 0.1, s"$flag distinct off")
+      assert(math.abs(aMedian - median) <= 2.0, s"$flag median off")
+    }
+  }
 }
