@@ -136,10 +136,13 @@ object Graph {
     while (i < LpIters) {
       val fromNbr = und.join(labels, und("src") === labels("node"))
         .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(fromNbr, Seq("node"), "left")
+      val next = labels.join(fromNbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+      // checkpoint every other round: enough to keep the plan bounded,
+      // half the materialization cost (each localCheckpoint is a full
+      // job on its own)
+      labels = if (i % 2 == 1 || i == LpIters - 1) next.localCheckpoint() else next
       i += 1
     }
     labels

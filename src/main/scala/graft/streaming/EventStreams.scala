@@ -127,6 +127,18 @@ object EventStreams {
   def streamingTumbling(s: SparkSession, dir: String): DataFrame =
     tumbling(eventStream(s, dir))
 
+  /** Stream-static enrichment join: every micro-batch broadcast-joins a
+    * static dimension (no state, no watermark interaction) — the
+    * standard lookup-enrichment stage of a streaming pipeline. */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
+  /** Streaming per-type counts after static enrichment. */
+  def streamingEnrichedCounts(s: SparkSession, dir: String, dim: DataFrame): DataFrame =
+    enriched(eventStream(s, dir), dim)
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_events"))
+
   // ---- custom state: running per-user stats via mapGroupsWithState ----
 
   case class UserEvent(user_id: Long, value: Double)

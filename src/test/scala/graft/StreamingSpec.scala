@@ -52,4 +52,22 @@ class StreamingSpec extends SparkSpec {
       .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
     assert(overlaps.count() == 0)
   }
+
+  test("stream-static broadcast join enriches every micro-batch") {
+    import spark.implicits._
+    val dim = Seq(("click", "ui"), ("view", "ui"), ("purchase", "commerce"))
+      .toDF("event_type", "category")
+    val q = streaming.EventStreams.streamingEnrichedCounts(spark, sf, dim)
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched_out")
+        .orderBy(asc_nulls_first("category")).collect().toSeq
+      val want = streaming.EventStreams.enriched(Tables.events(spark, sf), dim)
+        .groupBy(col("category")).agg(count(lit(1)).as("n_events"))
+        .orderBy(asc_nulls_first("category")).collect().toSeq
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
 }
