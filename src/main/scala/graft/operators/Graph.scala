@@ -120,6 +120,64 @@ object Graph {
        |SELECT node, min(depth) AS depth FROM walk GROUP BY node""".stripMargin
 
   // ----------------------------------------------------------------
+  // S2 — the crawler proper: BFS over a page-link graph → INDEX
+  // ----------------------------------------------------------------
+
+  /** Synthetic page→page link graph: each document links to the pages
+    * addressed by its first 8 tokens (hash mod page count) — the
+    * deterministic stand-in for href extraction (Rcrawler's anchor
+    * XPath pattern, hi-csa-db.Rmd:115). */
+  private def pageLinks(s: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(expr(
+          s"""array_distinct(transform(slice(${Dedup.toksExpr}, 1, 8),
+             |  t -> pmod(graft_polyhash(t), n_docs)))""".stripMargin)).as("dst"))
+  }
+
+  private val duckPageLinksCte =
+    s"""n AS (SELECT count(*) AS n_docs FROM documents),
+       |links AS (
+       |  SELECT doc_id AS src, unnest(list_distinct(
+       |    list_transform(${Dedup.duckToks}[1:8],
+       |      t -> ${graft.functions.PortableHash.duckPolyHash("t")} % n_docs))) AS dst
+       |  FROM documents CROSS JOIN n)""".stripMargin
+
+  /** The crawler run (Rcrawler semantics, hi-csa-db.Rmd:111-119):
+    * BFS from page 0 to MaxDepth over the link graph, emitting the
+    * INDEX shape — page id, Level, OUT degree (the reference INDEX's
+    * Id/Level/OUT columns). Driver-side frontier loop; per level one
+    * join + anti-join, lineage cut by localCheckpoint. */
+  private def s2Crawl: Q = (s, dir) => {
+    import s.implicits._
+    val links = pageLinks(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = Seq(0L).toDF("node")
+    val visited = bfs(links, seeds, 2)
+    val outDeg = links.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
+    visited.join(outDeg, Seq("node"), "left")
+      .select(col("node").as("page_id"), col("depth").cast("long").as("level"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+  }
+
+  private val s2CrawlSql =
+    s"""WITH RECURSIVE $duckPageLinksCte,
+       |walk(node, depth) AS (
+       |  SELECT 0::BIGINT, 0
+       |  UNION ALL
+       |  SELECT l.dst, w.depth + 1
+       |  FROM walk w JOIN links l ON l.src = w.node
+       |  WHERE w.depth < 2),
+       |visited AS (SELECT node, min(depth) AS depth FROM walk GROUP BY node),
+       |deg AS (SELECT src AS node, count(*) AS out_degree FROM links GROUP BY src)
+       |SELECT v.node AS page_id, v.depth AS level,
+       |       coalesce(deg.out_degree, 0) AS out_degree
+       |FROM visited v LEFT JOIN deg ON v.node = deg.node""".stripMargin
+
+  // ----------------------------------------------------------------
   // Label-propagation connected components (iterative min-label)
   // ----------------------------------------------------------------
 
@@ -170,10 +228,12 @@ object Graph {
   val queries: Map[String, Q] = Map(
     "g_degrees" -> gDegrees,
     "g_bfs" -> gBfs,
-    "g_cc_labelprop" -> gCcLabelprop)
+    "g_cc_labelprop" -> gCcLabelprop,
+    "s2_crawl" -> s2Crawl)
 
   val oracles: Map[String, String] = Map(
     "g_degrees" -> gDegreesSql,
     "g_bfs" -> gBfsSql,
-    "g_cc_labelprop" -> gCcLabelpropSql)
+    "g_cc_labelprop" -> gCcLabelpropSql,
+    "s2_crawl" -> s2CrawlSql)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the scale properties README promises
+  * (pushdown, pruning, broadcast, take-ordered, bucketed co-location)
+  * asserted against the actual executed plans so refactors can't
+  * silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("p3: equality predicate reaches the parquet scan") {
+    val p = plan("p3_eq_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
+  }
+
+  test("q3: broadcast joins, pruned scans, TakeOrderedAndProject (no global sort)") {
+    val p = plan("q3_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("GlobalSort"), p)
+    // lineitem scan reads only the three needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("flagship: single-stage narrow pipeline until the final take") {
+    val p = plan("flagship_policy_db")
+    // the only exchanges allowed are the broadcast of the dimension and
+    // the final take's singlePartition gather
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"unexpected hash-shuffle in flagship plan:\n$p")
+  }
+
+  test("j1: both dimension joins execute as broadcast-hash") {
+    val p = plan("j1_lookup_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t_token_count: narrow projection — no exchange at all") {
+    val p = plan("t_token_count")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    val db = "graft_bucketed"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    try {
+      Tables.orders(spark, sf).write
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.orders_b")
+      Tables.lineitem(spark, sf).write
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+      val joined = spark.table(s"$db.lineitem_b")
+        .join(spark.table(s"$db.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      // matching bucketing on both sides: the join itself needs no
+      // Exchange (only the final aggregation shuffles)
+      val p = joined.queryExecution.executedPlan.toString
+      val joinSection = p.substring(p.indexOf("Join"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}
