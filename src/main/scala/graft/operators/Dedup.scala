@@ -333,9 +333,9 @@ object Dedup {
 
   /** Deterministic left-fold dot product — identical FP operation order
     * in Spark and DuckDB, so results are bit-identical (SURVEY §5.2). */
+  /** Native codegen'd left-fold dot product (see DotProduct). */
   private def foldDot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    s"graft_dot($a, $b)"
 
   private def duckFoldDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -347,6 +347,7 @@ object Dedup {
     * replaces the all-pairs O(n²) search — at 100 TB pairs only form
     * inside 256-way buckets. Cosine via deterministic left-fold. */
   private def dEmbeddingNearDup: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     val signBucket = expr(
       (0 until 8).map(j => s"CASE WHEN element_at(embedding, ${j + 1}) >= 0 THEN ${1 << j} ELSE 0 END")
         .mkString(" + "))

@@ -36,9 +36,10 @@ object Similarity {
 
   // ---------------- portable cosine ----------------
 
+  /** Native codegen'd left-fold dot product (see DotProduct): same
+    * bits as the zip_with/aggregate HOF form, one compiled loop. */
   private def foldDot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    s"graft_dot($a, $b)"
 
   /** cos from a precomputed per-vector norm column on each side: the
     * pair stage folds ONCE (the cross dot), not three times — at n²
@@ -78,6 +79,7 @@ object Similarity {
   /** Exact top-K by cosine to the query vector: broadcast the 1-row
     * query, one narrow scan, TakeOrderedAndProject. */
   private def sCosineTopk: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     val v = withNorm(Tables.embeddings(s, dir))
     val q = v.filter(col("vec_id") === QueryVec)
       .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
@@ -106,6 +108,7 @@ object Similarity {
     * Hamming ≤ 1 of the query's bucket are scored (multi-probe over 9
     * of 256 buckets), then exact cosine rank among the candidates. */
   private def sAnnLsh: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     val v = withNorm(Tables.embeddings(s, dir))
       .withColumn("bucket", expr(bucketExpr))
     val q = v.filter(col("vec_id") === QueryVec)
@@ -141,6 +144,7 @@ object Similarity {
     * space is Σ_cells n_cell² — bounded per cell, shuffled on the
     * block key, never a global cross join. */
   private def sBlockedKnn: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     val v = withNorm(Tables.embeddings(s, dir))
     val pairs = v.as("x").join(v.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
