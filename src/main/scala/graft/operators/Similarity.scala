@@ -24,9 +24,10 @@ import graft.Tables
   *    a coarse quantizer — here the given label — limits each lookup to
   *    one cell).
   *
-  * All cosine math is a LEFT-FOLD dot product (`aggregate` over
-  * `zip_with`) so Spark and the DuckDB oracle execute the identical
-  * FP operation order — results are bit-identical, no tolerance needed.
+  * All cosine math is a strict LEFT-FOLD dot product (the native
+  * `graft_dot` expression; the DuckDB oracle uses the equivalent
+  * `list_reduce`) so both engines execute the identical FP operation
+  * order — results are bit-identical, no tolerance needed.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame

@@ -47,4 +47,35 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .option("compression", if (compressed) "snappy" else "none")
       .parquet(path)
+
+  /** Scan-layout sink for 100 TB: range-partition on the filter key and
+    * sort within partitions before writing, so every parquet file holds
+    * one tight key range — min/max row-group stats then prune scans for
+    * key-range predicates (the layout half of predicate pushdown). */
+  def writeSortedByKey(df: DataFrame, path: String, key: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** M0 ordering convention (SURVEY §7.5(1)): a stable global `doc_pos`
+    * from the parquet metadata columns — doc_pos = (prefix-summed file
+    * offset) + row-in-file. Per-file counts (one row per FILE) collect
+    * to the driver for the prefix sum and broadcast back, so there is
+    * NO global sort and no `monotonically_increasing_id`
+    * nondeterminism; the value is identical across re-reads of the
+    * same files. */
+  def withDocPos(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_row_idx", col("_metadata.row_index"))
+    val counts = df.groupBy("_file").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (f, n) => val off = acc; acc += n; (f, off) }
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("_file", "_offset")
+    df.join(broadcast(offsetDf), "_file")
+      .withColumn("doc_pos", col("_offset") + col("_row_idx"))
+      .drop("_file", "_row_idx", "_offset")
+  }
 }

@@ -112,4 +112,35 @@ class HiCsaSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/c").collect().toSeq ==
       spark.read.parquet(s"$dir/u").collect().toSeq)
   }
+
+  test("writeSortedByKey lays out tight key ranges per file (scan pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    val df = Tables.orders(spark, sf)
+    Sources.writeSortedByKey(df, s"$dir/o", "o_orderkey", 4)
+    val back = spark.read.parquet(s"$dir/o")
+    assert(back.count() == df.count())
+    // file ranges must not overlap: max(key) of file i < min(key) of file i+1
+    val ranges = back
+      .withColumn("f", col("_metadata.file_path"))
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .orderBy("lo").collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"))
+      case _ =>
+    }
+  }
+
+  test("withDocPos assigns a stable dense global position without a global sort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docpos").toString
+    import spark.implicits._
+    Sources.writeParquet((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(5), s"$dir/t")
+    val a = Sources.withDocPos(spark, s"$dir/t")
+    val b = Sources.withDocPos(spark, s"$dir/t")
+    assert(a.count() == 100)
+    // dense 0..99, and identical across re-reads
+    assert(a.select("doc_pos").as[Long].collect().sorted.toSeq == (0L until 100L))
+    assert(a.orderBy("doc_pos").select("k").collect().toSeq ==
+      b.orderBy("doc_pos").select("k").collect().toSeq)
+  }
 }
