@@ -194,13 +194,14 @@ object Graph {
     while (i < LpIters) {
       val fromNbr = und.join(labels, und("src") === labels("node"))
         .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(fromNbr, Seq("node"), "left")
+      // checkpoint EVERY round: `labels` feeds two consumers next round
+      // (the neighbour-min build and the outer join), so an
+      // un-checkpointed round recomputes its whole plan twice — measured
+      // slower than the per-round materialization it saves
+      labels = labels.join(fromNbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // checkpoint every other round: enough to keep the plan bounded,
-      // half the materialization cost (each localCheckpoint is a full
-      // job on its own)
-      labels = if (i % 2 == 1 || i == LpIters - 1) next.localCheckpoint() else next
+        .localCheckpoint()
       i += 1
     }
     labels

@@ -81,15 +81,19 @@ object RelationalExt {
       |INTERSECT
       |SELECT s_nationkey FROM supplier""".stripMargin
 
-  /** Nations with customers but no suppliers (EXCEPT distinct). */
-  private def u6Except: Q = (s, dir) =>
-    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
-      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+  /** High-balance customers outside the BUILDING segment (EXCEPT
+    * distinct; key-based EXCEPTs are all empty on this fully-dense
+    * synthetic star, so the predicate form keeps the op observable). */
+  private def u6Except: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    c.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+      .except(c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey")))
+  }
 
   private val u6ExceptSql =
-    """SELECT c_nationkey AS nationkey FROM customer
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
       |EXCEPT
-      |SELECT s_nationkey FROM supplier""".stripMargin
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
 
   // ----------------------------------------------------------------
   // Multi-dimensional aggregation
