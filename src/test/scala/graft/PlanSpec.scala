@@ -70,4 +70,22 @@ class PlanSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("PolyHashRewrite rule lowers the HOF polyhash pattern to the native expression") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(
+        org.apache.spark.sql.graft.PolyHashRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ org.apache.spark.sql.graft.PolyHashRewrite
+    }
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(functions.PortableHash.polyHashHofSql("text")).as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_polyhash"), optimized)
+    assert(!optimized.contains("aggregate("), optimized)
+    // and the rewritten plan computes the same values as the native call
+    val native = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("graft_polyhash(text)").as("h"))
+    assert(df.orderBy("doc_id").collect().toSeq == native.orderBy("doc_id").collect().toSeq)
+  }
 }
