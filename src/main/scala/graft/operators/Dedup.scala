@@ -217,6 +217,31 @@ object Dedup {
 
   private def dMinhashLsh: Q = (s, dir) => minhashCandidates(s, dir)
 
+  /** Candidate verification by true edit distance: LSH candidates with
+    * est. Jaccard ≥ 0.75 get an exact levenshtein on the raw texts —
+    * the confirm stage of a two-phase near-dup pipeline (cheap sketch
+    * recall, exact precision on the tiny candidate set). */
+  private def dEditdistVerify: Q = (s, dir) => {
+    val txt = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    minhashCandidates(s, dir)
+      .filter(col("est_jaccard") >= 0.75)
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("est_jaccard"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"))
+  }
+
+  // def, not val: duckMinhashCandCte is declared later in the file and
+  // a val here would interpolate it before initialization (null)
+  private def dEditdistVerifySql =
+    s"""WITH $duckMinhashCandCte
+       |SELECT a_id, b_id, est_jaccard,
+       |       levenshtein(ta.text, tb.text) AS edit_distance
+       |FROM mh
+       |JOIN documents ta ON mh.a_id = ta.doc_id
+       |JOIN documents tb ON mh.b_id = tb.doc_id
+       |WHERE est_jaccard >= 0.75""".stripMargin
+
   /** DuckDB CTE chain ending in `mh(a_id, b_id, n_shared_bands,
     * est_jaccard)` — the oracle twin of [[minhashCandidates]]. */
   private[graft] val duckMinhashCandCte: String = {
@@ -387,6 +412,7 @@ object Dedup {
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_minhash_lsh" -> dMinhashLsh,
+    "d_editdist_verify" -> dEditdistVerify,
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs,
     "d_embedding_near_dup" -> dEmbeddingNearDup)
@@ -395,6 +421,7 @@ object Dedup {
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_editdist_verify" -> dEditdistVerifySql,
     "d_simhash" -> dSimhashSql,
     "d_simhash_pairs" -> dSimhashPairsSql,
     "d_embedding_near_dup" -> dEmbeddingNearDupSql)

@@ -137,6 +137,68 @@ object RelationalExt {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ----------------------------------------------------------------
+  // Window-function suite
+  // ----------------------------------------------------------------
+
+  /** Ranking + offset window functions in one pass over per-customer
+    * order history: rank, ntile quartile, lag/lead neighbours, running
+    * sum — all sharing one (partition, order) so Spark evaluates them
+    * in a single Window operator (one shuffle). */
+  private def w4WindowFuncs: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).cast("long").as("rnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      round(sum(col("o_totalprice"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 6)
+        .as("running_total"))
+  }
+
+  private val w4WindowFuncsSql =
+    """SELECT o_custkey, o_orderkey,
+      | rank() OVER w AS rnk,
+      | ntile(4) OVER w AS quartile,
+      | lag(o_totalprice, 1) OVER w AS prev_price,
+      | lead(o_totalprice, 1) OVER w AS next_price,
+      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Date/time scalar functions
+  // ----------------------------------------------------------------
+
+  /** Temporal scalar surface over order dates: truncation, field
+    * extraction, day arithmetic, day-difference to shipment. */
+  private def fDates: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofweek(col("o_orderdate")).cast("long").as("o_dow"),
+        date_trunc("month", col("o_orderdate")).as("o_month_start"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days_to_ship"))
+  }
+
+  private val fDatesSql =
+    """SELECT l_orderkey, l_linenumber,
+      | year(o_orderdate) AS o_year,
+      | month(o_orderdate) AS o_month,
+      | dayofweek(o_orderdate) + 1 AS o_dow,
+      | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month_start,
+      | datediff('day', o_orderdate, l_shipdate) AS days_to_ship
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------
   // Distribution aggregates
   // ----------------------------------------------------------------
 
@@ -228,6 +290,8 @@ object RelationalExt {
     "q5_nation_revenue" -> q5NationRevenue,
     "q18_large_orders" -> q18LargeOrders,
     "a8_approx_stats" -> a8ApproxStats,
+    "w4_window_funcs" -> w4WindowFuncs,
+    "f_dates" -> fDates,
     "a9_percentiles" -> a9Percentiles,
     "j4_salted_join" -> j4SaltedJoin,
     "j5_semi_anti" -> j5SemiAnti,
@@ -243,6 +307,8 @@ object RelationalExt {
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "a9_percentiles" -> a9PercentilesSql,
+    "w4_window_funcs" -> w4WindowFuncsSql,
+    "f_dates" -> fDatesSql,
     "j4_salted_join" -> j4SaltedJoinSql,
     "j5_semi_anti" -> j5SemiAntiSql,
     "u5_intersect" -> u5IntersectSql,
