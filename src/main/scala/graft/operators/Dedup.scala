@@ -41,6 +41,9 @@ object Dedup {
   private val Bands = K / Rows
   private val MaxShingleDf = 20
   private val JaccardThreshold = 0.5
+  // confirm-stage threshold: 0.9 (not lower) so the filter is actually
+  // exercised at sf0.01 — one LSH candidate sits below it
+  private val EstVerifyThreshold = 0.9
 
   // ---------------- shared text prep (tokens → distinct 5-shingles) ----
   // 5-gram word shingles (not 3): with a small vocabulary, 3-gram df
@@ -175,7 +178,13 @@ object Dedup {
     * over the exploded index (partial+final agg, map-side combine; no
     * interpreted array folds). Persisted because three consumers read
     * it (banding + both sides of the estimate join). */
+  private val sigMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private[graft] def signatures(s: SparkSession, dir: String): DataFrame =
+    sigMemo.getOrElseUpdate((s, dir), buildSignatures(s, dir))
+
+  private def buildSignatures(s: SparkSession, dir: String): DataFrame =
     shingleHashes(s, dir)
       .groupBy("doc_id")
       .agg(
@@ -217,31 +226,6 @@ object Dedup {
 
   private def dMinhashLsh: Q = (s, dir) => minhashCandidates(s, dir)
 
-  /** Candidate verification by true edit distance: LSH candidates with
-    * est. Jaccard ≥ 0.75 get an exact levenshtein on the raw texts —
-    * the confirm stage of a two-phase near-dup pipeline (cheap sketch
-    * recall, exact precision on the tiny candidate set). */
-  private def dEditdistVerify: Q = (s, dir) => {
-    val txt = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    minhashCandidates(s, dir)
-      .filter(col("est_jaccard") >= 0.75)
-      .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
-      .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
-      .select(col("a_id"), col("b_id"), col("est_jaccard"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"))
-  }
-
-  // def, not val: duckMinhashCandCte is declared later in the file and
-  // a val here would interpolate it before initialization (null)
-  private def dEditdistVerifySql =
-    s"""WITH $duckMinhashCandCte
-       |SELECT a_id, b_id, est_jaccard,
-       |       levenshtein(ta.text, tb.text) AS edit_distance
-       |FROM mh
-       |JOIN documents ta ON mh.a_id = ta.doc_id
-       |JOIN documents tb ON mh.b_id = tb.doc_id
-       |WHERE est_jaccard >= 0.75""".stripMargin
-
   /** DuckDB CTE chain ending in `mh(a_id, b_id, n_shared_bands,
     * est_jaccard)` — the oracle twin of [[minhashCandidates]]. */
   private[graft] val duckMinhashCandCte: String = {
@@ -269,6 +253,30 @@ object Dedup {
   private val dMinhashLshSql =
     s"""WITH $duckMinhashCandCte
        |SELECT a_id, b_id, n_shared_bands, est_jaccard FROM mh""".stripMargin
+
+  /** Candidate verification by true edit distance: LSH candidates with
+    * est. Jaccard ≥ EstVerifyThreshold get an exact levenshtein on the raw texts —
+    * the confirm stage of a two-phase near-dup pipeline (cheap sketch
+    * recall, exact precision on the tiny candidate set). */
+  private def dEditdistVerify: Q = (s, dir) => {
+    val txt = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    minhashCandidates(s, dir)
+      .filter(col("est_jaccard") >= EstVerifyThreshold)
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("est_jaccard"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"))
+  }
+
+  private val dEditdistVerifySql =
+    s"""WITH $duckMinhashCandCte
+       |SELECT a_id, b_id, est_jaccard,
+       |       levenshtein(ta.text, tb.text) AS edit_distance
+       |FROM mh
+       |JOIN documents ta ON mh.a_id = ta.doc_id
+       |JOIN documents tb ON mh.b_id = tb.doc_id
+       |WHERE est_jaccard >= $EstVerifyThreshold""".stripMargin
+
 
   // ----------------------------------------------------------------
   // SimHash fingerprint + Hamming near-dup

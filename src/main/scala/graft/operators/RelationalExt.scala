@@ -153,9 +153,13 @@ object RelationalExt {
       ntile(4).over(w).cast("long").as("quartile"),
       lag(col("o_totalprice"), 1).over(w).as("prev_price"),
       lead(col("o_totalprice"), 1).over(w).as("next_price"),
-      round(sum(col("o_totalprice"))
-        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 6)
-        .as("running_total"))
+      // running sum over the integer key, not the double price: window
+      // accumulation order differs between engines (sequential vs
+      // segment tree), so a double running sum is a latent 6dp-rounding
+      // flake; integer addition is associative and exact
+      sum(col("o_orderkey"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .as("running_key_sum"))
   }
 
   private val w4WindowFuncsSql =
@@ -164,9 +168,9 @@ object RelationalExt {
       | ntile(4) OVER w AS quartile,
       | lag(o_totalprice, 1) OVER w AS prev_price,
       | lead(o_totalprice, 1) OVER w AS next_price,
-      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      | sum(o_orderkey) OVER (PARTITION BY o_custkey
       |   ORDER BY o_orderdate, o_orderkey
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_key_sum
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
