@@ -23,7 +23,13 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // queries are independent: drop their persisted frames so cache
+      // accumulation over ~70 queries doesn't turn into GC pressure
+      // that taxes later queries (measured: a late query at 2.5s
+      // isolated ran 26s under the accumulated heap)
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -88,4 +88,16 @@ class PlanSpec extends SparkSpec {
       .select(col("doc_id"), expr("graft_polyhash(text)").as("h"))
     assert(df.orderBy("doc_id").collect().toSeq == native.orderBy("doc_id").collect().toSeq)
   }
+
+  test("hive-style partitioned write prunes partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.lineitem(spark, sf)
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(s"$dir/l")
+    val q = spark.read.parquet(s"$dir/l").filter(col("l_returnflag") === "R")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p)
+    // pruned scan reads only the R partition
+    val all = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R").count()
+    assert(q.count() == all)
+  }
 }
