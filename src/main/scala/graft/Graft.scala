@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, Multimodal, SchemaUnion}
+import graft.streaming.EventStreams
+
+/** The library façade — the harness queries (`SparkEntry`) bind these
+  * same operators to the test tables; user code calls them on arbitrary
+  * DataFrames. Column-name parameters adapt the caller's schema to each
+  * operator's internal convention (a zero-cost projection).
+  *
+  * {{{
+  * import graft.Graft
+  * Graft.register(spark)                          // native expressions
+  * val dups  = Graft.dedup.nearDupIds(corpus, "id", "body", 0.9)
+  * val clean = corpus.join(dups, col("id") === col("dup_id"), "left_anti")
+  * val top   = Graft.similarity.topK(vectors, "vid", "emb", queryVec, 10)
+  * }}}
+  */
+object Graft {
+
+  /** Register graft's native expressions (`graft_polyhash`,
+    * `graft_shingle_hashes`, `graft_dot`, `graft_topk`) on a session.
+    * Idempotent; the operator methods call it themselves. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+
+  /** Schema-aligning outer union — the reference's db_merge (U1). */
+  def dbMerge(x: DataFrame, y: DataFrame): DataFrame = SchemaUnion.dbMerge(x, y)
+  def dbMergeAll(frames: Seq[DataFrame]): DataFrame = SchemaUnion.dbMergeAll(frames)
+
+  private def asDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+
+  object dedup {
+
+    /** Exact-dup canonical mapping: (doc_id, canonical_id) — lowest id
+      * per normalized-content fingerprint wins. */
+    def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      register(df.sparkSession)
+      val w = Window.partitionBy(col("fp"))
+      asDocs(df, idCol, textCol)
+        .withColumn("fp", expr("graft_polyhash(concat_ws(' ', " + Dedup.toksExpr + "))"))
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
+    }
+
+    /** MinHash+LSH near-dup candidate pairs with estimated Jaccard:
+      * (a_id, b_id, n_shared_bands, est_jaccard), a_id < b_id. */
+    def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      Dedup.minhashCandidatesFromSig(
+        Dedup.signaturesOf(asDocs(df, idCol, textCol)))
+
+    /** Ids to DROP for near-dup removal: the later id of every candidate
+      * pair at or above `minEstJaccard` (column `dup_id`). */
+    def nearDupIds(df: DataFrame, idCol: String, textCol: String,
+        minEstJaccard: Double): DataFrame =
+      minhashCandidates(df, idCol, textCol)
+        .filter(col("est_jaccard") >= minEstJaccard)
+        .select(col("b_id").as("dup_id")).distinct()
+  }
+
+  object similarity {
+
+    /** Exact top-k by cosine to `query`: (id, cosine), executed as a
+      * narrow scan + TakeOrderedAndProject. */
+    def topK(vectors: DataFrame, idCol: String, vecCol: String,
+        query: Array[Float], k: Int): DataFrame = {
+      val s = vectors.sparkSession
+      register(s)
+      import s.implicits._
+      val q = Seq(Tuple1(query)).toDF("qe")
+        .withColumn("qnrm", expr("sqrt(graft_dot(qe, qe))"))
+      vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+        .crossJoin(broadcast(q))
+        .select(col("id"), expr("graft_dot(v, qe) / (nrm * qnrm)").as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(k)
+    }
+
+    /** Per-group exact top-k via the `graft_topk` aggregate:
+      * (group, id, score) — one shuffle of k-bounded buffers. */
+    def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
+        scoreCol: String, k: Int): DataFrame = {
+      register(scored.sparkSession)
+      scored
+        .groupBy(col(groupCol).as("group"))
+        .agg(expr(s"graft_topk(CAST($scoreCol AS DOUBLE), CAST($idCol AS BIGINT), $k)").as("top"))
+        .select(col("group"), explode(col("top")).as("hit"))
+        .select(col("group"), col("hit.id").as("id"), col("hit.score").as("score"))
+    }
+  }
+
+  object text {
+
+    /** The reference tokenizer (punctuation-normalized, lower-cased). */
+    def tokens(c: Column): Column =
+      split(regexp_replace(lower(c), "[\\p{Punct} ]+", " "), " ")
+
+    /** Content fingerprint column (portable polynomial hash). */
+    def fingerprint(c: Column): Column = {
+      val norm = concat_ws(" ", tokens(c))
+      expr(s"graft_polyhash(${norm.toString})")
+    }
+  }
+
+  object graphs {
+    /** Level-synchronous BFS: (node, depth). `edges(src,dst)`,
+      * `seeds(node)`. */
+    def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame =
+      Graph.bfs(edges, seeds, maxDepth)
+  }
+
+  object streams {
+    def tumbling(events: DataFrame): DataFrame = EventStreams.tumbling(events)
+    def sliding(events: DataFrame): DataFrame = EventStreams.sliding(events)
+    def sessions(events: DataFrame): DataFrame = EventStreams.sessions(events)
+  }
+
+  object media {
+    def decodePartitions(records: Dataset[Multimodal.MediaRecord]): Dataset[Multimodal.MediaFeatures] =
+      Multimodal.decodePartitions(records)
+  }
+}

@@ -71,10 +71,14 @@ object Dedup {
     * each of its use sites, re-running the 600-char regexp three times
     * per row — and up to K times when a K-iteration fold consumes the
     * array (317s for the simhash pair query; now ~1s). */
-  private[graft] def shingleHashes(s: SparkSession, dir: String): DataFrame = {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+  private[graft] def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    shingleHashesOf(Tables.documents(s, dir))
+
+  /** DataFrame-parametric form (public-API surface): expects columns
+    * `doc_id` and `text`. */
+  private[graft] def shingleHashesOf(docs: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("h"))
   }
 
   private[graft] val duckToks =
@@ -182,10 +186,10 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def signatures(s: SparkSession, dir: String): DataFrame =
-    sigMemo.getOrElseUpdate((s, dir), buildSignatures(s, dir))
+    sigMemo.getOrElseUpdate((s, dir), signaturesOf(Tables.documents(s, dir)))
 
-  private def buildSignatures(s: SparkSession, dir: String): DataFrame =
-    shingleHashes(s, dir)
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
+    shingleHashesOf(docs)
       .groupBy("doc_id")
       .agg(
         min(expr(PortableHash.permSql("h", 0))).as("m0"),
@@ -202,8 +206,11 @@ object Dedup {
     * scale because only true near-dups collide. */
   /** MinHash+LSH candidate pairs with estimated Jaccard — the shared
     * near-dup candidate generator (also consumed by CleanCorpus). */
-  private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
+  private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    minhashCandidatesFromSig(signatures(s, dir))
+
+  /** DataFrame-parametric form over a precomputed signature frame. */
+  private[graft] def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
     // band bucket = poly-combine of the band's signature rows
     val bandHash = (0 until Bands).map { b =>
       val rows = (0 until Rows).map(r => s"element_at(sig, ${b * Rows + r + 1})")

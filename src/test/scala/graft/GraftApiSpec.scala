@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The library façade on USER schemas (arbitrary column names) must
+  * agree with the harness-bound operators on the same data. */
+class GraftApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Tables.documents(spark, sf)
+    .select(col("doc_id").as("my_id"), col("text").as("body"))
+
+  test("dedup.exact matches the harness d_exact canonical mapping") {
+    val api = Graft.dedup.exact(corpus, "my_id", "body")
+    val harness = SparkEntry.queries("d_exact")(spark, sf)
+      .select("doc_id", "canonical_id")
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("dedup.minhashCandidates matches d_minhash_lsh") {
+    val api = Graft.dedup.minhashCandidates(corpus, "my_id", "body")
+    val harness = SparkEntry.queries("d_minhash_lsh")(spark, sf)
+    assert(api.orderBy("a_id", "b_id").collect().toSeq ==
+      harness.orderBy("a_id", "b_id").collect().toSeq)
+  }
+
+  test("dedup.nearDupIds drops one side of every planted near-dup pair") {
+    val c = corpus
+    val drops = Graft.dedup.nearDupIds(c, "my_id", "body", 0.9)
+    val pairs = SparkEntry.queries("d_minhash_lsh")(spark, sf)
+      .filter(col("est_jaccard") >= 0.9)
+    assert(drops.count() == pairs.select("b_id").distinct().count())
+    val cleaned = c.join(drops, col("my_id") === col("dup_id"), "left_anti")
+    assert(cleaned.count() == c.count() - drops.count())
+  }
+
+  test("similarity.topK agrees with the harness brute-force query") {
+    val queryVec = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val vectors = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val api = Graft.similarity.topK(vectors, "vid", "emb", queryVec, 10)
+      .select(col("id"), round(col("cosine"), 6).as("cosine"))
+    val harness = SparkEntry.queries("s_cosine_topk")(spark, sf)
+      .select(col("vec_id").as("id"), col("cosine"))
+    assert(api.collect().toSeq == harness.collect().toSeq)
+  }
+
+  test("similarity.topKPerGroup returns k best per group in order") {
+    val scored = Seq((1L, 10L, 0.9), (1L, 11L, 0.7), (1L, 12L, 0.95),
+      (2L, 20L, 0.1), (2L, 21L, 0.2)).toDF("g", "item", "s")
+    val top = Graft.similarity.topKPerGroup(scored, "g", "item", "s", 2)
+      .orderBy("group", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(top == Seq((1L, 10L, 0.9), (1L, 12L, 0.95), (2L, 20L, 0.1), (2L, 21L, 0.2)))
+  }
+
+  test("text.fingerprint equals the oracle-checked t_fingerprint column") {
+    Graft.register(spark)
+    val api = Tables.documents(spark, sf)
+      .select(col("doc_id"), Graft.text.fingerprint(col("text")).as("fingerprint"))
+    val harness = SparkEntry.queries("t_fingerprint")(spark, sf)
+      .select("doc_id", "fingerprint")
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+}
