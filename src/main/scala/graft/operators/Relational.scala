@@ -33,17 +33,23 @@ object Relational {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // money sums in DECIMAL, not double: every money column holds
+        // exact 2-decimal values, and double summation order differs
+        // between engines — at sf0.1 the total (~5e9) has a double ulp
+        // the size of the 6dp rounding quantum, so round(sum(double))
+        // flipped its last digit vs the oracle. Decimal sums are exact.
         round(sum(col("l_quantity")), 6).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("sum_disc_price"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("sum_base_price"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
+          .as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   private val q1AggSql =
     """SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity), 6) AS sum_qty,
-      | round(sum(l_extendedprice), 6) AS sum_base_price,
-      | round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc_price,
+      | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
       | round(avg(l_quantity), 6) AS avg_qty,
       | count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -58,13 +64,14 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   private val q3TopRevenueSql =
-    """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    """SELECT l_orderkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

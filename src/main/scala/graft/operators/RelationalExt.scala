@@ -35,12 +35,13 @@ object RelationalExt {
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
+          .as("revenue"))
   }
 
   private val j4SaltedJoinSql =
     """SELECT o_orderpriority, count(*) AS n_items,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
@@ -252,12 +253,13 @@ object RelationalExt {
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
+          .as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   private val q5NationRevenueSql =
-    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+    """SELECT n_name, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

@@ -35,7 +35,8 @@ object EventStreams {
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(value AS DECIMAL(18,2))")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -43,7 +44,10 @@ object EventStreams {
   def sliding(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // DECIMAL sum: value is exact 2-decimal; double partial-sum
+        // order differs between engines (see Relational.q1Agg)
+        sum(expr("CAST(value AS DECIMAL(18,2))")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -63,14 +67,14 @@ object EventStreams {
 
   private val stTumblingSql =
     """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
-      |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+      |       count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   private def stSliding: Q = (s, dir) => sliding(Tables.events(s, dir))
 
   private val stSlidingSql =
     """SELECT window_start, event_type, count(*) AS n_events,
-      |       round(sum(value), 6) AS sum_value
+      |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
       |FROM (SELECT unnest([time_bucket(INTERVAL '12 hours', ts),
       |                     time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours'])
       |             AS window_start,
