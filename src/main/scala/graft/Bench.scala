@@ -31,10 +31,22 @@ object Bench {
       spark.catalog.clearCache()
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the JSON line short enough to survive
+    // the driver's output-tail capture
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt & braces for the driver's parser: the JSON goes to a file as
+    // well as stdout (r1's line was truncated by the log-tail capture)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    // print LAST, after Spark's shutdown noise, so the line sits at the
+    // very end of the captured output
+    println(json)
   }
 }

@@ -181,12 +181,13 @@ object Dedup {
     * hash set, min per permutation — as K codegen'd `min` aggregates
     * over the exploded index (partial+final agg, map-side combine; no
     * interpreted array folds). Persisted because three consumers read
-    * it (banding + both sides of the estimate join). */
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+    * it (banding + both sides of the estimate join); the persist is
+    * per-call (no memo: a cross-call cache would both leak storage and
+    * serve stale data if the files under `dir` change). Library callers
+    * that hold the result long-term own the unpersist — see
+    * [[graft.Graft]]. */
   private[graft] def signatures(s: SparkSession, dir: String): DataFrame =
-    sigMemo.getOrElseUpdate((s, dir), signaturesOf(Tables.documents(s, dir)))
+    signaturesOf(Tables.documents(s, dir))
 
   private[graft] def signaturesOf(docs: DataFrame): DataFrame =
     shingleHashesOf(docs)

@@ -27,9 +27,6 @@ object Graph {
   type Q = (SparkSession, String) => DataFrame
 
   private val MaxDepth = 3
-  // component diameter here is 4 (leaf→nation→region→nation→leaf);
-  // 6 rounds guarantee convergence with margin
-  private val LpIters = 6
 
   // ---------------- graph construction (shared) ----------------
 
@@ -123,44 +120,67 @@ object Graph {
   // S2 — the crawler proper: BFS over a page-link graph → INDEX
   // ----------------------------------------------------------------
 
-  /** Synthetic page→page link graph: each document links to the pages
-    * addressed by its first 8 tokens (hash mod page count) — the
-    * deterministic stand-in for href extraction (Rcrawler's anchor
-    * XPath pattern, hi-csa-db.Rmd:115). */
+  /** Synthetic page→link graph: each document links to the addresses
+    * hashed from its first 8 tokens — the deterministic stand-in for
+    * href extraction (Rcrawler's anchor XPath pattern,
+    * hi-csa-db.Rmd:115). Addresses land in [0, 2·n_docs): ids below
+    * n_docs are INTERNAL pages (crawlable), the rest are EXTERNAL
+    * targets (off-site hrefs) — reproducing the reference INDEX's
+    * internal-vs-external link split (NetwExtLinks=TRUE,
+    * hi-csa-db.Rmd:111-119; BASELINE.md's 12,686/2,423 nrcs counts). */
   private def pageLinks(s: SparkSession, dir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     docs.crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"),
+      .select(col("doc_id").as("src"), col("n_docs"),
         explode(expr(
           s"""array_distinct(transform(slice(${Dedup.toksExpr}, 1, 8),
-             |  t -> pmod(graft_polyhash(t), n_docs)))""".stripMargin)).as("dst"))
+             |  t -> pmod(graft_polyhash(t), 2 * n_docs)))""".stripMargin)).as("dst"))
+      .select(col("src"), col("dst"), (col("dst") < col("n_docs")).as("is_internal"))
   }
 
+  // NB: the classification (`dst < n_docs`) lives in its own CTE with a
+  // scalar subquery — referencing the carried n_docs column inside the
+  // unnest subquery trips a DuckDB internal binder error under WITH
+  // RECURSIVE, and subqueries are not allowed inside lambdas.
   private val duckPageLinksCte =
     s"""n AS (SELECT count(*) AS n_docs FROM documents),
-       |links AS (
+       |rawlinks AS (
        |  SELECT doc_id AS src, unnest(list_distinct(
        |    list_transform(${Dedup.duckToks}[1:8],
-       |      t -> ${graft.functions.PortableHash.duckPolyHash("t")} % n_docs))) AS dst
-       |  FROM documents CROSS JOIN n)""".stripMargin
+       |      t -> ${graft.functions.PortableHash.duckPolyHash("t")} % (2 * n_docs)))) AS dst
+       |  FROM documents CROSS JOIN n),
+       |links AS (SELECT src, dst, dst < (SELECT n_docs FROM n) AS is_internal
+       |          FROM rawlinks)""".stripMargin
 
   /** The crawler run (Rcrawler semantics, hi-csa-db.Rmd:111-119):
-    * BFS from page 0 to MaxDepth over the link graph, emitting the
-    * INDEX shape — page id, Level, OUT degree (the reference INDEX's
-    * Id/Level/OUT columns). Driver-side frontier loop; per level one
-    * join + anti-join, lineage cut by localCheckpoint. */
+    * BFS from page 0 to MaxDepth over the INTERNAL link graph, emitting
+    * the INDEX shape — page id, Level, OUT/IN degree, and the
+    * internal/external out-link split (the reference INDEX's
+    * Id/Level/OUT/IN/Internal/External columns). Driver-side frontier
+    * loop; per level one join + anti-join, lineage cut by
+    * localCheckpoint. */
   private def s2Crawl: Q = (s, dir) => {
     import s.implicits._
     val links = pageLinks(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val internal = links.filter(col("is_internal"))
     val seeds = Seq(0L).toDF("node")
-    val visited = bfs(links, seeds, 2)
-    val outDeg = links.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
+    val visited = bfs(internal, seeds, 2)
+    val outDeg = links.groupBy(col("src").as("node")).agg(
+      count(lit(1)).as("out_degree"),
+      sum(when(col("is_internal"), 1L).otherwise(0L)).as("n_internal"),
+      sum(when(!col("is_internal"), 1L).otherwise(0L)).as("n_external"))
+    val inDeg = internal.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_degree"))
     visited.join(outDeg, Seq("node"), "left")
+      .join(inDeg, Seq("node"), "left")
       .select(col("node").as("page_id"), col("depth").cast("long").as("level"),
-        coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("n_external"), lit(0L)).as("n_external"))
   }
 
   private val s2CrawlSql =
@@ -169,60 +189,76 @@ object Graph {
        |  SELECT 0::BIGINT, 0
        |  UNION ALL
        |  SELECT l.dst, w.depth + 1
-       |  FROM walk w JOIN links l ON l.src = w.node
+       |  FROM walk w JOIN (SELECT * FROM links WHERE is_internal) l ON l.src = w.node
        |  WHERE w.depth < 2),
        |visited AS (SELECT node, min(depth) AS depth FROM walk GROUP BY node),
-       |deg AS (SELECT src AS node, count(*) AS out_degree FROM links GROUP BY src)
+       |deg AS (SELECT src AS node, count(*) AS out_degree,
+       |               count(*) FILTER (is_internal) AS n_internal,
+       |               count(*) FILTER (NOT is_internal) AS n_external
+       |        FROM links GROUP BY src),
+       |indeg AS (SELECT dst AS node, count(*) AS in_degree
+       |          FROM links WHERE is_internal GROUP BY dst)
        |SELECT v.node AS page_id, v.depth AS level,
-       |       coalesce(deg.out_degree, 0) AS out_degree
-       |FROM visited v LEFT JOIN deg ON v.node = deg.node""".stripMargin
+       |       coalesce(deg.out_degree, 0) AS out_degree,
+       |       coalesce(indeg.in_degree, 0) AS in_degree,
+       |       coalesce(deg.n_internal, 0) AS n_internal,
+       |       coalesce(deg.n_external, 0) AS n_external
+       |FROM visited v
+       |LEFT JOIN deg ON v.node = deg.node
+       |LEFT JOIN indeg ON v.node = indeg.node""".stripMargin
 
   // ----------------------------------------------------------------
   // Label-propagation connected components (iterative min-label)
   // ----------------------------------------------------------------
 
-  /** LpIters rounds of min-label propagation over the undirected view:
-    * label(v) ← min(label(v), min over neighbours). Exact (string min),
-    * so the oracle unrolls the same iterations as CTEs. */
-  private def gCcLabelprop: Q = (s, dir) => {
-    val e = edges(s, dir)
-    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Min-label propagation to FIXPOINT over the undirected view:
+    * label(v) ← min(label(v), min over neighbours), iterated until a
+    * round changes zero labels (one cheap count per round on the
+    * checkpointed frame). A fixed round count is diameter-dependent —
+    * correct on this graph, silently wrong on a larger-diameter
+    * component at 100× scale. At the fixpoint label(v) = min node id of
+    * v's component, so the oracle is the transitive-closure min, not an
+    * unrolled iteration. */
+  def labelPropagate(und: DataFrame): DataFrame = {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    var i = 0
-    while (i < LpIters) {
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
       val fromNbr = und.join(labels, und("src") === labels("node"))
         .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_label"))
       // checkpoint EVERY round: `labels` feeds two consumers next round
       // (the neighbour-min build and the outer join), so an
       // un-checkpointed round recomputes its whole plan twice — measured
       // slower than the per-round materialization it saves
-      labels = labels.join(fromNbr, Seq("node"), "left")
+      val next = labels.join(fromNbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      i += 1
+      changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
     }
     labels
   }
 
-  private val gCcLabelpropSql = {
-    val iters = (0 until LpIters).map { i =>
-      s"""l${i + 1} AS (
-         |  SELECT l.node, least(l.label, coalesce(m.nbr_label, l.label)) AS label
-         |  FROM l$i l LEFT JOIN (
-         |    SELECT u.dst AS node, min(l$i.label) AS nbr_label
-         |    FROM und u JOIN l$i ON u.src = l$i.node GROUP BY u.dst) m
-         |  ON l.node = m.node)"""
-    }.mkString(",\n")
-    s"""WITH $duckEdgesCte,
-       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-       |l0 AS (SELECT node, node AS label
-       |       FROM (SELECT DISTINCT src AS node FROM und)),
-       |$iters
-       |SELECT node, label FROM l$LpIters""".stripMargin
+  private def gCcLabelprop: Q = (s, dir) => {
+    val e = edges(s, dir)
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labelPropagate(und)
   }
+
+  /** Oracle: fixpoint labels = per-component min node id, via recursive
+    * transitive closure (UNION dedups, so the recursion terminates). */
+  private val gCcLabelpropSql =
+    s"""WITH RECURSIVE $duckEdgesCte,
+       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |reach(node, peer) AS (
+       |  SELECT DISTINCT src, src FROM und
+       |  UNION
+       |  SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.peer)
+       |SELECT node, min(peer) AS label FROM reach GROUP BY node""".stripMargin
 
   // ----------------------------------------------------------------
 

@@ -96,24 +96,26 @@ object Multimodal {
 
   /** Stub "decode + featurize": byte-class ratios as the feature vector
     * (a real pipeline would decode pixels/samples here; ratios of exact
-    * integer counts divide to bit-identical doubles in both engines). */
+    * integer counts divide to bit-identical doubles in both engines).
+    * The harness projection emits the vector as named scalar columns:
+    * array cells crash the driver comparator's pandas row-sort; the
+    * array form stays available via [[decodePartitions]]. */
   private def mFeatures: Q = (s, dir) =>
     withPayload(Tables.documents(s, dir))
       .withColumn("n", length(col("payload")).cast("double"))
       .select(
         col("doc_id"),
-        array(
-          length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / col("n"),
-          length(regexp_replace(col("text"), "[^0-9]", "")) / col("n"),
-          length(regexp_replace(col("text"), "[^ ]", "")) / col("n"),
-          col("n") / 1000.0).as("features"))
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / col("n")).as("f_alpha"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")) / col("n")).as("f_digit"),
+        (length(regexp_replace(col("text"), "[^ ]", "")) / col("n")).as("f_space"),
+        (col("n") / 1000.0).as("f_kb"))
 
   private val mFeaturesSql =
     """SELECT doc_id,
-      | [length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n,
-      |  length(regexp_replace(text, '[^0-9]', '', 'g')) / n,
-      |  length(regexp_replace(text, '[^ ]', '', 'g')) / n,
-      |  n / 1000.0] AS features
+      | length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n AS f_alpha,
+      | length(regexp_replace(text, '[^0-9]', '', 'g')) / n AS f_digit,
+      | length(regexp_replace(text, '[^ ]', '', 'g')) / n AS f_space,
+      | n / 1000.0 AS f_kb
       |FROM (SELECT doc_id, text, octet_length(encode(text))::DOUBLE AS n FROM documents)""".stripMargin
 
   // ----------------------------------------------------------------

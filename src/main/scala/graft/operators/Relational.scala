@@ -38,18 +38,23 @@ object Relational {
         // between engines — at sf0.1 the total (~5e9) has a double ulp
         // the size of the 6dp rounding quantum, so round(sum(double))
         // flipped its last digit vs the oracle. Decimal sums are exact.
+        // The FINAL value casts to double: the driver's comparator
+        // stringifies cells (pandas astype(str)), and Spark decimals
+        // read back as Decimal('x.40') while DuckDB decimals surface as
+        // float x.4 — a one-time correctly-rounded cast of the exact sum
+        // is bit-identical in both engines, so the reprs agree.
         round(sum(col("l_quantity")), 6).as("sum_qty"),
-        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("sum_base_price"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sum_base_price"),
         sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
-          .as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   private val q1AggSql =
     """SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity), 6) AS sum_qty,
-      | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
       | round(avg(l_quantity), 6) AS avg_qty,
       | count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -64,14 +69,15 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
+      // exact decimal sum, final cast to double (comparator-stable repr)
       .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
-        .as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   private val q3TopRevenueSql =
-    """SELECT l_orderkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
+    """SELECT l_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -257,17 +263,27 @@ object Relational {
 
   /** J2 — keyword-containment theta-join (Rmd:513 + :75-88): documents
     * × lexicon on "any token of the normalized text matches the keyword
-    * regex, case-insensitively". Broadcast nested-loop join against the
-    * 12-row lexicon — many-to-many, inner. */
-  private def j2KeywordTheta: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir).select(
-      col("doc_id"),
-      split(regexp_replace(col("text"), "[\\p{Punct} ]+", " "), " ").as("tokens"))
-    toks.join(
-        broadcast(Lexicon.df(s)),
-        expr("exists(tokens, t -> t rlike concat('(?i)', keyword))"))
-      .select(col("doc_id"), col("practice"))
-  }
+    * regex, case-insensitively" — many-to-many, inner.
+    *
+    * NOT planned as a join: a BroadcastNestedLoopJoin with a non-literal
+    * `rlike` predicate evaluates an interpreted, per-evaluation-compiled
+    * regex for every (row × lexicon-row) pair — measured 90 s at sf0.1
+    * in the r1 driver bench vs 2.2 s for the equivalent classify shape.
+    * Because the lexicon is a compile-time constant, the theta-join
+    * rewrites to filter-the-inlined-lexicon + explode: one narrow
+    * codegen'd stage, regexes compiled once, zero shuffle, identical
+    * (doc_id, practice) pairs. At 100 TB this is the difference between
+    * a full broadcast-loop pass per keyword and a single scan. */
+  private def j2KeywordTheta: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("tokens",
+        split(regexp_replace(col("text"), "[\\p{Punct} ]+", " "), " "))
+      .withColumn("practices", expr(
+        s"""transform(
+           |  filter(${Lexicon.sparkArrayLiteral},
+           |         kv -> exists(tokens, t -> t rlike concat('(?i)', kv.k))),
+           |  kv -> kv.p)""".stripMargin))
+      .select(col("doc_id"), explode(col("practices")).as("practice"))
 
   private val j2Sql =
     s"""WITH lex(keyword, practice) AS (VALUES ${Lexicon.duckValues}),

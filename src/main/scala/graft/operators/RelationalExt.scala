@@ -35,13 +35,14 @@ object RelationalExt {
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
+        // exact decimal sum; final cast to double = comparator-stable repr
         sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
-          .as("revenue"))
+          .cast("double").as("revenue"))
   }
 
   private val j4SaltedJoinSql =
     """SELECT o_orderpriority, count(*) AS n_items,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
@@ -169,9 +170,9 @@ object RelationalExt {
       | ntile(4) OVER w AS quartile,
       | lag(o_totalprice, 1) OVER w AS prev_price,
       | lead(o_totalprice, 1) OVER w AS next_price,
-      | sum(o_orderkey) OVER (PARTITION BY o_custkey
+      | CAST(sum(o_orderkey) OVER (PARTITION BY o_custkey
       |   ORDER BY o_orderdate, o_orderkey
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_key_sum
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_key_sum
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
@@ -220,19 +221,26 @@ object RelationalExt {
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
 
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
-    * `quantile_cont` share the linear-interpolation definition. */
+    * `quantile_cont` share the linear-interpolation definition. The
+    * quartile vector is computed in ONE aggregate pass (array-typed
+    * percentile), then projected to scalar columns: array-typed output
+    * cells crash the driver comparator's pandas row-sort ("unhashable
+    * numpy.ndarray"), and scalars also make the result directly usable
+    * in SQL joins. */
   private def a9Percentiles: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(expr(
-        "transform(percentile(l_quantity, array(0.25, 0.5, 0.75)), x -> round(x, 6))")
-        .as("qty_quartiles"))
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 6).as("q25"),
+        round(element_at(col("qs"), 2), 6).as("q50"),
+        round(element_at(col("qs"), 3), 6).as("q75"))
 
   private val a9PercentilesSql =
     """SELECT l_returnflag,
-      | list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), x -> round(x, 6))
-      |   AS qty_quartiles
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      | round(qs[1], 6) AS q25, round(qs[2], 6) AS q50, round(qs[3], 6) AS q75
+      |FROM (SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+      |      FROM lineitem GROUP BY l_returnflag)""".stripMargin
 
   // ----------------------------------------------------------------
   // TPC-H-shaped headline queries (multi-join chains for the optimizer)
@@ -254,12 +262,12 @@ object RelationalExt {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
-          .as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   private val q5NationRevenueSql =
-    """SELECT n_name, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue,
+    """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

@@ -125,7 +125,10 @@ object Scrape {
 
   /** The implicit h3/h4 grouping (Rmd:179-212): paragraphs re-grouped
     * under their section as a sorted array of structs (sort_array gives
-    * the deterministic order collect_list lacks). */
+    * the deterministic order collect_list lacks). The harness output
+    * serializes the array as a `pos:paragraph|...` string: array-typed
+    * cells crash the driver comparator's pandas row-sort ("unhashable
+    * numpy.ndarray"); the collect→sort tree itself is unchanged. */
   private def a4GroupCollect: Q = (s, dir) => {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -136,6 +139,9 @@ object Scrape {
       .agg(count(lit(1)).as("n_paragraphs"),
         sort_array(collect_list(struct(col("pos").cast("long").as("pos"),
           col("etext").as("paragraph")))).as("paragraphs"))
+      .select(col("doc_id"), col("h3"), col("n_paragraphs"),
+        expr("array_join(transform(paragraphs, x -> concat(x.pos, ':', x.paragraph)), '|')")
+          .as("paragraphs"))
   }
 
   private val a4GroupCollectSql =
@@ -146,10 +152,13 @@ object Scrape {
        |      OVER (PARTITION BY doc_id ORDER BY pos
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h3
        |  FROM elems)
-       |SELECT doc_id, h3, count(*) AS n_paragraphs,
-       |       list({'pos': pos, 'paragraph': etext} ORDER BY pos, etext) AS paragraphs
-       |FROM filled WHERE tag = 'p' AND h3 IS NOT NULL
-       |GROUP BY doc_id, h3""".stripMargin
+       |SELECT doc_id, h3, n_paragraphs,
+       |       array_to_string(list_transform(paragraphs, x -> x.pos || ':' || x.paragraph), '|')
+       |         AS paragraphs
+       |FROM (SELECT doc_id, h3, count(*) AS n_paragraphs,
+       |        list({'pos': pos, 'paragraph': etext} ORDER BY pos, etext) AS paragraphs
+       |      FROM filled WHERE tag = 'p' AND h3 IS NOT NULL
+       |      GROUP BY doc_id, h3)""".stripMargin
 
   // ----------------------------------------------------------------
   // S3 — HTML fetch + DOM parse (fixture-grade, regex-based)

