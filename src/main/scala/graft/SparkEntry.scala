@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Scrape, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Scrape, Similarity, SqlSurface, TextAnalysis}
 import graft.pipelines.{CleanCorpus, Flagship}
 import graft.streaming.EventStreams
 
@@ -18,6 +18,7 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (RelationalExt.queries, RelationalExt.oracles),
+      (SqlSurface.queries, SqlSurface.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -24,9 +24,10 @@ import graft.functions.PortableHash
   *    (band, bucket) — only near-identical docs collide (r=4 rows/band
   *    ⇒ P[collide | J=0.97] ≈ 0.999, P[collide | J=0.03] ≈ 1e-6), so the
   *    pair space stays ~linear in the number of true duplicates.
-  *  - SimHash: one 24-bit fingerprint per doc; near-dup = Hamming ≤ 3,
-  *    candidates via 6-bit band buckets (pigeonhole: Hamming ≤ 3 over 4
-  *    bands ⇒ at least one band equal).
+  *  - SimHash: one 48-bit fingerprint per doc; near-dup = Hamming ≤ 3,
+  *    candidates via 12-bit band buckets (pigeonhole: Hamming ≤ 3 over
+  *    4 bands ⇒ at least one band equal; 4096 buckets/band keeps
+  *    occupancy bounded as n grows).
   *  - embedding near-dup: sign-bit LSH buckets (first 8 dims) make the
   *    pair search per-bucket instead of all-pairs.
   *
@@ -290,19 +291,35 @@ object Dedup {
   // SimHash fingerprint + Hamming near-dup
   // ----------------------------------------------------------------
 
-  /** 24-bit SimHash over the distinct-shingle hash set (shingles, not
-    * unigram tokens: docs drawn from one vocabulary have near-identical
-    * unigram tf vectors, which collapses every fingerprint into a few
-    * hot values and makes the LSH-bucket join quadratic — measured 39s
-    * → ~1s at sf0.1):
-    * bit j of the fingerprint = sign of Σ_shingles (2·bit_j(hash) − 1). */
+  // 48-bit fingerprint in 4 × 12-bit bands: at 100 TB, band-bucket
+  // occupancy is what bounds the self-join's pair space — 2^12 = 4096
+  // buckets/band keeps E[bucket size] = n/4096 per band (vs n/64 for
+  // the previous 24-bit/6-bit layout, whose hottest buckets went
+  // quadratic as n grew). Hamming ≤ 3 over 4 bands still pigeonholes:
+  // 3 flipped bits can dirty at most 3 bands, so ≥1 band collides.
+  private[graft] val SimBits = 48
+  private val SimBandBits = 12
+  private val SimBands = SimBits / SimBandBits
+
+  /** SimHash over the distinct-shingle hash set (shingles, not unigram
+    * tokens: docs drawn from one vocabulary have near-identical unigram
+    * tf vectors, which collapses every fingerprint into a few hot
+    * values and makes the LSH-bucket join quadratic — measured 39s
+    * → ~1s at sf0.1).
+    *
+    * The portable base hash holds only ~30 bits (mod 1e9+7), so bit j
+    * of the fingerprint comes from an independent 1-bit universal hash
+    * rather than from bit j of the base hash: bit_j(doc) = sign of
+    * Σ_shingles (2·(perm_j(h) & 1) − 1), perm_j(h) = (A_j·h + B_j) mod
+    * P — the same permutation family minhash uses, identically
+    * computable in DuckDB. */
   private val duckSimhashExpr =
-    s"""list_reduce(list_prepend(0::BIGINT, range(0, 24)), (acc, j) ->
+    s"""list_reduce(list_prepend(0::BIGINT, range(0, $SimBits)), (acc, j) ->
        |  acc + CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
-       |                    (a, h) -> a + 2 * ((h >> j::INTEGER) & 1) - 1) >= 0
+       |                    (a, h) -> a + 2 * (((h * (2 * j + 1) + (10007 * j + 12345)) % ${PortableHash.P}) & 1) - 1) >= 0
        |             THEN (1::BIGINT << j::INTEGER) ELSE 0 END)""".stripMargin
 
-  /** Per-doc SimHash via 24 codegen'd per-bit `sum` aggregates over the
+  /** Per-doc SimHash via 48 codegen'd per-bit `sum` aggregates over the
     * exploded shingle-hash index (one pass, map-side combine), then one
     * arithmetic assembly of the fingerprint. Persisted: the pair query
     * joins it against itself. */
@@ -310,10 +327,11 @@ object Dedup {
     shingleHashes(s, dir)
       .groupBy("doc_id")
       .agg(
-        sum(expr("2 * (shiftright(h, 0) & 1) - 1")).as("c0"),
-        (1 until 24).map(j => sum(expr(s"2 * (shiftright(h, $j) & 1) - 1")).as(s"c$j")): _*)
+        sum(expr(s"2 * (${PortableHash.permSql("h", 0)} & 1) - 1")).as("c0"),
+        (1 until SimBits).map(j =>
+          sum(expr(s"2 * (${PortableHash.permSql("h", j)} & 1) - 1")).as(s"c$j")): _*)
       .select(col("doc_id"),
-        expr((0 until 24).map(j => s"CASE WHEN c$j >= 0 THEN ${1L << j}L ELSE 0L END")
+        expr((0 until SimBits).map(j => s"CASE WHEN c$j >= 0 THEN ${1L << j}L ELSE 0L END")
           .mkString(" + ")).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -324,29 +342,38 @@ object Dedup {
        |       FROM s),
        |sh AS (SELECT doc_id, ($duckSimhashExpr) AS simhash FROM thh)""".stripMargin
 
-  /** Per-document SimHash fingerprint (+ its four 6-bit LSH bands). */
-  private def dSimhash: Q = (s, dir) =>
-    simhashes(s, dir).select(
-      col("doc_id"), col("simhash"),
-      expr("shiftright(simhash, 0) & 63").as("band0"),
-      expr("shiftright(simhash, 6) & 63").as("band1"),
-      expr("shiftright(simhash, 12) & 63").as("band2"),
-      expr("shiftright(simhash, 18) & 63").as("band3"))
+  private val sparkBandArray = (0 until SimBands)
+    .map(b => s"shiftright(simhash, ${b * SimBandBits}) & ${(1 << SimBandBits) - 1}")
+    .mkString("array(", ", ", ")")
 
-  private val dSimhashSql =
+  private val duckBandArray = (0 until SimBands)
+    .map(b => s"(simhash >> ${b * SimBandBits}) & ${(1 << SimBandBits) - 1}")
+    .mkString("[", ", ", "]")
+
+  /** Per-document SimHash fingerprint (+ its four 12-bit LSH bands). */
+  private def dSimhash: Q = (s, dir) => {
+    val bands = (0 until SimBands).map(b =>
+      expr(s"shiftright(simhash, ${b * SimBandBits}) & ${(1 << SimBandBits) - 1}").as(s"band$b"))
+    simhashes(s, dir).select(col("doc_id") +: col("simhash") +: bands: _*)
+  }
+
+  private val dSimhashSql = {
+    val bands = (0 until SimBands)
+      .map(b => s"(simhash >> ${b * SimBandBits}) & ${(1 << SimBandBits) - 1} AS band$b")
+      .mkString(", ")
     s"""WITH $duckSimhashCte
-       |SELECT doc_id, simhash,
-       |  (simhash >> 0) & 63 AS band0, (simhash >> 6) & 63 AS band1,
-       |  (simhash >> 12) & 63 AS band2, (simhash >> 18) & 63 AS band3
+       |SELECT doc_id, simhash, $bands
        |FROM sh""".stripMargin
+  }
 
-  /** SimHash near-dup pairs: Hamming(simhash) ≤ 3, candidates from 6-bit
-    * band buckets (pigeonhole guarantees recall at Hamming ≤ 3). */
+  /** SimHash near-dup pairs: Hamming(simhash) ≤ 3, candidates from
+    * 12-bit band buckets (pigeonhole guarantees recall at Hamming ≤ 3;
+    * 4096 buckets per band keep occupancy — and therefore the
+    * self-join's pair space — bounded as n scales). */
   private def dSimhashPairs: Q = (s, dir) => {
     val sh = simhashes(s, dir)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(expr("array(shiftright(simhash, 0) & 63, shiftright(simhash, 6) & 63, shiftright(simhash, 12) & 63, shiftright(simhash, 18) & 63)"))
-        .as(Seq("band", "bucket")))
+      posexplode(expr(sparkBandArray)).as(Seq("band", "bucket")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
@@ -358,9 +385,8 @@ object Dedup {
 
   private val dSimhashPairsSql =
     s"""WITH $duckSimhashCte,
-       |banded AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
-       |                  unnest([(simhash >> 0) & 63, (simhash >> 6) & 63,
-       |                          (simhash >> 12) & 63, (simhash >> 18) & 63]) AS bucket
+       |banded AS (SELECT doc_id, simhash, unnest(range(0, $SimBands)) AS band,
+       |                  unnest($duckBandArray) AS bucket
        |           FROM sh)
        |SELECT DISTINCT x.doc_id a_id, y.doc_id b_id,
        |       bit_count(xor(x.simhash, y.simhash)) AS hamming

@@ -91,33 +91,49 @@ object Scrape {
   // X1 (nested form) — flatten array<struct> links, INNER explode
   // ----------------------------------------------------------------
 
-  /** The reference's list_to_dataframe (Rmd:216-270) over a nested
-    * links column: paragraphs carry array<struct<ltext,href>> links
-    * (derived: one link per long-enough word); the INNER explode drops
-    * link-less paragraphs exactly like the reference drops them. */
+  /** The reference's list_to_dataframe (Rmd:216-270) over per-paragraph
+    * nested anchor lists, parsed FROM THE HTML COLUMN: the fixture
+    * "fetch" wraps every ≥6-char word of a paragraph in an <a> tag,
+    * then the parse walks each paragraph's html and extracts its
+    * (anchor text, href) pairs — the reference's per-paragraph
+    * html_nodes("a") loop (Rmd:198-203). The INNER explode drops
+    * link-less paragraphs exactly like the reference drops them.
+    * Everything is narrow (generator after a map) — no shuffle. */
   private def x1NestedLinks: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " the ")).as(Seq("pos", "para")))
-      .withColumn("links", expr(
-        """transform(filter(split(para, ' '), t -> length(t) >= 6),
-          |  t -> named_struct('ltext', t, 'href', concat('https://example.org/', t)))""".stripMargin))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        explode(col("links")).as("link"))
-      .select(col("doc_id"), col("pos"),
-        col("link.ltext").as("ltext"), col("link.href").as("href"))
+      .withColumn("html", concat(lit("<p>"),
+        regexp_replace(col("para"), "(\\S{6,})",
+          "<a href=\"https://example.org/$1\">$1</a>"),
+        lit("</p>")))
+      .withColumn("ltexts",
+        expr("regexp_extract_all(html, '<a href=\"[^\"]*\">([^<]*)</a>', 1)"))
+      .withColumn("hrefs",
+        expr("regexp_extract_all(html, '<a href=\"([^\"]*)\">', 1)"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("hrefs"),
+        posexplode(col("ltexts")).as(Seq("li", "ltext")))
+      .select(col("doc_id"), col("pos"), col("ltext"),
+        element_at(col("hrefs"), col("li") + 1).as("href"))
 
   private val x1NestedLinksSql =
-    """SELECT doc_id, pos, link['ltext'] AS ltext, link['href'] AS href
+    """SELECT doc_id, pos, ltext, hrefs[li] AS href
       |FROM (
-      |  SELECT doc_id, pos,
-      |    unnest(list_transform(
-      |      list_filter(string_split(para, ' '), t -> length(t) >= 6),
-      |      t -> {'ltext': t, 'href': 'https://example.org/' || t})) AS link
-      |  FROM (SELECT doc_id,
-      |          unnest(range(1, len(paras) + 1)) - 1 AS pos,
-      |          unnest(paras) AS para
-      |        FROM (SELECT doc_id, string_split(text, ' the ') AS paras
-      |              FROM documents)))""".stripMargin
+      |  SELECT doc_id, pos, hrefs,
+      |         unnest(ltexts) AS ltext,
+      |         unnest(range(1, len(ltexts) + 1)) AS li
+      |  FROM (
+      |    SELECT doc_id, pos,
+      |      regexp_extract_all(html, '<a href="[^"]*">([^<]*)</a>', 1) AS ltexts,
+      |      regexp_extract_all(html, '<a href="([^"]*)">', 1) AS hrefs
+      |    FROM (
+      |      SELECT doc_id, pos,
+      |        '<p>' || regexp_replace(para, '(\S{6,})',
+      |          '<a href="https://example.org/\1">\1</a>', 'g') || '</p>' AS html
+      |      FROM (SELECT doc_id,
+      |              unnest(range(1, len(paras) + 1)) - 1 AS pos,
+      |              unnest(paras) AS para
+      |            FROM (SELECT doc_id, string_split(text, ' the ') AS paras
+      |                  FROM documents)))))""".stripMargin
 
   // ----------------------------------------------------------------
   // A4 — group-collect: rebuild the section tree shape

@@ -29,10 +29,10 @@ class DedupSpec extends SparkSpec {
     assert((exact -- lsh).isEmpty, s"LSH missed pairs: ${exact -- lsh}")
   }
 
-  test("d_simhash emits one 24-bit fingerprint per doc") {
+  test("d_simhash emits one 48-bit fingerprint per doc") {
     val df = Dedup.queries("d_simhash")(spark, sf)
     assert(df.count() == Tables.documents(spark, sf).count())
-    assert(df.filter(col("simhash") < 0 || col("simhash") >= (1 << 24)).count() == 0)
+    assert(df.filter(col("simhash") < 0 || col("simhash") >= (1L << Dedup.SimBits)).count() == 0)
   }
 
   test("simhash pairs all satisfy the hamming bound") {
