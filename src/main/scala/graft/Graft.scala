@@ -100,11 +100,12 @@ object Graft {
     def tokens(c: Column): Column =
       split(regexp_replace(lower(c), "[\\p{Punct} ]+", " "), " ")
 
-    /** Content fingerprint column (portable polynomial hash). */
-    def fingerprint(c: Column): Column = {
-      val norm = concat_ws(" ", tokens(c))
-      expr(s"graft_polyhash(${norm.toString})")
-    }
+    /** Content fingerprint column (portable polynomial hash).
+      * `call_function` resolves the registered native expression against
+      * the composed Column directly — no SQL-string interpolation, so
+      * qualified/aliased input columns work. */
+    def fingerprint(c: Column): Column =
+      call_function("graft_polyhash", concat_ws(" ", tokens(c)))
   }
 
   object graphs {

@@ -6,9 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // cap threads below the core count — same straggler rationale as
+    // Bench (the launcher and driver threads need somewhere to run)
+    val threads = math.max(1, math.min(cpus, Runtime.getRuntime.availableProcessors() - 2))
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

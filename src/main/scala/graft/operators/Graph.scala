@@ -230,14 +230,15 @@ object Graph {
       // checkpoint EVERY round: `labels` feeds two consumers next round
       // (the neighbour-min build and the outer join), so an
       // un-checkpointed round recomputes its whole plan twice — measured
-      // slower than the per-round materialization it saves
+      // slower than the per-round materialization it saves. The old
+      // label rides along so convergence is a filter-count on the
+      // checkpointed frame, not another join.
       val next = labels.join(fromNbr, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select(col("node"), col("label"))
     }
     labels
   }

@@ -20,10 +20,13 @@ import graft.Tables
 object SqlSurface {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Register every harness table as a temp view (idempotent). */
+  /** Register every harness table as a temp view (idempotent). The
+    * events table goes through its typed loader so SQL users see a real
+    * timestamp column (nanos parquet → µs, see Tables.events). */
   def registerViews(s: SparkSession, dir: String): Unit =
-    Tables.names.foreach { t =>
-      Tables(s, dir, t).createOrReplaceTempView(t)
+    Tables.names.foreach {
+      case "events" => Tables.events(s, dir).createOrReplaceTempView("events")
+      case t => Tables(s, dir, t).createOrReplaceTempView(t)
     }
 
   private def sql(text: String): Q = (s, dir) => {

@@ -53,20 +53,21 @@ object HiCsa {
 
   /** detect.csa (F1, Rmd:75-88): punctuation-normalized tokens matched
     * case-insensitively against each lexicon keyword REGEX; all matched
-    * practices in lexicon order, else empty. */
-  private def detectCsa(goals: Column, lexiconArray: String): Column =
-    expr(s"""transform(
-             |  filter($lexiconArray,
-             |         kv -> exists(split(regexp_replace(${goals.toString}, '[\\\\p{Punct} ]+', ' '), ' '),
-             |                      t -> t rlike concat('(?i)', kv.k))),
-             |  kv -> kv.p)""".stripMargin)
+    * practices in lexicon order, else empty. Pure Column-API HOFs (no
+    * SQL-string interpolation of the input column, so qualified or
+    * aliased columns compose). */
+  private def detectCsa(goals: Column, lexiconArray: Column): Column =
+    transform(
+      filter(lexiconArray, kv =>
+        exists(split(regexp_replace(goals, "[\\p{Punct} ]+", " "), " "),
+          t => regexp_like(t, concat(lit("(?i)"), kv.getField("k"))))),
+      kv => kv.getField("p"))
 
   /** Policy sheet → classified, exploded, looked-up rows (Rmd:488-546).
     * lexicon: Seq of (keyword regex, practice). */
   def policyDb(policy: DataFrame, lexicon: Seq[(String, String)], pracMiti: DataFrame): DataFrame = {
-    val lexArray = lexicon
-      .map { case (k, p) => s"named_struct('k', '$k', 'p', '$p')" }
-      .mkString("array(", ", ", ")")
+    val lexArray = array(lexicon.map { case (k, p) =>
+      struct(lit(k).as("k"), lit(p).as("p")) }: _*)
     policy
       .withColumn("Description",
         rPaste(col("GuidingPolicy"), lit(": "), col("PolicyDescription"),
