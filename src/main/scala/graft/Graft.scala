@@ -113,6 +113,20 @@ object Graft {
       * `seeds(node)`. */
     def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame =
       Graph.bfs(edges, seeds, maxDepth)
+
+    /** Connected components by min-label propagation to fixpoint:
+      * (node, label). `und` must hold both edge directions. */
+    def connectedComponents(und: DataFrame): DataFrame =
+      Graph.labelPropagate(und)
+  }
+
+  object temporal {
+    /** As-of join: per probe row, the build row with the greatest
+      * `tsCol` ≤ the probe's, per `keyCol` — union + per-key window
+      * fill-forward (one shuffle, no nested loop). */
+    def asofJoin(probe: DataFrame, build: DataFrame,
+        keyCol: String, tsCol: String, valueCol: String): DataFrame =
+      operators.Temporal.asofJoin(probe, build, keyCol, tsCol, valueCol)
   }
 
   object streams {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Scrape, Similarity, SqlSurface, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Sampling, Scrape, Similarity, SqlSurface, Temporal, TextAnalysis}
 import graft.pipelines.{CleanCorpus, Flagship}
 import graft.streaming.EventStreams
 
@@ -19,6 +19,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (RelationalExt.queries, RelationalExt.oracles),
       (SqlSurface.queries, SqlSurface.oracles),
+      (Temporal.queries, Temporal.oracles),
+      (Sampling.queries, Sampling.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -207,16 +207,48 @@ object Similarity {
        |WHERE rn <= 3""".stripMargin
 
   // ----------------------------------------------------------------
+  // Per-label centroids (the IVF training step / k-means assign pass)
+  // ----------------------------------------------------------------
+
+  /** Per-label centroid, one scalar row per (label, dim): explode each
+    * vector to its (dim, value) pairs map-side, then ONE partial-agg'd
+    * groupBy(label, dim) — the shape of an IVF coarse-quantizer build
+    * (and of one k-means M-step) at 100 TB: the shuffle carries partial
+    * (sum, count) pairs per (label, dim) cell, never vectors.
+    *
+    * No rounding needed for cross-engine equality: float32 inputs have
+    * 24-bit mantissas and |v| < 16, so a double sum of ≤ 2^28 such
+    * values is EXACT (24 + 28 < 53 bits) — summation order cannot
+    * change the result, unlike dot products (which left-fold instead:
+    * products carry 48-bit mantissas). */
+  private def sCentroids: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(avg(col("v")).as("centroid"), count(lit(1)).as("n_vectors"))
+
+  private val sCentroidsSql =
+    """SELECT label, dim, avg(v) AS centroid, count(*) AS n_vectors
+      |FROM (SELECT label,
+      |        unnest(range(1, len(embedding) + 1)) AS dim,
+      |        unnest(embedding) AS v
+      |      FROM embeddings)
+      |GROUP BY label, dim""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
     "s_blocked_knn" -> sBlockedKnn,
-    "s_topk_agg" -> sTopkAgg)
+    "s_topk_agg" -> sTopkAgg,
+    "s_centroids" -> sCentroids)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_blocked_knn" -> sBlockedKnnSql,
-    "s_topk_agg" -> sTopkAggSql)
+    "s_topk_agg" -> sTopkAggSql,
+    "s_centroids" -> sCentroidsSql)
 }

@@ -188,16 +188,58 @@ object TextAnalysis {
   }
 
   // ----------------------------------------------------------------
+  // TF-IDF term scoring
+  // ----------------------------------------------------------------
+
+  /** Per-(document, token) TF-IDF scores. Two shuffles, both partial-
+    * aggregated: tf = groupBy(doc, token) over the exploded tokens; df
+    * joins back one row per distinct token (shuffle keyed on the token
+    * — at 100 TB the df table is orders of magnitude smaller than the
+    * postings and usually broadcastable after a frequency cut).
+    *
+    * The idf is the BM25-style RATIO form (N − df + 0.5)/(df + 0.5),
+    * not log((N+1)/(df+1)): pure rational double arithmetic is
+    * bit-identical across engines, while libm log implementations may
+    * differ in the last ulp and flip a rounding boundary. */
+  private def tTfidf: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5), 6)
+          .as("score"))
+  }
+
+  private val tTfidfSql = {
+    val toks = duckTokens("text")
+    s"""WITH e AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM e
+       |       WHERE token <> '' GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT doc_id, token, tf, df,
+       |       round(tf * (n_docs - df + 0.5) / (df + 0.5), 6) AS score
+       |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "t_token_count" -> tTokenCount,
     "t_quality_score" -> tQualityScore,
     "t_lang_id" -> tLangId,
-    "t_fingerprint" -> tFingerprint)
+    "t_fingerprint" -> tFingerprint,
+    "t_tfidf" -> tTfidf)
 
   val oracles: Map[String, String] = Map(
     "t_token_count" -> tTokenCountSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,
-    "t_fingerprint" -> tFingerprintSql)
+    "t_fingerprint" -> tFingerprintSql,
+    "t_tfidf" -> tTfidfSql)
 }

@@ -39,6 +39,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("j2: theta-join over the constant lexicon plans as a narrow stage — no join operator at all") {
+    // regression guard for the r1 scale-killer: the BroadcastNestedLoopJoin
+    // form evaluated an interpreted regex per (row × lexicon-row)
+    // ("Join" alone would match the lexicon literal "Relational Join")
+    val p = plan("j2_keyword_theta_join")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("HashJoin")
+      && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("j6: as-of join plans as union + window — no nested loop, one shuffle on the key") {
+    val p = plan("j6_asof_join")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("j7: range join plans as equi-join on the grain cell — no nested loop") {
+    val p = plan("j7_range_join")
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("t_token_count: narrow projection — no exchange at all") {
     val p = plan("t_token_count")
     assert(!p.contains("Exchange"), p)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, Similarity, Temporal, TextAnalysis}
+
+class TemporalSamplingSpec extends SparkSpec {
+
+  test("j6 as-of join: every event gets exactly one rate, and it is the day-floor rate") {
+    val out = Temporal.queries("j6_asof_join")(spark, sf)
+    val events = Tables.events(spark, sf)
+    assert(out.count() == events.count())
+    assert(out.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    // rates are daily with all event ts inside the covered month, so the
+    // as-of pick equals the direct recompute from the event's own day
+    val recomputed = events.select(col("event_id"),
+      (lit(1.0)
+        + (floor((unix_timestamp(col("ts")) - 1704067200L) / 86400) % 7) * lit(0.25)
+        + length(col("event_type")) * lit(0.125)).as("expect"))
+    val joined = out.join(recomputed, "event_id")
+    assert(joined.filter(col("rate") =!= col("expect")).count() == 0)
+  }
+
+  test("j7 range join matches the brute-force theta-join") {
+    val out = Temporal.queries("j7_range_join")(spark, sf)
+    // brute force: every pair checked directly (fine at spec scale)
+    val events = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+    val w = spark.range(60).toDF("window_id")
+      .select(col("window_id"),
+        expr("timestamp_seconds(1704067200 + window_id * 43200)").as("ws"),
+        expr("timestamp_seconds(1704067200 + window_id * 43200 + (21600 + (window_id % 4) * 43200))").as("we"))
+    val brute = events.crossJoin(w)
+      .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+      .select(col("event_id"), col("window_id"))
+    assert(out.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(out).count() == 0)
+  }
+
+  test("hash sampling is deterministic, subset-stable, and stratified rates order correctly") {
+    val p8a = Sampling.queries("p8_hash_sample")(spark, sf).collect().toSet
+    val p8b = Sampling.queries("p8_hash_sample")(spark, sf).collect().toSet
+    assert(p8a == p8b && p8a.nonEmpty)
+    // stratified: de's 5% keep-set is a subset of the uniform 10% set;
+    // en's 20% is a superset (same hash, different cutoffs)
+    val p9 = Sampling.queries("p9_stratified_sample")(spark, sf)
+    val p8 = Sampling.queries("p8_hash_sample")(spark, sf)
+    assert(p9.filter(col("lang") === "de")
+      .join(p8, Seq("doc_id"), "left_anti").count() == 0)
+    assert(p8.filter(col("lang") === "en")
+      .join(p9, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("tfidf: df bounded by corpus size, rare tokens outscore stopword-grade tokens") {
+    val out = TextAnalysis.queries("t_tfidf")(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(out.filter(col("df") > n || col("df") < 1).count() == 0)
+    assert(out.filter(col("token") === "").count() == 0)
+    // for equal tf, lower df means strictly higher score
+    val one = out.filter(col("tf") === 1)
+    val byDf = one.groupBy("df").agg(max("score").as("mx"), min("score").as("mn"))
+      .orderBy("df").collect()
+    byDf.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) > b.getDouble(1),
+        s"df=${a.getLong(0)} should outscore df=${b.getLong(0)}")
+      case _ => ()
+    }
+  }
+
+  test("centroids: one row per (label, dim); counts consistent; centroids inside value range") {
+    val out = Similarity.queries("s_centroids")(spark, sf)
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(out.count() == labels * 64)
+    assert(out.groupBy("label", "dim").count().filter(col("count") > 1).count() == 0)
+    // per label, n_vectors is the same for every dim and sums to the table size
+    val perLabel = out.groupBy("label").agg(countDistinct("n_vectors").as("k"),
+      max("n_vectors").as("n"))
+    assert(perLabel.filter(col("k") =!= 1).count() == 0)
+    assert(perLabel.agg(sum("n")).collect()(0).getLong(0)
+      == Tables.embeddings(spark, sf).count())
+  }
+}
