@@ -133,6 +133,24 @@ object Graft {
     def tumbling(events: DataFrame): DataFrame = EventStreams.tumbling(events)
     def sliding(events: DataFrame): DataFrame = EventStreams.sliding(events)
     def sessions(events: DataFrame): DataFrame = EventStreams.sessions(events)
+
+    /** Stream-stream interval join (watermarked both sides): purchases
+      * attributed to prior same-user views within 1 day. */
+    def attributedPurchases(views: DataFrame, purchases: DataFrame): DataFrame =
+      EventStreams.attributedPurchases(views, purchases)
+
+    /** Watermark-bounded streaming exact dedup (ingest guard). */
+    def dedupedEvents(events: DataFrame): DataFrame =
+      EventStreams.dedupedEvents(events)
+  }
+
+  object sampling {
+    /** Deterministic hash-mod sample: keep rows whose content hash mod
+      * 100 falls below `pct`. Stable under re-partitioning/re-runs. */
+    def byHash(df: DataFrame, contentCol: String, pct: Int): DataFrame = {
+      register(df.sparkSession)
+      df.filter(pmod(call_function("graft_polyhash", col(contentCol)), lit(100)) < pct)
+    }
   }
 
   object media {

@@ -145,6 +145,33 @@ object EventStreams {
       .groupBy(col("category"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-stream interval join with watermarks on BOTH sides:
+    * purchases attribute to the prior views of the same user within
+    * `attribution window` = 1 day. The time-bound join condition plus
+    * the watermarks let Spark evict state (a view older than watermark
+    * + 1 day can never match again) — without the bound, stream-stream
+    * join state grows forever. Works identically on batch frames
+    * (watermark is a no-op there), which is what the spec checks. */
+  def attributedPurchases(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "1 hour")
+    v.join(p, expr(
+        "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 DAY"))
+      .select(col("v_user").as("user_id"), col("v_ts"), col("p_ts"), col("value"))
+  }
+
+  /** Streaming exact dedup bounded by the watermark: the ingest-side
+    * guard of a corpus pipeline (drop re-deliveries of the same
+    * logical record across micro-batches). State holds only keys newer
+    * than the watermark. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
   // ---- custom state: running per-user stats via mapGroupsWithState ----
 
   case class UserEvent(user_id: Long, value: Double)

@@ -53,6 +53,48 @@ class StreamingSpec extends SparkSpec {
     assert(overlaps.count() == 0)
   }
 
+  test("stream-stream interval join attributes purchases to prior views within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val views = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def df(m: MemoryStream[(Long, java.sql.Timestamp, Double)]) =
+      m.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.attributedPurchases(df(views), df(purchases))
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, t(1), 0.0), (2L, t(2), 0.0))
+      purchases.addData((1L, t(3), 9.99), (2L, t(1), 5.0)) // user2 bought BEFORE viewing
+      q.processAllAvailable()
+      val got = spark.table("attrib_out").select("user_id", "value").collect().toSeq
+      assert(got == Seq(Row(1L, 9.99))) // only user1's purchase follows a view
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops watermark-window re-deliveries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.dedupedEvents(
+        input.toDF().toDF("user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, t(1), "click"), (1L, t(2), "click"), (2L, t(1), "view"))
+      q.processAllAvailable()
+      input.addData((1L, t(3), "click")) // re-delivery in a later micro-batch
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .groupBy("user_id", "event_type").count().collect().toSeq
+      assert(got.forall(_.getLong(2) == 1L), got.toString)
+      assert(got.length == 2)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches every micro-batch") {
     import spark.implicits._
     val dim = Seq(("click", "ui"), ("view", "ui"), ("purchase", "commerce"))
