@@ -211,15 +211,20 @@ object Dedup {
   private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     minhashCandidatesFromSig(signatures(s, dir))
 
-  /** DataFrame-parametric form over a precomputed signature frame. */
-  private[graft] def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
-    // band bucket = poly-combine of the band's signature rows
+  /** LSH banding of a signature frame → (doc_id, band, bucket); band
+    * bucket = poly-combine of the band's signature rows. */
+  private def bandedOf(sig: DataFrame): DataFrame = {
     val bandHash = (0 until Bands).map { b =>
       val rows = (0 until Rows).map(r => s"element_at(sig, ${b * Rows + r + 1})")
       rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P}L)")
     }
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(expr(bandHash.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
+  }
+
+  /** DataFrame-parametric form over a precomputed signature frame. */
+  private[graft] def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
+    val banded = bandedOf(sig)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
@@ -286,6 +291,93 @@ object Dedup {
        |JOIN documents tb ON mh.b_id = tb.doc_id
        |WHERE est_jaccard >= $EstVerifyThreshold""".stripMargin
 
+
+  // ----------------------------------------------------------------
+  // Incremental dedup: a new batch against the existing corpus
+  // ----------------------------------------------------------------
+
+  // every 5th document arrives as the "new batch"; the rest is corpus
+  private val IncMod = 5L
+  private val IncNearThreshold = 0.9
+
+  /** Continuous-ingest dedup: classify each NEW-batch document against
+    * the EXISTING corpus as exact_dup (normalized-content fingerprint
+    * already present), near_dup (MinHash-LSH candidate vs a corpus doc
+    * with est. Jaccard ≥ 0.9), or keep. The shape that matters at
+    * 100 TB: the batch never compares against the corpus pairwise —
+    * exact membership is a left-semi join on 8-byte fingerprints, and
+    * near-dup candidates come from the batch's LSH band buckets probing
+    * the corpus's (in production: a pre-materialized bucket index;
+    * here both sides derive from the same signature frame). Batch-side
+    * work is proportional to the BATCH, not the corpus. */
+  private def dIncremental: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val isBatch = col("doc_id") % IncMod === 0
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), PortableHash.polyHash(concat_ws(" ", expr(toksExpr))).as("fp"))
+    val corpusFp = fp.filter(!isBatch).select("fp").distinct()
+    val exactIds = fp.filter(isBatch)
+      .join(corpusFp, Seq("fp"), "left_semi").select("doc_id")
+    val sig = signatures(s, dir)
+    val banded = bandedOf(sig)
+    val cand = banded.filter(isBatch).as("x")
+      .join(banded.filter(!isBatch).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val nearIds = cand
+      .join(sig.select(col("doc_id"), col("sig").as("sa")), "doc_id")
+      .join(sig.select(col("doc_id").as("corpus_id"), col("sig").as("sb")), "corpus_id")
+      .filter(
+        expr(s"size(filter(sequence(1, $K), i -> element_at(sa, i) = element_at(sb, i)))")
+          >= lit(IncNearThreshold * K))
+      .select("doc_id").distinct()
+    fp.filter(isBatch).select("doc_id")
+      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("keep").as("verdict"))
+  }
+
+  private val dIncrementalSql = {
+    val bandHash = (0 until Bands).map { b =>
+      val rows = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]")
+      rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P})")
+    }
+    s"""WITH $duckShingleCte,
+       |hs AS (SELECT doc_id,
+       |         list_transform(shingles, g -> ${PortableHash.duckPolyHash("g")}) AS hs
+       |       FROM s),
+       |sig AS (SELECT doc_id, $duckSigExpr AS sig FROM hs),
+       |banded AS (SELECT doc_id, unnest(range(0, $Bands)) AS band,
+       |                  unnest(${bandHash.mkString("[", ", ", "]")}) AS bucket
+       |           FROM sig),
+       |fp AS (SELECT doc_id,
+       |         ${PortableHash.duckPolyHash(s"array_to_string($duckToks, ' ')")} AS fp
+       |       FROM documents),
+       |exact_ids AS (SELECT DISTINCT b.doc_id
+       |              FROM fp b JOIN fp c ON b.fp = c.fp
+       |              WHERE b.doc_id % $IncMod = 0 AND c.doc_id % $IncMod <> 0),
+       |cand AS (SELECT DISTINCT x.doc_id, y.doc_id AS corpus_id
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |         WHERE x.doc_id % $IncMod = 0 AND y.doc_id % $IncMod <> 0),
+       |near_ids AS (SELECT DISTINCT cand.doc_id
+       |             FROM cand
+       |             JOIN sig sa ON cand.doc_id = sa.doc_id
+       |             JOIN sig sb ON cand.corpus_id = sb.doc_id
+       |             WHERE len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i]))
+       |                   >= ${IncNearThreshold * K})
+       |SELECT b.doc_id,
+       |       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |            ELSE 'keep' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncMod = 0) b
+       |LEFT JOIN exact_ids e ON b.doc_id = e.doc_id
+       |LEFT JOIN near_ids n ON b.doc_id = n.doc_id""".stripMargin
+  }
 
   // ----------------------------------------------------------------
   // SimHash fingerprint + Hamming near-dup
@@ -457,7 +549,8 @@ object Dedup {
     "d_editdist_verify" -> dEditdistVerify,
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs,
-    "d_embedding_near_dup" -> dEmbeddingNearDup)
+    "d_embedding_near_dup" -> dEmbeddingNearDup,
+    "d_incremental" -> dIncremental)
 
   val oracles: Map[String, String] = Map(
     "d_exact" -> dExactSql,
@@ -466,5 +559,6 @@ object Dedup {
     "d_editdist_verify" -> dEditdistVerifySql,
     "d_simhash" -> dSimhashSql,
     "d_simhash_pairs" -> dSimhashPairsSql,
-    "d_embedding_near_dup" -> dEmbeddingNearDupSql)
+    "d_embedding_near_dup" -> dEmbeddingNearDupSql,
+    "d_incremental" -> dIncrementalSql)
 }

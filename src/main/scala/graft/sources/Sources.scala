@@ -41,6 +41,19 @@ object Sources {
   def readHeaderlessCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "false").csv(path)
 
+  /** JSONL scan with an EXPLICIT schema — the interchange format of
+    * crawl/annotation pipelines. Explicit schema matters doubly at
+    * scale: inference costs a full extra pass over the data, and a
+    * schema drifting under inference silently corrupts downstream
+    * plans; with a declared schema, corrupt records land in
+    * `_corrupt_record` (PERMISSIVE) instead of failing the job. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** JSONL sink (one JSON object per line, splittable with gzip off). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** K1 — parquet sink with explicit compression (Rmd:129 compress=TRUE
     * vs :316 compress=FALSE becomes codec snappy vs none). */
   def writeParquet(df: DataFrame, path: String, compressed: Boolean = true): Unit =

@@ -40,6 +40,23 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("hamming") > 3).count() == 0)
   }
 
+  test("d_incremental: one verdict per batch doc; exact verdicts recompute; keeps have no corpus twin") {
+    val out = Dedup.queries("d_incremental")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    assert(out.count() == batch.count())
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    // recompute exact membership independently via the normalized text
+    val norm = docs.select(col("doc_id"),
+      concat_ws(" ", split(regexp_replace(lower(col("text")), "[\\p{Punct} ]+", " "), " ")).as("norm"))
+    val exactRecomputed = norm.filter(col("doc_id") % 5 === 0).as("b")
+      .join(norm.filter(col("doc_id") % 5 =!= 0).as("c"), col("b.norm") === col("c.norm"), "left_semi")
+      .select(col("doc_id"))
+    val claimed = out.filter(col("verdict") === "exact_dup").select("doc_id")
+    assert(claimed.exceptAll(exactRecomputed).count() == 0)
+    assert(exactRecomputed.exceptAll(claimed).count() == 0)
+  }
+
   test("d_embedding_near_dup: one nearest neighbour per bucketed vector, cosine in [-1,1]") {
     val df = Dedup.queries("d_embedding_near_dup")(spark, sf)
     assert(df.groupBy("a_id").count().filter(col("count") > 1).count() == 0)

@@ -58,6 +58,36 @@ class GraftApiSpec extends SparkSpec {
     assert(top == Seq((1L, 10L, 0.9), (1L, 12L, 0.95), (2L, 20L, 0.1), (2L, 21L, 0.2)))
   }
 
+  test("temporal.asofJoin works on qualified user schemas and matches the harness j6") {
+    val probe = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type").as("kind"), col("ts"))
+    val build = Tables.events(spark, sf)
+      .groupBy(col("event_type").as("kind"))
+      .agg(min("ts").as("ts"))
+      .withColumn("tag", concat(lit("first-"), col("kind")))
+    val out = Graft.temporal.asofJoin(probe, build, "kind", "ts", "tag")
+    // every event is at or after its type's first event → every row tagged
+    assert(out.count() == probe.count())
+    assert(out.filter(col("tag").isNull).count() == 0)
+    assert(out.filter(col("tag") =!= concat(lit("first-"), col("kind"))).count() == 0)
+  }
+
+  test("sampling.byHash equals the harness p8 selection on a renamed schema") {
+    val api = Graft.sampling.byHash(corpus, "body", 10).select(col("my_id").as("doc_id"))
+    val harness = SparkEntry.queries("p8_hash_sample")(spark, sf).select("doc_id")
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("graphs.connectedComponents labels a user edge list") {
+    val e = Seq(("x1", "x2"), ("x2", "x3"), ("y1", "y2")).toDF("src", "dst")
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Graft.graphs.connectedComponents(und).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("x3") == "x1" && labels("x2") == "x1")
+    assert(labels("y2") == "y1")
+  }
+
   test("text.fingerprint equals the oracle-checked t_fingerprint column") {
     Graft.register(spark)
     val api = Tables.documents(spark, sf)

@@ -104,6 +104,29 @@ class HiCsaSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("JSONL round-trips with explicit schema; corrupt lines land in _corrupt_record") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Sources.writeJsonl(
+      Tables.documents(spark, sf).select("doc_id", "lang").limit(50), s"$dir/docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType)))
+    val back = Sources.readJsonl(spark, s"$dir/docs", schema)
+    assert(back.count() == 50)
+    assert(back.schema == schema)
+    // corrupt line: PERMISSIVE mode captures instead of failing the job
+    val f = java.nio.file.Paths.get(dir, "bad.jsonl")
+    java.nio.file.Files.writeString(f, "{\"doc_id\": 1, \"lang\": \"en\"}\nnot json at all\n")
+    // cache first: Spark disallows querying only the corrupt-record
+    // column straight off the raw file (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val withCorrupt = Sources.readJsonl(spark, f.toString,
+      schema.add(StructField("_corrupt_record", StringType))).cache()
+    try {
+      assert(withCorrupt.count() == 2)
+      assert(withCorrupt.filter(col("_corrupt_record").isNotNull).count() == 1)
+    } finally withCorrupt.unpersist()
+  }
+
   test("parquet sink round-trips with and without compression (K1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val df = Seq((1, "x")).toDF("k", "v")
