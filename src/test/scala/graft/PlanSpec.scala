@@ -60,6 +60,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("s_centroids: exactly one hash-shuffle (partial agg carries (sum,count) pairs)") {
+    val p = plan("s_centroids")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("sql surface: predicates written in SQL still reach the parquet scan") {
+    val p = plan("sql_q6_forecast")
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+  }
+
+  test("d_incremental: no cartesian product anywhere in the batch-vs-corpus plan") {
+    val p = plan("d_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t_token_count: narrow projection — no exchange at all") {
     val p = plan("t_token_count")
     assert(!p.contains("Exchange"), p)

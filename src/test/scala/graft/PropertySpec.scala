@@ -82,4 +82,42 @@ class PropertySpec extends SparkSpec {
       expr(functions.PortableHash.polyHashHofSql("s")).as("hof"))
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
+
+  test("asofJoin law: output rows == probe rows; value is the max build ts ≤ probe ts") {
+    val caseGen = for {
+      nProbe <- Gen.chooseNum(1, 12)
+      nBuild <- Gen.chooseNum(0, 8)
+      probeTs <- Gen.listOfN(nProbe, Gen.chooseNum(0L, 50L))
+      buildTs <- Gen.listOfN(nBuild, Gen.chooseNum(0L, 50L))
+      keys <- Gen.listOfN(nProbe, Gen.oneOf("k1", "k2"))
+      bkeys <- Gen.listOfN(nBuild, Gen.oneOf("k1", "k2"))
+    } yield (probeTs.zip(keys), buildTs.zip(bkeys).distinct)
+    samples(caseGen, 8).foreach { case (probe, build) =>
+      val p = probe.zipWithIndex.map { case ((ts, k), i) => (i.toLong, k, ts) }
+        .toDF("pid", "key", "ts")
+      val b = build.map { case (ts, k) => (k, ts, s"v$k@$ts") }
+        .toDF("key", "ts", "value")
+      val out = Graft.temporal.asofJoin(p, b, "key", "ts", "value").collect()
+      assert(out.length == probe.length)
+      out.foreach { r =>
+        val (k, ts) = (r.getString(1), r.getLong(2))
+        val expect = build.filter { case (bts, bk) => bk == k && bts <= ts }
+          .sortBy(_._1).lastOption.map { case (bts, bk) => s"v$bk@$bts" }
+        assert(Option(r.getString(3)) == expect,
+          s"key=$k ts=$ts got=${r.getString(3)} want=$expect build=$build")
+      }
+    }
+  }
+
+  test("hash-sampling law: keep-sets are nested as pct grows; pct=100 keeps everything") {
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text").as("body")).limit(200)
+    val at = Seq(0, 5, 25, 100).map(p =>
+      p -> Graft.sampling.byHash(corpus, "body", p).select("id").collect().map(_.getLong(0)).toSet)
+    at.sliding(2).foreach { case Seq((pa, sa), (pb, sb)) =>
+      assert(sa.subsetOf(sb), s"$pa% sample not nested in $pb%")
+      case _ => ()
+    }
+    assert(at.head._2.isEmpty && at.last._2.size == corpus.count())
+  }
 }
