@@ -228,8 +228,34 @@ object TextAnalysis {
   }
 
   // ----------------------------------------------------------------
+  // Corpus-level token frequencies (vocabulary head)
+  // ----------------------------------------------------------------
+
+  /** Global top-20 tokens: partial-agg'd count per token, then
+    * TakeOrderedAndProject (per-partition top-k + driver merge — no
+    * global sort at any corpus size). Ties break on the token itself
+    * so the cut is deterministic in both engines. */
+  private def tTopTokens: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  private val tTopTokensSql = {
+    val toks = duckTokens("text")
+    s"""SELECT token, count(*) AS n
+       |FROM (SELECT unnest($toks) AS token FROM documents)
+       |WHERE token <> ''
+       |GROUP BY token
+       |ORDER BY n DESC, token LIMIT 20""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "t_top_tokens" -> tTopTokens,
     "t_token_count" -> tTokenCount,
     "t_quality_score" -> tQualityScore,
     "t_lang_id" -> tLangId,
@@ -237,6 +263,7 @@ object TextAnalysis {
     "t_tfidf" -> tTfidf)
 
   val oracles: Map[String, String] = Map(
+    "t_top_tokens" -> tTopTokensSql,
     "t_token_count" -> tTokenCountSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,
