@@ -37,22 +37,29 @@ object Bench {
     // across queries; clearCache below), so this measures the engine,
     // not a warm cache.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    def timeAll(): Map[String, Double] = selected.map { case (name, fn) =>
+    def timeAll(): Map[String, (Double, Boolean)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop their persisted frames so cache
       // accumulation over ~70 queries doesn't turn into GC pressure
       // that taxes later queries (measured: a late query at 2.5s
       // isolated ran 26s under the accumulated heap)
       spark.catalog.clearCache()
-      name -> t
+      name -> (t, ok)
     }
-    val results = (1 to passes).map(_ => timeAll())
-      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    val allPasses = (1 to passes).map(_ => timeAll())
+    // min over SUCCESSFUL passes only — a pass that failed fast must
+    // not win the min and silently deflate the timing; all-fail → -1
+    val results: Map[String, Double] = allPasses.head.keys.map { k =>
+      val good = allPasses.map(_(k)).collect { case (t, true) => t }
+      k -> (if (good.nonEmpty) good.min else -1.0)
+    }.toMap
     // millisecond precision keeps the JSON line short enough to survive
-    // the driver's output-tail capture
-    def ms(v: Double): String = f"$v%.3f"
+    // the driver's output-tail capture; Locale.ROOT so a comma-decimal
+    // default locale can't corrupt the JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

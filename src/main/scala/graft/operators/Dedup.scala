@@ -240,20 +240,26 @@ object Dedup {
 
   private def dMinhashLsh: Q = (s, dir) => minhashCandidates(s, dir)
 
+  /** DuckDB list literal of the per-band bucket hashes — the single
+    * oracle twin of [[bandedOf]]'s band-hash arithmetic (used by both
+    * the LSH candidate CTE and the incremental-dedup oracle, so the
+    * banding math can't drift between them). */
+  private def duckBandHashList: String =
+    (0 until Bands).map { b =>
+      val rows = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]")
+      rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P})")
+    }.mkString("[", ", ", "]")
+
   /** DuckDB CTE chain ending in `mh(a_id, b_id, n_shared_bands,
     * est_jaccard)` — the oracle twin of [[minhashCandidates]]. */
   private[graft] val duckMinhashCandCte: String = {
-    val bandHash = (0 until Bands).map { b =>
-      val rows = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]")
-      rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P})")
-    }
     s"""$duckShingleCte,
        |hs AS (SELECT doc_id,
        |         list_transform(shingles, g -> ${PortableHash.duckPolyHash("g")}) AS hs
        |       FROM s),
        |sig AS (SELECT doc_id, $duckSigExpr AS sig FROM hs),
        |banded AS (SELECT doc_id, unnest(range(0, $Bands)) AS band,
-       |                  unnest(${bandHash.mkString("[", ", ", "]")}) AS bucket
+       |                  unnest($duckBandHashList) AS bucket
        |           FROM sig),
        |cand AS (SELECT x.doc_id a_id, y.doc_id b_id, count(*) n_shared_bands
        |         FROM banded x JOIN banded y
@@ -313,8 +319,12 @@ object Dedup {
   private def dIncremental: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val isBatch = col("doc_id") % IncMod === 0
+    // persisted: three consumers (corpus side, batch semi-join probe,
+    // final batch base) would otherwise each re-run the scan +
+    // tokenize + hash — same rationale as the shingle index above
     val fp = Tables.documents(s, dir)
       .select(col("doc_id"), PortableHash.polyHash(concat_ws(" ", expr(toksExpr))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusFp = fp.filter(!isBatch).select("fp").distinct()
     val exactIds = fp.filter(isBatch)
       .join(corpusFp, Seq("fp"), "left_semi").select("doc_id")
@@ -341,18 +351,14 @@ object Dedup {
           .otherwise("keep").as("verdict"))
   }
 
-  private val dIncrementalSql = {
-    val bandHash = (0 until Bands).map { b =>
-      val rows = (0 until Rows).map(r => s"sig[${b * Rows + r + 1}]")
-      rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P})")
-    }
+  private val dIncrementalSql =
     s"""WITH $duckShingleCte,
        |hs AS (SELECT doc_id,
        |         list_transform(shingles, g -> ${PortableHash.duckPolyHash("g")}) AS hs
        |       FROM s),
        |sig AS (SELECT doc_id, $duckSigExpr AS sig FROM hs),
        |banded AS (SELECT doc_id, unnest(range(0, $Bands)) AS band,
-       |                  unnest(${bandHash.mkString("[", ", ", "]")}) AS bucket
+       |                  unnest($duckBandHashList) AS bucket
        |           FROM sig),
        |fp AS (SELECT doc_id,
        |         ${PortableHash.duckPolyHash(s"array_to_string($duckToks, ' ')")} AS fp
@@ -377,7 +383,6 @@ object Dedup {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncMod = 0) b
        |LEFT JOIN exact_ids e ON b.doc_id = e.doc_id
        |LEFT JOIN near_ids n ON b.doc_id = n.doc_id""".stripMargin
-  }
 
   // ----------------------------------------------------------------
   // SimHash fingerprint + Hamming near-dup

@@ -219,7 +219,11 @@ object Graph {
     * component at 100× scale. At the fixpoint label(v) = min node id of
     * v's component, so the oracle is the transitive-closure min, not an
     * unrolled iteration. */
-  def labelPropagate(und: DataFrame): DataFrame = {
+  def labelPropagate(undirected: DataFrame): DataFrame = {
+    // materialize the edge list ONCE: every round joins against it, so
+    // an expensive caller lineage would otherwise re-execute per round
+    // (the facade passes arbitrary user frames here)
+    val und = undirected.localCheckpoint()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -245,9 +249,8 @@ object Graph {
 
   private def gCcLabelprop: Q = (s, dir) => {
     val e = edges(s, dir)
-    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labelPropagate(und)
+    // labelPropagate checkpoints the edge list itself — no persist here
+    labelPropagate(e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
   }
 
   /** Oracle: fixpoint labels = per-component min node id, via recursive

@@ -261,20 +261,18 @@ object Relational {
       |LEFT JOIN nation ON c_nationkey = n_nationkey
       |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin
 
-  /** J2 — keyword-containment theta-join (Rmd:513 + :75-88): documents
-    * × lexicon on "any token of the normalized text matches the keyword
-    * regex, case-insensitively" — many-to-many, inner.
+  /** Shared classify-and-explode frame for J2/X2: per-document matched
+    * practices via HOF filter over the inlined lexicon (regexes
+    * compiled once, one narrow codegen'd stage, zero shuffle), exploded
+    * OUTER — one row per match plus a NULL row for no-match documents.
     *
-    * NOT planned as a join: a BroadcastNestedLoopJoin with a non-literal
-    * `rlike` predicate evaluates an interpreted, per-evaluation-compiled
-    * regex for every (row × lexicon-row) pair — measured 90 s at sf0.1
-    * in the r1 driver bench vs 2.2 s for the equivalent classify shape.
-    * Because the lexicon is a compile-time constant, the theta-join
-    * rewrites to filter-the-inlined-lexicon + explode: one narrow
-    * codegen'd stage, regexes compiled once, zero shuffle, identical
-    * (doc_id, practice) pairs. At 100 TB this is the difference between
-    * a full broadcast-loop pass per keyword and a single scan. */
-  private def j2KeywordTheta: Q = (s, dir) =>
+    * explode_outer even where inner semantics are wanted (J2 filters
+    * the nulls afterwards): Catalyst's InferFiltersFromGenerate puts a
+    * size(practices) > 0 filter under an inner explode, which evaluates
+    * the whole 12-regex classify expression TWICE per row (measured 2×
+    * the runtime); the outer generate gets no inferred filter and the
+    * null-drop afterwards is free. */
+  private def classifiedPractices(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("tokens",
         split(regexp_replace(col("text"), "[\\p{Punct} ]+", " "), " "))
@@ -283,14 +281,22 @@ object Relational {
            |  filter(${Lexicon.sparkArrayLiteral},
            |         kv -> exists(tokens, t -> t rlike concat('(?i)', kv.k))),
            |  kv -> kv.p)""".stripMargin))
-      // explode_outer + null-drop, NOT inner explode: Catalyst's
-      // InferFiltersFromGenerate puts a size(practices) > 0 filter
-      // under an inner explode, which evaluates the whole 12-regex
-      // classify expression TWICE per row (measured 2× the runtime of
-      // the identical x2 shape). The outer generate gets no inferred
-      // filter; the null-drop afterwards is free.
       .select(col("doc_id"), explode_outer(col("practices")).as("practice"))
-      .filter(col("practice").isNotNull)
+
+  /** J2 — keyword-containment theta-join (Rmd:513 + :75-88): documents
+    * × lexicon on "any token of the normalized text matches the keyword
+    * regex, case-insensitively" — many-to-many, inner.
+    *
+    * NOT planned as a join: a BroadcastNestedLoopJoin with a non-literal
+    * `rlike` predicate evaluates an interpreted, per-evaluation-compiled
+    * regex for every (row × lexicon-row) pair — measured 90 s at sf0.1
+    * in the r1 driver bench vs ~2 s for the classify shape. Because the
+    * lexicon is a compile-time constant, the theta-join rewrites to
+    * [[classifiedPractices]] minus its no-match NULL rows — identical
+    * (doc_id, practice) pairs. At 100 TB this is the difference between
+    * a full broadcast-loop pass per keyword and a single scan. */
+  private def j2KeywordTheta: Q = (s, dir) =>
+    classifiedPractices(s, dir).filter(col("practice").isNotNull)
 
   private val j2Sql =
     s"""WITH lex(keyword, practice) AS (VALUES ${Lexicon.duckValues}),
@@ -413,17 +419,9 @@ object Relational {
     * per-document matched practices IN LEXICON ORDER via higher-order
     * filter/transform (the faithful detect.csa), then one row per
     * match, and an explicit NULL row when nothing matched. Pure
-    * narrow ops — no shuffle at all. */
+    * narrow ops — no shuffle at all. (= [[classifiedPractices]].) */
   private def x2ClassifyExplodeOuter: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .withColumn("tokens",
-        split(regexp_replace(col("text"), "[\\p{Punct} ]+", " "), " "))
-      .withColumn("practices", expr(
-        s"""transform(
-           |  filter(${Lexicon.sparkArrayLiteral},
-           |         kv -> exists(tokens, t -> t rlike concat('(?i)', kv.k))),
-           |  kv -> kv.p)""".stripMargin))
-      .select(col("doc_id"), explode_outer(col("practices")).as("practice"))
+    classifiedPractices(s, dir)
 
   private val x2Sql =
     s"""SELECT doc_id,

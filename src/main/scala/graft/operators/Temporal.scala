@@ -59,26 +59,39 @@ object Temporal {
       |  FROM (SELECT unnest(['click', 'signup', 'error', 'view', 'purchase']) AS event_type)
       |  CROSS JOIN (SELECT unnest(range(0, 30)) AS k))""".stripMargin
 
-  /** Generic as-of join: for every probe row, the build row with the
-    * greatest `ts` ≤ the probe's `ts`, per key — via tagged union +
-    * per-key window fill-forward (one shuffle, no nested loop).
-    * `build` must carry (key, ts, value); `probe` (key, ts, rest...). */
+  /** Generic as-of join (LEFT semantics): for every probe row, the
+    * build row with the greatest `ts` ≤ the probe's `ts`, per key —
+    * via tagged union + per-key window fill-forward (one shuffle, no
+    * nested loop). Probe rows with no build row at-or-before keep a
+    * null value. `build` must carry (key, ts, value); `probe`
+    * (key, ts, rest...).
+    *
+    * Build values ride in a NON-NULL struct carrier so a genuinely
+    * null build value still registers as "a build row happened here"
+    * in the ignoreNulls fill-forward (instead of silently falling
+    * through to an older value). The carrier also joins the sort key,
+    * making duplicate (key, ts) build rows resolve deterministically
+    * (greatest value wins) rather than by partition order. */
   def asofJoin(probe: DataFrame, build: DataFrame,
       keyCol: String, tsCol: String, valueCol: String): DataFrame = {
     val probeCols = probe.columns
-    val p = probe.withColumn("__v", lit(null).cast(
-        build.schema(valueCol).dataType))
+    val vType = build.schema(valueCol).dataType
+    val carrierType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", vType)))
+    val p = probe
+      .withColumn("__carrier", lit(null).cast(carrierType))
       .withColumn("__side", lit(1))
     val b = build.select(
       probeCols.map(c =>
         if (c == keyCol || c == tsCol) col(c) else lit(null).cast(probe.schema(c).dataType).as(c))
-        :+ col(valueCol).as("__v") :+ lit(0).as("__side"): _*)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__side"))
+        :+ struct(col(valueCol).as("v")).as("__carrier") :+ lit(0).as("__side"): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__carrier"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     p.unionByName(b)
-      .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__filled", last(col("__carrier"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(probeCols.map(col) :+ col(valueCol): _*)
+      .select(probeCols.map(col) :+ col("__filled.v").as(valueCol): _*)
   }
 
   /** Events enriched with the latest rate at or before each event. */
@@ -89,11 +102,14 @@ object Temporal {
       "event_type", "ts", "rate")
       .select(col("event_id"), col("event_type"), col("rate"))
 
+  // ASOF LEFT (not inner): asofJoin keeps unmatched probe rows with a
+  // null value — the fixture has none (rates start at the events epoch)
+  // but the oracle must share the semantics, not rely on the fixture.
   private val j6AsofJoinSql =
     s"""WITH $duckRatesCte
        |SELECT e.event_id, e.event_type, r.rate
        |FROM events e
-       |ASOF JOIN rates r
+       |ASOF LEFT JOIN rates r
        |  ON e.event_type = r.event_type AND e.ts >= r.valid_from""".stripMargin
 
   // ---- range join ----
