@@ -62,9 +62,14 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // a query that failed every pass carries the -1 sentinel; summing it
+    // would silently deflate the headline total by 1s per failure — sum
+    // successes only and surface the failures explicitly
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":$passes,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt & braces for the driver's parser: the JSON goes to a file as
     // well as stdout (r1's line was truncated by the log-tail capture)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
