@@ -47,19 +47,49 @@ object Graft {
         .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
     }
 
-    /** MinHash+LSH near-dup candidate pairs with estimated Jaccard:
-      * (a_id, b_id, n_shared_bands, est_jaccard), a_id < b_id. */
-    def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame =
-      Dedup.minhashCandidatesFromSig(
-        Dedup.signaturesOf(asDocs(df, idCol, textCol)))
+    /** MinHash signature frame (doc_id, sig) — THE cache-lifecycle
+      * contract for the dedup family: the returned frame is persisted
+      * at `storage` and the CALLER owns its release via
+      * `sig.unpersist()` (pass `StorageLevel.NONE` to skip caching).
+      * Precompute this once per corpus and feed it to
+      * `minhashCandidatesFor` / `nearDupIdsFor` when making repeated
+      * near-dup calls; the one-shot conveniences below never persist,
+      * so no façade call leaks a cached frame into a long-lived
+      * session. */
+    def signatures(df: DataFrame, idCol: String, textCol: String,
+        storage: org.apache.spark.storage.StorageLevel =
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      register(df.sparkSession)
+      Dedup.signaturesOf(asDocs(df, idCol, textCol), storage)
+    }
 
-    /** Ids to DROP for near-dup removal: the later id of every candidate
-      * pair at or above `minEstJaccard` (column `dup_id`). */
-    def nearDupIds(df: DataFrame, idCol: String, textCol: String,
-        minEstJaccard: Double): DataFrame =
-      minhashCandidates(df, idCol, textCol)
+    /** Candidate pairs over a precomputed [[signatures]] frame:
+      * (a_id, b_id, n_shared_bands, est_jaccard), a_id < b_id. */
+    def minhashCandidatesFor(sig: DataFrame): DataFrame =
+      Dedup.minhashCandidatesFromSig(sig)
+
+    /** One-shot MinHash+LSH near-dup candidates. Builds the signature
+      * frame UNCACHED (each of the candidate join's three consumers
+      * recomputes it) — correct and leak-free; for repeated calls or a
+      * large corpus, precompute [[signatures]] and use
+      * [[minhashCandidatesFor]]. */
+    def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      minhashCandidatesFor(signatures(df, idCol, textCol,
+        org.apache.spark.storage.StorageLevel.NONE))
+
+    /** Ids to DROP for near-dup removal over a precomputed
+      * [[signatures]] frame: the later id of every candidate pair at or
+      * above `minEstJaccard` (column `dup_id`). */
+    def nearDupIdsFor(sig: DataFrame, minEstJaccard: Double): DataFrame =
+      minhashCandidatesFor(sig)
         .filter(col("est_jaccard") >= minEstJaccard)
         .select(col("b_id").as("dup_id")).distinct()
+
+    /** One-shot near-dup drop list; uncached like [[minhashCandidates]]. */
+    def nearDupIds(df: DataFrame, idCol: String, textCol: String,
+        minEstJaccard: Double): DataFrame =
+      nearDupIdsFor(signatures(df, idCol, textCol,
+        org.apache.spark.storage.StorageLevel.NONE), minEstJaccard)
   }
 
   object similarity {
@@ -110,14 +140,18 @@ object Graft {
 
   object graphs {
     /** Level-synchronous BFS: (node, depth). `edges(src,dst)`,
-      * `seeds(node)`. */
-    def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame =
-      Graph.bfs(edges, seeds, maxDepth)
+      * `seeds(node)`. Pass `reliable = true` on a real cluster (after
+      * `sparkContext.setCheckpointDir`): the default localCheckpoint is
+      * fast but its blocks die with an executor. */
+    def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+        reliable: Boolean = false): DataFrame =
+      Graph.bfs(edges, seeds, maxDepth, reliable)
 
     /** Connected components by min-label propagation to fixpoint:
-      * (node, label). `und` must hold both edge directions. */
-    def connectedComponents(und: DataFrame): DataFrame =
-      Graph.labelPropagate(und)
+      * (node, label). `und` must hold both edge directions. `reliable`
+      * as in [[bfs]]. */
+    def connectedComponents(und: DataFrame, reliable: Boolean = false): DataFrame =
+      Graph.labelPropagate(und, reliable)
   }
 
   object temporal {

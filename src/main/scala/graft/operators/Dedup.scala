@@ -181,24 +181,30 @@ object Dedup {
   /** MinHash signatures: K universal-hash permutations over the shingle
     * hash set, min per permutation — as K codegen'd `min` aggregates
     * over the exploded index (partial+final agg, map-side combine; no
-    * interpreted array folds). Persisted because three consumers read
-    * it (banding + both sides of the estimate join); the persist is
-    * per-call (no memo: a cross-call cache would both leak storage and
-    * serve stale data if the files under `dir` change). Library callers
-    * that hold the result long-term own the unpersist — see
-    * [[graft.Graft]]. */
+    * interpreted array folds). Persisted at `storage` because three
+    * consumers read it (banding + both sides of the estimate join); the
+    * persist is per-call (no memo: a cross-call cache would both leak
+    * storage and serve stale data if the files under `dir` change).
+    * Whoever triggers the persist owns its release: the harness
+    * (Verify/Bench) clears the cache per query; library callers get the
+    * frame itself from [[graft.Graft.dedup.signatures]] and call
+    * `unpersist()` on it, or pass `StorageLevel.NONE` to skip caching. */
   private[graft] def signatures(s: SparkSession, dir: String): DataFrame =
     signaturesOf(Tables.documents(s, dir))
 
-  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
-    shingleHashesOf(docs)
+  private[graft] def signaturesOf(docs: DataFrame,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sig = shingleHashesOf(docs)
       .groupBy("doc_id")
       .agg(
         min(expr(PortableHash.permSql("h", 0))).as("m0"),
         (1 until K).map(k => min(expr(PortableHash.permSql("h", k))).as(s"m$k")): _*)
       .select(col("doc_id"),
         expr((0 until K).map(k => s"m$k").mkString("array(", ", ", ")")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (storage == org.apache.spark.storage.StorageLevel.NONE) sig
+    else sig.persist(storage)
+  }
 
   /** Near-dup candidate pairs via MinHash signatures + LSH banding:
     * signature = K=12 permuted mins over shingle hashes; 3 bands × 4

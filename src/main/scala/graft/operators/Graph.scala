@@ -79,19 +79,31 @@ object Graph {
   // J3/S2 — bounded-depth BFS (the crawler frontier loop)
   // ----------------------------------------------------------------
 
+  /** Per-round materialization for the iterative operators:
+    * `localCheckpoint` (executor-local blocks — fast, the right choice
+    * at local[n]) or, with `reliable = true`, a real `checkpoint` to
+    * the session's checkpoint dir. On a cluster localCheckpoint blocks
+    * die with their executor and kill the job; a production run sets
+    * `sparkContext.setCheckpointDir(...)` and passes reliable=true. */
+  private def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
   /** Generic level-synchronous BFS: per level, expand the frontier
     * through the edge list, drop already-visited nodes with a left-anti
     * join, checkpoint to keep the plan flat. Returns (node, depth) with
-    * depth = first (minimal) level reached. */
-  def bfs(edgeDf: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    * depth = first (minimal) level reached. `reliable` selects
+    * fault-tolerant checkpoints (see [[materialize]]). */
+  def bfs(edgeDf: DataFrame, seeds: DataFrame, maxDepth: Int,
+      reliable: Boolean = false): DataFrame = {
     var visited = seeds.select(col("node"), lit(0).as("depth"))
     var frontier = seeds.select(col("node"))
     var d = 1
     while (d <= maxDepth) {
-      val next = edgeDf.join(frontier, edgeDf("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+      val next = materialize(
+        edgeDf.join(frontier, edgeDf("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti"),
+        reliable)
       visited = visited.unionByName(next.withColumn("depth", lit(d)))
       frontier = next
       d += 1
@@ -219,14 +231,14 @@ object Graph {
     * component at 100× scale. At the fixpoint label(v) = min node id of
     * v's component, so the oracle is the transitive-closure min, not an
     * unrolled iteration. */
-  def labelPropagate(undirected: DataFrame): DataFrame = {
+  def labelPropagate(undirected: DataFrame, reliable: Boolean = false): DataFrame = {
     // materialize the edge list ONCE: every round joins against it, so
     // an expensive caller lineage would otherwise re-execute per round
     // (the facade passes arbitrary user frames here)
-    val und = undirected.localCheckpoint()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val und = materialize(undirected, reliable)
+    var labels = materialize(
+      und.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")), reliable)
     var changed = 1L
     while (changed > 0) {
       val fromNbr = und.join(labels, und("src") === labels("node"))
@@ -237,10 +249,11 @@ object Graph {
       // slower than the per-round materialization it saves. The old
       // label rides along so convergence is a filter-count on the
       // checkpointed frame, not another join.
-      val next = labels.join(fromNbr, Seq("node"), "left")
-        .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+      val next = materialize(
+        labels.join(fromNbr, Seq("node"), "left")
+          .select(col("node"), col("label").as("old_label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")),
+        reliable)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select(col("node"), col("label"))
     }

@@ -28,8 +28,11 @@ object RelationalExt {
     * common case at runtime; explicit salting is the belt-and-braces
     * pattern for known-pathological keys at 100 TB. */
   private def j4SaltedJoin: Q = (s, dir) => {
+    // pmod(hash) covers ALL Salt values: l_linenumber % 8 over TPC-H's
+    // 1..7 range never produced salt 0, so 1/8 of the replicated build
+    // side was dead weight carried through the shuffle (r3 VERDICT #2)
     val l = Tables.lineitem(s, dir)
-      .withColumn("salt", (col("l_linenumber") % Salt).cast("int"))
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(Salt)))
     val o = Tables.orders(s, dir)
       .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
@@ -210,15 +213,40 @@ object RelationalExt {
 
   /** Sketch aggregates for 100 TB interactive analytics:
     * approx_count_distinct (HyperLogLog++) and approx percentiles
-    * (t-digest-ish). Sketches are engine-specific, so this query has NO
-    * DuckDB oracle — the driver records the weaker rows-only check; the
-    * spec bounds the estimates against exact values instead. */
+    * (Greenwald-Khanna). Sketch VALUES are engine-specific, so the
+    * query is made oracle-checkable by CONTRACT instead (r3 VERDICT
+    * #1): Spark emits each group's exact stats plus `within_bounds`
+    * booleans — its own approx vs its own exact, against the published
+    * error bounds — and the DuckDB oracle emits the same exact stats
+    * with literal `true`s. The check fails iff a sketch drifts out of
+    * bounds, which is exactly the sketch's correctness claim.
+    *
+    * Bounds: HLL++ at rsd = 0.02 ⇒ ±10 % is a 5σ envelope;
+    * percentile_approx at accuracy 1000 guarantees rank error ≤ 1/1000,
+    * so the approx median must lie within the exact [p45, p55] — a 50×
+    * margin that still catches a broken sketch. */
   private def a8ApproxStats: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+        expr("percentile(l_quantity, array(0.45, 0.5, 0.55))").as("qs"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("am"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        round(element_at(col("qs"), 2), 6).as("exact_median_qty"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.10)).as("parts_within_bounds"),
+        (col("am") >= element_at(col("qs"), 1)
+          && col("am") <= element_at(col("qs"), 3)).as("median_within_bounds"))
+
+  private val a8ApproxStatsSql =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS exact_parts,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS exact_median_qty,
+      |       true AS parts_within_bounds,
+      |       true AS median_within_bounds
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition. The
@@ -315,9 +343,8 @@ object RelationalExt {
     "a6_cube" -> a6Cube,
     "a7_pivot" -> a7Pivot)
 
-  // a8_approx_stats intentionally has no oracle (sketches are
-  // engine-specific); rows-only check + spec bounds.
   val oracles: Map[String, String] = Map(
+    "a8_approx_stats" -> a8ApproxStatsSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "a9_percentiles" -> a9PercentilesSql,

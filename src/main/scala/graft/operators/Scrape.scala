@@ -94,26 +94,29 @@ object Scrape {
   /** The reference's list_to_dataframe (Rmd:216-270) over per-paragraph
     * nested anchor lists, parsed FROM THE HTML COLUMN: the fixture
     * "fetch" wraps every ≥6-char word of a paragraph in an <a> tag,
-    * then the parse walks each paragraph's html and extracts its
-    * (anchor text, href) pairs — the reference's per-paragraph
-    * html_nodes("a") loop (Rmd:198-203). The INNER explode drops
-    * link-less paragraphs exactly like the reference drops them.
+    * then a REAL DOM walk (`graft_html_links`, the tolerant tokenizer
+    * in [[org.apache.spark.sql.graft.HtmlParser]] — attribute-order/
+    * quoting/comment-proof, not a regex over markup) extracts each
+    * paragraph's (anchor text, href) pairs — the reference's
+    * per-paragraph html_nodes("a") loop (Rmd:198-203). The DuckDB
+    * oracle keeps the regex formulation, which agrees on any
+    * well-formed fixture html — so the oracle also pins the parser to
+    * the regex semantics where both are defined. The INNER explode
+    * drops link-less paragraphs exactly like the reference drops them.
     * Everything is narrow (generator after a map) — no shuffle. */
-  private def x1NestedLinks: Q = (s, dir) =>
+  private def x1NestedLinks: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " the ")).as(Seq("pos", "para")))
       .withColumn("html", concat(lit("<p>"),
         regexp_replace(col("para"), "(\\S{6,})",
           "<a href=\"https://example.org/$1\">$1</a>"),
         lit("</p>")))
-      .withColumn("ltexts",
-        expr("regexp_extract_all(html, '<a href=\"[^\"]*\">([^<]*)</a>', 1)"))
-      .withColumn("hrefs",
-        expr("regexp_extract_all(html, '<a href=\"([^\"]*)\">', 1)"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("hrefs"),
-        posexplode(col("ltexts")).as(Seq("li", "ltext")))
-      .select(col("doc_id"), col("pos"), col("ltext"),
-        element_at(col("hrefs"), col("li") + 1).as("href"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        explode(expr("graft_html_links(html)")).as("lnk"))
+      .select(col("doc_id"), col("pos"),
+        col("lnk.text").as("ltext"), col("lnk.href").as("href"))
+  }
 
   private val x1NestedLinksSql =
     """SELECT doc_id, pos, ltext, hrefs[li] AS href
@@ -177,25 +180,36 @@ object Scrape {
        |      GROUP BY doc_id, h3)""".stripMargin
 
   // ----------------------------------------------------------------
-  // S3 — HTML fetch + DOM parse (fixture-grade, regex-based)
+  // S3 — HTML fetch + DOM parse (real tokenizer walk)
   // ----------------------------------------------------------------
 
   /** HTML element extraction (Rmd:151-171): an html column is built
-    * from the document (the fixture "fetch"), then h3/p elements and
-    * anchor hrefs are pulled out with regexes — the fixture-grade
-    * parse SURVEY §7.4 chose over a jsoup UDF. */
-  private def s3HtmlParse: Q = (s, dir) =>
+    * from the document (the fixture "fetch"), then the h3/p elements
+    * and anchor href are pulled out by a REAL DOM walk —
+    * `graft_html_elements` / `graft_html_links`, the tolerant
+    * single-pass tokenizer in [[org.apache.spark.sql.graft.HtmlParser]]
+    * (upgraded from r1–r3's fixture-grade regexes, r3 VERDICT #6: the
+    * tokenizer survives attribute reordering, quoting variants,
+    * comments, and unknown inline tags that would break a regex). The
+    * DuckDB oracle keeps the regex formulation — equivalent on
+    * well-formed html, so the oracle pins the tokenizer to it. */
+  private def s3HtmlParse: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("html", concat(
         lit("<html><h3>doc "), col("doc_id"), lit("</h3><p>"),
         regexp_replace(col("text"), " the ", "</p><p>"),
         lit("</p><a href=\""), col("source"), lit("\">src</a></html>")))
+      .withColumn("els", expr("graft_html_elements(html)"))
+      .withColumn("paras", expr("filter(els, e -> e.tag = 'p')"))
       .select(
         col("doc_id"),
-        regexp_extract(col("html"), "<h3>(.*?)</h3>", 1).as("h3"),
-        size(expr("regexp_extract_all(html, '<p>(.*?)</p>', 1)")).cast("long").as("n_paragraphs"),
-        element_at(expr("regexp_extract_all(html, '<p>(.*?)</p>', 1)"), 1).as("first_paragraph"),
-        regexp_extract(col("html"), "<a href=\"(.*?)\">", 1).as("href"))
+        // coalesce to '' mirrors regexp_extract's no-match result
+        coalesce(expr("filter(els, e -> e.tag = 'h3')[0].text"), lit("")).as("h3"),
+        size(col("paras")).cast("long").as("n_paragraphs"),
+        expr("paras[0].text").as("first_paragraph"),
+        coalesce(expr("graft_html_links(html)[0].href"), lit("")).as("href"))
+  }
 
   private val s3HtmlParseSql =
     """SELECT doc_id,

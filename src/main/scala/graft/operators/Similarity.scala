@@ -105,19 +105,55 @@ object Similarity {
   // ANN: multi-probe sign-LSH top-k
   // ----------------------------------------------------------------
 
-  /** Approximate top-K: only vectors whose sign-LSH bucket is within
-    * Hamming ≤ 1 of the query's bucket are scored (multi-probe over 9
-    * of 256 buckets), then exact cosine rank among the candidates. */
+  /** Bucket-partitioned ANN index path for the embeddings under `dir`:
+    * (vec_id, label, embedding, nrm) hive-partitioned by the 8-bit
+    * sign-LSH bucket. Built on first use and rebuilt iff the source
+    * files change (a fingerprint marker of name/size/mtime) — the
+    * filesystem is the memo, so nothing retains a SparkSession and a
+    * changed source can't serve stale data. At 100 TB this is the
+    * one-off index build every ANN system amortizes across queries. */
+  private[graft] def annIndex(s: SparkSession, dir: String): String = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+    val fp = files.filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ann_index_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val marker = new java.io.File(root, "_GRAFT_FINGERPRINT")
+    val data = new java.io.File(root, "emb")
+    val fresh = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+    if (!fresh) {
+      withNorm(Tables.embeddings(s, dir))
+        .withColumn("bucket", expr(bucketExpr))
+        .write.partitionBy("bucket").mode("overwrite").parquet(data.toString)
+      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+    }
+    data.toString
+  }
+
+  /** Approximate top-K with a PRUNED probe: the ≤9 Hamming-≤1 probe
+    * bucket ids are computed driver-side from the 1-row query vector (a
+    * legitimate collect), and the scan over the bucket-partitioned
+    * [[annIndex]] filters `bucket IN (<literals>)` — so the probe READS
+    * only 9 of 256 partitions (PartitionFilters, PlanSpec-asserted)
+    * instead of scanning every vector and filtering post-hoc (the r3
+    * scale-killer: a runtime qbucket from a cross join can't prune).
+    * Exact cosine then ranks the candidates. */
   private def sAnnLsh: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val v = withNorm(Tables.embeddings(s, dir))
-      .withColumn("bucket", expr(bucketExpr))
-    val q = v.filter(col("vec_id") === QueryVec)
-      .select(col("embedding").as("qe"), col("nrm").as("qnrm"), col("bucket").as("qbucket"))
-    v.filter(col("vec_id") =!= QueryVec)
+    import s.implicits._
+    val qRow = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec))
+      .select(col("embedding"), col("nrm"), expr(bucketExpr).as("bucket")).head()
+    val qbucket = qRow.getInt(2)
+    val probes = (qbucket +: (0 until 8).map(j => qbucket ^ (1 << j))).map(Int.box)
+    val q = Seq((qRow.getSeq[Float](0).toArray, qRow.getDouble(1))).toDF("qe", "qnrm")
+    s.read.parquet(annIndex(s, dir))
+      .filter(col("bucket").isin(probes: _*))
+      .filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(q))
-      .filter(expr("bit_count(bucket ^ qbucket) <= 1"))
-      .select(col("vec_id"), col("label"), col("bucket"),
+      .select(col("vec_id"), col("label"), col("bucket").cast("int").as("bucket"),
         expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(K)

@@ -20,23 +20,17 @@ import graft.Tables
 object SqlSurface {
   type Q = (SparkSession, String) => DataFrame
 
-  // last-registered dir per session: registering re-reads 10 parquet
-  // schema footers, which is pure waste when several SQL queries run
-  // back-to-back against the same dir (re-registers on a dir change)
-  private val registeredDir =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
-
-  /** Register every harness table as a temp view (idempotent per
-    * (session, dir)). The events table goes through its typed loader so
-    * SQL users see a real timestamp column (nanos parquet → µs, see
-    * Tables.events). */
+  /** Register every harness table as a temp view — UNCONDITIONALLY.
+    * Registration is a schema-footer read, cheap relative to any query;
+    * the r2 memo (a SparkSession-keyed TrieMap) both strongly retained
+    * sessions forever and served stale views when files under the same
+    * dir changed (ADVICE r3). The events table goes through its typed
+    * loader so SQL users see a real timestamp column (nanos parquet →
+    * µs, see Tables.events). */
   def registerViews(s: SparkSession, dir: String): Unit =
-    if (!registeredDir.get(s).contains(dir)) {
-      Tables.names.foreach {
-        case "events" => Tables.events(s, dir).createOrReplaceTempView("events")
-        case t => Tables(s, dir, t).createOrReplaceTempView(t)
-      }
-      registeredDir(s) = dir
+    Tables.names.foreach {
+      case "events" => Tables.events(s, dir).createOrReplaceTempView("events")
+      case t => Tables(s, dir, t).createOrReplaceTempView(t)
     }
 
   private def sql(text: String): Q = (s, dir) => {

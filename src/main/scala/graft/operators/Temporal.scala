@@ -69,29 +69,48 @@ object Temporal {
     * Build values ride in a NON-NULL struct carrier so a genuinely
     * null build value still registers as "a build row happened here"
     * in the ignoreNulls fill-forward (instead of silently falling
-    * through to an older value). The carrier also joins the sort key,
-    * making duplicate (key, ts) build rows resolve deterministically
-    * (greatest value wins) rather than by partition order. */
+    * through to an older value).
+    *
+    * Duplicate (key, ts) build rows: when the value type is orderable
+    * the carrier joins the sort key, so the greatest value wins
+    * deterministically; for unorderable value types (maps) the
+    * tie-break falls back to a monotonic row id — input order, which
+    * makes map-typed values WORK instead of failing with an opaque
+    * AnalysisException (ADVICE r3). Internal working columns are
+    * uniquified against both frames' columns, so callers may freely use
+    * names like `__side`. */
   def asofJoin(probe: DataFrame, build: DataFrame,
       keyCol: String, tsCol: String, valueCol: String): DataFrame = {
     val probeCols = probe.columns
+    val taken = (probeCols ++ build.columns).toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i").filterNot(taken).next()
+    val carrierC = fresh("__graft_asof_carrier")
+    val sideC = fresh("__graft_asof_side")
+    val seqC = fresh("__graft_asof_seq")
+    val filledC = fresh("__graft_asof_filled")
     val vType = build.schema(valueCol).dataType
+    val orderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(vType)
     val carrierType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v", vType)))
     val p = probe
-      .withColumn("__carrier", lit(null).cast(carrierType))
-      .withColumn("__side", lit(1))
+      .withColumn(carrierC, lit(null).cast(carrierType))
+      .withColumn(sideC, lit(1))
+      .withColumn(seqC, lit(0L))
     val b = build.select(
       probeCols.map(c =>
         if (c == keyCol || c == tsCol) col(c) else lit(null).cast(probe.schema(c).dataType).as(c))
-        :+ struct(col(valueCol).as("v")).as("__carrier") :+ lit(0).as("__side"): _*)
+        :+ struct(col(valueCol).as("v")).as(carrierC) :+ lit(0).as(sideC)
+        :+ monotonically_increasing_id().as(seqC): _*)
+    val tie = if (orderable) col(carrierC) else col(seqC)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"), col("__carrier"))
+      .orderBy(col(tsCol), col(sideC), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     p.unionByName(b)
-      .withColumn("__filled", last(col("__carrier"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(probeCols.map(col) :+ col("__filled.v").as(valueCol): _*)
+      .withColumn(filledC, last(col(carrierC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+      .select(probeCols.map(col) :+ col(filledC).getField("v").as(valueCol): _*)
   }
 
   /** Events enriched with the latest rate at or before each event. */

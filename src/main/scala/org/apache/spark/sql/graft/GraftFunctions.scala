@@ -208,7 +208,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => TopKByScore(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_html_elements"),
+      new ExpressionInfo(classOf[HtmlElements].getName, "graft_html_elements"),
+      (children: Seq[Expression]) => HtmlElements(children.head)),
+    (FunctionIdentifier("graft_html_links"),
+      new ExpressionInfo(classOf[HtmlLinks].getName, "graft_html_links"),
+      (children: Seq[Expression]) => HtmlLinks(children.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -35,6 +35,24 @@ class GraftApiSpec extends SparkSpec {
     assert(cleaned.count() == c.count() - drops.count())
   }
 
+  test("dedup façade cache lifecycle: one-shot calls leave nothing cached; signatures unpersists cleanly") {
+    spark.catalog.clearCache()
+    // one-shot convenience: no persisted blocks survive the action
+    Graft.dedup.minhashCandidates(corpus, "my_id", "body").count()
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "one-shot minhashCandidates leaked a cached frame")
+    // two-step form: the caller-held signature frame is the ONLY cache,
+    // and unpersisting it releases everything
+    val sig = Graft.dedup.signatures(corpus, "my_id", "body")
+    assert(sig.storageLevel.useMemory || sig.storageLevel.useDisk)
+    Graft.dedup.minhashCandidatesFor(sig).count()
+    assert(spark.sparkContext.getRDDStorageInfo.nonEmpty)
+    sig.unpersist(blocking = true)
+    assert(sig.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "signatures.unpersist left cached blocks behind")
+  }
+
   test("similarity.topK agrees with the harness brute-force query") {
     val queryVec = Tables.embeddings(spark, sf)
       .filter(col("vec_id") === 0L).select("embedding")

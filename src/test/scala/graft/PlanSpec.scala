@@ -60,6 +60,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("s_ann_lsh: probe scan prunes to the probe-bucket partitions (no full-corpus scan)") {
+    val q = SparkEntry.queries("s_ann_lsh")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // literal probe-bucket IN filter lands in the index scan's
+    // PartitionFilters — the scan reads ≤9 of the bucket partitions
+    assert(p.contains("PartitionFilters: [bucket"), p)
+    assert(p.contains(" IN ("), p)
+    // and no post-hoc Hamming filter over a full scan remains
+    assert(!p.contains("bit_count"), p)
+  }
+
   test("s_centroids: exactly one hash-shuffle (partial agg carries (sum,count) pairs)") {
     val p = plan("s_centroids")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

@@ -21,6 +21,33 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(joined.filter(col("rate") =!= col("expect")).count() == 0)
   }
 
+  test("asofJoin survives colliding __side-style user columns and map-typed values") {
+    // regression for ADVICE r3: internal names used to be fixed
+    // (__carrier/__side/__filled) and the carrier sat in the window
+    // ORDER BY, so a map-typed value threw an AnalysisException
+    import spark.implicits._
+    val probe = Seq(("a", 10L, "keep-me", 7), ("a", 20L, "also", 8), ("b", 5L, "none", 9))
+      .toDF("k", "ts", "__side", "__carrier")
+    val build = Seq(("a", 10L, Map("x" -> 1)), ("a", 15L, Map("y" -> 2)), ("b", 99L, Map("z" -> 3)))
+      .toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(probe, build, "k", "ts", "v")
+      .orderBy("k", "ts").collect()
+    assert(out.length == 3)
+    // user columns pass through untouched
+    assert(out(0).getAs[String]("__side") == "keep-me" && out(0).getAs[Int]("__carrier") == 7)
+    assert(out(0).getAs[Map[String, Int]]("v") == Map("x" -> 1))   // at-or-before: equal ts
+    assert(out(1).getAs[Map[String, Int]]("v") == Map("y" -> 2))   // latest build ≤ 20
+    assert(out(2).isNullAt(out(2).fieldIndex("v")))                // no build at-or-before
+  }
+
+  test("asofJoin duplicate (key, ts) build rows: greatest orderable value wins deterministically") {
+    import spark.implicits._
+    val probe = Seq(("a", 10L)).toDF("k", "ts")
+    val build = Seq(("a", 10L, 1.0), ("a", 10L, 9.0), ("a", 10L, 4.0)).toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(probe, build, "k", "ts", "v").collect()
+    assert(out.length == 1 && out(0).getAs[Double]("v") == 9.0)
+  }
+
   test("j7 range join matches the brute-force theta-join") {
     val out = Temporal.queries("j7_range_join")(spark, sf)
     // brute force: every pair checked directly (fine at spec scale)
