@@ -241,21 +241,23 @@ object Graph {
         .withColumn("label", col("node")), reliable)
     var changed = 1L
     while (changed > 0) {
-      val fromNbr = und.join(labels, und("src") === labels("node"))
-        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_label"))
-      // checkpoint EVERY round: `labels` feeds two consumers next round
-      // (the neighbour-min build and the outer join), so an
-      // un-checkpointed round recomputes its whole plan twice — measured
-      // slower than the per-round materialization it saves. The old
-      // label rides along so convergence is a filter-count on the
-      // checkpointed frame, not another join.
-      val next = materialize(
-        labels.join(fromNbr, Seq("node"), "left")
-          .select(col("node"), col("label").as("old_label"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")),
-        reliable)
-      changed = next.filter(col("label") =!= col("old_label")).count()
-      labels = next.select(col("node"), col("label"))
+      // One round = neighbour messages (join) ∪ self messages (union),
+      // then ONE groupBy carrying both the new min and the old label
+      // (each node gets exactly one self-tagged message) — 2 shuffles
+      // per round vs the previous 3 (neighbour-min groupBy + outer
+      // join back to labels). The checkpoint is LAZY: the convergence
+      // count is the action that materializes it, saving the eager
+      // checkpoint's extra job per round. (`reliable` keeps the eager
+      // cluster-safe checkpoint — correctness over round latency.)
+      val msgs = und.join(labels, und("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"), lit(false).as("self"))
+        .unionByName(labels.select(col("node"), col("label"), lit(true).as("self")))
+      val next = msgs.groupBy("node").agg(
+        min(col("label")).as("label"),
+        min(when(col("self"), col("label"))).as("old_label"))
+      val mat = if (reliable) next.checkpoint() else next.localCheckpoint(false)
+      changed = mat.filter(col("label") =!= col("old_label")).count()
+      labels = mat.select(col("node"), col("label"))
     }
     labels
   }
