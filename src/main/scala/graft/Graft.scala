@@ -149,9 +149,18 @@ object Graft {
 
     /** Connected components by min-label propagation to fixpoint:
       * (node, label). `und` must hold both edge directions. `reliable`
-      * as in [[bfs]]. */
+      * as in [[bfs]]. Rounds ∝ component diameter — for long-chain
+      * graphs use [[connectedComponentsStar]]. */
     def connectedComponents(und: DataFrame, reliable: Boolean = false): DataFrame =
       Graph.labelPropagate(und, reliable)
+
+    /** Connected components by alternating large-star/small-star
+      * contraction: O(log n) rounds regardless of diameter — the
+      * 100 TB-safe variant for graphs whose diameter is unknown.
+      * Same (node, label = component min) output as
+      * [[connectedComponents]]. */
+    def connectedComponentsStar(und: DataFrame, reliable: Boolean = false): DataFrame =
+      Graph.starContractComponents(und, reliable)
   }
 
   object temporal {

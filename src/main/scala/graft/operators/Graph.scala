@@ -268,6 +268,83 @@ object Graph {
     labelPropagate(e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
   }
 
+  // ----------------------------------------------------------------
+  // Connected components in O(log n) rounds: alternating star contraction
+  // ----------------------------------------------------------------
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (the MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * literature): per round, large-star hangs every neighbor larger
+    * than u onto u's minimum neighbor, small-star hangs the smaller
+    * neighbors (and u) onto the minimum; the edge set contracts to
+    * per-component stars in O(log n) rounds REGARDLESS OF DIAMETER.
+    * This is the 100 TB form of [[labelPropagate]], whose round count
+    * is the component diameter (a 10⁶-hop chain means 10⁶ rounds for
+    * label propagation, ~20 here). Works on any orderable node type;
+    * labels = per-component MINIMUM node id, identical to
+    * labelPropagate's fixpoint. Each round is two groupBy-min + two
+    * joins on node ids; convergence = edge-set stability (the
+    * contracted set is already canonical (larger, smaller) pairs).
+    *
+    * `reliable` selects fault-tolerant checkpoints as in [[bfs]]. */
+  def starContractComponents(undirected: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    val nodes = materialize(
+      undirected.select(col("src").as("node")).distinct(), reliable)
+    // canonical (larger, smaller) undirected pair set, self-loops dropped
+    var e = materialize(
+      undirected.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct(), reliable)
+    var prevCnt = e.count()
+    var done = false
+    while (!done) {
+      // large-star: for each u, m = min(N(u) ∪ {u}); hang every v > u on m
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val minsL = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // no distinct here: duplicate (v, m) rows are harmless to the
+      // small-star min-aggs and get deduped by its final distinct —
+      // dropping it saves a full shuffle per round
+      val large = sym.join(minsL, "src")
+        .filter(col("dst") > col("src") && col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      // small-star over the large-star output: for each u, m = min of its
+      // SMALLER neighbors; hang those neighbors and u itself on m
+      val symL = large.unionByName(large.select(col("dst").as("src"), col("src").as("dst")))
+      val pairs = symL.filter(col("dst") < col("src"))
+      val minsS = pairs.groupBy("src").agg(min(col("dst")).as("m"))
+      val smallPlan = pairs.join(minsS, "src")
+        .select(col("dst").as("a"), col("m").as("b"))
+        .unionByName(minsS.select(col("src").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+        .distinct()
+      // lazy checkpoint: the count below is the materializing action
+      // (same trick as labelPropagate) — one job per round, and the
+      // EXACT set-equality check only runs once counts stop moving
+      val small = if (reliable) smallPlan.checkpoint() else smallPlan.localCheckpoint(false)
+      val cnt = small.count()
+      done = cnt == prevCnt && small.exceptAll(e).isEmpty
+      prevCnt = cnt
+      e = small
+    }
+    // fixpoint: e holds (node, componentMin) stars; mins/isolated nodes
+    // have no outgoing edge and label themselves
+    nodes.join(
+        e.groupBy(col("src").as("node")).agg(min(col("dst")).as("star")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("star"), col("node")).as("label"))
+  }
+
+  private def gCcStar: Q = (s, dir) => {
+    val e = edges(s, dir)
+    starContractComponents(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
   /** Oracle: fixpoint labels = per-component min node id, via recursive
     * transitive closure (UNION dedups, so the recursion terminates). */
   private val gCcLabelpropSql =
@@ -285,11 +362,15 @@ object Graph {
     "g_degrees" -> gDegrees,
     "g_bfs" -> gBfs,
     "g_cc_labelprop" -> gCcLabelprop,
+    "g_cc_star" -> gCcStar,
     "s2_crawl" -> s2Crawl)
 
+  // g_cc_star shares the labelprop oracle: both compute the
+  // per-component minimum label, by different algorithms
   val oracles: Map[String, String] = Map(
     "g_degrees" -> gDegreesSql,
     "g_bfs" -> gBfsSql,
     "g_cc_labelprop" -> gCcLabelpropSql,
+    "g_cc_star" -> gCcLabelpropSql,
     "s2_crawl" -> s2CrawlSql)
 }

@@ -173,6 +173,103 @@ object Similarity {
        |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
 
   // ----------------------------------------------------------------
+  // IVF ANN: coarse quantizer cells + nprobe=2 probe
+  // ----------------------------------------------------------------
+
+  private val IvfCells = 8
+  private val NProbe = 2
+
+  /** IVF approximate top-K — the OTHER classic ANN scale path next to
+    * [[sAnnLsh]]'s LSH buckets: a coarse quantizer partitions vectors
+    * into cells, a query probes only its `NProbe` nearest cells. The
+    * quantizer here is one deterministic Lloyd iteration: seeds = the
+    * vectors with vec_id < IvfCells, every vector assigned to its
+    * nearest seed by argmin(‖s‖² − 2·x·s) (squared-L2 argmin without
+    * the per-x constant; ties → lowest cell id), M-step = exact per-
+    * (cell, dim) mean (float32 sums in double are EXACT at this scale —
+    * see [[sCentroids]] — so cross-engine equality holds with no
+    * rounding), probes = the NProbe centroids nearest the query.
+    *
+    * Every distance is the shared left-fold dot (`graft_dot` /
+    * list_reduce twins), so cell assignment, probe choice, and final
+    * ranking are bit-identical in DuckDB — an exactly-checkable ANN.
+    *
+    * Scale shape: assignment is ONE broadcast join (IvfCells rows) +
+    * one groupBy(vec_id) argmin — the shuffle carries (score, cell)
+    * structs; the M-step shuffle carries (cell, dim, partial sums); the
+    * probe reads only its cells' vectors (in production the assigned
+    * frame is written cell-partitioned exactly like [[annIndex]], so
+    * the probe scan prunes to NProbe partitions). */
+  private def sIvfAnn: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val v = withNorm(Tables.embeddings(s, dir))
+    val seeds = v.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("se"))
+      .withColumn("sn", expr(foldDot("se", "se")))
+    val assigned = v.crossJoin(broadcast(seeds))
+      .withColumn("score", expr(s"sn - 2 * ${foldDot("embedding", "se")}"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"))).as("best"),
+        first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("best.cell").as("cell"))
+    val cent = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("cv")).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))").as("ce"))
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probes = cent.crossJoin(broadcast(q))
+      .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
+      .orderBy(col("pscore").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell"))
+    assigned.filter(col("vec_id") =!= QueryVec)
+      .join(broadcast(probes), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("cell"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  private val sIvfAnnSql =
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell, embedding AS se,
+       |                 ${duckFoldDot("embedding", "embedding")} AS sn
+       |          FROM embeddings WHERE vec_id < $IvfCells),
+       |scored AS (SELECT v.vec_id, v.label, v.embedding, v.nrm, s.cell,
+       |                  s.sn - 2 * ${duckFoldDot("v.embedding", "s.se")} AS score
+       |           FROM v CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, label, embedding, nrm, cell
+       |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY score, cell) AS rn FROM scored)
+       |             WHERE rn = 1),
+       |cent AS (SELECT cell, list(m ORDER BY dim)::FLOAT[] AS ce
+       |         FROM (SELECT cell, dim, avg(cv) AS m
+       |               FROM (SELECT cell,
+       |                       unnest(range(1, len(embedding) + 1)) AS dim,
+       |                       unnest(embedding) AS cv
+       |                     FROM assigned)
+       |               GROUP BY cell, dim)
+       |         GROUP BY cell),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v WHERE vec_id = $QueryVec),
+       |probe AS (SELECT cell FROM cent CROSS JOIN q
+       |          ORDER BY ${duckFoldDot("ce", "ce")} - 2 * ${duckFoldDot("qe", "ce")}, cell
+       |          LIMIT $NProbe),
+       |cands AS (SELECT a.vec_id, a.label, a.cell,
+       |                 ${duckCosExpr("a.embedding", "qe", "a.nrm", "qnrm")} AS cos
+       |          FROM assigned a JOIN probe USING (cell) CROSS JOIN q
+       |          WHERE a.vec_id <> $QueryVec)
+       |SELECT vec_id, label, cell, round(cos, 6) AS cosine
+       |FROM cands ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+
+  // ----------------------------------------------------------------
   // Blocked kNN: top-3 neighbours per vector within its label cell
   // ----------------------------------------------------------------
 
@@ -277,6 +374,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
+    "s_ivf_ann" -> sIvfAnn,
     "s_blocked_knn" -> sBlockedKnn,
     "s_topk_agg" -> sTopkAgg,
     "s_centroids" -> sCentroids)
@@ -284,6 +382,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
+    "s_ivf_ann" -> sIvfAnnSql,
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,
     "s_centroids" -> sCentroidsSql)

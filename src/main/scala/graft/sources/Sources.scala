@@ -61,6 +61,21 @@ object Sources {
       .option("compression", if (compressed) "snappy" else "none")
       .parquet(path)
 
+  /** ORC scan — the other mainstream columnar warehouse format (Hive
+    * lineage); same pushdown/pruning machinery as parquet under
+    * Catalyst, so a reference user migrating ORC-backed tables keeps
+    * their layout. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink with explicit compression (zlib is ORC's snappy-grade
+    * default; "none" for archival-compat dumps like K1's
+    * compress=FALSE). */
+  def writeOrc(df: DataFrame, path: String, compressed: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", if (compressed) "zlib" else "none")
+      .orc(path)
+
   /** Scan-layout sink for 100 TB: range-partition on the filter key and
     * sort within partitions before writing, so every parquet file holds
     * one tight key range — min/max row-group stats then prune scans for

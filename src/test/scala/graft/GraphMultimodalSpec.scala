@@ -40,6 +40,32 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(labels.forall(_.getString(1) == "v00"))
   }
 
+  test("starContractComponents equals labelPropagate on the harness graph") {
+    val lp = Graph.queries("g_cc_labelprop")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val star = Graph.queries("g_cc_star")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star == lp)
+  }
+
+  test("starContractComponents labels a 200-hop path (where round count ∝ diameter would be 200)") {
+    // two long chains + one isolated self-looped node: the alternating
+    // star contraction converges in O(log n) rounds regardless of the
+    // 200-hop diameter (label propagation would need ~200 rounds)
+    import spark.implicits._
+    val path = (0 until 200).map(i => (f"a$i%03d", f"a${i + 1}%03d")) ++
+      (0 until 50).map(i => (f"b$i%03d", f"b${i + 1}%03d")) :+ (("z", "z"))
+    val e = path.toDF("src", "dst")
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Graph.starContractComponents(und).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(labels.length == 253) // a000..a200 + b000..b050 + z
+    labels.foreach { case (node, label) =>
+      val expect = if (node.startsWith("a")) "a000" else if (node.startsWith("b")) "b000" else "z"
+      assert(label == expect, s"$node -> $label")
+    }
+  }
+
   test("s2_crawl INDEX carries in/out degree and the internal/external link split") {
     val idx = Graph.queries("s2_crawl")(spark, sf)
     // out_degree decomposes exactly into internal + external links

@@ -6,6 +6,22 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpec {
 
+  test("s_ivf_ann probes at most 2 cells, ranks by exact cosine, agrees with brute force on shared hits") {
+    val ivf = Similarity.queries("s_ivf_ann")(spark, sf).collect()
+    assert(ivf.length <= 10 && ivf.nonEmpty)
+    assert(ivf.map(_.getAs[Long]("cell")).toSet.size <= 2, "more than nprobe cells probed")
+    val cosines = ivf.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines == cosines.sorted.reverse)
+    // any IVF hit that the exact top-10 also contains carries the identical cosine
+    val bruteCos = Similarity.queries("s_cosine_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cosine")).toMap
+    ivf.foreach { r =>
+      bruteCos.get(r.getLong(0)).foreach { c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9)
+      }
+    }
+  }
+
   test("s_cosine_topk returns k rows in descending cosine order") {
     val rows = Similarity.queries("s_cosine_topk")(spark, sf).collect()
     assert(rows.length == 10)
