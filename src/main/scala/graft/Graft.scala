@@ -90,6 +90,27 @@ object Graft {
         minEstJaccard: Double): DataFrame =
       nearDupIdsFor(signatures(df, idCol, textCol,
         org.apache.spark.storage.StorageLevel.NONE), minEstJaccard)
+
+    /** Transitively-closed near-dup clusters over a precomputed
+      * [[signatures]] frame: one row per signature doc —
+      * (doc_id, cluster_id = component-min id, is_dup). Pair-level
+      * dedup is not transitive (A≈B, B≈C without the (A,C) pair);
+      * this closes chains via connected components so exactly one doc
+      * per cluster survives. */
+    def clusterIdsFor(sig: DataFrame, minEstJaccard: Double): DataFrame = {
+      val pairs = minhashCandidatesFor(sig)
+        .filter(col("est_jaccard") >= minEstJaccard)
+        .select(col("a_id"), col("b_id"))
+      val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val labels = Graph.labelPropagate(und)
+      sig.select(col("doc_id"))
+        .join(labels.select(col("node").as("doc_id"), col("label").as("cl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cl"), col("doc_id")).as("cluster_id"),
+          (col("cl").isNotNull && col("cl") =!= col("doc_id")).as("is_dup"))
+    }
   }
 
   object similarity {
@@ -129,6 +150,11 @@ object Graft {
     /** The reference tokenizer (punctuation-normalized, lower-cased). */
     def tokens(c: Column): Column =
       split(regexp_replace(lower(c), "[\\p{Punct} ]+", " "), " ")
+
+    /** PII redaction column: emails, phone numbers, and IPv4 addresses
+      * replaced with `<EMAIL>`/`<PHONE>`/`<IP>` placeholders — the
+      * corpus-scrubbing pass before tokenization. */
+    def redactPii(c: Column): Column = operators.TextAnalysis.redactPii(c)
 
     /** Content fingerprint column (portable polynomial hash).
       * `call_function` resolves the registered native expression against

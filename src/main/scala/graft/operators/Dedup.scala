@@ -391,6 +391,56 @@ object Dedup {
        |LEFT JOIN near_ids n ON b.doc_id = n.doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // Near-dup cluster canonicalization (pairs → transitive components)
+  // ----------------------------------------------------------------
+
+  /** The step real dedup pipelines run AFTER candidate generation:
+    * near-dup PAIRS are only locally transitive (A≈B, B≈C does not
+    * imply the pair (A,C) was emitted), so keep-one-per-pair dedup can
+    * drop both endpoints of a chain or keep near-identical docs. This
+    * operator closes the pairs transitively — MinHash-LSH pairs as an
+    * edge list, connected components (min-label propagation, the same
+    * [[Graph.labelPropagate]] the crawler graph uses) as cluster ids —
+    * and emits one verdict row per document: its canonical cluster id
+    * (= min doc_id of the cluster; singletons are their own cluster)
+    * and whether it would be dropped. Composability is the point: the
+    * dedup candidate generator and the graph operator are the same
+    * building blocks the library exposes separately.
+    *
+    * Scale: edges are doc-id pairs (16 bytes), components converge in
+    * rounds ∝ cluster diameter — near-dup clusters are shallow (a few
+    * hops), so this is cheap even when the corpus is not. */
+  private def dClusterCanonical: Q = (s, dir) => {
+    val pairs = minhashCandidates(s, dir)
+      .filter(col("est_jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"))
+    val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val labels = Graph.labelPropagate(und)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("label").as("cl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cl"), col("doc_id")).as("cluster_id"),
+        (col("cl").isNotNull && col("cl") =!= col("doc_id")).as("is_dup"))
+  }
+
+  private val dClusterCanonicalSql =
+    s"""WITH RECURSIVE $duckMinhashCandCte,
+       |pairs AS (SELECT a_id, b_id FROM mh WHERE est_jaccard >= $JaccardThreshold),
+       |und AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(node, peer) AS (
+       |  SELECT DISTINCT s, s FROM und
+       |  UNION
+       |  SELECT r.node, u.d FROM reach r JOIN und u ON u.s = r.peer),
+       |lab AS (SELECT node, min(peer) AS label FROM reach GROUP BY node)
+       |SELECT doc_id,
+       |       coalesce(lab.label, doc_id) AS cluster_id,
+       |       (lab.label IS NOT NULL AND lab.label <> doc_id) AS is_dup
+       |FROM documents LEFT JOIN lab ON doc_id = lab.node""".stripMargin
+
+  // ----------------------------------------------------------------
   // SimHash fingerprint + Hamming near-dup
   // ----------------------------------------------------------------
 
@@ -561,9 +611,11 @@ object Dedup {
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs,
     "d_embedding_near_dup" -> dEmbeddingNearDup,
-    "d_incremental" -> dIncremental)
+    "d_incremental" -> dIncremental,
+    "d_cluster_canonical" -> dClusterCanonical)
 
   val oracles: Map[String, String] = Map(
+    "d_cluster_canonical" -> dClusterCanonicalSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,

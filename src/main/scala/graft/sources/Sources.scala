@@ -85,6 +85,26 @@ object Sources {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Small-files compaction — the maintenance pass a 100 TB lake runs
+    * continuously: streaming/incremental ingest leaves thousands of
+    * KB-scale files whose per-file open/footer cost dominates scans.
+    * Rewrites a parquet directory into ⌈bytes / targetFileBytes⌉
+    * files (default 128 MB — the HDFS-block-sized sweet spot between
+    * scan parallelism and footer overhead). Returns the file count
+    * written. Round-robin repartition: compaction balances SIZE, not
+    * keys — use [[writeSortedByKey]] when layout should serve a filter
+    * key instead. */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
+
   /** M0 ordering convention (SURVEY §7.5(1)): a stable global `doc_pos`
     * from the parquet metadata columns — doc_pos = (prefix-summed file
     * offset) + row-in-file. Per-file counts (one row per FILE) collect

@@ -53,6 +53,29 @@ class GraftApiSpec extends SparkSpec {
       "signatures.unpersist left cached blocks behind")
   }
 
+  test("dedup.clusterIdsFor closes near-dup chains transitively (matches harness d_cluster_canonical)") {
+    val sig = Graft.dedup.signatures(corpus, "my_id", "body",
+      org.apache.spark.storage.StorageLevel.NONE)
+    val api = Graft.dedup.clusterIdsFor(sig, 0.5)
+    val harness = SparkEntry.queries("d_cluster_canonical")(spark, sf)
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+    // exactly one survivor (is_dup = false with its own id) per cluster
+    val perCluster = api.groupBy("cluster_id")
+      .agg(sum(when(!col("is_dup"), 1).otherwise(0)).as("survivors"))
+    assert(perCluster.filter(col("survivors") =!= 1).count() == 0)
+  }
+
+  test("text.redactPii scrubs emails, phones, and IPs but leaves prose alone") {
+    val df = Seq(
+      ("reach me at jane.doe+spam@mail.example.org or +44-555-0199",
+        "reach me at <EMAIL> or <PHONE>"),
+      ("server 192.168.001.1 answered", "server <IP> answered"),
+      ("no pii here, just 3.14 and v2.0", "no pii here, just 3.14 and v2.0"))
+      .toDF("raw", "expect")
+    assert(df.filter(Graft.text.redactPii(col("raw")) =!= col("expect")).count() == 0)
+  }
+
   test("similarity.topK agrees with the harness brute-force query") {
     val queryVec = Tables.embeddings(spark, sf)
       .filter(col("vec_id") === 0L).select("embedding")

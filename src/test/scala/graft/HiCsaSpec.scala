@@ -151,6 +151,19 @@ class HiCsaSpec extends SparkSpec {
     assert(q.count() == df.filter(col("o_orderpriority") === "1-URGENT").count())
   }
 
+  test("compact rewrites a many-small-files directory into the computed file count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Tables.orders(spark, sf).repartition(20).write.parquet(s"$dir/small")
+    val smallFiles = new java.io.File(s"$dir/small").listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 20)
+    // target far above the data size → everything compacts to one file
+    val n = Sources.compact(spark, s"$dir/small", s"$dir/big")
+    assert(n == 1)
+    val bigFiles = new java.io.File(s"$dir/big").listFiles.count(_.getName.endsWith(".parquet"))
+    assert(bigFiles == 1)
+    assert(spark.read.parquet(s"$dir/big").count() == Tables.orders(spark, sf).count())
+  }
+
   test("writeSortedByKey lays out tight key ranges per file (scan pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
     val df = Tables.orders(spark, sf)
