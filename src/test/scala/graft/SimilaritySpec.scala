@@ -6,6 +6,29 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpec {
 
+  test("annIndex builds once, reuses while the source is unchanged, rebuilds on change") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-src").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "embeddings.parquet"),
+      java.nio.file.Paths.get(tmp, "embeddings.parquet"))
+    val data1 = Similarity.annIndex(spark, tmp)
+    val marker = new java.io.File(new java.io.File(data1).getParentFile, "_GRAFT_FINGERPRINT")
+    assert(marker.isFile)
+    val stamp1 = marker.lastModified
+    // second call: fingerprint matches → no rebuild (marker untouched)
+    Thread.sleep(1100)
+    assert(Similarity.annIndex(spark, tmp) == data1)
+    assert(marker.lastModified == stamp1, "index rebuilt despite unchanged source")
+    // source mtime change → fingerprint mismatch → rebuild
+    val src = new java.io.File(tmp, "embeddings.parquet")
+    assert(src.setLastModified(src.lastModified + 5000))
+    assert(Similarity.annIndex(spark, tmp) == data1)
+    assert(marker.lastModified > stamp1, "index NOT rebuilt after source changed")
+    // the rebuilt index still serves a partition-pruned, correct scan
+    val idx = spark.read.parquet(data1)
+    assert(idx.count() == Tables.embeddings(spark, tmp).count())
+  }
+
   test("s_ivf_ann probes at most 2 cells, ranks by exact cosine, agrees with brute force on shared hits") {
     val ivf = Similarity.queries("s_ivf_ann")(spark, sf).collect()
     assert(ivf.length <= 10 && ivf.nonEmpty)
