@@ -256,7 +256,11 @@ object Graph {
         min(col("label")).as("label"),
         min(when(col("self"), col("label"))).as("old_label"))
       val mat = if (reliable) next.checkpoint() else next.localCheckpoint(false)
-      changed = mat.filter(col("label") =!= col("old_label")).count()
+      // null old_label = a node first reached this round (possible only
+      // on non-symmetrized caller input) — count it as changed so the
+      // loop can't terminate before its label propagates onward
+      changed = mat.filter(col("label") =!= col("old_label")
+        || col("old_label").isNull).count()
       labels = mat.select(col("node"), col("label"))
     }
     labels
