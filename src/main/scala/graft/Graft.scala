@@ -96,21 +96,17 @@ object Graft {
       * (doc_id, cluster_id = component-min id, is_dup). Pair-level
       * dedup is not transitive (A≈B, B≈C without the (A,C) pair);
       * this closes chains via connected components so exactly one doc
-      * per cluster survives. */
-    def clusterIdsFor(sig: DataFrame, minEstJaccard: Double): DataFrame = {
-      val pairs = minhashCandidatesFor(sig)
-        .filter(col("est_jaccard") >= minEstJaccard)
-        .select(col("a_id"), col("b_id"))
-      val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      val labels = Graph.labelPropagate(und)
-      sig.select(col("doc_id"))
-        .join(labels.select(col("node").as("doc_id"), col("label").as("cl")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cl"), col("doc_id")).as("cluster_id"),
-          (col("cl").isNotNull && col("cl") =!= col("doc_id")).as("is_dup"))
-    }
+      * per cluster survives. `reliable` as on the graph entry points
+      * (fault-tolerant checkpoints for the propagation on a real
+      * cluster). */
+    def clusterIdsFor(sig: DataFrame, minEstJaccard: Double,
+        reliable: Boolean = false): DataFrame =
+      Dedup.clusterVerdictsFromPairs(
+        sig.select(col("doc_id")),
+        minhashCandidatesFor(sig)
+          .filter(col("est_jaccard") >= minEstJaccard)
+          .select(col("a_id"), col("b_id")),
+        reliable)
   }
 
   object similarity {

@@ -410,20 +410,30 @@ object Dedup {
     * Scale: edges are doc-id pairs (16 bytes), components converge in
     * rounds ∝ cluster diameter — near-dup clusters are shallow (a few
     * hops), so this is cheap even when the corpus is not. */
-  private def dClusterCanonical: Q = (s, dir) => {
-    val pairs = minhashCandidates(s, dir)
-      .filter(col("est_jaccard") >= JaccardThreshold)
-      .select(col("a_id"), col("b_id"))
+  /** Shared cluster-closure core (harness query + [[graft.Graft.dedup]]
+    * façade both delegate here so the semantics cannot drift): pairs →
+    * symmetrized edge list → min-label components → per-`ids` verdict
+    * (doc_id, cluster_id = component min ∨ self, is_dup). `reliable`
+    * selects fault-tolerant checkpoints inside the propagation, as on
+    * every other iterative entry point. */
+  private[graft] def clusterVerdictsFromPairs(ids: DataFrame, pairs: DataFrame,
+      reliable: Boolean = false): DataFrame = {
     val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val labels = Graph.labelPropagate(und)
-    Tables.documents(s, dir).select(col("doc_id"))
-      .join(labels.select(col("node").as("doc_id"), col("label").as("cl")),
+    val labels = Graph.labelPropagate(und, reliable)
+    ids.join(labels.select(col("node").as("doc_id"), col("label").as("cl")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cl"), col("doc_id")).as("cluster_id"),
         (col("cl").isNotNull && col("cl") =!= col("doc_id")).as("is_dup"))
   }
+
+  private def dClusterCanonical: Q = (s, dir) =>
+    clusterVerdictsFromPairs(
+      Tables.documents(s, dir).select(col("doc_id")),
+      minhashCandidates(s, dir)
+        .filter(col("est_jaccard") >= JaccardThreshold)
+        .select(col("a_id"), col("b_id")))
 
   private val dClusterCanonicalSql =
     s"""WITH RECURSIVE $duckMinhashCandCte,

@@ -112,25 +112,46 @@ object Similarity {
     * filesystem is the memo, so nothing retains a SparkSession and a
     * changed source can't serve stale data. At 100 TB this is the
     * one-off index build every ANN system amortizes across queries. */
+  /** Bump when the index layout/bucketing expression changes: the
+    * version joins the fingerprint, so a code upgrade can never
+    * silently reuse an index built by older code. */
+  private val IndexFormatVersion = 2
+
   private[graft] def annIndex(s: SparkSession, dir: String): String = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val src = new java.io.File(dir, "embeddings.parquet")
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-    val fp = files.filter(_.isFile).sortBy(_.getName)
+    val fp = s"v$IndexFormatVersion|" + files.filter(_.isFile).sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ann_index_${java.lang.Integer.toHexString(dir.hashCode)}")
     val marker = new java.io.File(root, "_GRAFT_FINGERPRINT")
-    val data = new java.io.File(root, "emb")
-    val fresh = marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
-    if (!fresh) {
+    // marker = "<fingerprint>\n<data-dir-name>": readers resolve the
+    // live build through it, so a half-written build is never visible
+    val current: Option[String] =
+      if (!marker.isFile) None
+      else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .split("\n", 2) match {
+          case Array(`fp`, d) if new java.io.File(root, d).isDirectory => Some(d)
+          case _ => None // fingerprint/version mismatch, or data dir swept away
+        }
+    val dataName = current.getOrElse {
+      // build into a fresh uniquely-named dir, then publish it with an
+      // ATOMIC marker move — concurrent builders each write their own
+      // dir and the last marker wins whole, so readers never see a
+      // partially-deleted overwrite (the old mode("overwrite") race)
+      val name = s"emb-${System.nanoTime()}"
       withNorm(Tables.embeddings(s, dir))
         .withColumn("bucket", expr(bucketExpr))
-        .write.partitionBy("bucket").mode("overwrite").parquet(data.toString)
-      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+        .write.partitionBy("bucket").parquet(new java.io.File(root, name).toString)
+      val tmp = new java.io.File(root, s".marker-${System.nanoTime()}")
+      java.nio.file.Files.write(tmp.toPath, s"$fp\n$name".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      name
     }
-    data.toString
+    new java.io.File(root, dataName).toString
   }
 
   /** Approximate top-K with a PRUNED probe: the ≤9 Hamming-≤1 probe
@@ -144,21 +165,31 @@ object Similarity {
   private def sAnnLsh: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     import s.implicits._
-    val qRow = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec))
-      .select(col("embedding"), col("nrm"), expr(bucketExpr).as("bucket")).head()
-    val qbucket = qRow.getInt(2)
-    val probes = (qbucket +: (0 until 8).map(j => qbucket ^ (1 << j))).map(Int.box)
-    val q = Seq((qRow.getSeq[Float](0).toArray, qRow.getDouble(1))).toDF("qe", "qnrm")
-    s.read.parquet(annIndex(s, dir))
-      .filter(col("bucket").isin(probes: _*))
-      .filter(col("vec_id") =!= QueryVec)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"), col("bucket").cast("int").as("bucket"),
-        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(K)
-      .select(col("vec_id"), col("label"), col("bucket"),
-        round(col("cos"), 6).as("cosine"))
+    val qRows = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec))
+      .select(col("embedding"), col("nrm"), expr(bucketExpr).as("bucket")).limit(1).collect()
+    if (qRows.isEmpty) {
+      // no query vector in this corpus → empty top-K with the query's
+      // schema (the pre-index join formulation degraded the same way)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          lit(0).cast("int").as("bucket"), lit(0.0).as("cosine"))
+        .limit(0)
+    } else {
+      val qRow = qRows(0)
+      val qbucket = qRow.getInt(2)
+      val probes = (qbucket +: (0 until 8).map(j => qbucket ^ (1 << j))).map(Int.box)
+      val q = Seq((qRow.getSeq[Float](0).toArray, qRow.getDouble(1))).toDF("qe", "qnrm")
+      s.read.parquet(annIndex(s, dir))
+        .filter(col("bucket").isin(probes: _*))
+        .filter(col("vec_id") =!= QueryVec)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("bucket").cast("int").as("bucket"),
+          expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(K)
+        .select(col("vec_id"), col("label"), col("bucket"),
+          round(col("cos"), 6).as("cosine"))
+    }
   }
 
   private val sAnnLshSql =

@@ -74,11 +74,14 @@ object Temporal {
     * Duplicate (key, ts) build rows: when the value type is orderable
     * the carrier joins the sort key, so the greatest value wins
     * deterministically; for unorderable value types (maps) the
-    * tie-break falls back to a monotonic row id — input order, which
-    * makes map-typed values WORK instead of failing with an opaque
-    * AnalysisException (ADVICE r3). Internal working columns are
-    * uniquified against both frames' columns, so callers may freely use
-    * names like `__side`. */
+    * tie-break falls back to a monotonic row id, which makes map-typed
+    * values WORK instead of failing with an opaque AnalysisException
+    * (ADVICE r3) — but note that id is PARTITION order, so which
+    * duplicate wins is stable within a run, not across different
+    * partitionings of `build`. Callers needing cross-run determinism
+    * for unorderable values should pre-dedup (key, ts) on the build
+    * side. Internal working columns are uniquified against both
+    * frames' columns, so callers may freely use names like `__side`. */
   def asofJoin(probe: DataFrame, build: DataFrame,
       keyCol: String, tsCol: String, valueCol: String): DataFrame = {
     val probeCols = probe.columns

@@ -36,20 +36,26 @@ class GraftApiSpec extends SparkSpec {
   }
 
   test("dedup façade cache lifecycle: one-shot calls leave nothing cached; signatures unpersists cleanly") {
+    // diff against a snapshot, not isEmpty: other suites in the shared
+    // session leave localCheckpoint RDD blocks that clearCache doesn't
+    // touch (they drain via the ContextCleaner), and suite order is
+    // not guaranteed
     spark.catalog.clearCache()
-    // one-shot convenience: no persisted blocks survive the action
+    def storedIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val before = storedIds
+    // one-shot convenience: no NEW persisted blocks survive the action
     Graft.dedup.minhashCandidates(corpus, "my_id", "body").count()
-    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+    assert((storedIds -- before).isEmpty,
       "one-shot minhashCandidates leaked a cached frame")
-    // two-step form: the caller-held signature frame is the ONLY cache,
-    // and unpersisting it releases everything
+    // two-step form: the caller-held signature frame is the ONLY new
+    // cache, and unpersisting it releases everything it added
     val sig = Graft.dedup.signatures(corpus, "my_id", "body")
     assert(sig.storageLevel.useMemory || sig.storageLevel.useDisk)
     Graft.dedup.minhashCandidatesFor(sig).count()
-    assert(spark.sparkContext.getRDDStorageInfo.nonEmpty)
+    assert((storedIds -- before).nonEmpty)
     sig.unpersist(blocking = true)
     assert(sig.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+    assert((storedIds -- before).isEmpty,
       "signatures.unpersist left cached blocks behind")
   }
 

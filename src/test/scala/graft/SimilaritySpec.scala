@@ -19,13 +19,15 @@ class SimilaritySpec extends SparkSpec {
     Thread.sleep(1100)
     assert(Similarity.annIndex(spark, tmp) == data1)
     assert(marker.lastModified == stamp1, "index rebuilt despite unchanged source")
-    // source mtime change → fingerprint mismatch → rebuild
+    // source mtime change → fingerprint mismatch → rebuild publishes a
+    // NEW uniquely-named data dir through an atomic marker swap
     val src = new java.io.File(tmp, "embeddings.parquet")
     assert(src.setLastModified(src.lastModified + 5000))
-    assert(Similarity.annIndex(spark, tmp) == data1)
-    assert(marker.lastModified > stamp1, "index NOT rebuilt after source changed")
-    // the rebuilt index still serves a partition-pruned, correct scan
-    val idx = spark.read.parquet(data1)
+    val data2 = Similarity.annIndex(spark, tmp)
+    assert(data2 != data1, "index NOT rebuilt after source changed")
+    assert(marker.lastModified > stamp1)
+    // the rebuilt index still serves a correct scan
+    val idx = spark.read.parquet(data2)
     assert(idx.count() == Tables.embeddings(spark, tmp).count())
   }
 
