@@ -17,6 +17,36 @@ class PropertySpec extends SparkSpec {
   private def samples[A](gen: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("HtmlParser law: on fixture-shaped html the tokenizer equals the regex parse") {
+    // the S3/X1 oracles keep the regex formulation; this law pins the
+    // tokenizer to it over generated inputs, not just the 500 fixtures
+    val wordGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val paraGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val docGen = for {
+      nps <- Gen.chooseNum(1, 5)
+      paras <- Gen.listOfN(nps, paraGen)
+      head <- paraGen
+      href <- wordGen
+    } yield (head, paras, href)
+    val cases = samples(docGen, 40)
+    assert(cases.nonEmpty)
+    cases.foreach { case (head, paras, href) =>
+      val html = s"<html><h3>$head</h3>" +
+        paras.map(p => s"<p>$p</p>").mkString +
+        s"""<a href="https://x/$href">src</a></html>"""
+      val (els, lnks) = org.apache.spark.sql.graft.HtmlParser.parse(html)
+      // regex twins (the oracle formulation)
+      val reP = "<p>(.*?)</p>".r.findAllMatchIn(html).map(_.group(1)).toSeq
+      val reH3 = "<h3>(.*?)</h3>".r.findFirstMatchIn(html).map(_.group(1)).get
+      val reHref = "<a href=\"(.*?)\">".r.findFirstMatchIn(html).map(_.group(1)).get
+      assert(els.filter(_._1 == "p").map(_._2) == reP, html)
+      assert(els.find(_._1 == "h3").map(_._2).contains(reH3), html)
+      assert(lnks.map(_._2).headOption.contains(reHref), html)
+    }
+  }
+
   private val colNameGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
   private val schemaGen = Gen.chooseNum(1, 4).flatMap(k =>
     Gen.listOfN(k, colNameGen).map(_.distinct))
