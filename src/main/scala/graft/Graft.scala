@@ -32,6 +32,11 @@ object Graft {
   def dbMerge(x: DataFrame, y: DataFrame): DataFrame = SchemaUnion.dbMerge(x, y)
   def dbMergeAll(frames: Seq[DataFrame]): DataFrame = SchemaUnion.dbMergeAll(frames)
 
+  /** Key-upsert (MERGE / SCD-1): rows in `updates` replace same-key
+    * rows in `base`, the rest carries over. */
+  def upsertByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    operators.RelationalExt.upsertByKey(base, updates, keys)
+
   private def asDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
 

@@ -101,6 +101,43 @@ object RelationalExt {
       |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
 
   // ----------------------------------------------------------------
+  // Upsert (MERGE / SCD-1): updates win by key, the rest carries over
+  // ----------------------------------------------------------------
+
+  /** Generic key-upsert: rows from `updates` replace same-key rows in
+    * `base`; everything else carries over — the MERGE INTO shape on a
+    * plain parquet lake (no transactional table format in the runtime:
+    * the result is written back as a full or partition-scoped rewrite).
+    * One shuffle on the key for the anti-join; with both sides
+    * bucketed on the key it co-locates (PlanSpec proves the bucketed
+    * no-shuffle join). */
+  def upsertByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
+  /** Harness binding: every 10th order arrives re-priced (+1.00,
+    * exact in doubles — no rounding needed) and re-prioritized. */
+  private def u7Upsert: Q = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      .withColumn("o_orderpriority", lit("0-UPSERTED"))
+    upsertByKey(base, updates, Seq("o_orderkey"))
+  }
+
+  private val u7UpsertSql =
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_custkey, '0-UPSERTED' AS o_orderpriority,
+      |         o_totalprice + 1.0 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM updates
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)""".stripMargin
+
+  // ----------------------------------------------------------------
   // Multi-dimensional aggregation
   // ----------------------------------------------------------------
 
@@ -339,6 +376,7 @@ object RelationalExt {
     "j5_semi_anti" -> j5SemiAnti,
     "u5_intersect" -> u5Intersect,
     "u6_except" -> u6Except,
+    "u7_upsert" -> u7Upsert,
     "a5_rollup" -> a5Rollup,
     "a6_cube" -> a6Cube,
     "a7_pivot" -> a7Pivot)
@@ -354,6 +392,7 @@ object RelationalExt {
     "j5_semi_anti" -> j5SemiAntiSql,
     "u5_intersect" -> u5IntersectSql,
     "u6_except" -> u6ExceptSql,
+    "u7_upsert" -> u7UpsertSql,
     "a5_rollup" -> a5RollupSql,
     "a6_cube" -> a6CubeSql,
     "a7_pivot" -> a7PivotSql)

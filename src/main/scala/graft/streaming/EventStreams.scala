@@ -172,6 +172,25 @@ object EventStreams {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
+  // ---- idempotent sink: exactly-once parquet via foreachBatch ----
+
+  /** Replay-safe parquet sink (`foreachBatch`): each micro-batch writes
+    * to its OWN `batch=<id>` directory with overwrite, so a batch
+    * replayed after a failure (Structured Streaming re-runs the last
+    * uncommitted batch id) REWRITES its directory instead of appending
+    * duplicates — at-least-once delivery + idempotent write =
+    * exactly-once output. The standard lake-sink pattern when no
+    * transactional table format is available. Downstream reads
+    * `parquet(<path>)` and sees `batch` as a partition column. */
+  def idempotentParquetSink(events: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+      }
+      .start()
+
   // ---- custom state: running per-user stats via mapGroupsWithState ----
 
   case class UserEvent(user_id: Long, value: Double)
