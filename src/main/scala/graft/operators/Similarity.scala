@@ -154,15 +154,24 @@ object Similarity {
     new java.io.File(root, dataName).toString
   }
 
-  /** Approximate top-K with a PRUNED probe: the ≤9 Hamming-≤1 probe
-    * bucket ids are computed driver-side from the 1-row query vector (a
-    * legitimate collect), and the scan over the bucket-partitioned
-    * [[annIndex]] filters `bucket IN (<literals>)` — so the probe READS
-    * only 9 of 256 partitions (PartitionFilters, PlanSpec-asserted)
-    * instead of scanning every vector and filtering post-hoc (the r3
-    * scale-killer: a runtime qbucket from a cross join can't prune).
-    * Exact cosine then ranks the candidates. */
-  private def sAnnLsh: Q = (s, dir) => {
+  /** Approximate top-K with a PRUNED probe: the probe-bucket ids within
+    * Hamming ≤ `radius` of the query's bucket are computed driver-side
+    * from the 1-row query vector (a legitimate collect), and the scan
+    * over the bucket-partitioned [[annIndex]] filters
+    * `bucket IN (<literals>)` — PartitionFilters prune the scan to the
+    * probe partitions (PlanSpec-asserted) instead of scanning every
+    * vector and filtering post-hoc (the r3 scale-killer: a runtime
+    * qbucket from a cross join can't prune). Exact cosine then ranks
+    * the candidates.
+    *
+    * `radius` is the scan-fraction/recall knob: with 8 hyperplanes,
+    * radius 1 reads 9/256 partitions, radius 2 reads 37, radius 3
+    * reads 93. Measured on the harness fixture (near-random vectors,
+    * top-10 cosine ≈ 0.3 — the hard case for LSH): recall@10 is 2/10
+    * at radius 1 and 7/10 at radius 3 for a 38 % scan; clustered
+    * corpora (the realistic ANN workload) sit far above both. The
+    * SimilaritySpec pins this tradeoff. */
+  private[graft] def annLshTopk(s: SparkSession, dir: String, radius: Int): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     import s.implicits._
     val qRows = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec))
@@ -177,7 +186,9 @@ object Similarity {
     } else {
       val qRow = qRows(0)
       val qbucket = qRow.getInt(2)
-      val probes = (qbucket +: (0 until 8).map(j => qbucket ^ (1 << j))).map(Int.box)
+      val probes = (0 until 256)
+        .filter(b => java.lang.Integer.bitCount(b ^ qbucket) <= radius)
+        .map(Int.box)
       val q = Seq((qRow.getSeq[Float](0).toArray, qRow.getDouble(1))).toDF("qe", "qnrm")
       s.read.parquet(annIndex(s, dir))
         .filter(col("bucket").isin(probes: _*))
@@ -191,6 +202,8 @@ object Similarity {
           round(col("cos"), 6).as("cosine"))
     }
   }
+
+  private def sAnnLsh: Q = (s, dir) => annLshTopk(s, dir, radius = 1)
 
   private val sAnnLshSql =
     s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
@@ -301,6 +314,65 @@ object Similarity {
        |FROM cands ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
 
   // ----------------------------------------------------------------
+  // Scalar-quantized top-k: int8 codes, integer dot product
+  // ----------------------------------------------------------------
+
+  /** Compressed-domain similarity — the scan-IO half of an ANN system:
+    * SYMMETRIC per-dimension scalar quantization maps every float32 to
+    * an 8-bit code, code = round(x / s · 127) with s = per-dim max |x|
+    * (the "fit scalers, then transform" two-pass any SQ/PQ index build
+    * runs), and ranking uses the INTEGER dot product of the codes.
+    * Symmetric — no shift — because an affine min-max shift moves the
+    * corpus off the origin and its dot products stop tracking angle
+    * (measured recall@10 collapsed to 0/10 that way; symmetric codes
+    * measure 7–8/10 against the exact top-10, spec-pinned). All
+    * arithmetic is exact: |codes| ≤ 127, code products ≤ 16 129, and a
+    * 64-dim sum of those is far inside float-product and double-sum
+    * exactness — so quantization and ranking are bit-identical in
+    * DuckDB with no rounding tolerance. */
+  private def sQuantizedTopk: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val exploded = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+    val stats = exploded.groupBy("pos")
+      .agg(greatest(abs(min(col("x"))), abs(max(col("x")))).as("sc"))
+    val quant = exploded.join(broadcast(stats), "pos")
+      .withColumn("q",
+        when(col("sc") === 0.0, lit(0.0))
+          .otherwise(round(col("x").cast("double") / col("sc").cast("double") * 127.0))
+          .cast("float"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"),
+        expr("transform(array_sort(collect_list(struct(pos, q))), s -> s.q)").as("qe"))
+    val q = quant.filter(col("vec_id") === QueryVec).select(col("qe").as("qq"))
+    quant.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(foldDot("qe", "qq")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(K)
+  }
+
+  private val sQuantizedTopkSql =
+    s"""WITH e AS (SELECT vec_id, label,
+       |             unnest(range(1, len(embedding) + 1)) AS pos,
+       |             unnest(embedding) AS x
+       |           FROM embeddings),
+       |stats AS (SELECT pos, greatest(abs(min(x)), abs(max(x))) AS sc FROM e GROUP BY pos),
+       |quant AS (SELECT vec_id, label,
+       |            list(CASE WHEN sc = 0 THEN 0.0
+       |                 ELSE round(x::DOUBLE / sc::DOUBLE * 127.0)
+       |                 END ORDER BY pos)::FLOAT[] AS qe
+       |          FROM e JOIN stats USING (pos)
+       |          GROUP BY vec_id, label),
+       |q AS (SELECT qe AS qq FROM quant WHERE vec_id = $QueryVec)
+       |SELECT vec_id, label, CAST(${duckFoldDot("qe", "qq")} AS BIGINT) AS score
+       |FROM quant CROSS JOIN q
+       |WHERE vec_id <> $QueryVec
+       |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+
+  // ----------------------------------------------------------------
   // Blocked kNN: top-3 neighbours per vector within its label cell
   // ----------------------------------------------------------------
 
@@ -406,11 +478,13 @@ object Similarity {
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
     "s_ivf_ann" -> sIvfAnn,
+    "s_quantized_topk" -> sQuantizedTopk,
     "s_blocked_knn" -> sBlockedKnn,
     "s_topk_agg" -> sTopkAgg,
     "s_centroids" -> sCentroids)
 
   val oracles: Map[String, String] = Map(
+    "s_quantized_topk" -> sQuantizedTopkSql,
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ivf_ann" -> sIvfAnnSql,

@@ -47,6 +47,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("approximate variants keep recall@10 against the exact top-10") {
+    // guards against silent recall collapse when cell/quantization
+    // parameters change; the fixture vectors are near-random (top-10
+    // cosine ≈ 0.3 vs median ≈ 0), LSH's hard case, so the LSH bound
+    // is asserted through its radius knob below rather than here
+    val brute = Similarity.queries("s_cosine_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    for (q <- Seq("s_ivf_ann", "s_quantized_topk")) {
+      val approx = Similarity.queries(q)(spark, sf)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = (approx & brute).size
+      assert(recall >= 5, s"$q recall@10 = $recall/10 against exact top-10")
+    }
+  }
+
+  test("LSH probe radius trades scan fraction for recall (the multi-probe knob)") {
+    val brute = Similarity.queries("s_cosine_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recallAt(r: Int) = (Similarity.annLshTopk(spark, sf, r)
+      .select("vec_id").collect().map(_.getLong(0)).toSet & brute).size
+    val r1 = recallAt(1)
+    val r3 = recallAt(3)
+    assert(r3 >= r1, s"widening the probe cannot lose recall ($r1 -> $r3)")
+    assert(r3 >= 5, s"radius-3 recall@10 = $r3/10 — collapsed below the measured 7/10 baseline")
+  }
+
   test("s_cosine_topk returns k rows in descending cosine order") {
     val rows = Similarity.queries("s_cosine_topk")(spark, sf).collect()
     assert(rows.length == 10)
