@@ -47,6 +47,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CC law: star contraction equals label propagation on random graphs") {
+    // two independent algorithms, one spec: any divergence on random
+    // multigraphs (self-loops, parallel edges, isolated stars) is a bug
+    // in one of them
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 16)
+      m <- Gen.chooseNum(1, 24)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (f"n$a%02d", f"n$b%02d"))
+    } yield edges
+    val cases = samples(edgeGen, 4)
+    assert(cases.nonEmpty)
+    cases.foreach { edges =>
+      val e = edges.toDF("src", "dst")
+      val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lp = graft.operators.Graph.labelPropagate(und).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val star = graft.operators.Graph.starContractComponents(und).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(star == lp, s"divergence on edges $edges")
+    }
+  }
+
   private val colNameGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
   private val schemaGen = Gen.chooseNum(1, 4).flatMap(k =>
     Gen.listOfN(k, colNameGen).map(_.distinct))
