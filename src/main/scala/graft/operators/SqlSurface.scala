@@ -63,14 +63,34 @@ object SqlSurface {
       |SELECT o_custkey, o_orderkey AS top_order, o_totalprice AS top_price
       |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** LATERAL correlated subquery — per-nation top-3 customers by
+    * balance; Spark plans the correlated limit as a ranked window. */
+  private val lateralText =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 3) c""".stripMargin
+
+  /** Explicit GROUPING SETS (the general form behind ROLLUP/CUBE):
+    * per-flag, per-status, and grand-total groups in one shuffle. */
+  private val groupingSetsText =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_q6_forecast" -> sql(q6Text),
     "sql_exists_semijoin" -> sql(existsText),
-    "sql_cte_window" -> sql(cteWindowText))
+    "sql_cte_window" -> sql(cteWindowText),
+    "sql_lateral_topn" -> sql(lateralText),
+    "sql_grouping_sets" -> sql(groupingSetsText))
 
   // identical statements run as the DuckDB oracle
   val oracles: Map[String, String] = Map(
     "sql_q6_forecast" -> q6Text,
     "sql_exists_semijoin" -> existsText,
-    "sql_cte_window" -> cteWindowText)
+    "sql_cte_window" -> cteWindowText,
+    "sql_lateral_topn" -> lateralText,
+    "sql_grouping_sets" -> groupingSetsText)
 }

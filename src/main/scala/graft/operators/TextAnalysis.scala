@@ -309,8 +309,43 @@ object TextAnalysis {
        |      FROM documents)""".stripMargin
 
   // ----------------------------------------------------------------
+  // Sequence packing (token-budget binning for training shards)
+  // ----------------------------------------------------------------
+
+  private val PackBudget = 2048L
+
+  /** Sequence packing — the "fill each training shard to ~budget
+    * tokens" pass that turns a cleaned corpus into fixed-budget packs:
+    * documents are walked in stable doc_id order WITHIN each language
+    * shard (never a global order — the window partitions by `lang`, so
+    * shards parallelize; SURVEY §7.5(6)), and each doc's pack id is
+    * the integer division of the tokens accumulated BEFORE it by the
+    * budget — the streaming first-fit approximation every large
+    * pipeline uses (a doc may straddle two packs' boundary; exact
+    * bin-capacity packing is inherently sequential). Integer token
+    * counts ⇒ exact cumulative sums ⇒ tolerance-free oracle. */
+  private def tPackSequences: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"before DIV $PackBudget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+  }
+
+  private val tPackSequencesSql = {
+    val toks = duckTokens("text")
+    s"""SELECT doc_id, lang, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS pack_id
+       |FROM (SELECT doc_id, lang, len($toks) AS n_tokens FROM documents)""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
+    "t_pack_sequences" -> tPackSequences,
     "t_redact_pii" -> tRedactPii,
     "t_top_tokens" -> tTopTokens,
     "t_token_count" -> tTokenCount,
@@ -320,6 +355,7 @@ object TextAnalysis {
     "t_tfidf" -> tTfidf)
 
   val oracles: Map[String, String] = Map(
+    "t_pack_sequences" -> tPackSequencesSql,
     "t_redact_pii" -> tRedactPiiSql,
     "t_top_tokens" -> tTopTokensSql,
     "t_token_count" -> tTokenCountSql,
