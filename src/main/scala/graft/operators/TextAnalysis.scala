@@ -258,9 +258,16 @@ object TextAnalysis {
 
   // Patterns chosen to behave identically under Java regex (Spark) and
   // RE2 (DuckDB): character classes, bounded repetition, \b anchors.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
-  private val IpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+  private[graft] val IpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** DuckDB twin of [[redactPii]] over the SQL expression `inner`. */
+  private[graft] def duckRedact(inner: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($inner,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$IpRe', '<IP>', 'g')""".stripMargin
 
   /** Column form of the redaction (the façade surface): emails, phone
     * numbers, IPv4 addresses → typed placeholders. */
@@ -298,10 +305,7 @@ object TextAnalysis {
        |  len(regexp_extract_all(raw, '$EmailRe')) AS n_emails,
        |  len(regexp_extract_all(raw, '$PhoneRe')) AS n_phones,
        |  len(regexp_extract_all(raw, '$IpRe')) AS n_ips,
-       |  regexp_replace(regexp_replace(regexp_replace(raw,
-       |    '$EmailRe', '<EMAIL>', 'g'),
-       |    '$PhoneRe', '<PHONE>', 'g'),
-       |    '$IpRe', '<IP>', 'g') AS redacted
+       |  ${duckRedact("raw")} AS redacted
        |FROM (SELECT doc_id,
        |        text || ' contact: user' || doc_id || '@example.com tel +1-555-' ||
        |        lpad((doc_id % 10000)::VARCHAR, 4, '0') ||

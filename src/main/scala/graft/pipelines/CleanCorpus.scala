@@ -75,7 +75,10 @@ object CleanCorpus {
     exact.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
-  private val cleanSql = {
+  /** Shared CTE chain ending in `kept(doc_id, lang, n_chars, n_words,
+    * quality)` — the oracle twin of [[clean]], reused verbatim by the
+    * training-shards oracle so the two stay in lockstep. */
+  private val cleanCteSql = {
     val stopList = Seq("the", "a", "of", "is", "and", "to", "in")
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH ${Dedup.duckMinhashCandCte},
@@ -109,12 +112,56 @@ object CleanCorpus {
        |  FROM mh
        |  JOIN exact ea ON mh.a_id = ea.doc_id
        |  JOIN exact eb ON mh.b_id = eb.doc_id
-       |  WHERE mh.est_jaccard >= $EstJaccardDrop)
-       |SELECT e.doc_id, e.lang, e.n_chars, e.n_words, e.quality
-       |FROM exact e
-       |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = e.doc_id)""".stripMargin
+       |  WHERE mh.est_jaccard >= $EstJaccardDrop),
+       |kept AS (
+       |  SELECT e.doc_id, e.lang, e.n_chars, e.n_words, e.quality
+       |  FROM exact e
+       |  WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = e.doc_id))""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("pipeline_clean_corpus" -> ((s, d) => clean(s, d)))
-  val oracles: Map[String, String] = Map("pipeline_clean_corpus" -> cleanSql)
+  private val cleanSql =
+    s"""$cleanCteSql
+       |SELECT doc_id, lang, n_chars, n_words, quality FROM kept""".stripMargin
+
+  private val PackBudget = 2048L
+
+  /** The capstone composite — the engine's end product as one query:
+    * the cleaned corpus ([[clean]]: quality gate → exact dedup →
+    * near-dup prune) is PII-redacted and packed into token-budget
+    * training shards per language (the same lang-partitioned
+    * cumulative-sum packing as t_pack_sequences, over the SURVIVORS).
+    * At 100 TB: every stage before the final projection moves ids and
+    * counts; the full text is touched exactly twice (once to score,
+    * once to redact at emit). */
+  def trainingShards(s: SparkSession, dir: String): DataFrame = {
+    val kept = clean(s, dir).select(col("doc_id"), col("lang"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept.join(docs, "doc_id")
+      .withColumn("n_tokens", size(expr(Dedup.toksExpr)).cast("long"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"before DIV $PackBudget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
+        graft.operators.TextAnalysis.redactPii(col("text")).as("redacted"))
+  }
+
+  private val trainingShardsSql =
+    s"""$cleanCteSql,
+       |shard AS (
+       |  SELECT k.doc_id, k.lang, d.text,
+       |         CAST(len(${Dedup.duckToks}) AS BIGINT) AS n_tokens
+       |  FROM kept k JOIN documents d ON k.doc_id = d.doc_id)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS pack_id,
+       |  ${graft.operators.TextAnalysis.duckRedact("text")} AS redacted
+       |FROM shard""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_clean_corpus" -> ((s, d) => clean(s, d)),
+    "pipeline_training_shards" -> ((s, d) => trainingShards(s, d)))
+  val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" -> cleanSql,
+    "pipeline_training_shards" -> trainingShardsSql)
 }
