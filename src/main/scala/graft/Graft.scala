@@ -185,7 +185,8 @@ object Graft {
       * contraction: O(log n) rounds regardless of diameter — the
       * 100 TB-safe variant for graphs whose diameter is unknown.
       * Same (node, label = component min) output as
-      * [[connectedComponents]]. */
+      * [[connectedComponents]], and the same contract: `und` must
+      * hold BOTH edge directions (nodes are taken from `src`). */
     def connectedComponentsStar(und: DataFrame, reliable: Boolean = false): DataFrame =
       Graph.starContractComponents(und, reliable)
   }

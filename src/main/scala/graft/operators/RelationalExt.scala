@@ -108,12 +108,19 @@ object RelationalExt {
     * `base`; everything else carries over — the MERGE INTO shape on a
     * plain parquet lake (no transactional table format in the runtime:
     * the result is written back as a full or partition-scoped rewrite).
-    * One shuffle on the key for the anti-join; with both sides
-    * bucketed on the key it co-locates (PlanSpec proves the bucketed
-    * no-shuffle join). */
-  def upsertByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    updates.unionByName(
-      base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    * The anti-join is NULL-SAFE (`<=>`), so a null-keyed base row is
+    * replaced by a null-keyed update instead of silently surviving
+    * alongside it. Update rows pass through as-is: supplying several
+    * update rows for one key is the caller's MERGE "multiple source
+    * rows matched" error, not something this operator resolves. One
+    * shuffle on the key for the anti-join; with both sides bucketed on
+    * the key it co-locates (PlanSpec proves the bucketed no-shuffle
+    * join). */
+  def upsertByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val upd = updates.select(keys.map(col): _*).distinct()
+    val cond = keys.map(k => base(k) <=> upd(k)).reduce(_ && _)
+    updates.unionByName(base.join(upd, cond, "left_anti"))
+  }
 
   /** Harness binding: every 10th order arrives re-priced (+1.00,
     * exact in doubles — no rounding needed) and re-prioritized. */

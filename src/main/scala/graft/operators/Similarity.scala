@@ -345,6 +345,12 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(first(col("label")).as("label"),
         expr("transform(array_sort(collect_list(struct(pos, q))), s -> s.q)").as("qe"))
+      // two consumers read the quantized frame (the broadcast query row
+      // and the corpus probe side) — persisted for the query's duration
+      // so the explode+stats+rebuild pipeline runs once, not twice
+      // (same rationale as d_ngram_jaccard's index persist; the harness
+      // clears the cache per query)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = quant.filter(col("vec_id") === QueryVec).select(col("qe").as("qq"))
     quant.filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(q))

@@ -316,7 +316,27 @@ object TextAnalysis {
   // Sequence packing (token-budget binning for training shards)
   // ----------------------------------------------------------------
 
-  private val PackBudget = 2048L
+  private[graft] val PackBudget = 2048L
+
+  /** Lang-partitioned token-budget packing: adds `pack_id` to a frame
+    * carrying (doc_id, lang, n_tokens). ONE definition shared by
+    * t_pack_sequences and the training-shards pipeline (and its DuckDB
+    * twin below), so the packing rule cannot drift between them. */
+  private[graft] def withPackId(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__before DIV $PackBudget"))
+      .drop("__before")
+  }
+
+  /** DuckDB twin of [[withPackId]]'s pack_id expression (expects
+    * n_tokens/lang/doc_id in scope; BIGINT cast because DuckDB integer
+    * sum() is HUGEINT, which the comparator stringifies as float). */
+  private[graft] val duckPackIdExpr: String =
+    s"""CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT)""".stripMargin
 
   /** Sequence packing — the "fill each training shard to ~budget
     * tokens" pass that turns a cleaned corpus into fixed-budget packs:
@@ -328,23 +348,17 @@ object TextAnalysis {
     * pipeline uses (a doc may straddle two packs' boundary; exact
     * bin-capacity packing is inherently sequential). Integer token
     * counts ⇒ exact cumulative sums ⇒ tolerance-free oracle. */
-  private def tPackSequences: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("pack_id", expr(s"before DIV $PackBudget"))
+  private def tPackSequences: Q = (s, dir) =>
+    withPackId(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
-  }
 
   private val tPackSequencesSql = {
     val toks = duckTokens("text")
     s"""SELECT doc_id, lang, n_tokens,
-       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS pack_id
+       |  $duckPackIdExpr AS pack_id
        |FROM (SELECT doc_id, lang, len($toks) AS n_tokens FROM documents)""".stripMargin
   }
 

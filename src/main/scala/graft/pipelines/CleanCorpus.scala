@@ -123,25 +123,21 @@ object CleanCorpus {
     s"""$cleanCteSql
        |SELECT doc_id, lang, n_chars, n_words, quality FROM kept""".stripMargin
 
-  private val PackBudget = 2048L
-
   /** The capstone composite — the engine's end product as one query:
     * the cleaned corpus ([[clean]]: quality gate → exact dedup →
     * near-dup prune) is PII-redacted and packed into token-budget
-    * training shards per language (the same lang-partitioned
-    * cumulative-sum packing as t_pack_sequences, over the SURVIVORS).
-    * At 100 TB: every stage before the final projection moves ids and
-    * counts; the full text is touched exactly twice (once to score,
-    * once to redact at emit). */
+    * training shards per language, via the SHARED packing helper
+    * ([[graft.operators.TextAnalysis.withPackId]] — one packing rule,
+    * no drift from t_pack_sequences) over the SURVIVORS. At 100 TB:
+    * every stage before the final projection moves ids and counts; the
+    * full text is touched exactly twice (once to score, once to redact
+    * at emit). */
   def trainingShards(s: SparkSession, dir: String): DataFrame = {
     val kept = clean(s, dir).select(col("doc_id"), col("lang"))
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    kept.join(docs, "doc_id")
-      .withColumn("n_tokens", size(expr(Dedup.toksExpr)).cast("long"))
-      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("pack_id", expr(s"before DIV $PackBudget"))
+    graft.operators.TextAnalysis.withPackId(
+        kept.join(docs, "doc_id")
+          .withColumn("n_tokens", size(expr(Dedup.toksExpr)).cast("long")))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
         graft.operators.TextAnalysis.redactPii(col("text")).as("redacted"))
   }
@@ -153,8 +149,7 @@ object CleanCorpus {
        |         CAST(len(${Dedup.duckToks}) AS BIGINT) AS n_tokens
        |  FROM kept k JOIN documents d ON k.doc_id = d.doc_id)
        |SELECT doc_id, lang, n_tokens,
-       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS pack_id,
+       |  ${graft.operators.TextAnalysis.duckPackIdExpr} AS pack_id,
        |  ${graft.operators.TextAnalysis.duckRedact("text")} AS redacted
        |FROM shard""".stripMargin
 

@@ -174,6 +174,14 @@ object EventStreams {
 
   // ---- idempotent sink: exactly-once parquet via foreachBatch ----
 
+  /** The per-batch write the sink below runs — exposed so the replay
+    * path is testable: calling this twice with the same id must leave
+    * exactly one copy of the batch (StreamingSpec drives THIS function
+    * for its replay simulation, so a regression to append mode fails
+    * the test). */
+  def writeBatch(batch: Dataset[org.apache.spark.sql.Row], path: String, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+
   /** Replay-safe parquet sink (`foreachBatch`): each micro-batch writes
     * to its OWN `batch=<id>` directory with overwrite, so a batch
     * replayed after a failure (Structured Streaming re-runs the last
@@ -187,7 +195,7 @@ object EventStreams {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+        writeBatch(batch, path, id)
       }
       .start()
 

@@ -109,10 +109,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val out = spark.read.parquet(s"$dir/out")
       assert(out.count() == 3)
-      // simulate the failure-replay path: re-run an already-committed
-      // batch id — the overwrite write is idempotent, count unchanged
-      Seq((1L, "a"), (2L, "b")).toDF("user_id", "event_type")
-        .write.mode("overwrite").parquet(s"$dir/out/batch=0")
+      // simulate the failure-replay path through the SINK'S OWN write
+      // function: re-running an already-committed batch id must leave
+      // one copy (a regression to append mode fails here)
+      streaming.EventStreams.writeBatch(
+        Seq((1L, "a"), (2L, "b")).toDF("user_id", "event_type"), s"$dir/out", 0L)
       assert(spark.read.parquet(s"$dir/out").count() == 3)
       // batch id rides along as a partition column for downstream audit
       assert(spark.read.parquet(s"$dir/out").select("batch").distinct().count() == 2)
