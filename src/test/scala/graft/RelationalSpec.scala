@@ -95,6 +95,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("registerViews serves the CURRENT dir's data — no stale memo (ADVICE r3)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    graft.operators.SqlSurface.registerViews(spark, sf)
+    val fullCount = spark.sql("SELECT count(*) AS n FROM region").collect()(0).getLong(0)
+    assert(fullCount > 3)
+    // a second dir with the same tables but a truncated region: the old
+    // SparkSession-keyed memo would keep serving the first registration
+    val dir2 = Files.createTempDirectory("graft-views").toString
+    Tables.names.foreach { t =>
+      Files.copy(Paths.get(sf, s"$t.parquet"), Paths.get(dir2, s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Tables.region(spark, sf).limit(3).write.mode("overwrite")
+      .parquet(s"$dir2/region.parquet")
+    graft.operators.SqlSurface.registerViews(spark, dir2)
+    assert(spark.sql("SELECT count(*) AS n FROM region").collect()(0).getLong(0) == 3)
+    // and re-registering the original dir switches straight back
+    graft.operators.SqlSurface.registerViews(spark, sf)
+    assert(spark.sql("SELECT count(*) AS n FROM region").collect()(0).getLong(0) == fullCount)
+  }
+
   test("upsertByKey replaces null-keyed rows too (null-safe anti-join)") {
     import spark.implicits._
     val base = Seq((Option(1L), "old1"), (Option.empty[Long], "oldnull"), (Option(2L), "keep"))
