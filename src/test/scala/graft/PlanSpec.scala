@@ -11,6 +11,17 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("plan sweep: no CartesianProduct in ANY registered query") {
+    // the blanket scale-killer guard across the whole surface; the
+    // 1-row broadcast cross joins in the similarity family plan as
+    // BroadcastNestedLoopJoin (bounded by the broadcast side = 1 row),
+    // never as a CartesianProduct
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+
   test("p3: equality predicate reaches the parquet scan") {
     val p = plan("p3_eq_filter")
     assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
