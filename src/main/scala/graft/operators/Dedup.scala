@@ -574,8 +574,15 @@ object Dedup {
 
   /** Embedding near-dup: each vector's best cosine match within its
     * sign-LSH bucket (sign bits of the first 8 dims). The bucket join
-    * replaces the all-pairs O(n²) search — at 100 TB pairs only form
-    * inside 256-way buckets. Cosine via deterministic left-fold. */
+    * replaces the all-pairs O(n²) search — pairs only form inside
+    * 256-way buckets. Dimensioning note for 100 TB: fixed-width
+    * buckets bound the CONSTANT, not the asymptote (E[pairs] ≈
+    * n²/256), so production sizes the width with the corpus —
+    * bits ≈ log₂(n / target_bucket_size), exactly the occupancy
+    * argument behind SimHash's 12-bit bands above; true near-dups
+    * (cos ≈ 1) share ALL sign bits, so widening costs no recall.
+    * 8 bits here keeps the harness fixture's buckets populated.
+    * Cosine via deterministic left-fold. */
   private def dEmbeddingNearDup: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val signBucket = expr(
