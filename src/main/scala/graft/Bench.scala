@@ -39,7 +39,15 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     def timeAll(): Map[String, (Double, Boolean)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // Force with a noop WRITE, not count(): count() lets Catalyst
+      // prune every projection not needed for row counting, so a
+      // narrow projection query (t_redact_pii, f_strings, ...) would
+      // be timed as little more than scan+count. The noop sink
+      // evaluates every output column and discards the rows — the
+      // honest cost of the materialized plan.
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop their persisted frames so cache
       // accumulation over ~70 queries doesn't turn into GC pressure

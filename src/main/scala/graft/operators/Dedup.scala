@@ -561,16 +561,13 @@ object Dedup {
   // Embedding-cosine near-dup (sign-LSH blocked)
   // ----------------------------------------------------------------
 
-  /** Deterministic left-fold dot product — identical FP operation order
-    * in Spark and DuckDB, so results are bit-identical (SURVEY §5.2). */
-  /** Native codegen'd left-fold dot product (see DotProduct). */
-  private def foldDot(a: String, b: String): String =
-    s"graft_dot($a, $b)"
+  /** Deterministic left-fold dot product and sign-LSH bucket — the
+    * SHARED definitions from [[Similarity]] (one fold, one geometry:
+    * d_embedding_near_dup blocks with the same buckets s_ann_lsh
+    * probes). */
+  private def foldDot(a: String, b: String): String = Similarity.foldDot(a, b)
 
-  private def duckFoldDot(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0::DOUBLE,
-       |  list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
-       |  (acc, v) -> acc + v)""".stripMargin
+  private def duckFoldDot(a: String, b: String): String = Similarity.duckFoldDot(a, b)
 
   /** Embedding near-dup: each vector's best cosine match within its
     * sign-LSH bucket (sign bits of the first 8 dims). The bucket join
@@ -585,9 +582,7 @@ object Dedup {
     * Cosine via deterministic left-fold. */
   private def dEmbeddingNearDup: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val signBucket = expr(
-      (0 until 8).map(j => s"CASE WHEN element_at(embedding, ${j + 1}) >= 0 THEN ${1 << j} ELSE 0 END")
-        .mkString(" + "))
+    val signBucket = expr(Similarity.bucketExpr)
     // norms precomputed per vector, BELOW the pair join (one fold per
     // pair instead of three — Similarity.scala has the measurement)
     val v = Tables.embeddings(s, dir)
@@ -604,9 +599,7 @@ object Dedup {
   }
 
   private val dEmbeddingNearDupSql = {
-    val bucket = (0 until 8)
-      .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
-      .mkString(" + ")
+    val bucket = Similarity.duckBucketExpr
     s"""WITH v AS (SELECT vec_id, embedding, ($bucket) AS bucket,
        |             sqrt(${duckFoldDot("embedding", "embedding")}) AS nrm
        |           FROM embeddings),

@@ -74,6 +74,11 @@ object Multimodal {
     withPayload(Tables.documents(s, dir))
       .withColumn("n_frames",
         ((length(col("payload")) + FrameBytes - 1) / FrameBytes).cast("int"))
+      // Spark's sequence(start, stop) steps -1 when stop < start, so an
+      // empty payload (n_frames = 0) would yield [0, -1] — a phantom
+      // frame the oracle's range(0, 0) never emits. Zero-frame rows
+      // must produce zero output rows.
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       .filter(col("frame_idx") % SampleEvery === 0)

@@ -38,8 +38,9 @@ object Similarity {
   // ---------------- portable cosine ----------------
 
   /** Native codegen'd left-fold dot product (see DotProduct): same
-    * bits as the zip_with/aggregate HOF form, one compiled loop. */
-  private def foldDot(a: String, b: String): String =
+    * bits as the zip_with/aggregate HOF form, one compiled loop.
+    * Shared with Dedup's embedding near-dup — ONE fold definition. */
+  private[graft] def foldDot(a: String, b: String): String =
     s"graft_dot($a, $b)"
 
   /** cos from a precomputed per-vector norm column on each side: the
@@ -49,7 +50,7 @@ object Similarity {
   private def cosExpr(a: String, b: String, normA: String, normB: String): String =
     s"""${foldDot(a, b)} / ($normA * $normB)"""
 
-  private def duckFoldDot(a: String, b: String): String =
+  private[graft] def duckFoldDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
        |  list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
        |  (acc, v) -> acc + v)""".stripMargin
@@ -64,12 +65,15 @@ object Similarity {
   private val duckNormExpr =
     s"sqrt(${duckFoldDot("embedding", "embedding")})"
 
-  /** 8-bit sign-LSH bucket (axis-aligned hyperplanes on dims 1..8). */
-  private val bucketExpr = (0 until 8)
+  /** 8-bit sign-LSH bucket (axis-aligned hyperplanes on dims 1..8).
+    * Shared with Dedup's embedding near-dup so both operators use the
+    * SAME LSH geometry — a bucketing change lands everywhere at once
+    * (and must bump [[IndexFormatVersion]]). */
+  private[graft] val bucketExpr = (0 until 8)
     .map(j => s"CASE WHEN element_at(embedding, ${j + 1}) >= 0 THEN ${1 << j} ELSE 0 END")
     .mkString(" + ")
 
-  private val duckBucketExpr = (0 until 8)
+  private[graft] val duckBucketExpr = (0 until 8)
     .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
     .mkString(" + ")
 
@@ -151,7 +155,25 @@ object Similarity {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       name
     }
+    // Bound /tmp growth: every rebuild leaves the superseded emb-* dir
+    // (a full copy of the embeddings table) behind; on a host whose
+    // source data evolves, that grows without bound. Sweep builds that
+    // are (a) not the live one and (b) past a grace window long enough
+    // that no reader which resolved them through an older marker can
+    // still be scanning. Deletion failures are ignored — a concurrent
+    // sweeper winning the race is fine.
+    val grace = 30L * 60 * 1000
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("emb-") &&
+        f.getName != dataName &&
+        System.currentTimeMillis() - f.lastModified > grace)
+      .foreach(deleteRecursively)
     new java.io.File(root, dataName).toString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    try { f.delete(); () } catch { case _: Throwable => () }
   }
 
   /** Approximate top-K with a PRUNED probe: the probe-bucket ids within

@@ -62,12 +62,13 @@ object TextAnalysis {
   private def stopwordArray = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
   private def duckStopwordList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** Heuristic document-quality score (Gopher/C4-style filters): word
-    * count, mean word length, stopword ratio, alpha ratio — combined
-    * into one score. Pure per-row arithmetic: one stage at any scale. */
-  private def tQualityScore: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
+  /** THE quality-heuristic definition — shared by [[tQualityScore]]
+    * and the [[graft.pipelines.CleanCorpus]] gate so a tweak to one
+    * band can't silently desynchronize the report from the pipeline.
+    * Adds `toks, n_words, stop_ratio, alpha_ratio, mean_word_len` and
+    * the unrounded 4-band `quality` to a frame with `text, n_chars`. */
+  private[graft] def withQualityHeuristics(df: DataFrame): DataFrame =
+    df.withColumn("toks", tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("double"))
       .withColumn("stop_ratio",
         size(filter(col("toks"), t => array_contains(expr(stopwordArray), t)))
@@ -78,41 +79,53 @@ object TextAnalysis {
       .withColumn("mean_word_len",
         aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
           / col("n_words"))
+      .withColumn("quality",
+        when(col("n_words") >= 20, lit(0.25)).otherwise(lit(0.0))
+          + when(col("stop_ratio").between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0))
+          + when(col("alpha_ratio") >= 0.7, lit(0.25)).otherwise(lit(0.0))
+          + when(col("mean_word_len").between(3.0, 10.0), lit(0.25)).otherwise(lit(0.0)))
+
+  /** Oracle twin of [[withQualityHeuristics]]: subquery emitting
+    * doc_id, lang, text, n_chars + the four heuristic columns from
+    * `documents`. */
+  private[graft] val duckQualityMetricsSub =
+    s"""SELECT doc_id, lang, text, n_chars,
+       |    len(toks)::DOUBLE AS n_words,
+       |    len(list_filter(toks, t -> list_contains($duckStopwordList, t))) / len(toks)::DOUBLE AS stop_ratio,
+       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
+       |                (acc, x) -> acc + x)::DOUBLE / len(toks) AS mean_word_len
+       |  FROM (SELECT doc_id, lang, text, n_chars, ${duckTokens("text")} AS toks FROM documents)""".stripMargin
+
+  /** Oracle twin of the 4-band quality sum (unrounded). */
+  private[graft] val duckQualityCaseSql =
+    """(CASE WHEN n_words >= 20 THEN 0.25 ELSE 0.0 END)
+      |   + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+      |   + (CASE WHEN alpha_ratio >= 0.7 THEN 0.25 ELSE 0.0 END)
+      |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)""".stripMargin
+
+  /** Heuristic document-quality score (Gopher/C4-style filters): word
+    * count, mean word length, stopword ratio, alpha ratio — combined
+    * into one score. Pure per-row arithmetic: one stage at any scale. */
+  private def tQualityScore: Q = (s, dir) =>
+    withQualityHeuristics(Tables.documents(s, dir))
       .select(
         col("doc_id"),
         col("n_words").cast("long").as("n_words"),
         round(col("stop_ratio"), 6).as("stop_ratio"),
         round(col("alpha_ratio"), 6).as("alpha_ratio"),
         round(col("mean_word_len"), 6).as("mean_word_len"),
-        round(
-          when(col("n_words") >= 20, lit(0.25)).otherwise(lit(0.0))
-            + when(col("stop_ratio").between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0))
-            + when(col("alpha_ratio") >= 0.7, lit(0.25)).otherwise(lit(0.0))
-            + when(col("mean_word_len").between(3.0, 10.0), lit(0.25)).otherwise(lit(0.0)),
-          2).as("quality"))
+        round(col("quality"), 2).as("quality"))
 
-  private val tQualityScoreSql = {
-    val toks = duckTokens("text")
+  private val tQualityScoreSql =
     s"""SELECT doc_id,
        | CAST(n_words AS BIGINT) AS n_words,
        | round(stop_ratio, 6) AS stop_ratio,
        | round(alpha_ratio, 6) AS alpha_ratio,
        | round(mean_word_len, 6) AS mean_word_len,
-       | round(
-       |   (CASE WHEN n_words >= 20 THEN 0.25 ELSE 0.0 END)
-       |   + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
-       |   + (CASE WHEN alpha_ratio >= 0.7 THEN 0.25 ELSE 0.0 END)
-       |   + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END),
+       | round($duckQualityCaseSql,
        |  2) AS quality
-       |FROM (
-       |  SELECT doc_id,
-       |    len(toks)::DOUBLE AS n_words,
-       |    len(list_filter(toks, t -> list_contains($duckStopwordList, t))) / len(toks)::DOUBLE AS stop_ratio,
-       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
-       |    list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
-       |                (acc, x) -> acc + x)::DOUBLE / len(toks) AS mean_word_len
-       |  FROM (SELECT doc_id, text, n_chars, $toks AS toks FROM documents))""".stripMargin
-  }
+       |FROM ($duckQualityMetricsSub)""".stripMargin
 
   // ----------------------------------------------------------------
   // Language identification: profile-overlap heuristic

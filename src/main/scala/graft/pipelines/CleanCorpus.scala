@@ -33,23 +33,10 @@ object CleanCorpus {
   def clean(s: SparkSession, dir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
 
-    // stage 1 — quality gate (same heuristics as t_quality_score)
-    val stopwordArray = Seq("the", "a", "of", "is", "and", "to", "in")
-      .map(w => s"'$w'").mkString("array(", ", ", ")")
-    val scored = Tables.documents(s, dir)
-      .withColumn("toks", expr(Dedup.toksExpr))
-      .withColumn("n_words", size(col("toks")).cast("double"))
-      .withColumn("stop_ratio",
-        size(filter(col("toks"), t => array_contains(expr(stopwordArray), t))) / col("n_words"))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / col("n_chars"))
-      .withColumn("mean_word_len",
-        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") / col("n_words"))
-      .withColumn("quality",
-        when(col("n_words") >= 20, lit(0.25)).otherwise(lit(0.0))
-          + when(col("stop_ratio").between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0))
-          + when(col("alpha_ratio") >= 0.7, lit(0.25)).otherwise(lit(0.0))
-          + when(col("mean_word_len").between(3.0, 10.0), lit(0.25)).otherwise(lit(0.0)))
+    // stage 1 — quality gate: the SHARED heuristic definition
+    // (TextAnalysis.withQualityHeuristics), so t_quality_score and
+    // this gate can never drift apart
+    val scored = graft.operators.TextAnalysis.withQualityHeuristics(Tables.documents(s, dir))
     val quality = scored.filter(col("quality") >= MinQuality)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("n_words").cast("long").as("n_words"), round(col("quality"), 2).as("quality"))
@@ -79,24 +66,13 @@ object CleanCorpus {
     * quality)` — the oracle twin of [[clean]], reused verbatim by the
     * training-shards oracle so the two stay in lockstep. */
   private val cleanCteSql = {
-    val stopList = Seq("the", "a", "of", "is", "and", "to", "in")
-      .map(w => s"'$w'").mkString("[", ", ", "]")
+    import graft.operators.TextAnalysis.{duckQualityCaseSql, duckQualityMetricsSub}
     s"""WITH ${Dedup.duckMinhashCandCte},
        |scored AS (
        |  SELECT doc_id, lang, n_chars,
        |    CAST(n_words AS BIGINT) AS n_words,
-       |    round((CASE WHEN n_words >= 20 THEN 0.25 ELSE 0.0 END)
-       |      + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
-       |      + (CASE WHEN alpha_ratio >= 0.7 THEN 0.25 ELSE 0.0 END)
-       |      + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END), 2) AS quality
-       |  FROM (
-       |    SELECT doc_id, lang, n_chars,
-       |      len(toks)::DOUBLE AS n_words,
-       |      len(list_filter(toks, tk -> list_contains($stopList, tk))) / len(toks)::DOUBLE AS stop_ratio,
-       |      length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
-       |      list_reduce(list_prepend(0::BIGINT, list_transform(toks, tk -> length(tk)::BIGINT)),
-       |                  (acc, x) -> acc + x)::DOUBLE / len(toks) AS mean_word_len
-       |    FROM (SELECT doc_id, lang, text, n_chars, ${Dedup.duckToks} AS toks FROM documents))),
+       |    round($duckQualityCaseSql, 2) AS quality
+       |  FROM ($duckQualityMetricsSub)),
        |quality AS (SELECT * FROM scored WHERE quality >= $MinQuality),
        |fp AS (SELECT doc_id,
        |         ${PortableHash.duckPolyHash(s"array_to_string(${Dedup.duckToks}, ' ')")} AS fp

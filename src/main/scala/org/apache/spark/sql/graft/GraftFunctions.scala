@@ -90,9 +90,11 @@ case class ShingleHashes(child: Expression, width: Int = 5)
 object ShingleHashes {
   private final val P = PolyHash.P
 
-  /** Java-regex `\p{Punct}` = the 32 ASCII punctuation chars. */
+  /** Java-regex `\p{Punct}` = the 32 ASCII punctuation chars, i.e.
+    * 0x21..0x7E minus letters/digits. DEL (0x7F) is NOT punct in either
+    * Java or DuckDB's `[[:punct:]]`, so the range is open at 127. */
   private def isPunctOrSpace(cp: Int): Boolean =
-    cp == ' ' || (cp < 128 && !Character.isLetterOrDigit(cp) && !Character.isWhitespace(cp) && cp > 32)
+    cp == ' ' || (cp > 32 && cp < 127 && !Character.isLetterOrDigit(cp))
 
   def compute(s: UTF8String, width: Int): ArrayData = {
     // normalize: lower-case + collapse [\p{Punct} ]+ runs to one space
@@ -108,36 +110,46 @@ object ShingleHashes {
       } else { sb.appendCodePoint(cp); inRun = false }
     }
     val tokens = sb.toString.split(" ", -1)
-    val out = new java.util.LinkedHashSet[java.lang.Long]()
-    def hashRange(from: Int, until: Int): Long = {
-      var acc = 0L
+    // Dedup by shingle STRING (not by hash): `array_distinct` and the
+    // oracle's `list_distinct` both dedup the strings BEFORE hashing,
+    // so two distinct shingles colliding mod P must yield two (equal)
+    // entries here too — dedup-by-hash would drop one and silently
+    // shrink union sizes / df counts relative to the oracle.
+    val seen = new java.util.LinkedHashSet[String]()
+    def shingleStr(from: Int, until: Int): String = {
+      val b = new java.lang.StringBuilder()
       var t = from
       while (t < until) {
-        if (t > from) acc = (acc * 31 + ' '.toInt) % P
-        val tok = tokens(t)
-        var j = 0
-        while (j < tok.length) {
-          val cp = tok.codePointAt(j)
-          j += Character.charCount(cp)
-          acc = (acc * 31 + cp) % P
-        }
+        if (t > from) b.append(' ')
+        b.append(tokens(t))
         t += 1
       }
-      acc
+      b.toString
     }
     if (tokens.length >= width) {
       var w = 0
       while (w <= tokens.length - width) {
-        out.add(hashRange(w, w + width))
+        seen.add(shingleStr(w, w + width))
         w += 1
       }
     } else {
-      out.add(hashRange(0, tokens.length))
+      seen.add(shingleStr(0, tokens.length))
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
+    val arr = new Array[Long](seen.size)
+    val it = seen.iterator()
     var k = 0
-    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    while (it.hasNext) {
+      val sh = it.next()
+      var acc = 0L
+      var j = 0
+      while (j < sh.length) {
+        val cp = sh.codePointAt(j)
+        j += Character.charCount(cp)
+        acc = (acc * 31 + cp) % P
+      }
+      arr(k) = acc
+      k += 1
+    }
     new GenericArrayData(arr)
   }
 }
