@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Sampling, Scrape, Similarity, SqlSurface, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Sampling, Scrape, Similarity, SqlSurface, Temporal, TextAnalysis, TimeSeries}
 import graft.pipelines.{CleanCorpus, Flagship}
 import graft.streaming.EventStreams
 
@@ -20,6 +20,7 @@ object SparkEntry {
       (RelationalExt.queries, RelationalExt.oracles),
       (SqlSurface.queries, SqlSurface.oracles),
       (Temporal.queries, Temporal.oracles),
+      (TimeSeries.queries, TimeSeries.oracles),
       (Sampling.queries, Sampling.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),

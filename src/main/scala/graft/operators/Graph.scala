@@ -361,12 +361,72 @@ object Graph {
        |SELECT node, min(peer) AS label FROM reach GROUP BY node""".stripMargin
 
   // ----------------------------------------------------------------
+  // PageRank over the page-link graph (fixed-iteration)
+  // ----------------------------------------------------------------
+
+  private val PrIters = 3
+  private val Damping = 0.85
+
+  /** PageRank on the crawler's INTERNAL page-link graph — the ranking
+    * a reference user would compute over the crawl INDEX. Simplified
+    * formulation (unnormalized, pr₀ = 1, no dangling-mass
+    * redistribution — the common "iterate pr = 0.15 + 0.85·Σ in/out"
+    * form), run a FIXED `PrIters` iterations so the oracle can unroll
+    * the same rounds as CTEs. All arithmetic is double adds/divides in
+    * both engines; only the final round(6) output absorbs the
+    * summation-order difference.
+    *
+    * Scale shape: per iteration one broadcast-sized join on out-degree,
+    * one shuffle join pr↔links on src, one groupBy(dst) with map-side
+    * partial sums — contributions shuffle as (id, double) pairs. The
+    * link list is persisted once and reused by all rounds. */
+  private def gPagerank: Q = (s, dir) => {
+    val links = pageLinks(s, dir).filter(col("is_internal"))
+      .select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+    val outDeg = links.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    var pr = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 1 to PrIters) {
+      val contribs = links
+        .join(outDeg, "src")
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"), (col("pr") / col("out_deg")).as("c"))
+      pr = nodes
+        .join(contribs.groupBy("node").agg(sum(col("c")).as("in_sum")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - Damping) + lit(Damping) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("node").as("page_id"), round(col("pr"), 6).as("pagerank"))
+  }
+
+  /** Oracle: the same `PrIters` rounds unrolled as CTEs p1..pN. */
+  private val gPagerankSql = {
+    val rounds = (1 to PrIters).map { k =>
+      s"""p$k AS (
+         |  SELECT n.node, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS pr
+         |  FROM p${k - 1} n LEFT JOIN (
+         |    SELECT il.dst AS node, sum(p.pr / o.out_deg) AS in_sum
+         |    FROM il JOIN odeg o ON il.src = o.src
+         |            JOIN p${k - 1} p ON il.src = p.node
+         |    GROUP BY il.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckPageLinksCte,
+       |il AS (SELECT src, dst FROM links WHERE is_internal),
+       |odeg AS (SELECT src, count(*) AS out_deg FROM il GROUP BY src),
+       |p0 AS (SELECT doc_id AS node, 1.0::DOUBLE AS pr FROM documents),
+       |$rounds
+       |SELECT node AS page_id, round(pr, 6) AS pagerank FROM p$PrIters""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "g_degrees" -> gDegrees,
     "g_bfs" -> gBfs,
     "g_cc_labelprop" -> gCcLabelprop,
     "g_cc_star" -> gCcStar,
+    "g_pagerank" -> gPagerank,
     "s2_crawl" -> s2Crawl)
 
   // g_cc_star shares the labelprop oracle: both compute the
@@ -376,5 +436,6 @@ object Graph {
     "g_bfs" -> gBfsSql,
     "g_cc_labelprop" -> gCcLabelpropSql,
     "g_cc_star" -> gCcLabelpropSql,
+    "g_pagerank" -> gPagerankSql,
     "s2_crawl" -> s2CrawlSql)
 }

@@ -314,6 +314,23 @@ object RelationalExt {
       |FROM (SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
       |      FROM lineitem GROUP BY l_returnflag)""".stripMargin
 
+  /** Equi-width histogram of the events value column (width 5): bucket
+    * id + count + observed bounds. One partial-agg'd groupBy on a
+    * handful of buckets — the profiling pass run before choosing join
+    * salts or quantile cut points. floor of a double divide is the
+    * same IEEE op in both engines, so bucket ids match exactly. */
+  private def a10Histogram: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(floor(col("value") / 5.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"))
+
+  private val a10HistogramSql =
+    """SELECT floor(value / 5.0)::BIGINT AS bucket, count(*) AS n,
+      | round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+      |FROM events GROUP BY floor(value / 5.0)::BIGINT""".stripMargin
+
   // ----------------------------------------------------------------
   // TPC-H-shaped headline queries (multi-join chains for the optimizer)
   // ----------------------------------------------------------------
@@ -379,6 +396,7 @@ object RelationalExt {
     "w4_window_funcs" -> w4WindowFuncs,
     "f_dates" -> fDates,
     "a9_percentiles" -> a9Percentiles,
+    "a10_histogram" -> a10Histogram,
     "j4_salted_join" -> j4SaltedJoin,
     "j5_semi_anti" -> j5SemiAnti,
     "u5_intersect" -> u5Intersect,
@@ -393,6 +411,7 @@ object RelationalExt {
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "a9_percentiles" -> a9PercentilesSql,
+    "a10_histogram" -> a10HistogramSql,
     "w4_window_funcs" -> w4WindowFuncsSql,
     "f_dates" -> fDatesSql,
     "j4_salted_join" -> j4SaltedJoinSql,

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch time-series operators over the `events` table — the offline
+  * twins of the streaming windows in [[graft.streaming.EventStreams]]
+  * (reference: the scheduled-pull ingest loop, hi-csa-db.Rmd:230-241,
+  * generalized to event-time analytics).
+  *
+  * Scale notes (100 TB):
+  *  - sessionize: ONE shuffle on user_id; the gap/cumsum windows and
+  *    the session aggregation all share that partitioning (Catalyst
+  *    reuses the exchange), so adding the session id costs no extra
+  *    shuffle over a plain per-user groupBy.
+  *  - rolling: same single user_id shuffle; the RANGE frame is
+  *    evaluated with a sliding two-pointer over each sorted partition,
+  *    linear per user, never materializing per-row candidate sets.
+  *  - resample: the hour grid is generated map-side from per-user
+  *    (min, max) bounds — rows ∝ user-hours, produced AFTER the
+  *    per-user aggregation, so the explode never amplifies the raw
+  *    event volume; skewed long-lived users are bounded by calendar
+  *    span, not event count.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap: a pause longer than this starts a new session. */
+  private val GapMinutes = 30L
+  private val GapMicros = GapMinutes * 60L * 1000000L
+
+  // ----------------------------------------------------------------
+  // Batch sessionization: gap > 30 min starts a new session
+  // ----------------------------------------------------------------
+
+  /** Classic batch sessionization: per user, order by event time, mark
+    * rows whose gap to the previous event exceeds the threshold, and a
+    * running sum of those marks is the session id. Ties on ts break by
+    * event_id so the ordering (hence the ids) is deterministic. */
+  private def tsSessionize: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull
+          || unix_micros(col("ts")) - col("prev_us") > GapMicros, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+  }
+
+  private val tsSessionizeSql =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL $GapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT *, sum(new_session) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+       |  FROM g)
+       |SELECT user_id, session_id,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Rolling time-range aggregates: trailing 1 h per user
+  // ----------------------------------------------------------------
+
+  /** Trailing 1-hour count/mean per event: a RANGE frame over event
+    * time (value-based, so it is deterministic under ts ties — peers
+    * are always in the frame together). Spark needs a numeric ORDER BY
+    * for rangeBetween; epoch microseconds carry full ts precision. */
+  private def tsRolling: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(avg(col("value")).over(w), 6).as("avg_1h"))
+  }
+
+  private val tsRollingSql =
+    """SELECT event_id, user_id, ts,
+      |  count(*) OVER w AS n_1h,
+      |  round(avg(value) OVER w, 6) AS avg_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Resample to an hourly grid + forward fill
+  // ----------------------------------------------------------------
+
+  /** Gap-fill resampling: per user, generate the full hourly grid from
+    * first to last observed hour, attach per-hour aggregates, and
+    * forward-fill the mean over gap hours (n_events stays 0 there) —
+    * the standard time-series densification before joining feeds with
+    * different cadences. The first grid hour always has an observation
+    * (it IS the min hour), so the fill never emits null. */
+  private def tsResample: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("hour_avg"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+        max(date_trunc("hour", col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(last(col("hour_avg"), ignoreNulls = true).over(w), 6).as("filled_avg"))
+  }
+
+  private val tsResampleSql =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |         count(*) AS n_events, avg(value) AS hour_avg
+      |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+      |bounds AS (
+      |  SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+      |         max(date_trunc('hour', ts)) AS h1
+      |  FROM events GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds)
+      |SELECT g.user_id AS user_id, g.hour AS hour,
+      |  coalesce(h.n_events, 0)::BIGINT AS n_events,
+      |  round(last_value(h.hour_avg IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_avg
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "ts_sessionize" -> tsSessionize,
+    "ts_rolling" -> tsRolling,
+    "ts_resample" -> tsResample)
+
+  val oracles: Map[String, String] = Map(
+    "ts_sessionize" -> tsSessionizeSql,
+    "ts_rolling" -> tsRollingSql,
+    "ts_resample" -> tsResampleSql)
+}

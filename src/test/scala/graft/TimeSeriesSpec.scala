@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, TimeSeries}
+
+class TimeSeriesSpec extends SparkSpec {
+
+  test("ts_sessionize: sessions partition each user's events; adjacent sessions gap > 30 min") {
+    val sess = TimeSeries.queries("ts_sessionize")(spark, sf).cache()
+    val events = Tables.events(spark, sf)
+    // every event lands in exactly one session: per-user n_events sums match
+    val perUser = sess.groupBy("user_id").agg(sum("n_events").as("n"))
+    val raw = events.groupBy("user_id").agg(count(lit(1)).as("n_raw"))
+    assert(perUser.join(raw, "user_id").filter(col("n") =!= col("n_raw")).count() == 0)
+    // sessions are well-formed and strictly ordered: start <= end, and the
+    // next session starts more than 30 min after the previous one ends
+    assert(sess.filter(col("session_start") > col("session_end")).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val gaps = sess
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .filter(unix_micros(col("session_start")) - unix_micros(col("prev_end"))
+        <= 30L * 60 * 1000000L)
+    assert(gaps.count() == 0)
+    sess.unpersist()
+  }
+
+  test("ts_rolling: every frame contains its own row; brute-force check on one user") {
+    val roll = TimeSeries.queries("ts_rolling")(spark, sf).cache()
+    assert(roll.filter(col("n_1h") < 1).count() == 0)
+    // brute force the trailing-hour count for the busiest user
+    val uid = roll.groupBy("user_id").count().orderBy(col("count").desc)
+      .collect()(0).getAs[Long]("user_id")
+    val rows = Tables.events(spark, sf).filter(col("user_id") === uid)
+      .select(col("event_id"), unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = rows.map { case (id, t) =>
+      id -> rows.count { case (_, t2) => t2 <= t && t2 >= t - 3600L * 1000000L }.toLong
+    }.toMap
+    val got = roll.filter(col("user_id") === uid).select("event_id", "n_1h").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    roll.unpersist()
+  }
+
+  test("ts_resample: hour grid is gapless per user and fill leaves no nulls") {
+    val rs = TimeSeries.queries("ts_resample")(spark, sf).cache()
+    assert(rs.filter(col("filled_avg").isNull).count() == 0)
+    // contiguous grid: row count per user == (max hour - min hour)/1h + 1
+    val spans = rs.groupBy("user_id").agg(
+      count(lit(1)).as("rows"),
+      ((unix_micros(max(col("hour"))) - unix_micros(min(col("hour"))))
+        / (3600L * 1000000L) + 1L).as("expect"))
+    assert(spans.filter(col("rows") =!= col("expect")).count() == 0)
+    // gap hours carry 0 events but a carried-forward average
+    assert(rs.filter(col("n_events") === 0).count() > 0)
+    rs.unpersist()
+  }
+
+  test("g_pagerank: one rank per page, every rank >= the base 0.15") {
+    val pr = Graph.queries("g_pagerank")(spark, sf).cache()
+    assert(pr.count() == Tables.documents(spark, sf).count())
+    assert(pr.filter(col("pagerank") < 0.15).count() == 0)
+    // pages nothing links to sit exactly at the base rank
+    assert(pr.filter(col("pagerank") === 0.15).count() > 0)
+    pr.unpersist()
+  }
+}
