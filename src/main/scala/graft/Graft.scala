@@ -189,6 +189,37 @@ object Graft {
       * hold BOTH edge directions (nodes are taken from `src`). */
     def connectedComponentsStar(und: DataFrame, reliable: Boolean = false): DataFrame =
       Graph.starContractComponents(und, reliable)
+
+    /** Fixed-iteration damped PageRank (unnormalized pr₀ = 1 form):
+      * `links(src, dst)`, `nodes(node)` covering every endpoint →
+      * (node, pr). Persist `links` first if its lineage is expensive —
+      * each round joins it twice. */
+    def pageRank(links: DataFrame, nodes: DataFrame, iters: Int = 3,
+        damping: Double = 0.85): DataFrame =
+      Graph.pageRank(links, nodes, iters, damping)
+  }
+
+  object timeseries {
+    /** Batch sessionization: gap > `gapMinutes` starts a new session →
+      * (keyCol, session_id, session_start, session_end, n_events,
+      * sum_value). One shuffle on `keyCol`; `idCol` breaks ts ties
+      * deterministically. */
+    def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+        valueCol: String, gapMinutes: Long = 30L): DataFrame =
+      operators.TimeSeries.sessionize(df, keyCol, tsCol, idCol, valueCol, gapMinutes)
+
+    /** Trailing time-RANGE rolling count/mean per row: appends
+      * (n_roll, avg_roll) over the last `windowSeconds` per key. */
+    def rolling(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+        valueCol: String, windowSeconds: Long): DataFrame =
+      operators.TimeSeries.rolling(df, keyCol, tsCol, idCol, valueCol, windowSeconds)
+
+    /** Hourly gap-fill resample with forward-filled mean →
+      * (keyCol, hour, n_events, filled_avg); grid rows ∝ key-hours,
+      * generated after aggregation (never amplifies raw volume). */
+    def resampleHourly(df: DataFrame, keyCol: String, tsCol: String,
+        valueCol: String): DataFrame =
+      operators.TimeSeries.resampleHourly(df, keyCol, tsCol, valueCol)
   }
 
   object temporal {

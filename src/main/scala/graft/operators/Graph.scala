@@ -380,14 +380,15 @@ object Graph {
     * one shuffle join pr↔links on src, one groupBy(dst) with map-side
     * partial sums — contributions shuffle as (id, double) pairs. The
     * link list is persisted once and reused by all rounds. */
-  private def gPagerank: Q = (s, dir) => {
-    val links = pageLinks(s, dir).filter(col("is_internal"))
-      .select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+  /** Generic fixed-iteration PageRank: `links(src, dst)`, `nodes(node)`
+    * (must cover every src/dst), returns (node, pr) unrounded. The
+    * caller persists `links` if its lineage is expensive — every round
+    * joins it twice. */
+  def pageRank(links: DataFrame, nodes: DataFrame, iters: Int = PrIters,
+      damping: Double = Damping): DataFrame = {
     val outDeg = links.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     var pr = nodes.withColumn("pr", lit(1.0))
-    for (_ <- 1 to PrIters) {
+    for (_ <- 1 to iters) {
       val contribs = links
         .join(outDeg, "src")
         .join(pr.select(col("node").as("src"), col("pr")), "src")
@@ -395,9 +396,18 @@ object Graph {
       pr = nodes
         .join(contribs.groupBy("node").agg(sum(col("c")).as("in_sum")), Seq("node"), "left")
         .select(col("node"),
-          (lit(1 - Damping) + lit(Damping) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
+          (lit(1 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
     }
-    pr.select(col("node").as("page_id"), round(col("pr"), 6).as("pagerank"))
+    pr
+  }
+
+  private def gPagerank: Q = (s, dir) => {
+    val links = pageLinks(s, dir).filter(col("is_internal"))
+      .select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+    pageRank(links, nodes)
+      .select(col("node").as("page_id"), round(col("pr"), 6).as("pagerank"))
   }
 
   /** Oracle: the same `PrIters` rounds unrolled as CTEs p1..pN. */

@@ -269,20 +269,31 @@ object RelationalExt {
     * percentile_approx at accuracy 1000 guarantees rank error ≤ 1/1000,
     * so the approx median must lie within the exact [p45, p55] — a 50×
     * margin that still catches a broken sketch. */
-  private def a8ApproxStats: Q = (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  private def a8ApproxStats: Q = (s, dir) => {
+    // Two aggregation passes joined on the 3-row group key, NOT one:
+    // mixing the DISTINCT aggregate with the object-typed exact
+    // `percentile` forces an Expand (×2 rows) and demotes the whole
+    // aggregate to the sort-based fallback — measured 6.4 s isolated
+    // at sf0.1 vs ~2 s for the split (each pass keeps its natural
+    // hash-aggregate shape; the extra scan is cheap, the join is 3
+    // broadcast rows).
+    val li = Tables.lineitem(s, dir)
+    val parts = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    val quants = li.groupBy(col("l_returnflag"))
+      .agg(
         expr("percentile(l_quantity, array(0.45, 0.5, 0.55))").as("qs"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("am"))
+    parts.join(broadcast(quants), "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"),
         round(element_at(col("qs"), 2), 6).as("exact_median_qty"),
         (abs(col("approx_parts") - col("exact_parts"))
           <= col("exact_parts") * lit(0.10)).as("parts_within_bounds"),
         (col("am") >= element_at(col("qs"), 1)
           && col("am") <= element_at(col("qs"), 3)).as("median_within_bounds"))
+  }
 
   private val a8ApproxStatsSql =
     """SELECT l_returnflag,

@@ -36,26 +36,32 @@ object TimeSeries {
   // Batch sessionization: gap > 30 min starts a new session
   // ----------------------------------------------------------------
 
-  /** Classic batch sessionization: per user, order by event time, mark
+  /** Classic batch sessionization: per key, order by event time, mark
     * rows whose gap to the previous event exceeds the threshold, and a
     * running sum of those marks is the session id. Ties on ts break by
-    * event_id so the ordering (hence the ids) is deterministic. */
-  private def tsSessionize: Q = (s, dir) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_us").isNull
-          || unix_micros(col("ts")) - col("prev_us") > GapMicros, 1L).otherwise(0L))
+    * `idCol` so the ordering (hence the ids) is deterministic. Output:
+    * (keyCol, session_id, session_start, session_end, n_events,
+    * sum_value). Generic entry — the `Graft.timeseries` façade. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, gapMinutes: Long = GapMinutes): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_us").isNull
+          || unix_micros(col(tsCol)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id",
-        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_id"))
+        sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_id"))
       .agg(
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 6).as("sum_value"))
+        round(sum(col(valueCol)), 6).as("sum_value"))
   }
+
+  private def tsSessionize: Q = (s, dir) =>
+    sessionize(Tables.events(s, dir), "user_id", "ts", "event_id", "value")
 
   private val tsSessionizeSql =
     s"""WITH g AS (
@@ -79,19 +85,26 @@ object TimeSeries {
   // Rolling time-range aggregates: trailing 1 h per user
   // ----------------------------------------------------------------
 
-  /** Trailing 1-hour count/mean per event: a RANGE frame over event
-    * time (value-based, so it is deterministic under ts ties — peers
-    * are always in the frame together). Spark needs a numeric ORDER BY
-    * for rangeBetween; epoch microseconds carry full ts precision. */
-  private def tsRolling: Q = (s, dir) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
-      .rangeBetween(-3600L * 1000000L, 0L)
-    Tables.events(s, dir)
-      .withColumn("t_us", unix_micros(col("ts")))
-      .select(col("event_id"), col("user_id"), col("ts"),
-        count(lit(1)).over(w).as("n_1h"),
-        round(avg(col("value")).over(w), 6).as("avg_1h"))
+  /** Trailing time-range count/mean per event: a RANGE frame over
+    * event time (value-based, so it is deterministic under ts ties —
+    * peers are always in the frame together). Spark needs a numeric
+    * ORDER BY for rangeBetween; epoch microseconds carry full ts
+    * precision. Appends (n_roll, avg_roll) to the frame's id/key/ts
+    * projection. Generic entry — the `Graft.timeseries` façade. */
+  def rolling(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t_us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    df.withColumn("__t_us", unix_micros(col(tsCol)))
+      .select(col(idCol), col(keyCol), col(tsCol),
+        count(lit(1)).over(w).as("n_roll"),
+        round(avg(col(valueCol)).over(w), 6).as("avg_roll"))
   }
+
+  private def tsRolling: Q = (s, dir) =>
+    rolling(Tables.events(s, dir), "user_id", "ts", "event_id", "value", 3600L)
+      .withColumnRenamed("n_roll", "n_1h")
+      .withColumnRenamed("avg_roll", "avg_1h")
 
   private val tsRollingSql =
     """SELECT event_id, user_id, ts,
@@ -105,28 +118,33 @@ object TimeSeries {
   // Resample to an hourly grid + forward fill
   // ----------------------------------------------------------------
 
-  /** Gap-fill resampling: per user, generate the full hourly grid from
+  /** Gap-fill resampling: per key, generate the full hourly grid from
     * first to last observed hour, attach per-hour aggregates, and
     * forward-fill the mean over gap hours (n_events stays 0 there) —
     * the standard time-series densification before joining feeds with
     * different cadences. The first grid hour always has an observation
-    * (it IS the min hour), so the fill never emits null. */
-  private def tsResample: Q = (s, dir) => {
-    val e = Tables.events(s, dir)
-    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("hour_avg"))
-    val grid = e.groupBy(col("user_id"))
-      .agg(min(date_trunc("hour", col("ts"))).as("h0"),
-        max(date_trunc("hour", col("ts"))).as("h1"))
-      .select(col("user_id"),
+    * (it IS the min hour), so the fill never emits null. Output:
+    * (keyCol, hour, n_events, filled_avg). Generic entry — the
+    * `Graft.timeseries` façade. */
+  def resampleHourly(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val hourly = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"), avg(col(valueCol)).as("__hour_avg"))
+    val grid = df.groupBy(col(keyCol))
+      .agg(min(date_trunc("hour", col(tsCol))).as("h0"),
+        max(date_trunc("hour", col(tsCol))).as("h1"))
+      .select(col(keyCol),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "hour"), "left")
-      .select(col("user_id"), col("hour"),
+    grid.join(hourly, Seq(keyCol, "hour"), "left")
+      .select(col(keyCol), col("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        round(last(col("hour_avg"), ignoreNulls = true).over(w), 6).as("filled_avg"))
+        round(last(col("__hour_avg"), ignoreNulls = true).over(w), 6).as("filled_avg"))
   }
+
+  private def tsResample: Q = (s, dir) =>
+    resampleHourly(Tables.events(s, dir), "user_id", "ts", "value")
 
   private val tsResampleSql =
     """WITH hourly AS (

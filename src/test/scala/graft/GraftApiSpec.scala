@@ -144,4 +144,41 @@ class GraftApiSpec extends SparkSpec {
     assert(api.orderBy("doc_id").collect().toSeq ==
       harness.orderBy("doc_id").collect().toSeq)
   }
+
+  test("timeseries façade equals the harness ts_* queries on a renamed schema") {
+    val ev = Tables.events(spark, sf).select(
+      col("event_id").as("eid"), col("ts").as("at"),
+      col("user_id").as("uid"), col("value").as("v"))
+    val sess = Graft.timeseries.sessionize(ev, "uid", "at", "eid", "v")
+      .withColumnRenamed("uid", "user_id")
+    assert(sess.orderBy("user_id", "session_id").collect().toSeq ==
+      SparkEntry.queries("ts_sessionize")(spark, sf)
+        .orderBy("user_id", "session_id").collect().toSeq)
+    val roll = Graft.timeseries.rolling(ev, "uid", "at", "eid", "v", 3600L)
+      .select(col("eid").as("event_id"), col("n_roll"), col("avg_roll"))
+    assert(roll.orderBy("event_id").collect().toSeq ==
+      SparkEntry.queries("ts_rolling")(spark, sf)
+        .select(col("event_id"), col("n_1h"), col("avg_1h"))
+        .orderBy("event_id").collect().toSeq)
+    val rs = Graft.timeseries.resampleHourly(ev, "uid", "at", "v")
+      .withColumnRenamed("uid", "user_id")
+    assert(rs.orderBy("user_id", "hour").collect().toSeq ==
+      SparkEntry.queries("ts_resample")(spark, sf)
+        .orderBy("user_id", "hour").collect().toSeq)
+  }
+
+  test("graphs.pageRank: base rank for sinks' sources, conservation on a simple cycle") {
+    // 2-cycle a<->b with damping: pr converges toward 1 for both; with
+    // pr0 = 1 every iteration keeps pr(a) = pr(b) = 1 exactly
+    val links = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val nodes = Seq("a", "b").toDF("node")
+    val pr = Graft.graphs.pageRank(links, nodes).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("a") - 1.0) < 1e-12 && math.abs(pr("b") - 1.0) < 1e-12)
+    // a node with no in-links sits at the base (1 - damping)
+    val chain = Seq(("r", "s")).toDF("src", "dst")
+    val prChain = Graft.graphs.pageRank(chain, Seq("r", "s").toDF("node"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(prChain("r") - 0.15) < 1e-12)
+  }
 }
