@@ -454,6 +454,24 @@ object Relational {
       |        (string_split(p_name, ' ') || ['', '', '', ''])[1:4] AS padded
       |      FROM part)""".stripMargin
 
+  /** X4 — UNPIVOT (wide → long): the inverse of a7_pivot, melting the
+    * three customer money columns into (metric, amount) rows via
+    * `stack` — a codegen'd generator, rows ×3 produced map-side with
+    * no shuffle at all (the narrow reshape before a tall groupBy). */
+  private def x4Unpivot: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .selectExpr("c_custkey",
+        """stack(2,
+          |  'acctbal', CAST(c_acctbal AS DOUBLE),
+          |  'nationkey_x100', CAST(c_nationkey AS DOUBLE) * 100
+          |) AS (metric, amount)""".stripMargin)
+
+  private val x4Sql =
+    """SELECT c_custkey, metric, amount FROM (
+      |  SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS amount FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'nationkey_x100', c_nationkey::DOUBLE * 100 FROM customer)""".stripMargin
+
   // ----------------------------------------------------------------
   // Scalar string functions (SURVEY §2.9)
   // ----------------------------------------------------------------
@@ -534,6 +552,7 @@ object Relational {
     "x1_double_explode" -> x1DoubleExplode,
     "x2_classify_explode_outer" -> x2ClassifyExplodeOuter,
     "x3_split_pad" -> x3SplitPad,
+    "x4_unpivot" -> x4Unpivot,
     "f_strings" -> fStrings,
     "f6_na_concat" -> f6NaConcat,
     "f_json_extract" -> fJsonExtract)
@@ -562,6 +581,7 @@ object Relational {
     "x1_double_explode" -> x1Sql,
     "x2_classify_explode_outer" -> x2Sql,
     "x3_split_pad" -> x3Sql,
+    "x4_unpivot" -> x4Sql,
     "f_strings" -> fStringsSql,
     "f6_na_concat" -> f6Sql,
     "f_json_extract" -> fJsonSql)

@@ -85,6 +85,45 @@ object Sources {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-ORDERED scan layout — multi-dimensional pruning for a 100 TB
+    * lake: [[writeSortedByKey]] serves ONE filter key; interleaving the
+    * bit patterns of several keys' quantile buckets (Morton order)
+    * clusters rows so that a range predicate on ANY of the keys maps to
+    * a small fraction of files (~n^((d-1)/d) instead of all of them) —
+    * the layout Delta/Iceberg expose as OPTIMIZE ZORDER, built here
+    * from public Spark primitives.
+    *
+    * Per key: quantile boundaries come from `approxQuantile` (a one-off
+    * driver-side sketch — the legitimate collect class: layout jobs run
+    * rarely and the result is `bitsPerDim·keys` doubles), the bucket id
+    * is a codegen'd fold counting boundaries ≤ value (robust to skew,
+    * unlike equi-width cells), and the z-value interleaves the bucket
+    * bits round-robin across keys. Range-partition + sort on z gives
+    * every file a tight z-range, so parquet min/max row-group stats
+    * prune on every participating dimension. */
+  def writeZOrdered(df: DataFrame, path: String, keys: Seq[String],
+      numFiles: Int, bitsPerDim: Int = 4): Unit = {
+    require(keys.size >= 2, "z-ordering needs at least two keys")
+    import org.apache.spark.sql.functions._
+    val buckets = 1 << bitsPerDim
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val nDims = keys.size
+    val zTerms = keys.zipWithIndex.flatMap { case (k, d) =>
+      val bounds = df.stat.approxQuantile(k, probs, 0.001)
+      val arr = bounds.map(b => s"${b}d").mkString("array(", ", ", ")")
+      val bucketCol = expr(
+        s"aggregate($arr, 0, (acc, b) -> acc + (CASE WHEN CAST(`$k` AS DOUBLE) >= b THEN 1 ELSE 0 END))")
+      (0 until bitsPerDim).map { i =>
+        shiftleft(shiftright(bucketCol, i).bitwiseAND(lit(1)), i * nDims + (nDims - 1 - d))
+      }
+    }
+    df.withColumn("__z", zTerms.reduce(_ + _).cast("long"))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-files compaction — the maintenance pass a 100 TB lake runs
     * continuously: streaming/incremental ingest leaves thousands of
     * KB-scale files whose per-file open/footer cost dominates scans.

@@ -181,6 +181,46 @@ class HiCsaSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered clusters BOTH keys: a range filter on either dim touches few files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val nFiles = 16
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Sources.writeZOrdered(li, s"$dir/z", Seq("l_orderkey", "l_partkey"), nFiles)
+    Sources.writeSortedByKey(li, s"$dir/s", "l_orderkey", nFiles)
+    val z = spark.read.parquet(s"$dir/z")
+    assert(z.count() == li.count())
+    // proxy for row-group pruning: how many files CONTAIN rows of a
+    // narrow range on each dim (a pruned scan reads only those)
+    def filesTouched(path: String, predCol: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .filter(col(predCol) >= lo && col(predCol) <= hi)
+        .select(col("_metadata.file_path")).distinct().count()
+    val Row(pkLo: Long, pkHi: Long) = li
+      .agg(min("l_partkey").as("lo"), max("l_partkey").as("hi")).collect()(0)
+    val pkMid = (pkLo + pkHi) / 2
+    val pkW = math.max(1L, (pkHi - pkLo) / 16)
+    // on the SECONDARY dim the single-key layout scatters the range
+    // across ~every file; the z-layout confines it to a fraction
+    val zTouch = filesTouched(s"$dir/z", "l_partkey", pkMid, pkMid + pkW)
+    val sTouch = filesTouched(s"$dir/s", "l_partkey", pkMid, pkMid + pkW)
+    assert(zTouch < sTouch,
+      s"z-order touched $zTouch files vs sorted layout $sTouch")
+    assert(zTouch <= nFiles / 2, s"z-order touched $zTouch of $nFiles files")
+    // the Morton tradeoff: dim A gives up some of its perfect sorted
+    // locality to buy dim B's — A must still prune (fewer than all
+    // files), and ACROSS both query shapes the z layout reads fewer
+    // files than the single-key layout
+    val Row(okLo: Long, okHi: Long) = li
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi")).collect()(0)
+    val okW = math.max(1L, (okHi - okLo) / 16)
+    val zTouchA = filesTouched(s"$dir/z", "l_orderkey", (okLo + okHi) / 2, (okLo + okHi) / 2 + okW)
+    val sTouchA = filesTouched(s"$dir/s", "l_orderkey", (okLo + okHi) / 2, (okLo + okHi) / 2 + okW)
+    assert(zTouchA < nFiles, s"z-order touched all $nFiles files on dim A")
+    assert(zTouchA + zTouch < sTouchA + sTouch,
+      s"z layout ($zTouchA + $zTouch) should beat sorted ($sTouchA + $sTouch) across both dims")
+  }
+
   test("withDocPos assigns a stable dense global position without a global sort") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docpos").toString
     import spark.implicits._

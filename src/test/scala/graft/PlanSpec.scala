@@ -158,4 +158,33 @@ class PlanSpec extends SparkSpec {
     val all = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R").count()
     assert(q.count() == all)
   }
+
+  test("runtime bloom-filter pruning: a selective dim filter reaches the fact scan at runtime") {
+    // The 100 TB shuffle-join companion to static pushdown: when the
+    // dimension side of a shuffle join carries a selective filter,
+    // Spark's InjectRuntimeFilter builds a bloom filter from it and
+    // applies might_contain on the fact side BEFORE the shuffle —
+    // shuffled fact bytes shrink by the dim selectivity. Local fixture
+    // sizes sit below the production thresholds, so the test lowers
+    // them; a real deployment keeps the defaults.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.lineitem(spark, sf)
+      val q = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("qty"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+      assert(q.count() == 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
