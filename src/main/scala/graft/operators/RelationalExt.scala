@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -342,6 +343,62 @@ object RelationalExt {
       | round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
       |FROM events GROUP BY floor(value / 5.0)::BIGINT""".stripMargin
 
+  /** Bivariate statistics per group: Pearson correlation, sample
+    * covariance, and the OLS regression line — `corr` / `covar_samp` /
+    * `regr_slope` / `regr_intercept` are ANSI aggregates both engines
+    * implement. One partial-agg'd groupBy carrying the (n, Σx, Σy,
+    * Σxy, Σx², Σy²) moments — a single shuffle of 6 doubles per
+    * group at any scale. Summation order differs between engines, so
+    * the unit-scale corr rounds to 6 and the price-scale slope /
+    * intercept / covariance to 2 (tolerance ≫ the ~1e-9 float-order
+    * noise on 1e3-to-1e6-magnitude values). */
+  private def a11CorrRegr: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 2).as("price_per_qty"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("price_at_zero"))
+
+  private val a11CorrRegrSql =
+    """SELECT l_returnflag,
+      | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+      | round(regr_slope(l_extendedprice, l_quantity), 2) AS price_per_qty,
+      | round(regr_intercept(l_extendedprice, l_quantity), 2) AS price_at_zero
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Z-score anomaly screening: per event type, count the events whose
+    * value sits more than 3 sample-stddevs from the type mean — the
+    * data-quality gate run before a feed is trusted. The per-type
+    * moments come from an unframed window over the SAME partitioning
+    * the final groupBy uses, so the whole query is ONE shuffle
+    * (exchange reuse), never a two-scan join-back. */
+  private def a12Anomaly: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(s, dir)
+      .withColumn("m", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(abs(col("value") - col("m")) > lit(3.0) * col("sd"), 1L)
+          .otherwise(0L)).as("n_anomalies"),
+        round(max(abs(col("value") - col("m")) / col("sd")), 6).as("max_zscore"))
+  }
+
+  private val a12AnomalySql =
+    """SELECT event_type,
+      | count(*) AS n_total,
+      | sum(CASE WHEN abs(value - m) > 3.0 * sd THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+      | round(max(abs(value - m) / sd), 6) AS max_zscore
+      |FROM (SELECT event_type, value,
+      |        avg(value) OVER w AS m,
+      |        stddev_samp(value) OVER w AS sd
+      |      FROM events WINDOW w AS (PARTITION BY event_type))
+      |GROUP BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   // TPC-H-shaped headline queries (multi-join chains for the optimizer)
   // ----------------------------------------------------------------
@@ -408,6 +465,8 @@ object RelationalExt {
     "f_dates" -> fDates,
     "a9_percentiles" -> a9Percentiles,
     "a10_histogram" -> a10Histogram,
+    "a11_corr_regr" -> a11CorrRegr,
+    "a12_anomaly" -> a12Anomaly,
     "j4_salted_join" -> j4SaltedJoin,
     "j5_semi_anti" -> j5SemiAnti,
     "u5_intersect" -> u5Intersect,
@@ -423,6 +482,8 @@ object RelationalExt {
     "q18_large_orders" -> q18LargeOrdersSql,
     "a9_percentiles" -> a9PercentilesSql,
     "a10_histogram" -> a10HistogramSql,
+    "a11_corr_regr" -> a11CorrRegrSql,
+    "a12_anomaly" -> a12AnomalySql,
     "w4_window_funcs" -> w4WindowFuncsSql,
     "f_dates" -> fDatesSql,
     "j4_salted_join" -> j4SaltedJoinSql,

@@ -159,6 +159,11 @@ class PlanSpec extends SparkSpec {
     assert(q.count() == all)
   }
 
+  test("a12: window moments + final groupBy share ONE event_type shuffle (exchange reuse)") {
+    val p = plan("a12_anomaly")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("runtime bloom-filter pruning: a selective dim filter reaches the fact scan at runtime") {
     // The 100 TB shuffle-join companion to static pushdown: when the
     // dimension side of a shuffle join carries a selective filter,
