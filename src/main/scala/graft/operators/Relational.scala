@@ -454,10 +454,10 @@ object Relational {
       |        (string_split(p_name, ' ') || ['', '', '', ''])[1:4] AS padded
       |      FROM part)""".stripMargin
 
-  /** X4 — UNPIVOT (wide → long): the inverse of a7_pivot, melting the
-    * three customer money columns into (metric, amount) rows via
-    * `stack` — a codegen'd generator, rows ×3 produced map-side with
-    * no shuffle at all (the narrow reshape before a tall groupBy). */
+  /** X4 — UNPIVOT (wide → long): the inverse of a7_pivot, melting two
+    * customer numeric columns into (metric, amount) rows via `stack` —
+    * a codegen'd generator, rows ×2 produced map-side with no shuffle
+    * at all (the narrow reshape before a tall groupBy). */
   private def x4Unpivot: Q = (s, dir) =>
     Tables.customer(s, dir)
       .selectExpr("c_custkey",

@@ -374,29 +374,43 @@ object RelationalExt {
     * data-quality gate run before a feed is trusted. The per-type
     * moments come from an unframed window over the SAME partitioning
     * the final groupBy uses, so the whole query is ONE shuffle
-    * (exchange reuse), never a two-scan join-back. */
+    * (exchange reuse), never a two-scan join-back.
+    *
+    * Cross-engine discipline: m/sd carry ~1e-12 summation-order noise,
+    * so the boundary test compares the ROUNDED z-score (an event flips
+    * engines only if its true z sits within the noise of a 1e-6
+    * rounding edge AND that edge is exactly 3.0 — vs any event within
+    * noise of 3σ for the naive comparison). A constant-valued group
+    * (sd = 0) is pinned to z = 0 on both sides: Spark's 0/0 division
+    * is NULL, DuckDB's is NaN, which would otherwise stringify
+    * differently. */
   private def a12Anomaly: Q = (s, dir) => {
     val w = Window.partitionBy(col("event_type"))
     Tables.events(s, dir)
       .withColumn("m", avg(col("value")).over(w))
       .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("z",
+        when(col("sd") === 0.0, lit(0.0))
+          .otherwise(round(abs(col("value") - col("m")) / col("sd"), 6)))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_total"),
-        sum(when(abs(col("value") - col("m")) > lit(3.0) * col("sd"), 1L)
-          .otherwise(0L)).as("n_anomalies"),
-        round(max(abs(col("value") - col("m")) / col("sd")), 6).as("max_zscore"))
+        sum(when(col("z") > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        max(col("z")).as("max_zscore"))
   }
 
   private val a12AnomalySql =
     """SELECT event_type,
       | count(*) AS n_total,
-      | sum(CASE WHEN abs(value - m) > 3.0 * sd THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
-      | round(max(abs(value - m) / sd), 6) AS max_zscore
-      |FROM (SELECT event_type, value,
-      |        avg(value) OVER w AS m,
-      |        stddev_samp(value) OVER w AS sd
-      |      FROM events WINDOW w AS (PARTITION BY event_type))
+      | sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+      | max(z) AS max_zscore
+      |FROM (SELECT event_type,
+      |        CASE WHEN sd = 0 THEN 0.0
+      |             ELSE round(abs(value - m) / sd, 6) END AS z
+      |      FROM (SELECT event_type, value,
+      |              avg(value) OVER w AS m,
+      |              stddev_samp(value) OVER w AS sd
+      |            FROM events WINDOW w AS (PARTITION BY event_type)))
       |GROUP BY event_type""".stripMargin
 
   // ----------------------------------------------------------------

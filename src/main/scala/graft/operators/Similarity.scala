@@ -158,14 +158,21 @@ object Similarity {
     // Bound /tmp growth: every rebuild leaves the superseded emb-* dir
     // (a full copy of the embeddings table) behind; on a host whose
     // source data evolves, that grows without bound. Sweep builds that
-    // are (a) not the live one and (b) past a grace window long enough
+    // are (a) not the live one, (b) COMPLETED (_SUCCESS present — an
+    // in-progress concurrent build keeps its task files under
+    // _temporary/ without touching the root mtime, so age alone would
+    // delete it mid-write), and (c) past a grace window long enough
     // that no reader which resolved them through an older marker can
-    // still be scanning. Deletion failures are ignored — a concurrent
-    // sweeper winning the race is fine.
+    // still be scanning. A build that crashed before commit leaks its
+    // dir (no _SUCCESS ever appears) — bounded by crash count, not by
+    // rebuild count, and cleared by any manual rm of the root.
+    // Deletion failures are ignored — a concurrent sweeper winning the
+    // race is fine.
     val grace = 30L * 60 * 1000
     Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("emb-") &&
         f.getName != dataName &&
+        new java.io.File(f, "_SUCCESS").isFile &&
         System.currentTimeMillis() - f.lastModified > grace)
       .foreach(deleteRecursively)
     new java.io.File(root, dataName).toString

@@ -30,7 +30,6 @@ object TimeSeries {
 
   /** Session gap: a pause longer than this starts a new session. */
   private val GapMinutes = 30L
-  private val GapMicros = GapMinutes * 60L * 1000000L
 
   // ----------------------------------------------------------------
   // Batch sessionization: gap > 30 min starts a new session

@@ -108,16 +108,23 @@ object Sources {
     val buckets = 1 << bitsPerDim
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val nDims = keys.size
+    require(nDims * bitsPerDim <= 62, "z value must fit a signed long")
+    // ONE sketch pass for all keys (the per-column overload would scan
+    // the input once per dimension); NaN boundaries are dropped — rows
+    // whose key is NaN simply land in the top bucket of that dim
+    val allBounds = df.stat.approxQuantile(keys.toArray, probs, 0.001)
     val zTerms = keys.zipWithIndex.flatMap { case (k, d) =>
-      val bounds = df.stat.approxQuantile(k, probs, 0.001)
+      val bounds = allBounds(d).filter(b => !b.isNaN && !b.isInfinite)
       val arr = bounds.map(b => s"${b}d").mkString("array(", ", ", ")")
+      // bucket in LONG from the start: interleaved bit positions reach
+      // nDims*bitsPerDim-1, which overflows int shifts past 31
       val bucketCol = expr(
-        s"aggregate($arr, 0, (acc, b) -> acc + (CASE WHEN CAST(`$k` AS DOUBLE) >= b THEN 1 ELSE 0 END))")
+        s"aggregate($arr, CAST(0 AS BIGINT), (acc, b) -> acc + (CASE WHEN CAST(`$k` AS DOUBLE) >= b THEN 1 ELSE 0 END))")
       (0 until bitsPerDim).map { i =>
-        shiftleft(shiftright(bucketCol, i).bitwiseAND(lit(1)), i * nDims + (nDims - 1 - d))
+        shiftleft(shiftright(bucketCol, i).bitwiseAND(lit(1L)), i * nDims + (nDims - 1 - d))
       }
     }
-    df.withColumn("__z", zTerms.reduce(_ + _).cast("long"))
+    df.withColumn("__z", zTerms.reduce(_ + _))
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
