@@ -612,8 +612,46 @@ object Dedup {
   }
 
   // ----------------------------------------------------------------
+  // Benchmark decontamination: training docs sharing n-grams with a holdout
+  // ----------------------------------------------------------------
+
+  /** Test-set DECONTAMINATION — the pass every training pipeline runs
+    * before a benchmark is trusted: flag training documents that share
+    * any W-shingle with the holdout/benchmark set (here: doc_id ≡ 0
+    * mod 7, a ~14 % stand-in for an external eval set). Both sides
+    * reduce to 8-byte shingle hashes map-side ([[shingleHashesOf]]);
+    * the overlap test is a hash equi-join of longs, and n_shared
+    * counts DISTINCT shared shingles per flagged doc. At 100 TB the
+    * holdout's distinct-hash set is benchmark-sized (millions of
+    * longs, a few MB) — broadcastable, so the corpus side never
+    * shuffles; at fixture scale Catalyst picks the same broadcast
+    * automatically from size stats. The oracle hashes its shingle
+    * strings with the portable polyhash and joins on the hash too, so
+    * collision behavior is IDENTICAL, not merely improbable-to-differ. */
+  private def dContamination: Q = (s, dir) => {
+    val sh = shingleHashes(s, dir)
+    val holdoutHashes = sh.filter(col("doc_id") % 7 === 0)
+      .select(col("h")).distinct()
+    sh.filter(col("doc_id") % 7 =!= 0)
+      .join(holdoutHashes, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
+  private val dContaminationSql = {
+    val hashShingle = graft.functions.PortableHash.duckPolyHash("sh")
+    s"""WITH $duckShingleCte,
+       |hashed AS (SELECT doc_id, $hashShingle AS h
+       |           FROM (SELECT doc_id, unnest(shingles) AS sh FROM s)),
+       |holdout AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 7 = 0)
+       |SELECT doc_id, count(DISTINCT hashed.h) AS n_shared
+       |FROM hashed JOIN holdout ON hashed.h = holdout.h
+       |WHERE doc_id % 7 <> 0
+       |GROUP BY doc_id""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
+    "d_contamination" -> dContamination,
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_minhash_lsh" -> dMinhashLsh,
@@ -625,6 +663,7 @@ object Dedup {
     "d_cluster_canonical" -> dClusterCanonical)
 
   val oracles: Map[String, String] = Map(
+    "d_contamination" -> dContaminationSql,
     "d_cluster_canonical" -> dClusterCanonicalSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,

@@ -375,7 +375,89 @@ object TextAnalysis {
        |FROM (SELECT doc_id, lang, len($toks) AS n_tokens FROM documents)""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // Chunking: overlapping fixed-width windows (RAG / context prep)
+  // ----------------------------------------------------------------
+
+  private val ChunkLen = 200
+  private val ChunkStride = 150  // 50-char overlap between neighbors
+
+  /** Overlapping document chunking — the RAG/embedding prep step:
+    * 200-char windows every 150 chars (50-char overlap so no sentence
+    * is split across a hard boundary without also appearing whole).
+    * A pure map-side generator: the chunk count derives arithmetically
+    * from the length, the explode happens before any shuffle, and the
+    * output carries an md5 digest instead of the chunk text (driver
+    * comparator can't sort MB-scale cells; a real pipeline would keep
+    * the text and feed the embedder). n_chunks = ⌊(len−1)/stride⌋+1,
+    * guarded > 0 because Spark's sequence(0,−1) steps DOWNWARD. */
+  private def tChunkOverlap: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("n", length(col("text")))
+      .withColumn("n_chunks",
+        when(col("n") >= 1, floor((col("n") - 1) / ChunkStride) + 1).otherwise(0L))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk_start", col("chunk_idx") * ChunkStride + 1)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(chunkSubstr(col("text"), col("chunk_start"))).cast("long").as("chunk_len"),
+        md5(chunkSubstr(col("text"), col("chunk_start"))).as("chunk_digest"))
+
+  /** substring(text, start, ChunkLen) with a Column start. */
+  private def chunkSubstr(text: Column, start: Column): Column =
+    text.substr(start.cast("int"), lit(ChunkLen))
+
+  private val tChunkOverlapSql =
+    s"""SELECT doc_id, chunk_idx, chunk_start,
+       |  length(substring(text, chunk_start::BIGINT, $ChunkLen))::BIGINT AS chunk_len,
+       |  md5(substring(text, chunk_start::BIGINT, $ChunkLen)) AS chunk_digest
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, CASE WHEN length(text) >= 1
+       |          THEN (length(text) - 1) // $ChunkStride + 1 ELSE 0 END)) AS chunk_idx,
+       |        unnest(range(0, CASE WHEN length(text) >= 1
+       |          THEN (length(text) - 1) // $ChunkStride + 1 ELSE 0 END)) * $ChunkStride + 1 AS chunk_start
+       |      FROM documents)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Repetition detection (Gopher-style repeated-n-gram filter)
+  // ----------------------------------------------------------------
+
+  /** Intra-document repetition: 1 − distinct/total W-shingles — the
+    * Gopher "repeated n-gram fraction" filter that catches boilerplate
+    * and degenerate generations. Total shingle count is pure
+    * arithmetic on the token count (max(n_toks−W+1, 1)); the distinct
+    * count is the native `graft_shingle_hashes` cardinality (dedup by
+    * shingle STRING, mirrored by the oracle's list_distinct). Narrow
+    * projection, no shuffle. */
+  private def tRepetition: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .withColumn("total", greatest(col("n_toks") - 4, lit(1L)))
+      .withColumn("distinct_sh", size(expr("graft_shingle_hashes(text)")).cast("long"))
+      .select(col("doc_id"), col("total").as("n_shingles"),
+        col("distinct_sh").as("n_distinct"),
+        round(lit(1.0) - col("distinct_sh") / col("total").cast("double"), 6)
+          .as("rep_ratio"))
+  }
+
+  private val tRepetitionSql = {
+    import graft.operators.Dedup.duckShingleCte
+    s"""WITH $duckShingleCte,
+       |tot AS (SELECT doc_id, greatest(len($duckTokensRef) - 4, 1)::BIGINT AS n_shingles
+       |        FROM documents)
+       |SELECT s.doc_id, tot.n_shingles,
+       |  len(s.shingles)::BIGINT AS n_distinct,
+       |  round(1.0 - len(s.shingles) / tot.n_shingles::DOUBLE, 6) AS rep_ratio
+       |FROM s JOIN tot ON s.doc_id = tot.doc_id""".stripMargin
+  }
+
+  private def duckTokensRef = duckTokens("text")
+
   val queries: Map[String, Q] = Map(
+    "t_chunk_overlap" -> tChunkOverlap,
+    "t_repetition" -> tRepetition,
     "t_pack_sequences" -> tPackSequences,
     "t_redact_pii" -> tRedactPii,
     "t_top_tokens" -> tTopTokens,
@@ -386,6 +468,8 @@ object TextAnalysis {
     "t_tfidf" -> tTfidf)
 
   val oracles: Map[String, String] = Map(
+    "t_chunk_overlap" -> tChunkOverlapSql,
+    "t_repetition" -> tRepetitionSql,
     "t_pack_sequences" -> tPackSequencesSql,
     "t_redact_pii" -> tRedactPiiSql,
     "t_top_tokens" -> tTopTokensSql,
