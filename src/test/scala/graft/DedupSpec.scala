@@ -87,4 +87,58 @@ class DedupSpec extends SparkSpec {
     val b = TextAnalysis.queries("t_fingerprint")(spark, sf).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("d_contamination is sound and complete against the raw shingle index") {
+    val flagged = Dedup.queries("d_contamination")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute ground truth from the shared shingle primitive
+    val sh = Dedup.shingleHashes(spark, sf)
+    val holdout = sh.filter(col("doc_id") % 7 === 0).select("h").distinct()
+    val truth = sh.filter(col("doc_id") % 7 =!= 0)
+      .join(holdout, "h")
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == truth)
+    // no holdout doc is ever flagged
+    assert(flagged.keys.forall(_ % 7 != 0))
+  }
+
+  test("t_chunk_overlap: chunks tile each doc with the declared overlap") {
+    val chunks = TextAnalysis.queries("t_chunk_overlap")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val j = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_start").as("last_start"),
+        min("chunk_start").as("first_start"))
+      .join(docs, "doc_id")
+    // chunk count is the arithmetic formula; first chunk starts at 1;
+    // the last chunk's window still reaches into the text
+    assert(j.filter(col("n_chunks") =!= floor((col("len") - 1) / 150) + 1).count() == 0)
+    assert(j.filter(col("first_start") =!= 1).count() == 0)
+    assert(j.filter(col("last_start") > col("len")).count() == 0)
+    // every inner chunk is full-width; only the final one may be short
+    val short = chunks.join(docs, "doc_id")
+      .filter(col("chunk_len") < 200)
+      .filter(col("chunk_start") + 200 - 1 <= col("len"))
+    assert(short.count() == 0)
+    chunks.unpersist()
+  }
+
+  test("t_repetition: planted repeated text scores high, unique text scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(20)("alpha beta gamma delta eps").mkString(" ")), // one 5-shingle repeated
+      (2L, (1 to 100).map(i => s"tok$i").mkString(" ")))              // all shingles unique
+      .toDF("doc_id", "text")
+    // bind the harness op shape onto the tiny frame via the same expressions
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val rep = docs
+      .withColumn("n_toks", size(split(regexp_replace(lower(col("text")), "[\\p{Punct} ]+", " "), " ")).cast("long"))
+      .withColumn("total", greatest(col("n_toks") - 4, lit(1L)))
+      .withColumn("distinct_sh", size(expr("graft_shingle_hashes(text)")).cast("long"))
+      .withColumn("rep_ratio", lit(1.0) - col("distinct_sh") / col("total").cast("double"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rep_ratio")).toMap
+    assert(rep(1L) > 0.9, s"repeated doc scored ${rep(1L)}")
+    assert(rep(2L) == 0.0, s"unique doc scored ${rep(2L)}")
+  }
 }
