@@ -430,8 +430,56 @@ object Graph {
   }
 
   // ----------------------------------------------------------------
+  // Triangle counting (canonical-order join, each triangle once)
+  // ----------------------------------------------------------------
+
+  /** Per-node triangle participation over the undirected INTERNAL
+    * page-link graph — the clustering-structure primitive (community
+    * detection, spam-farm detection on a crawl graph). Canonical form:
+    * edges as (a < b) pairs, triangles enumerated ONCE as a < b < c by
+    * two equi-joins; each found triangle credits its three corners.
+    * At 100 TB the standard refinement is ordering nodes by degree
+    * before canonicalizing (joins then fan out on LOW-degree corners
+    * — the classic MapReduce triangle trick); id order suffices here
+    * and keeps the oracle trivially identical. Output: nodes in ≥1
+    * triangle with their counts. */
+  private def gTriangles: Q = (s, dir) => {
+    val und = pageLinks(s, dir).filter(col("is_internal"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tris = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  // NB: `src <> dst` pushed down into the unnest-derived links CTE
+  // trips the same DuckDB internal binder error the pageLinks comment
+  // documents; the MATERIALIZED barrier keeps the filter above the
+  // unnest, and the self-loop drop happens on the projected (a, b).
+  private val gTrianglesSql =
+    s"""WITH $duckPageLinksCte,
+       |und0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM links WHERE is_internal),
+       |und AS (SELECT a, b FROM und0 WHERE a <> b),
+       |tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |         FROM und e1
+       |         JOIN und e2 ON e1.b = e2.a
+       |         JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b)
+       |SELECT node, count(*) AS n_triangles
+       |FROM (SELECT unnest([x, y, z]) AS node FROM tris)
+       |GROUP BY node""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "g_triangles" -> gTriangles,
     "g_degrees" -> gDegrees,
     "g_bfs" -> gBfs,
     "g_cc_labelprop" -> gCcLabelprop,
@@ -442,6 +490,7 @@ object Graph {
   // g_cc_star shares the labelprop oracle: both compute the
   // per-component minimum label, by different algorithms
   val oracles: Map[String, String] = Map(
+    "g_triangles" -> gTrianglesSql,
     "g_degrees" -> gDegreesSql,
     "g_bfs" -> gBfsSql,
     "g_cc_labelprop" -> gCcLabelpropSql,
