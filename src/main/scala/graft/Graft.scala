@@ -96,6 +96,22 @@ object Graft {
       nearDupIdsFor(signatures(df, idCol, textCol,
         org.apache.spark.storage.StorageLevel.NONE), minEstJaccard)
 
+    /** Benchmark DECONTAMINATION: ids of `corpus` docs sharing any
+      * 5-shingle with `holdout` (the eval/benchmark set), with the
+      * distinct shared-shingle count — run this before trusting a
+      * benchmark score. Both sides reduce to 8-byte shingle hashes
+      * map-side; the holdout hash set is benchmark-sized and therefore
+      * broadcast-joinable at any corpus scale. */
+    def contaminatedIds(corpus: DataFrame, holdout: DataFrame,
+        idCol: String, textCol: String): DataFrame = {
+      val c = Dedup.shingleHashesOf(asDocs(corpus, idCol, textCol))
+      val h = Dedup.shingleHashesOf(asDocs(holdout, idCol, textCol))
+        .select(col("h")).distinct()
+      c.join(h, "h")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared"))
+    }
+
     /** Transitively-closed near-dup clusters over a precomputed
       * [[signatures]] frame: one row per signature doc —
       * (doc_id, cluster_id = component-min id, is_dup). Pair-level

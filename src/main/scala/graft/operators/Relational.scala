@@ -454,6 +454,31 @@ object Relational {
       |        (string_split(p_name, ' ') || ['', '', '', ''])[1:4] AS padded
       |      FROM part)""".stripMargin
 
+  /** F9 — the array-function family over tokenized part names: sort,
+    * distinct-count, overlap test, first/last element — all emitted as
+    * scalars/strings (array cells crash the driver comparator). Narrow
+    * codegen'd projection; the DuckDB twins are list_sort /
+    * list_distinct / list_has_any / list extracts. */
+  private def fArrays: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .withColumn("toks", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        array_join(array_sort(col("toks")), "|").as("sorted_name"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_toks"),
+        arrays_overlap(col("toks"), array(lit("green"), lit("blue"))).as("has_cool_color"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"))
+
+  private val fArraysSql =
+    """SELECT p_partkey,
+      | array_to_string(list_sort(toks), '|') AS sorted_name,
+      | len(list_distinct(toks))::BIGINT AS n_distinct_toks,
+      | list_has_any(toks, ['green', 'blue']) AS has_cool_color,
+      | toks[1] AS first_tok,
+      | toks[-1] AS last_tok
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)""".stripMargin
+
   /** X4 — UNPIVOT (wide → long): the inverse of a7_pivot, melting two
     * customer numeric columns into (metric, amount) rows via `stack` —
     * a codegen'd generator, rows ×2 produced map-side with no shuffle
@@ -553,6 +578,7 @@ object Relational {
     "x2_classify_explode_outer" -> x2ClassifyExplodeOuter,
     "x3_split_pad" -> x3SplitPad,
     "x4_unpivot" -> x4Unpivot,
+    "f_arrays" -> fArrays,
     "f_strings" -> fStrings,
     "f6_na_concat" -> f6NaConcat,
     "f_json_extract" -> fJsonExtract)
@@ -582,6 +608,7 @@ object Relational {
     "x2_classify_explode_outer" -> x2Sql,
     "x3_split_pad" -> x3Sql,
     "x4_unpivot" -> x4Sql,
+    "f_arrays" -> fArraysSql,
     "f_strings" -> fStringsSql,
     "f6_na_concat" -> f6Sql,
     "f_json_extract" -> fJsonSql)

@@ -167,6 +167,15 @@ class GraftApiSpec extends SparkSpec {
         .orderBy("user_id", "hour").collect().toSeq)
   }
 
+  test("dedup.contaminatedIds equals the harness d_contamination on the same split") {
+    val train = corpus.filter(col("my_id") % 7 =!= 0)
+    val holdout = corpus.filter(col("my_id") % 7 === 0)
+    val api = Graft.dedup.contaminatedIds(train, holdout, "my_id", "body")
+    val harness = SparkEntry.queries("d_contamination")(spark, sf)
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+
   test("graphs.pageRank: base rank for sinks' sources, conservation on a simple cycle") {
     // 2-cycle a<->b with damping: pr converges toward 1 for both; with
     // pr0 = 1 every iteration keeps pr(a) = pr(b) = 1 exactly
