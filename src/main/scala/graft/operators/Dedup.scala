@@ -650,7 +650,93 @@ object Dedup {
        |GROUP BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // Passage-level duplication: token coverage by cross-doc repeated spans
+  // ----------------------------------------------------------------
+
+  /** SUBSTRING-level duplication (the Lee et al. 2022 "Deduplicating
+    * Training Data" shape, approximated at W-token granularity): for
+    * every document, the fraction of token positions covered by a
+    * W-shingle that also appears in at least one OTHER document. This
+    * is the signal substring dedup acts on — doc-level near-dup
+    * (minhash/simhash above) misses boilerplate that occupies 30 % of
+    * two otherwise-unrelated pages; this measures exactly that.
+    *
+    * Plan shape for 100 TB: the positional index rows are
+    * (doc_id, pos, h) = 20 bytes/shingle — the text itself never
+    * shuffles. The repeated-hash set (df ≥ 2 over distinct docs) is
+    * the duplicate-passage index; the probe is a long equi-join
+    * against it, and the ×W coverage explode happens map-side AFTER
+    * that join, so it amplifies only flagged positions. (Lee et al.
+    * build exact suffix arrays; the windowed-hash index is the
+    * standard distributed approximation — same recall at span length
+    * ≥ W, no global order.) In production the positional index is
+    * checkpointed once and reused by both the df pass and the probe;
+    * here the recompute is one extra codegen'd scan.
+    *
+    * Covered-token counting is interval-union arithmetic, not row
+    * expansion: flagged window k covers tokens `[k, min(k+W, nt))`,
+    * so per doc (positions sorted) each window contributes
+    * `least(W, next_pos − pos)` tokens and the union length is one
+    * windowed sum — the explode-to-positions + distinct formulation
+    * was measured 4.2 s at sf0.1 (×W row amplification and a wide
+    * distinct shuffle); this is one doc_id-partitioned window over
+    * exactly the flagged positions. */
+  private def dPassageCoverage: Q = (s, dir) =>
+    passageCoverageOf(Tables.documents(s, dir))
+
+  /** DataFrame-parametric form (public-API surface): expects columns
+    * `doc_id` and `text`; see [[dPassageCoverage]]. */
+  private[graft] def passageCoverageOf(docs: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    // posexplode_outer, not posexplode: the inner generator would get
+    // an InferFiltersFromGenerate `size(arr) > 0` pre-filter that
+    // re-evaluates the shingle-hash expression twice per row (the
+    // measured 2× from SURVEY §6); the array is never empty anyway.
+    val pe = docs.select(
+      col("doc_id"),
+      expr(s"size($toksExpr)").cast("long").as("nt"),
+      posexplode_outer(expr("graft_shingle_hashes_pos(text)")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+    val rep = pe.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pe.join(rep, "h")
+      .select(col("doc_id"), col("nt"), col("pos").cast("long").as("pos"))
+      .withColumn("contrib",
+        least(lit(W.toLong), coalesce(lead(col("pos"), 1).over(w), col("nt")) - col("pos")))
+      .groupBy(col("doc_id"), col("nt"))
+      .agg(sum(col("contrib")).as("n_covered"))
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("n_covered"),
+        round(col("n_covered") / col("nt"), 6).as("coverage"))
+  }
+
+  private val dPassageCoverageSql = {
+    val hashWin = PortableHash.duckPolyHash(s"array_to_string(toks[i:i+${W - 1}], ' ')")
+    val hashAll = PortableHash.duckPolyHash("array_to_string(toks, ' ')")
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+       |ph AS (SELECT doc_id, nt,
+       |         CASE WHEN nt >= $W
+       |           THEN list_transform(range(1, nt - ${W - 2}), i -> $hashWin)
+       |           ELSE [$hashAll] END AS hs
+       |       FROM n),
+       |pe AS (SELECT doc_id, nt, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos
+       |       FROM ph),
+       |rep AS (SELECT h FROM pe GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT pe.doc_id, pe.nt,
+       |          least($W, coalesce(lead(pe.pos) OVER
+       |            (PARTITION BY pe.doc_id ORDER BY pe.pos), pe.nt) - pe.pos) AS contrib
+       |        FROM pe JOIN rep USING (h))
+       |SELECT doc_id, nt AS n_tokens, CAST(sum(contrib) AS BIGINT) AS n_covered,
+       |       round(sum(contrib) / CAST(nt AS DOUBLE), 6) AS coverage
+       |FROM cov GROUP BY doc_id, nt""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_passage_coverage" -> dPassageCoverage,
     "d_contamination" -> dContamination,
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
@@ -663,6 +749,7 @@ object Dedup {
     "d_cluster_canonical" -> dClusterCanonical)
 
   val oracles: Map[String, String] = Map(
+    "d_passage_coverage" -> dPassageCoverageSql,
     "d_contamination" -> dContaminationSql,
     "d_cluster_canonical" -> dClusterCanonicalSql,
     "d_exact" -> dExactSql,

@@ -96,8 +96,11 @@ object ShingleHashes {
   private def isPunctOrSpace(cp: Int): Boolean =
     cp == ' ' || (cp > 32 && cp < 127 && !Character.isLetterOrDigit(cp))
 
-  def compute(s: UTF8String, width: Int): ArrayData = {
-    // normalize: lower-case + collapse [\p{Punct} ]+ runs to one space
+  /** Shared normalize→tokenize pass: lower-case, collapse
+    * `[\p{Punct} ]+` runs to one space, split on single spaces keeping
+    * boundary empties (Java `split(" ", -1)`, same as Spark's `split`
+    * and DuckDB's `string_split`). */
+  private def normTokens(s: UTF8String): Array[String] = {
     val str = s.toLowerCase.toString
     val sb = new java.lang.StringBuilder(str.length)
     var i = 0
@@ -109,7 +112,50 @@ object ShingleHashes {
         if (!inRun) { sb.append(' '); inRun = true }
       } else { sb.appendCodePoint(cp); inRun = false }
     }
-    val tokens = sb.toString.split(" ", -1)
+    sb.toString.split(" ", -1)
+  }
+
+  private def hashOf(sh: String): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < sh.length) {
+      val cp = sh.codePointAt(j)
+      j += Character.charCount(cp)
+      acc = (acc * 31 + cp) % P
+    }
+    acc
+  }
+
+  /** POSITIONAL variant: one hash per W-token window in document
+    * order, NO dedup — entry k is the shingle starting at token k.
+    * Texts shorter than W tokens yield one hash of the whole
+    * normalized string (position 0). `posexplode` over this array is
+    * the (position, passage-hash) index that substring-level dedup
+    * builds on. */
+  def computePos(s: UTF8String, width: Int): ArrayData = {
+    val tokens = normTokens(s)
+    def shingleStr(from: Int, until: Int): String = {
+      val b = new java.lang.StringBuilder()
+      var t = from
+      while (t < until) {
+        if (t > from) b.append(' ')
+        b.append(tokens(t))
+        t += 1
+      }
+      b.toString
+    }
+    val n = if (tokens.length >= width) tokens.length - width + 1 else 1
+    val arr = new Array[Long](n)
+    var w = 0
+    while (w < n) {
+      arr(w) = hashOf(shingleStr(w, math.min(w + width, tokens.length)))
+      w += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  def compute(s: UTF8String, width: Int): ArrayData = {
+    val tokens = normTokens(s)
     // Dedup by shingle STRING (not by hash): `array_distinct` and the
     // oracle's `list_distinct` both dedup the strings BEFORE hashing,
     // so two distinct shingles colliding mod P must yield two (equal)
@@ -139,19 +185,36 @@ object ShingleHashes {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) {
-      val sh = it.next()
-      var acc = 0L
-      var j = 0
-      while (j < sh.length) {
-        val cp = sh.codePointAt(j)
-        j += Character.charCount(cp)
-        acc = (acc * 31 + cp) % P
-      }
-      arr(k) = acc
+      arr(k) = hashOf(it.next())
       k += 1
     }
     new GenericArrayData(arr)
   }
+}
+
+/** Positional sibling of [[ShingleHashes]]: entry k is the hash of the
+  * W-token shingle STARTING AT TOKEN k, document order, no dedup —
+  * `array<long>` of length `max(1, n_tokens − W + 1)`. `posexplode`
+  * over it yields the (position, passage-hash) index that
+  * substring-level dedup (Lee et al. 2022-style) builds on: a window
+  * repeated across documents covers tokens `[k, k+W)` of each. Same
+  * tokenizer, same PolyHash, same short-text fallback as the distinct
+  * form, so the two expressions agree wherever both are defined. */
+case class ShingleHashesPos(child: Expression, width: Int = 5)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes_pos"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleHashes.computePos(input.asInstanceOf[UTF8String], width)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ShingleHashes.computePos($c, $width)")
+
+  protected override def withNewChildInternal(newChild: Expression): ShingleHashesPos =
+    copy(child = newChild)
 }
 
 /** Native float-vector dot product in DOUBLE precision: the fused,
@@ -215,6 +278,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head)),
+    (FunctionIdentifier("graft_shingle_hashes_pos"),
+      new ExpressionInfo(classOf[ShingleHashesPos].getName, "graft_shingle_hashes_pos"),
+      (children: Seq[Expression]) => ShingleHashesPos(children.head)),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (children: Seq[Expression]) => TopKByScore(children(0), children(1), children(2))),

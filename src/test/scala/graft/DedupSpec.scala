@@ -124,6 +124,44 @@ class DedupSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("graft_shingle_hashes_pos: positional index agrees with the distinct form") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf)
+      .withColumn("nt", size(split(regexp_replace(lower(col("text")), "[\\p{Punct} ]+", " "), " ")).cast("long"))
+      .withColumn("pos_h", expr("graft_shingle_hashes_pos(text)"))
+      .withColumn("dist_h", expr("graft_shingle_hashes(text)"))
+    // one entry per window, document order
+    assert(d.filter(size(col("pos_h")) =!= greatest(col("nt") - 4, lit(1L)).cast("int")).count() == 0)
+    // same distinct hash SET as the dedup'd form
+    assert(d.filter(array_sort(array_distinct(col("pos_h"))) =!=
+      array_sort(array_distinct(col("dist_h")))).count() == 0)
+  }
+
+  test("d_passage_coverage: planted cross-doc passage covers exactly its tokens") {
+    import spark.implicits._
+    // docs 1 and 2 share one 5-token passage (tokens 0..4), then diverge;
+    // doc 3 is entirely unique
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 u1 u2 u3 u4 u5"),
+      (2L, "c1 c2 c3 c4 c5 v1 v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val cov = Dedup.passageCoverageOf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"), r.getAs[Double]("coverage")))).toMap
+    assert(cov.keySet == Set(1L, 2L), s"flagged: ${cov.keySet}")
+    assert(cov(1L) == ((10L, 5L, 0.5)), s"doc 1: ${cov(1L)}")
+    assert(cov(2L) == ((10L, 5L, 0.5)), s"doc 2: ${cov(2L)}")
+  }
+
+  test("d_passage_coverage invariants on the fixture: bounds and flagged-only rows") {
+    val df = Dedup.queries("d_passage_coverage")(spark, sf).cache()
+    assert(df.count() > 0, "fixture's planted dups should share passages")
+    assert(df.filter(col("n_covered") < 1 || col("n_covered") > col("n_tokens")).count() == 0)
+    assert(df.filter(col("coverage") <= 0.0 || col("coverage") > 1.0).count() == 0)
+    df.unpersist()
+  }
+
   test("t_repetition: planted repeated text scores high, unique text scores 0") {
     import spark.implicits._
     val docs = Seq(
