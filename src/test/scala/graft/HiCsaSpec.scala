@@ -57,14 +57,22 @@ class HiCsaSpec extends SparkSpec {
       Row("Policy", null, null, "NA: NA See NA.", "r2")))
   }
 
-  test("repairTechnical overwrites by POSITION and fills null practices (W3)") {
+  test("repairTechnical overwrites by POSITION; repairNaPractice fills both constants (W3)") {
     val repaired = HiCsa.repairTechnical(scraped, "Energy Efficiency", Seq("New A", "New B"))
     val energy = repaired.filter(col("Mitigation") === "Energy Efficiency")
       .orderBy("doc_pos").select("Practice").as[String].collect().toSeq
     assert(energy == Seq("New A", "New B"))
-    val filled = repaired.filter(col("Mitigation") === "Nutrient Mgmt")
-      .select("Practice").as[String].collect().toSeq
-    assert(filled == Seq("no practice scraped"))
+    // Rmd:582-583: null-Practice rows get BOTH constants (Mitigation
+    // keyed off the ORIGINAL null Practice), other rows untouched
+    val filled = HiCsa.repairNaPractice(repaired, "Conservation Efforts", "Support Pollinators")
+    val naRow = filled.filter(col("doc_pos") === 5L).collect()(0)
+    assert(naRow.getString(0) == "Conservation Efforts")
+    assert(naRow.getString(1) == "Support Pollinators")
+    assert(filled.filter(col("Mitigation") === "Nutrient Mgmt").count() == 0)
+    assert(filled.filter(col("Practice") === "New A").count() == 1)
+    // Rmd:585: targeted rewrite hits only the named mitigation
+    val rewritten = HiCsa.repairPracticeWhere(filled, "Soil Health", "Wetland Restoration")
+    assert(rewritten.filter(col("Practice") === "Wetland Restoration").count() == 2)
   }
 
   test("finalDb unions the three streams, drops null mitigation, canonical order (U2/P2)") {
