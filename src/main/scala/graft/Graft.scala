@@ -112,6 +112,28 @@ object Graft {
         .agg(countDistinct(col("h")).as("n_shared"))
     }
 
+    /** Passage-level duplication coverage (the Lee-et-al substring-dup
+      * signal at 5-token granularity): per document, the fraction of
+      * token positions covered by a shingle that also appears in ≥ 1
+      * OTHER document — (doc_id, n_tokens, n_covered, coverage). The
+      * positional index is scanned once; the text never shuffles. */
+    def passageCoverage(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      Dedup.passageCoverageOf(asDocs(df, idCol, textCol))
+
+    /** Confirm-stage near-dup verification: MinHash-LSH candidate pairs
+      * with est. Jaccard ≥ `minEstJaccard` joined back to their texts
+      * for an EXACT levenshtein — (a_id, b_id, est_jaccard,
+      * edit_distance). Signatures are built uncached (leak-free, like
+      * [[minhashCandidates]]); precompute [[signatures]] and use
+      * [[minhashCandidatesFor]] + your own join for repeated calls. */
+    def editDistanceVerified(df: DataFrame, idCol: String, textCol: String,
+        minEstJaccard: Double): DataFrame = {
+      val docs = asDocs(df, idCol, textCol)
+      Dedup.editdistVerifyFromSig(
+        Dedup.signaturesOf(docs, org.apache.spark.storage.StorageLevel.NONE),
+        docs, minEstJaccard)
+    }
+
     /** Transitively-closed near-dup clusters over a precomputed
       * [[signatures]] frame: one row per signature doc —
       * (doc_id, cluster_id = component-min id, is_dup). Pair-level

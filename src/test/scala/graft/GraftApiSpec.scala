@@ -72,6 +72,20 @@ class GraftApiSpec extends SparkSpec {
     assert(perCluster.filter(col("survivors") =!= 1).count() == 0)
   }
 
+  test("dedup.passageCoverage equals the harness d_passage_coverage on a renamed schema") {
+    val api = Graft.dedup.passageCoverage(corpus, "my_id", "body")
+    val harness = SparkEntry.queries("d_passage_coverage")(spark, sf)
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("dedup.editDistanceVerified equals the harness d_editdist_verify") {
+    val api = Graft.dedup.editDistanceVerified(corpus, "my_id", "body", 0.9)
+    val harness = SparkEntry.queries("d_editdist_verify")(spark, sf)
+    assert(api.orderBy("a_id", "b_id").collect().toSeq ==
+      harness.orderBy("a_id", "b_id").collect().toSeq)
+  }
+
   test("text.redactPii scrubs emails, phones, and IPs but leaves prose alone") {
     val df = Seq(
       ("reach me at jane.doe+spam@mail.example.org or +44-555-0199",
