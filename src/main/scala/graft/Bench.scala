@@ -79,8 +79,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":$passes,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt & braces for the driver's parser: the JSON goes to a file as
-    // well as stdout (r1's line was truncated by the log-tail capture)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // well as stdout (r1's line was truncated by the log-tail capture;
+    // r4's 2000-char tail truncated the total again — the repo-local
+    // artifact survives any tail length, VERDICT r4 #3)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case _: Throwable => () }
     spark.stop()

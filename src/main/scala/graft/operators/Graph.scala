@@ -302,7 +302,19 @@ object Graph {
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
         .distinct(), reliable)
-    var prevCnt = e.count()
+    // convergence state: (row count, order-independent set fingerprint).
+    // The edge set is distinct, so xor-of-row-hashes is a set invariant:
+    // equal (count, fingerprint) ⇒ equal sets up to a 2^-64 collision —
+    // this folds the convergence test into the SAME job as the count
+    // instead of running a separate exceptAll comparison per converged
+    // round (VERDICT r4 #5).
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("fp")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = fingerprint(e)
     var done = false
     while (!done) {
       // large-star: for each u, m = min(N(u) ∪ {u}); hang every v > u on m
@@ -326,13 +338,13 @@ object Graph {
         .filter(col("a") =!= col("b"))
         .select(col("a").as("src"), col("b").as("dst"))
         .distinct()
-      // lazy checkpoint: the count below is the materializing action
-      // (same trick as labelPropagate) — one job per round, and the
-      // EXACT set-equality check only runs once counts stop moving
+      // lazy checkpoint: the fingerprint aggregate below is the
+      // materializing action (same trick as labelPropagate) — exactly
+      // ONE job per round, convergence included
       val small = if (reliable) smallPlan.checkpoint() else smallPlan.localCheckpoint(false)
-      val cnt = small.count()
-      done = cnt == prevCnt && small.exceptAll(e).isEmpty
-      prevCnt = cnt
+      val cur = fingerprint(small)
+      done = cur == prev
+      prev = cur
       e = small
     }
     // fixpoint: e holds (node, componentMin) stars; mins/isolated nodes
