@@ -234,6 +234,64 @@ object Similarity {
 
   private def sAnnLsh: Q = (s, dir) => annLshTopk(s, dir, radius = 1)
 
+  // ---- batch ANN: many query vectors through one bucket join ----
+
+  private val BatchMod = 100L  // every 100th vector queries the index
+
+  /** BATCH ANN probe — the production shape (VERDICT r4 #4): a whole
+    * frame of query vectors probes the bucket-partitioned [[annIndex]]
+    * in ONE join. Per query, the Hamming-≤1 probe buckets (query
+    * bucket XOR each single-bit mask, plus itself — 9 of 256) are
+    * computed AS A COLUMN and exploded to (query, probe_bucket) rows;
+    * the index joins on its PARTITION column `bucket`, so partition
+    * pruning comes from the JOIN — Spark plans a broadcast hash join
+    * with a dynamic-partition-pruning subquery on the scan
+    * (PlanSpec-asserted), not from driver-side literals like the
+    * 1-query [[annLshTopk]]. A candidate lives in exactly one bucket
+    * and the probe buckets per query are distinct, so no (query,
+    * candidate) pair arises twice — no dedup pass. Per-query top-K is
+    * a qid-partitioned window (each query's candidate set is
+    * bucket-bounded, so the sort is per-group tiny).
+    *
+    * Scale: probe rows = 9 × |batch| (broadcastable for any sane
+    * batch); scanned index fraction ≤ |∪ probe buckets|/256 of the
+    * corpus regardless of corpus size. */
+  private def sAnnLshBatch: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val probeArray = (Seq(0) ++ (0 until 8).map(1 << _))
+      .map(m => s"qbucket ^ $m").mkString("array(", ", ", ")")
+    val probes = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") % BatchMod === 0))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"),
+        expr(bucketExpr).as("qbucket"))
+      .select(col("qid"), col("qe"), col("qnrm"),
+        explode(expr(probeArray)).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    s.read.parquet(annIndex(s, dir))
+      .withColumn("bucket", col("bucket").cast("int"))
+      .join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("label"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val sAnnLshBatchSql =
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
+       |                  ($duckBucketExpr) AS bucket FROM embeddings),
+       |q AS (SELECT vec_id qid, embedding qe, nrm qnrm, bucket qbucket
+       |      FROM v WHERE vec_id % $BatchMod = 0),
+       |cands AS (SELECT q.qid, v.vec_id, v.label,
+       |            ${duckCosExpr("v.embedding", "qe", "v.nrm", "qnrm")} AS cos
+       |          FROM v CROSS JOIN q
+       |          WHERE bit_count(xor(v.bucket, q.qbucket)) <= 1 AND v.vec_id <> q.qid)
+       |SELECT qid AS query_id, rank, vec_id, label, round(cos, 6) AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, vec_id) AS rank FROM cands)
+       |WHERE rank <= $K""".stripMargin
+
   private val sAnnLshSql =
     s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
        |                  ($duckBucketExpr) AS bucket FROM embeddings),
@@ -512,6 +570,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
+    "s_ann_lsh_batch" -> sAnnLshBatch,
     "s_ivf_ann" -> sIvfAnn,
     "s_quantized_topk" -> sQuantizedTopk,
     "s_blocked_knn" -> sBlockedKnn,
@@ -522,6 +581,7 @@ object Similarity {
     "s_quantized_topk" -> sQuantizedTopkSql,
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
+    "s_ann_lsh_batch" -> sAnnLshBatchSql,
     "s_ivf_ann" -> sIvfAnnSql,
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,

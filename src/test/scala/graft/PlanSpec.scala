@@ -82,6 +82,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("bit_count"), p)
   }
 
+  test("s_ann_lsh_batch: index partitions pruned DYNAMICALLY by the probe join (no full-index scan)") {
+    val q = SparkEntry.queries("s_ann_lsh_batch")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the probe side is broadcast and the index scan's PartitionFilters
+    // carry a dynamic-pruning subquery on the bucket partition column —
+    // pruning comes from the JOIN, not driver-side literals
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("PartitionFilters: [isnotnull(bucket"), p)
+    // and no post-hoc Hamming filter over a full scan remains
+    assert(!p.contains("bit_count"), p)
+  }
+
   test("s_centroids: exactly one hash-shuffle (partial agg carries (sum,count) pairs)") {
     val p = plan("s_centroids")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

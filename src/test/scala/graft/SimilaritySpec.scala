@@ -95,6 +95,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s_ann_lsh_batch agrees with the single-query probe for query 0") {
+    // query 0 is in the batch (0 % 100 == 0) and both paths probe the
+    // same index at Hamming radius 1 — identical candidates, ranks,
+    // and (bit-identical fold-dot) cosines
+    val single = Similarity.queries("s_ann_lsh")(spark, sf)
+      .select("vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity.queries("s_ann_lsh_batch")(spark, sf)
+      .filter(col("query_id") === 0L).orderBy("rank")
+      .select("vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == single)
+  }
+
   test("s_blocked_knn: <=3 neighbours per vector, all same-label") {
     val df = Similarity.queries("s_blocked_knn")(spark, sf)
     assert(df.groupBy("a_id").count().filter(col("count") > 3).count() == 0)
