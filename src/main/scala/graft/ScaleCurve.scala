@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve evidence (VERDICT r4 #6): generate sf1-equivalent inputs
+  * by deterministic k-fold replication of the sf0.1 tables, then time
+  * the heaviest queries at each scale with Bench's methodology (noop
+  * forcing, min of 2 passes, clearCache between queries). A ≲ linear
+  * time ratio at 10× volume is the evidence that the bucketed/indexed
+  * plans hold as data grows; any super-linear query needs a plan fix or
+  * a named reason (SURVEY §6 records the results).
+  *
+  * Replication discipline (deterministic, no RNG):
+  *  - documents: copy i ≥ 1 appends a 5-token copy-salt to the text, so
+  *    tail shingles differ per copy while body shingles stay shared —
+  *    the boilerplate-heavy near-dup corpus shape: each doc gains k−1
+  *    high-Jaccard "brothers", so true-dup structure (and candidate
+  *    pair count) grows LINEARLY with volume, the realistic hard case
+  *    for the dedup family.
+  *  - embeddings: ids offset per copy, each dimension perturbed by a
+  *    deterministic ±0.06 pattern so sign-LSH buckets spread instead of
+  *    collapsing into exact clones.
+  *  - customer/supplier: key-offset copies on the same 25 nations (the
+  *    component structure deepens in SIZE, not diameter).
+  *  - nation/region: dimensions, copied verbatim.
+  *
+  * Usage: java ... graft.ScaleCurve   (env: SPARK_GRAFT_SCALES=1,3,10
+  * SPARK_GRAFT_SCALE_SRC=/root/testdata/sf0.1
+  * SPARK_GRAFT_SCALE_OUT=/tmp/graft_scale SPARK_GRAFT_CPUS=32)
+  */
+object ScaleCurve {
+
+  private val CopyStride = 10000000L
+
+  private def replicate(s: SparkSession, src: String, out: String, k: Int): Unit = {
+    val docs = s.read.parquet(s"$src/documents.parquet")
+    val docCopies = (0 until k).map { i =>
+      val salted =
+        if (i == 0) col("text")
+        else concat(col("text"), lit(s" c$i c$i c$i c$i c$i"))
+      docs.select(
+        (col("doc_id") + lit(i * CopyStride)).as("doc_id"),
+        salted.as("text"), col("lang"), col("source"),
+        length(salted).cast("long").as("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = s.read.parquet(s"$src/embeddings.parquet")
+    val embCopies = (0 until k).map { i =>
+      val vec =
+        if (i == 0) col("embedding")
+        else expr(s"transform(embedding, (x, j) -> cast(x + (((vec_id % 97) * 31 + j + $i) % 13 - 6) * 0.01 as float))")
+      emb.select((col("vec_id") + lit(i * CopyStride)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val cust = s.read.parquet(s"$src/customer.parquet")
+    (0 until k).map(i => cust.withColumn("c_custkey", col("c_custkey") + lit(i * CopyStride)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    val supp = s.read.parquet(s"$src/supplier.parquet")
+    (0 until k).map(i => supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * CopyStride)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    for (t <- Seq("nation", "region"))
+      s.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+  }
+
+  private val Queries = Seq(
+    "d_exact", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs",
+    "d_cluster_canonical", "d_passage_coverage", "g_cc_labelprop", "g_cc_star")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_scale")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val threads = math.max(1, math.min(cpus, Runtime.getRuntime.availableProcessors() - 2))
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000).selectExpr("sum(id)").collect()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
+    for (k <- scales) {
+      val dir = s"$outBase/x$k"
+      replicate(spark, src, dir, k)
+      for (pass <- 1 to 2; name <- Queries) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val slot = results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap())
+        slot(k) = if (pass == 1) t else math.min(slot(k), t)
+      }
+    }
+    def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qjson = results.map { case (name, byScale) =>
+      val base = byScale(scales.head)
+      val ratio = byScale(scales.last) / base
+      s"""\"$name\":{${byScale.map { case (k, t) => s"\"x$k\":${ms(t)}" }.mkString(",")},\"ratio\":${ms(ratio)}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scale_curve","scales":[${scales.mkString(",")}],"volume_ratio":${scales.last.toDouble / scales.head},"queries":$qjson}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_curve.json"), json + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+    println(json)
+  }
+}

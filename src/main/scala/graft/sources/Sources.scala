@@ -157,7 +157,11 @@ object Sources {
     * to the driver for the prefix sum and broadcast back, so there is
     * NO global sort and no `monotonically_increasing_id`
     * nondeterminism; the value is identical across re-reads of the
-    * same files. */
+    * same files. Driver-side bound: the collect is FILE-count-scale,
+    * not row-scale — ~800k rows at 100 TB / 128 MB files, a few tens
+    * of MB of (path, count) pairs; file listings of that size already
+    * pass through the driver in Spark's own InMemoryFileIndex, so this
+    * adds no new scaling constraint. */
   def withDocPos(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(path)
