@@ -134,6 +134,48 @@ object RelationalExt {
     upsertByKey(base, updates, Seq("o_orderkey"))
   }
 
+  // ----------------------------------------------------------------
+  // SCD-2: history-preserving dimension from a change log
+  // ----------------------------------------------------------------
+
+  /** Slowly-changing-dimension TYPE 2 — the history-preserving
+    * complement of [[upsertByKey]]'s replace-in-place: a change log
+    * `(key, ts, attributes…)` becomes one VERSION ROW per change with
+    * a validity interval — valid_from = the change's ts, valid_to =
+    * the next change's ts for that key (null while current),
+    * is_current on the open row. One shuffle on the key; the interval
+    * assignment is a per-key lead() window ordered by (ts, tiebreak),
+    * so same-instant changes resolve deterministically (the earlier
+    * tiebreak's version gets a zero-length interval, exactly like a
+    * warehouse batch that applies same-day changes in id order). */
+  def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Harness binding: each customer's order stream as an SCD-2 history
+    * of their "latest order" attribute set. */
+  private def u8Scd2: Q = (s, dir) =>
+    scd2History(
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice")),
+      "o_custkey", "o_orderdate", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+
+  private val u8Scd2Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       o_orderdate AS valid_from,
+      |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |       (lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey)) IS NULL AS is_current
+      |FROM orders""".stripMargin
+
   private val u7UpsertSql =
     """WITH updates AS (
       |  SELECT o_orderkey, o_custkey, '0-UPSERTED' AS o_orderpriority,
@@ -486,6 +528,7 @@ object RelationalExt {
     "u5_intersect" -> u5Intersect,
     "u6_except" -> u6Except,
     "u7_upsert" -> u7Upsert,
+    "u8_scd2" -> u8Scd2,
     "a5_rollup" -> a5Rollup,
     "a6_cube" -> a6Cube,
     "a7_pivot" -> a7Pivot)
@@ -505,6 +548,7 @@ object RelationalExt {
     "u5_intersect" -> u5IntersectSql,
     "u6_except" -> u6ExceptSql,
     "u7_upsert" -> u7UpsertSql,
+    "u8_scd2" -> u8Scd2Sql,
     "a5_rollup" -> a5RollupSql,
     "a6_cube" -> a6CubeSql,
     "a7_pivot" -> a7PivotSql)

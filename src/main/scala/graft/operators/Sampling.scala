@@ -48,11 +48,44 @@ object Sampling {
        |WHERE ${PortableHash.duckPolyHash("text")} % 100 <
        |      CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 5 ELSE 10 END""".stripMargin
 
+  private val Quota = 40
+
+  /** EXACT per-stratum quotas — the balanced-training-mix sampler
+    * ("exactly N docs per language"): rank each stratum by
+    * (content-hash, doc_id) and keep the first `Quota`. Rate-based
+    * sampling ([[p9StratifiedSample]]) cannot hit an exact count; the
+    * hash order makes the chosen set deterministic, re-run-stable, and
+    * engine-portable (ties broken by doc_id). One shuffle on the
+    * stratum key; the per-group sort is k-bounded in practice (window
+    * rank over lang partitions — languages are few and the window
+    * truncates early under whole-stage codegen; for huge strata the
+    * same contract is available via `graft_topk`). */
+  private def p10QuotaSample: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(expr("graft_polyhash(text)"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Quota)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+  }
+
+  private val p10QuotaSampleSql =
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY ${PortableHash.duckPolyHash("text")}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $Quota""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p8_hash_sample" -> p8HashSample,
-    "p9_stratified_sample" -> p9StratifiedSample)
+    "p9_stratified_sample" -> p9StratifiedSample,
+    "p10_quota_sample" -> p10QuotaSample)
 
   val oracles: Map[String, String] = Map(
     "p8_hash_sample" -> p8HashSampleSql,
-    "p9_stratified_sample" -> p9StratifiedSampleSql)
+    "p9_stratified_sample" -> p9StratifiedSampleSql,
+    "p10_quota_sample" -> p10QuotaSampleSql)
 }
