@@ -1,32 +1,15 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // Leave 2 cores for the launcher (sbt), the driver's dispatcher
-    // threads, and the OS: at local[ncpu] on an ncpu box every stage
-    // waits on straggler tasks that lost the CPU lottery — measured
-    // 146 s → 77 s for the full suite at sf0.1 on 32 vCPUs. Shuffle
-    // width stays at the requested cpus (partition SIZING is about
-    // data, not about the local thread count).
-    val threads = math.max(1, math.min(cpus, Runtime.getRuntime.availableProcessors() - 2))
-    val spark = SparkSession.builder()
-      .master(s"local[$threads]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchKit.session(cpus)
     // Dev-only subset filter (comma-separated names); driver sets nothing
     // and gets the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // untimed warmup: initialize codegen, parquet readers, and the
-    // session so the first timed query isn't charged for JVM startup
-    spark.range(100000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    BenchKit.warmup(spark, sfDir)
     // Two measurement passes, per-query MIN. The host shows bursty
     // external CPU contention (sampled /proc/stat during a run: steal
     // spikes to 15% + sys 20% for tens of seconds, inflating whichever
@@ -34,27 +17,11 @@ object Bench {
     // can hit a query in one pass but almost never in both, and pass 1
     // doubles as JIT/codegen warmup — so min-of-2 is the steady-state
     // number. Data is re-read from parquet each pass (nothing cached
-    // across queries; clearCache below), so this measures the engine,
-    // not a warm cache.
+    // across queries; BenchKit.timeNoop clears the cache), so this
+    // measures the engine, not a warm cache.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     def timeAll(): Map[String, (Double, Boolean)] = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Force with a noop WRITE, not count(): count() lets Catalyst
-      // prune every projection not needed for row counting, so a
-      // narrow projection query (t_redact_pii, f_strings, ...) would
-      // be timed as little more than scan+count. The noop sink
-      // evaluates every output column and discards the rows — the
-      // honest cost of the materialized plan.
-      val ok = try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
-      } catch { case _: Throwable => false }
-      val t = (System.nanoTime() - t0) / 1e9
-      // queries are independent: drop their persisted frames so cache
-      // accumulation over ~70 queries doesn't turn into GC pressure
-      // that taxes later queries (measured: a late query at 2.5s
-      // isolated ran 26s under the accumulated heap)
-      spark.catalog.clearCache()
-      name -> (t, ok)
+      name -> BenchKit.timeNoop(spark, fn(spark, sfDir))
     }
     val allPasses = (1 to passes).map(_ => timeAll())
     // min over SUCCESSFUL passes only — a pass that failed fast must
@@ -64,11 +31,8 @@ object Bench {
       k -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
     // millisecond precision keeps the JSON line short enough to survive
-    // the driver's output-tail capture; Locale.ROOT so a comma-decimal
-    // default locale can't corrupt the JSON
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    // the driver's output-tail capture
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + BenchKit.ms(v) }
       .mkString("{", ",", "}")
     // a query that failed every pass carries the -1 sentinel; summing it
     // would silently deflate the headline total by 1s per failure — sum
@@ -77,14 +41,20 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","passes":$passes,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${BenchKit.ms(total)},"unit":"sec","passes":$passes,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt & braces for the driver's parser: the JSON goes to a file as
     // well as stdout (r1's line was truncated by the log-tail capture;
     // r4's 2000-char tail truncated the total again — the repo-local
-    // artifact survives any tail length, VERDICT r4 #3)
+    // artifact survives any tail length). cwd may not be the repo (or
+    // not writable) when launched bare — fall back to tmp so SOME
+    // artifact always exists; the stdout line remains the last resort.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-    catch { case _: Throwable => () }
+    val fallback = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bench.json").toString
+    Seq(outPath, fallback).iterator.map { p =>
+      try { java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"); true }
+      catch { case _: Throwable => false }
+    }.find(identity)
     spark.stop()
     // print LAST, after Spark's shutdown noise, so the line sits at the
     // very end of the captured output

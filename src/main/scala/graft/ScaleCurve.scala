@@ -71,9 +71,16 @@ object ScaleCurve {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
   }
 
+  // the heaviest r4 queries (dedup family, CC, passage coverage) plus
+  // the two embeddings consumers, so the replicated embeddings are
+  // exercised: d_embedding_near_dup is the documented fixed-width-
+  // bucket quadratic (production widens bucket bits with n — its ratio
+  // is REPORTED, with that named reason), s_ann_lsh_batch is the
+  // index-pruned linear path
   private val Queries = Seq(
     "d_exact", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs",
-    "d_cluster_canonical", "d_passage_coverage", "g_cc_labelprop", "g_cc_star")
+    "d_cluster_canonical", "d_passage_coverage", "g_cc_labelprop", "g_cc_star",
+    "d_embedding_near_dup", "s_ann_lsh_batch")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
@@ -81,29 +88,21 @@ object ScaleCurve {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val threads = math.max(1, math.min(cpus, Runtime.getRuntime.availableProcessors() - 2))
-    val spark = SparkSession.builder()
-      .master(s"local[$threads]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(100000).selectExpr("sum(id)").collect()
+    val spark = BenchKit.session(cpus)
+    BenchKit.warmup(spark, src)
 
     val results = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
     for (k <- scales) {
       val dir = s"$outBase/x$k"
       replicate(spark, src, dir, k)
       for (pass <- 1 to 2; name <- Queries) {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        val (t, ok) = BenchKit.timeNoop(spark, SparkEntry.queries(name)(spark, dir))
+        require(ok, s"$name failed at scale x$k")
         val slot = results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap())
         slot(k) = if (pass == 1) t else math.min(slot(k), t)
       }
     }
-    def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms(v: Double) = BenchKit.ms(v)
     val qjson = results.map { case (name, byScale) =>
       val base = byScale(scales.head)
       val ratio = byScale(scales.last) / base

@@ -280,13 +280,12 @@ object Dedup {
     s"""WITH $duckMinhashCandCte
        |SELECT a_id, b_id, n_shared_bands, est_jaccard FROM mh""".stripMargin
 
-  /** Candidate verification by true edit distance: LSH candidates with
-    * est. Jaccard ≥ EstVerifyThreshold get an exact levenshtein on the raw texts —
-    * the confirm stage of a two-phase near-dup pipeline (cheap sketch
-    * recall, exact precision on the tiny candidate set). */
   /** Shared confirm-stage core (harness query + [[graft.Graft.dedup]]
-    * façade): LSH candidate pairs at/above `minEstJaccard` joined back
-    * to their texts for an exact levenshtein. */
+    * façade) of the two-phase near-dup pipeline — cheap sketch recall,
+    * exact precision: LSH candidate pairs at/above `minEstJaccard`
+    * joined back to their texts for an exact levenshtein. The harness
+    * binding [[dEditdistVerify]] fixes the threshold at
+    * EstVerifyThreshold. */
   private[graft] def editdistVerifyFromSig(sig: DataFrame, docs: DataFrame,
       minEstJaccard: Double): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))

@@ -77,6 +77,15 @@ class GoldenParitySpec extends SparkSpec {
       .filter(col("Mitigation").startsWith(junk)).count() == 0)
   }
 
+  test("referenceLexicon matches the generated B8 fixture (no Scala/Python drift)") {
+    // the fixture generator re-synthesizes CSA Goals from ITS lexicon
+    // copy; this pins the library's copy to the same 21 rows in order
+    val fixture = spark.read.parquet(res("lexicon"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(HiCsa.referenceLexicon.size == 21)
+    assert(fixture.sorted == HiCsa.referenceLexicon.sorted)
+  }
+
   test("preview (K2/W2) heads the Mitigation sort with the junk heading rows") {
     val head = HiCsa.preview(db, 6).select("Mitigation").collect().map(_.getString(0))
     assert(head.length == 6 && head.forall(_.startsWith("2025 NCSS")))

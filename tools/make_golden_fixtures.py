@@ -259,9 +259,18 @@ def main():
         "Resource": pa.array(d["Resource"], pa.string()),
     })
 
+    # ---- lexicon.parquet (B8): the single source the Scala copy is
+    # spec-checked against (GoldenParitySpec), so the generator's
+    # LEXICON and HiCsa.referenceLexicon cannot drift silently
+    lex_tbl = pa.table({
+        "keyword": pa.array([k for k, _ in LEXICON], pa.string()),
+        "practice": pa.array([p for _, p in LEXICON], pa.string()),
+    })
+
     os.makedirs(OUT, exist_ok=True)
     for name, tbl in [("elements", el_tbl), ("policy", pol_tbl),
-                      ("support", sup_tbl), ("golden", gold_tbl)]:
+                      ("support", sup_tbl), ("golden", gold_tbl),
+                      ("lexicon", lex_tbl)]:
         path = os.path.join(OUT, f"{name}.parquet")
         pq.write_table(tbl, path)
         print(f"wrote {path}: {tbl.num_rows} rows")
