@@ -293,6 +293,34 @@ object Graft {
     }
   }
 
+  object hicsa {
+    /** The COMPLETE reference pipeline in one call (hi-csa-db.Rmd
+      * stages 3–8, golden-parity semantics throughout): an ordered
+      * DOM-element table, a policy sheet, and a support sheet become
+      * the final (Type, Mitigation, Practice, Description, Resource)
+      * database — faithful element walk (no h4 reset), URL
+      * absolutization, keep-first practice lookup BEFORE the repairs,
+      * null-safe classification lookup (R `match` NA semantics),
+      * stop-gap repairs, union, null-Mitigation filter.
+      * GoldenParitySpec proves this call reproduces the reference's
+      * shipped 308×5 artifact row for row on the reconstructed
+      * fixtures. */
+    def buildDatabase(elements: DataFrame, policy: DataFrame, support: DataFrame,
+        urlPrefix: String,
+        lexicon: Seq[(String, String)] = pipelines.HiCsa.referenceLexicon): DataFrame = {
+      val tech = pipelines.HiCsa.technicalDb(
+        pipelines.HiCsa.scrapeElements(elements), urlPrefix)
+      val pracMiti = pipelines.HiCsa.practiceLookup(tech)
+      pipelines.HiCsa.finalDb(
+        pipelines.HiCsa.stopGapRepairs(tech),
+        pipelines.HiCsa.policyDb(policy, lexicon, pracMiti),
+        pipelines.HiCsa.supportDb(support))
+    }
+
+    /** K2/W2 ordered preview of a built database. */
+    def preview(db: DataFrame, n: Int): DataFrame = pipelines.HiCsa.preview(db, n)
+  }
+
   object media {
     def decodePartitions(records: Dataset[Multimodal.MediaRecord]): Dataset[Multimodal.MediaFeatures] =
       Multimodal.decodePartitions(records)

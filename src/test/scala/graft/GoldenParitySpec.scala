@@ -77,6 +77,15 @@ class GoldenParitySpec extends SparkSpec {
       .filter(col("Mitigation").startsWith(junk)).count() == 0)
   }
 
+  test("Graft.hicsa.buildDatabase (the one-call facade) equals the staged composition") {
+    val api = Graft.hicsa.buildDatabase(
+      spark.read.parquet(res("elements")),
+      spark.read.parquet(res("policy")),
+      spark.read.parquet(res("support")),
+      "https://www.nrcs.usda.gov")
+    assert(api.exceptAll(db).isEmpty && db.exceptAll(api).isEmpty)
+  }
+
   test("referenceLexicon matches the generated B8 fixture (no Scala/Python drift)") {
     // the fixture generator re-synthesizes CSA Goals from ITS lexicon
     // copy; this pins the library's copy to the same 21 rows in order
