@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior of the library façade: every operator must
+  * return an EMPTY result (not throw) on an empty input frame — the
+  * harness oracle only ever sees populated fixtures, so this class of
+  * bug (a .head on no rows, a window over nothing, a driver collect of
+  * an empty probe) would otherwise ship unexercised. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("body", StringType))))
+
+  test("dedup family on an empty corpus: empty results, no exceptions") {
+    assert(Graft.dedup.exact(emptyDocs, "id", "body").count() == 0)
+    assert(Graft.dedup.minhashCandidates(emptyDocs, "id", "body").count() == 0)
+    assert(Graft.dedup.nearDupIds(emptyDocs, "id", "body", 0.9).count() == 0)
+    assert(Graft.dedup.passageCoverage(emptyDocs, "id", "body").count() == 0)
+    assert(Graft.dedup.editDistanceVerified(emptyDocs, "id", "body", 0.9).count() == 0)
+    val sig = Graft.dedup.signatures(emptyDocs, "id", "body",
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(Graft.dedup.clusterIdsFor(sig, 0.5).count() == 0)
+    assert(Graft.dedup.contaminatedIds(emptyDocs, emptyDocs, "id", "body").count() == 0)
+  }
+
+  test("similarity on an empty vector table: empty top-k") {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vid", LongType),
+        StructField("emb", ArrayType(FloatType)))))
+    assert(Graft.similarity.topK(empty, "vid", "emb", Array(1.0f, 0.0f), 5).count() == 0)
+    assert(Graft.similarity.topKPerGroup(
+      Seq.empty[(Long, Long, Double)].toDF("g", "item", "s"), "g", "item", "s", 3).count() == 0)
+  }
+
+  test("graphs on empty edge lists: empty labelings, BFS returns only seeds") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graft.graphs.connectedComponents(noEdges).count() == 0)
+    assert(Graft.graphs.connectedComponentsStar(noEdges).count() == 0)
+    val seeds = Seq(7L).toDF("node")
+    val bfs = Graft.graphs.bfs(noEdges, seeds, maxDepth = 3).collect()
+    assert(bfs.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((7L, 0)))
+    assert(Graft.graphs.pageRank(noEdges, Seq.empty[Long].toDF("node")).count() == 0)
+  }
+
+  test("timeseries / temporal / relational ops on empty frames") {
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("eid", "at", "uid", "v")
+    assert(Graft.timeseries.sessionize(ev, "uid", "at", "eid", "v").count() == 0)
+    assert(Graft.timeseries.rolling(ev, "uid", "at", "eid", "v", 3600L).count() == 0)
+    assert(Graft.timeseries.resampleHourly(ev, "uid", "at", "v").count() == 0)
+    val build = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("k", "ts", "value")
+    val probe = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("k", "ts")
+    // empty build side: probe rows survive with a null value (LEFT semantics)
+    val asof = Graft.temporal.asofJoin(probe, build, "k", "ts", "value").collect()
+    assert(asof.length == 1 && asof(0).isNullAt(asof(0).fieldIndex("value")))
+    assert(Graft.upsertByKey(ev, ev.limit(0), Seq("eid")).count() == 0)
+    assert(operators.RelationalExt.scd2History(build, "k", "ts", "value").count() == 0)
+    assert(Graft.dbMerge(emptyDocs, emptyDocs).count() == 0)
+  }
+
+  test("hicsa pipeline on empty inputs: empty database, canonical schema") {
+    val elements = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_pos", LongType), StructField("tag", StringType),
+        StructField("text", StringType),
+        StructField("links", ArrayType(StructType(Seq(
+          StructField("text", StringType), StructField("href", StringType))))))))
+    val policy = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("GuidingPolicy", "PolicyDescription", "Verbiage", "CsaGoals", "Resource")
+        .map(StructField(_, StringType))))
+    val support = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("Mitigation", "Practice", "Description", "Resource")
+        .map(StructField(_, StringType))))
+    val db = Graft.hicsa.buildDatabase(elements, policy, support, "https://x.example")
+    assert(db.columns.toSeq ==
+      Seq("Type", "Mitigation", "Practice", "Description", "Resource"))
+    assert(db.count() == 0)
+  }
+}
