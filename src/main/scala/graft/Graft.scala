@@ -282,6 +282,15 @@ object Graft {
     /** Watermark-bounded streaming exact dedup (ingest guard). */
     def dedupedEvents(events: DataFrame): DataFrame =
       EventStreams.dedupedEvents(events)
+
+    /** Continuous-ingest NEAR-dup detection (doc_id, text streaming
+      * frame → per-(doc, band) verdicts): MinHash signatures as
+      * stateless row expressions, LSH bucket state via
+      * flatMapGroupsWithState — the streaming twin of the batch
+      * incremental dedup. OR the per-band verdicts downstream (any
+      * band hit ⇒ near-dup of its earliest match). */
+    def nearDupVerdicts(docs: DataFrame): Dataset[streaming.StreamingDedup.BandVerdict] =
+      streaming.StreamingDedup.nearDupVerdicts(docs)
   }
 
   object sampling {

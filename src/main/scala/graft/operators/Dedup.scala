@@ -217,16 +217,34 @@ object Dedup {
   private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     minhashCandidatesFromSig(signatures(s, dir))
 
-  /** LSH banding of a signature frame → (doc_id, band, bucket); band
-    * bucket = poly-combine of the band's signature rows. */
-  private def bandedOf(sig: DataFrame): DataFrame = {
-    val bandHash = (0 until Bands).map { b =>
-      val rows = (0 until Rows).map(r => s"element_at(sig, ${b * Rows + r + 1})")
-      rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P}L)")
-    }
-    sig.select(col("doc_id"),
-      posexplode(expr(bandHash.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
+  /** Row-level signature expression — the SAME K permuted mins as
+    * [[signaturesOf]]'s aggregation, computed as stateless per-row
+    * HOFs over `text` (no explode, no shuffle). This is the streaming
+    * path's form: a groupBy aggregation before a stateful operator
+    * would be a second stateful op, while a row expression keeps the
+    * stream stateless until the bucket state itself
+    * ([[graft.streaming.StreamingDedup]]). The perm constants are
+    * [[PortableHash.permA]]/[[permB]] inlined on the lambda variable,
+    * so batch and streaming signatures are bit-identical
+    * (DedupSpec-asserted). */
+  private[graft] val rowSigExpr: String = {
+    val perms = s"transform(graft_shingle_hashes(text), h -> " +
+      s"(h * (2 * k + 1) + (10007 * k + 12345)) % ${PortableHash.P}L)"
+    s"transform(sequence(0, ${K - 1}), k -> array_min($perms))"
   }
+
+  /** Per-band bucket expressions over a `sig` column — the ONE banding
+    * geometry (poly-combine of each band's rows), shared by the batch
+    * self-join, the incremental probe, and the streaming state key. */
+  private[graft] val bandBucketExprs: Seq[String] = (0 until Bands).map { b =>
+    val rows = (0 until Rows).map(r => s"element_at(sig, ${b * Rows + r + 1})")
+    rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P}L)")
+  }
+
+  /** LSH banding of a signature frame → (doc_id, band, bucket). */
+  private[graft] def bandedOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(expr(bandBucketExprs.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
 
   /** DataFrame-parametric form over a precomputed signature frame. */
   private[graft] def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {

@@ -18,6 +18,22 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("jaccard") > 1.0 || col("jaccard") <= 0.0).count() == 0)
   }
 
+  test("row-level signature expression equals the aggregated batch signatures") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val rowSigs = docs.select(col("doc_id"), expr(Dedup.rowSigExpr).as("sig"))
+    val aggSigs = Dedup.signaturesOf(docs,
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(rowSigs.orderBy("doc_id").collect().toSeq ==
+      aggSigs.orderBy("doc_id").collect().toSeq)
+    // and the streaming banded prefix matches batch banding end-to-end
+    val streamBanded = streaming.StreamingDedup.banded(docs)
+      .select("doc_id", "band", "bucket")
+    val batchBanded = Dedup.bandedOf(aggSigs)
+    assert(streamBanded.orderBy("doc_id", "band").collect().toSeq ==
+      batchBanded.orderBy("doc_id", "band").collect().toSeq)
+  }
+
   test("minhash LSH candidates recover the high-jaccard pairs") {
     val exact = Dedup.queries("d_ngram_jaccard")(spark, sf)
       .filter(col("jaccard") >= 0.9)

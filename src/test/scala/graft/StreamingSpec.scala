@@ -95,6 +95,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup flags boilerplate against earlier state, passes novel docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the patient heron watches the shallow river bend for fish"
+    val textB = textA + " tonight"  // near-identical: one trailing token
+    val textC = "completely unrelated content about parquet file footers " +
+      "and shuffle partition sizing with no shared phrasing whatsoever"
+    val input = MemoryStream[(Long, String)]
+    val verdicts = streaming.StreamingDedup.nearDupVerdicts(
+      input.toDF().toDF("doc_id", "text"))
+    val q = verdicts.writeStream.format("memory").queryName("near_dup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, textA))
+      q.processAllAvailable()
+      input.addData((2L, textB), (3L, textC))
+      q.processAllAvailable()
+      val out = spark.table("near_dup_out")
+        .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      // doc 1 seeded state: no prior match in any band
+      assert(out.filter(_._1 == 1L).forall(_._2.isEmpty))
+      // doc 2 is a near-dup of 1: flagged with canonical id 1 in >=1 band
+      assert(out.filter(_._1 == 2L).exists(_._2.contains(1L)))
+      // doc 3 shares nothing: never flagged
+      assert(out.filter(_._1 == 3L).forall(_._2.isEmpty))
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: replaying a batch rewrites, never duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
