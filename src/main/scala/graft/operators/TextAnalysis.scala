@@ -55,6 +55,45 @@ object TextAnalysis {
       |FROM documents""".stripMargin
 
   // ----------------------------------------------------------------
+  // Corpus mixture weights: per-language token shares → resampling factors
+  // ----------------------------------------------------------------
+
+  /** Data-mixing accounting — the step between corpus stats and a
+    * training run: per language, document and token counts, the
+    * token SHARE of the corpus, and the resampling weight that would
+    * hit a UNIFORM target mixture (weight = target_share /
+    * actual_share; >1 ⇒ upsample, <1 ⇒ downsample). Real pipelines
+    * plug in a non-uniform target vector; the arithmetic is the same.
+    * Shape: one partial-agg'd groupBy(lang) — per-doc token counts
+    * reduce map-side — then a broadcast of the langs-sized totals row.
+    * All ratio arithmetic, round(6) both engines. */
+  private def tMixtureWeights: Q = (s, dir) => {
+    val perLang = Tables.documents(s, dir)
+      .select(col("lang"), size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
+        round((lit(1.0) / col("n_langs")) /
+          (col("n_tokens") / col("total_tokens")), 6).as("uniform_weight"))
+  }
+
+  private val tMixtureWeightsSql =
+    """WITH per_lang AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |totals AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_langs FROM per_lang)
+      |SELECT lang, n_docs, n_tokens,
+      |       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+      |       round((1.0 / n_langs) / (n_tokens / CAST(total_tokens AS DOUBLE)), 6) AS uniform_weight
+      |FROM per_lang CROSS JOIN totals""".stripMargin
+
+  // ----------------------------------------------------------------
   // Quality scoring: length / punctuation / stopword heuristics
   // ----------------------------------------------------------------
 
@@ -462,6 +501,7 @@ object TextAnalysis {
     "t_redact_pii" -> tRedactPii,
     "t_top_tokens" -> tTopTokens,
     "t_token_count" -> tTokenCount,
+    "t_mixture_weights" -> tMixtureWeights,
     "t_quality_score" -> tQualityScore,
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
@@ -474,6 +514,7 @@ object TextAnalysis {
     "t_redact_pii" -> tRedactPiiSql,
     "t_top_tokens" -> tTopTokensSql,
     "t_token_count" -> tTokenCountSql,
+    "t_mixture_weights" -> tMixtureWeightsSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
