@@ -267,6 +267,13 @@ object Graft {
     def asofJoin(probe: DataFrame, build: DataFrame,
         keyCol: String, tsCol: String, valueCol: String): DataFrame =
       operators.Temporal.asofJoin(probe, build, keyCol, tsCol, valueCol)
+
+    /** SCD-2 history: a change log becomes version rows with
+      * (valid_from, valid_to, is_current) — per-key lead() intervals,
+      * same-instant changes tiebroken by `tieCol`. */
+    def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
+        tieCol: String): DataFrame =
+      operators.RelationalExt.scd2History(changes, keyCol, tsCol, tieCol)
   }
 
   object streams {
@@ -299,6 +306,36 @@ object Graft {
     def byHash(df: DataFrame, contentCol: String, pct: Int): DataFrame = {
       register(df.sparkSession)
       df.filter(pmod(call_function("graft_polyhash", col(contentCol)), lit(100)) < pct)
+    }
+
+    /** EXACT per-stratum quota: keep the first `quota` rows of each
+      * stratum in deterministic (content-hash, tiebreak) order — the
+      * balanced-mix sampler rate-based sampling cannot express. */
+    def quotaPerStratum(df: DataFrame, stratumCol: String, contentCol: String,
+        tieCol: String, quota: Int): DataFrame = {
+      register(df.sparkSession)
+      val w = Window.partitionBy(col(stratumCol))
+        .orderBy(call_function("graft_polyhash", col(contentCol)), col(tieCol))
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= quota).drop("__rk")
+    }
+
+    /** Per-stratum mixing accounting: (stratum, n_rows, n_tokens,
+      * token_share, uniform_weight) — the resampling factors that
+      * would hit a uniform target mixture over `stratumCol`. */
+    def mixtureWeights(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+      val perStratum = df
+        .select(col(stratumCol).as("stratum"),
+          size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("toks")).as("n_tokens"))
+      val totals = perStratum.agg(
+        sum(col("n_tokens")).as("total_tokens"), count(lit(1)).as("n_strata"))
+      perStratum.crossJoin(broadcast(totals))
+        .select(col("stratum"), col("n_rows"), col("n_tokens"),
+          round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
+          round((lit(1.0) / col("n_strata")) /
+            (col("n_tokens") / col("total_tokens")), 6).as("uniform_weight"))
     }
   }
 

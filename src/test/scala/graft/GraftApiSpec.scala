@@ -190,6 +190,42 @@ class GraftApiSpec extends SparkSpec {
       harness.orderBy("doc_id").collect().toSeq)
   }
 
+  test("sampling.quotaPerStratum / mixtureWeights equal the harness p10 / t_mixture_weights") {
+    val c = Tables.documents(spark, sf)
+      .select(col("doc_id").as("my_id"), col("text").as("body"), col("lang").as("tongue"))
+    val quota = Graft.sampling.quotaPerStratum(c, "tongue", "body", "my_id", 40)
+      .select(col("my_id").as("doc_id"), col("tongue").as("lang"))
+    val harness = SparkEntry.queries("p10_quota_sample")(spark, sf).select("doc_id", "lang")
+    assert(quota.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+    val mix = Graft.sampling.mixtureWeights(c, "tongue", "body")
+      .withColumnRenamed("stratum", "lang").withColumnRenamed("n_rows", "n_docs")
+    val mixHarness = SparkEntry.queries("t_mixture_weights")(spark, sf)
+    assert(mix.orderBy("lang").collect().toSeq ==
+      mixHarness.orderBy("lang").collect().toSeq)
+  }
+
+  test("temporal.scd2History: intervals chain per key and exactly one current row") {
+    val log = Seq(
+      ("k1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      ("k1", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 2L),
+      ("k1", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 3L),
+      ("k2", java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), 4L))
+      .toDF("k", "ts", "id")
+    val hist = Graft.temporal.scd2History(log, "k", "ts", "id")
+    assert(hist.count() == 4)
+    assert(hist.filter(col("is_current")).count() == 2) // one open row per key
+    val k1 = hist.filter(col("k") === "k1").orderBy("valid_from").collect()
+    // each version closes exactly where the next opens
+    k1.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getTimestamp(a.fieldIndex("valid_to")) ==
+          b.getTimestamp(b.fieldIndex("valid_from")))
+      case _ =>
+    }
+    assert(k1.last.isNullAt(k1.last.fieldIndex("valid_to")))
+  }
+
   test("graphs.pageRank: base rank for sinks' sources, conservation on a simple cycle") {
     // 2-cycle a<->b with damping: pr converges toward 1 for both; with
     // pr0 = 1 every iteration keeps pr(a) = pr(b) = 1 exactly
