@@ -322,16 +322,18 @@ object Graft {
 
     /** Per-stratum mixing accounting: (stratum, n_rows, n_tokens,
       * token_share, uniform_weight) — the resampling factors that
-      * would hit a uniform target mixture over `stratumCol`. */
+      * would hit a uniform target mixture over `stratumCol`. One
+      * corpus scan: totals come from a whole-frame window over the
+      * strata-sized aggregate (always tiny post-agg). */
     def mixtureWeights(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
-      val perStratum = df
-        .select(col(stratumCol).as("stratum"),
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.select(col(stratumCol).as("stratum"),
           size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
         .groupBy(col("stratum"))
         .agg(count(lit(1)).as("n_rows"), sum(col("toks")).as("n_tokens"))
-      val totals = perStratum.agg(
-        sum(col("n_tokens")).as("total_tokens"), count(lit(1)).as("n_strata"))
-      perStratum.crossJoin(broadcast(totals))
+        .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+        .withColumn("n_strata", count(lit(1)).over(wAll))
         .select(col("stratum"), col("n_rows"), col("n_tokens"),
           round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
           round((lit(1.0) / col("n_strata")) /

@@ -58,14 +58,34 @@ object ScaleCurve {
     embCopies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    val cust = s.read.parquet(s"$src/customer.parquet")
-    (0 until k).map(i => cust.withColumn("c_custkey", col("c_custkey") + lit(i * CopyStride)))
+    // fact/dimension tables: key-offset copies with CONSISTENT foreign
+    // keys (order/part/supplier/customer/user ids all shift by the same
+    // stride per copy), so every join shape keeps its selectivity while
+    // volume grows k-fold. nation/region stay verbatim (true dimensions).
+    def offsetCopy(table: String, keys: Seq[String]): Unit = {
+      val df = s.read.parquet(s"$src/$table.parquet")
+      (0 until k).map { i =>
+        keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * CopyStride)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    offsetCopy("customer", Seq("c_custkey"))
+    offsetCopy("supplier", Seq("s_suppkey"))
+    offsetCopy("part", Seq("p_partkey"))
+    offsetCopy("orders", Seq("o_orderkey", "o_custkey"))
+    offsetCopy("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // events: the harness file stores ts as TIMESTAMP(NANOS); read it
+    // as raw nanos longs (the Tables.events legacy conf) and keep the
+    // column a long so the loader's div-1000 truncation still applies
+    // to the replica. Same instants per copy, distinct users/ids —
+    // event DENSITY grows with volume, the realistic stream shape.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$src/events.parquet")
+    (0 until k).map(i => ev
+      .withColumn("event_id", col("event_id") + lit(i * CopyStride))
+      .withColumn("user_id", col("user_id") + lit(i * CopyStride)))
       .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    val supp = s.read.parquet(s"$src/supplier.parquet")
-    (0 until k).map(i => supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * CopyStride)))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     for (t <- Seq("nation", "region"))
       s.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -88,6 +108,11 @@ object ScaleCurve {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // FULL mode sweeps the whole registered suite (SPARK_GRAFT_SCALES
+    // is typically narrowed to "1,10"); default is the heavy list above
+    val full = sys.env.contains("SPARK_GRAFT_SCALE_FULL")
+    val queries = if (full) SparkEntry.queries.keys.toSeq.sorted else Queries
+    val outFile = if (full) "scale_curve_full.json" else "scale_curve.json"
     val spark = BenchKit.session(cpus)
     BenchKit.warmup(spark, src)
 
@@ -95,7 +120,7 @@ object ScaleCurve {
     for (k <- scales) {
       val dir = s"$outBase/x$k"
       replicate(spark, src, dir, k)
-      for (pass <- 1 to 2; name <- Queries) {
+      for (pass <- 1 to 2; name <- queries) {
         val (t, ok) = BenchKit.timeNoop(spark, SparkEntry.queries(name)(spark, dir))
         require(ok, s"$name failed at scale x$k")
         val slot = results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap())
@@ -109,7 +134,7 @@ object ScaleCurve {
       s"""\"$name\":{${byScale.map { case (k, t) => s"\"x$k\":${ms(t)}" }.mkString(",")},\"ratio\":${ms(ratio)}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale_curve","scales":[${scales.mkString(",")}],"volume_ratio":${scales.last.toDouble / scales.head},"queries":$qjson}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_curve.json"), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     println(json)

@@ -64,18 +64,24 @@ object TextAnalysis {
     * hit a UNIFORM target mixture (weight = target_share /
     * actual_share; >1 ⇒ upsample, <1 ⇒ downsample). Real pipelines
     * plug in a non-uniform target vector; the arithmetic is the same.
-    * Shape: one partial-agg'd groupBy(lang) — per-doc token counts
-    * reduce map-side — then a broadcast of the langs-sized totals row.
+    * Shape: ONE corpus scan — a partial-agg'd groupBy(lang) (per-doc
+    * token counts reduce map-side), then the corpus totals come from a
+    * whole-frame window over the ALREADY-AGGREGATED langs-sized frame
+    * (a separate totals aggregate + join would re-derive the lineage
+    * and scan the corpus twice; the unpartitioned window is harmless
+    * because its input is post-agg, langs-sized at any corpus scale).
     * All ratio arithmetic, round(6) both engines. */
   private def tMixtureWeights: Q = (s, dir) => {
-    val perLang = Tables.documents(s, dir)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.documents(s, dir)
       .select(col("lang"), size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-    val totals = perLang.agg(
-      sum(col("n_tokens")).as("total_tokens"),
-      count(lit(1)).as("n_langs"))
-    perLang.crossJoin(broadcast(totals))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+      .withColumn("n_langs", count(lit(1)).over(wAll))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
         round((lit(1.0) / col("n_langs")) /

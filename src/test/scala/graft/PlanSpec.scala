@@ -99,6 +99,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("t_mixture_weights: ONE corpus scan (totals from a post-agg window, not a re-derived aggregate)") {
+    val p = plan("t_mixture_weights")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("u8_scd2 / p10_quota_sample: one key-shuffle each (window over the partition key)") {
+    val scd2 = plan("u8_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(scd2).length == 1, scd2)
+    val quota = plan("p10_quota_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(quota).length == 1, quota)
+  }
+
   test("sql surface: predicates written in SQL still reach the parquet scan") {
     val p = plan("sql_q6_forecast")
     assert(p.contains("LessThan(l_quantity,24.0)"), p)
