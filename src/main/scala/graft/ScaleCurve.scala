@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
   *  - embeddings: ids offset per copy, each dimension perturbed by a
   *    deterministic ±0.06 pattern so sign-LSH buckets spread instead of
   *    collapsing into exact clones.
-  *  - customer/supplier: key-offset copies on the same 25 nations (the
-  *    component structure deepens in SIZE, not diameter).
-  *  - nation/region: dimensions, copied verbatim.
+  *  - fact tables (customer/supplier/part/orders/lineitem/events):
+  *    key-offset copies with CONSISTENT foreign keys, so every join
+  *    keeps its selectivity while volume grows k-fold; nation/region
+  *    (true dimensions) verbatim. Event timestamps repeat per copy —
+  *    density grows with volume, the realistic stream shape.
   *
   * Usage: java ... graft.ScaleCurve   (env: SPARK_GRAFT_SCALES=1,3,10
   * SPARK_GRAFT_SCALE_SRC=/root/testdata/sf0.1
-  * SPARK_GRAFT_SCALE_OUT=/tmp/graft_scale SPARK_GRAFT_CPUS=32)
+  * SPARK_GRAFT_SCALE_OUT=/tmp/graft_scale SPARK_GRAFT_CPUS=32;
+  * SPARK_GRAFT_SCALE_FULL=1 sweeps the ENTIRE registered suite into
+  * scale_curve_full.json instead of the heavy list)
   */
 object ScaleCurve {
 
