@@ -55,6 +55,69 @@ object TextAnalysis {
       |FROM documents""".stripMargin
 
   // ----------------------------------------------------------------
+  // Bigram collocations: co-occurrence counts + PMI-ratio strength
+  // ----------------------------------------------------------------
+
+  /** Collocation mining — corpus phrase statistics (the n-gram tables
+    * a tokenizer/vocab builder and corpus-analysis pass need): the 20
+    * most frequent adjacent token bigrams with their PMI association
+    * strength, in RATIO form — pmi_ratio = p(ab)/(p(a)·p(b)) =
+    * c_ab·T²/(N·c_a·c_b) — which orders identically to log-PMI but
+    * stays rational double arithmetic (engine-identical; libm log is
+    * not, same reasoning as t_tfidf's ratio idf).
+    *
+    * Shape: bigrams generate map-side from each doc's token array
+    * (zip_with over the array and its tail — no self-join); one
+    * groupBy(bigram) with partial aggs; unigram counts broadcast back
+    * onto the top-k (two joins against a 20-row side). */
+  private def tBigramPmi: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totalToks = uni.agg(sum(col("c")).as("n")) // 1 row
+    val big = toks.select(explode(expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), (a, b) -> struct(a, b))"))
+        .as("bg"))
+      .filter(col("bg.a") =!= "" && col("bg.b") =!= "")
+      .groupBy(col("bg.a").as("w1"), col("bg.b").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val totalBigrams = big.agg(sum(col("c_ab")).as("nb")) // 1 row
+    big
+      .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .join(uni.select(col("t").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totalToks))
+      .crossJoin(broadcast(totalBigrams))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round((col("c_ab") * col("n") * col("n")) /
+          (col("nb") * col("c_a") * col("c_b")), 6).as("pmi_ratio"))
+      .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+  }
+
+  private val tBigramPmiSql =
+    s"""WITH toks AS (SELECT ${duckTokens("text")} AS ts FROM documents),
+       |uni AS (SELECT t, count(*) AS c
+       |        FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+       |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+       |big AS (SELECT w1, w2, count(*) AS c_ab
+       |        FROM (SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+       |              FROM toks)
+       |        WHERE w1 <> '' AND w2 <> ''
+       |        GROUP BY w1, w2),
+       |totalb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM big),
+       |top AS (SELECT w1, w2, c_ab FROM big
+       |        ORDER BY c_ab DESC, w1, w2 LIMIT 20)
+       |SELECT top.w1, top.w2, top.c_ab,
+       |       round((top.c_ab * n * n) / (CAST(nb AS DOUBLE) * ua.c * ub.c), 6) AS pmi_ratio
+       |FROM top
+       |JOIN uni ua ON top.w1 = ua.t
+       |JOIN uni ub ON top.w2 = ub.t
+       |CROSS JOIN total CROSS JOIN totalb
+       |ORDER BY c_ab DESC, w1, w2""".stripMargin
+
+  // ----------------------------------------------------------------
   // Corpus mixture weights: per-language token shares → resampling factors
   // ----------------------------------------------------------------
 
@@ -508,6 +571,7 @@ object TextAnalysis {
     "t_top_tokens" -> tTopTokens,
     "t_token_count" -> tTokenCount,
     "t_mixture_weights" -> tMixtureWeights,
+    "t_bigram_pmi" -> tBigramPmi,
     "t_quality_score" -> tQualityScore,
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
@@ -521,6 +585,7 @@ object TextAnalysis {
     "t_top_tokens" -> tTopTokensSql,
     "t_token_count" -> tTokenCountSql,
     "t_mixture_weights" -> tMixtureWeightsSql,
+    "t_bigram_pmi" -> tBigramPmiSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
