@@ -38,6 +38,14 @@ for p in ("java.base/java.lang java.base/java.lang.invoke java.base/java.lang.re
     ADD_OPENS += ["--add-opens", p + "=ALL-UNNAMED"]
 
 def run_verify():
+    # STALE-DUMP GUARD: Verify catches per-query exceptions and moves
+    # on, so a query that fails to even construct would leave the
+    # PREVIOUS run's parquet in OUT and silently "pass" the compare
+    # (observed with an analysis error in r5). A fresh OUT per run makes
+    # a construction failure surface as "no spark output" = FAIL —
+    # matching the driver, which always uses a fresh dir.
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(glob.glob("/opt/spark/jars/*.jar"))
     cmd = (["java"] + ADD_OPENS +
            ["-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
