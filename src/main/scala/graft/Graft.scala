@@ -309,36 +309,20 @@ object Graft {
     }
 
     /** EXACT per-stratum quota: keep the first `quota` rows of each
-      * stratum in deterministic (content-hash, tiebreak) order — the
-      * balanced-mix sampler rate-based sampling cannot express. */
+      * stratum in deterministic (content-hash, tiebreak) order (+ an
+      * `rk` rank column) — the balanced-mix sampler rate-based
+      * sampling cannot express. Binds the same implementation as the
+      * harness p10 query. */
     def quotaPerStratum(df: DataFrame, stratumCol: String, contentCol: String,
-        tieCol: String, quota: Int): DataFrame = {
-      register(df.sparkSession)
-      val w = Window.partitionBy(col(stratumCol))
-        .orderBy(call_function("graft_polyhash", col(contentCol)), col(tieCol))
-      df.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= quota).drop("__rk")
-    }
+        tieCol: String, quota: Int): DataFrame =
+      operators.Sampling.quotaPerStratum(df, stratumCol, contentCol, tieCol, quota)
 
     /** Per-stratum mixing accounting: (stratum, n_rows, n_tokens,
       * token_share, uniform_weight) — the resampling factors that
-      * would hit a uniform target mixture over `stratumCol`. One
-      * corpus scan: totals come from a whole-frame window over the
-      * strata-sized aggregate (always tiny post-agg). */
-    def mixtureWeights(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
-      val wAll = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      df.select(col(stratumCol).as("stratum"),
-          size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
-        .groupBy(col("stratum"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("toks")).as("n_tokens"))
-        .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
-        .withColumn("n_strata", count(lit(1)).over(wAll))
-        .select(col("stratum"), col("n_rows"), col("n_tokens"),
-          round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
-          round((lit(1.0) / col("n_strata")) /
-            (col("n_tokens") / col("total_tokens")), 6).as("uniform_weight"))
-    }
+      * would hit a uniform target mixture over `stratumCol`. One input
+      * scan; binds the same implementation as t_mixture_weights. */
+    def mixtureWeights(df: DataFrame, stratumCol: String, textCol: String): DataFrame =
+      operators.Sampling.mixtureWeights(df, stratumCol, textCol)
   }
 
   object hicsa {

@@ -52,23 +52,53 @@ object Sampling {
 
   /** EXACT per-stratum quotas — the balanced-training-mix sampler
     * ("exactly N docs per language"): rank each stratum by
-    * (content-hash, doc_id) and keep the first `Quota`. Rate-based
-    * sampling ([[p9StratifiedSample]]) cannot hit an exact count; the
-    * hash order makes the chosen set deterministic, re-run-stable, and
-    * engine-portable (ties broken by doc_id). One shuffle on the
-    * stratum key; the per-group sort is k-bounded in practice (window
-    * rank over lang partitions — languages are few and the window
+    * (content-hash, tiebreak) and keep the first `quota` as column
+    * `rk`. Rate-based sampling ([[p9StratifiedSample]]) cannot hit an
+    * exact count; the hash order makes the chosen set deterministic,
+    * re-run-stable, and engine-portable. One shuffle on the stratum
+    * key; the per-group sort is k-bounded in practice (the window
     * truncates early under whole-stage codegen; for huge strata the
-    * same contract is available via `graft_topk`). */
-  private def p10QuotaSample: Q = (s, dir) => {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    * same contract is available via `graft_topk`). THE one
+    * implementation — the harness query and [[graft.Graft.sampling]]
+    * both bind it. */
+  def quotaPerStratum(df: DataFrame, stratumCol: String, contentCol: String,
+      tieCol: String, quota: Int): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(expr("graft_polyhash(text)"), col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Quota)
-      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .partitionBy(col(stratumCol))
+      .orderBy(call_function("graft_polyhash", col(contentCol)), col(tieCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+  }
+
+  private def p10QuotaSample: Q = (s, dir) =>
+    quotaPerStratum(Tables.documents(s, dir), "lang", "text", "doc_id", Quota)
+      .select(col("doc_id"), col("lang"), col("rk"))
+
+  /** Per-stratum mixing accounting: (stratum, n_rows, n_tokens,
+    * token_share, uniform_weight) — the resampling factors that would
+    * hit a uniform target mixture over `stratumCol`. ONE input scan:
+    * the corpus totals come from a whole-frame window over the
+    * ALREADY-AGGREGATED strata-sized frame (a separate totals
+    * aggregate + join would re-derive the lineage and scan the input
+    * twice; the unpartitioned window is harmless because its input is
+    * post-agg, strata-sized at any scale). THE one implementation —
+    * the harness query (t_mixture_weights) and the façade bind it. */
+  def mixtureWeights(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.select(col(stratumCol).as("stratum"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("toks")).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+      .withColumn("n_strata", count(lit(1)).over(wAll))
+      .select(col("stratum"), col("n_rows"), col("n_tokens"),
+        round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
+        round((lit(1.0) / col("n_strata")) /
+          (col("n_tokens") / col("total_tokens")), 6).as("uniform_weight"))
   }
 
   private val p10QuotaSampleSql =

@@ -91,8 +91,11 @@ object TextAnalysis {
       .crossJoin(broadcast(totalToks))
       .crossJoin(broadcast(totalBigrams))
       .select(col("w1"), col("w2"), col("c_ab"),
-        round((col("c_ab") * col("n") * col("n")) /
-          (col("nb") * col("c_a") * col("c_b")), 6).as("pmi_ratio"))
+        // numerator in DOUBLE from the first multiply: c_ab·n² in int64
+        // silently wraps past 2^63 (n ≈ 3e9 tokens is inside the 100 TB
+        // design range); both engines run the identical double op order
+        round((col("c_ab").cast("double") * col("n") * col("n")) /
+          (col("nb").cast("double") * col("c_a") * col("c_b")), 6).as("pmi_ratio"))
       .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
   }
 
@@ -110,7 +113,7 @@ object TextAnalysis {
        |top AS (SELECT w1, w2, c_ab FROM big
        |        ORDER BY c_ab DESC, w1, w2 LIMIT 20)
        |SELECT top.w1, top.w2, top.c_ab,
-       |       round((top.c_ab * n * n) / (CAST(nb AS DOUBLE) * ua.c * ub.c), 6) AS pmi_ratio
+       |       round((CAST(top.c_ab AS DOUBLE) * n * n) / (CAST(nb AS DOUBLE) * ua.c * ub.c), 6) AS pmi_ratio
        |FROM top
        |JOIN uni ua ON top.w1 = ua.t
        |JOIN uni ub ON top.w2 = ub.t
@@ -127,29 +130,13 @@ object TextAnalysis {
     * hit a UNIFORM target mixture (weight = target_share /
     * actual_share; >1 ⇒ upsample, <1 ⇒ downsample). Real pipelines
     * plug in a non-uniform target vector; the arithmetic is the same.
-    * Shape: ONE corpus scan — a partial-agg'd groupBy(lang) (per-doc
-    * token counts reduce map-side), then the corpus totals come from a
-    * whole-frame window over the ALREADY-AGGREGATED langs-sized frame
-    * (a separate totals aggregate + join would re-derive the lineage
-    * and scan the corpus twice; the unpartitioned window is harmless
-    * because its input is post-agg, langs-sized at any corpus scale).
-    * All ratio arithmetic, round(6) both engines. */
-  private def tMixtureWeights: Q = (s, dir) => {
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    Tables.documents(s, dir)
-      .select(col("lang"), size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-      .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
-      .withColumn("n_langs", count(lit(1)).over(wAll))
-      .select(col("lang"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
-        round((lit(1.0) / col("n_langs")) /
-          (col("n_tokens") / col("total_tokens")), 6).as("uniform_weight"))
-  }
+    * One corpus scan (PlanSpec-guarded); binds THE shared
+    * implementation in [[Sampling.mixtureWeights]] (the façade binds
+    * the same function — no second copy to drift). */
+  private def tMixtureWeights: Q = (s, dir) =>
+    Sampling.mixtureWeights(Tables.documents(s, dir), "lang", "text")
+      .select(col("stratum").as("lang"), col("n_rows").as("n_docs"),
+        col("n_tokens"), col("token_share"), col("uniform_weight"))
 
   private val tMixtureWeightsSql =
     """WITH per_lang AS (

@@ -22,10 +22,13 @@ import graft.operators.Dedup
   * against them (est. Jaccard = matching signature components / K) and
   * emits a per-band verdict.
   *
-  * State discipline: a bucket retains its EARLIEST `MaxBucketState`
-  * signatures — dedup canonicalizes to the earliest copy, so the
-  * canonical candidates are exactly what must stay resident; per-bucket
-  * memory is capped and the bucket keyspace bounds the total. No
+  * State discipline: a bucket retains only CANONICAL signatures (docs
+  * that matched nothing), earliest-first up to `MaxBucketState` —
+  * dedup canonicalizes to the earliest copy, so canonical candidates
+  * are exactly what must stay resident, and near-copies must NOT
+  * consume slots (a boilerplate family would otherwise flood the cap
+  * and evict room for later distinct content); per-bucket memory is
+  * capped and the bucket keyspace bounds the total. No
   * watermark timeout by design: corpus dedup state is the corpus index
   * (evicting it would re-admit old boilerplate); bound it by bucket
   * count + cap, or restart from a batch-built index.
@@ -48,10 +51,15 @@ object StreamingDedup {
 
   /** Stateless prefix: (doc_id, band, bucket, sig) rows from a
     * (doc_id, text) frame — identical values to the batch
-    * signatures+banding path (DedupSpec-asserted). */
+    * signatures+banding path (DedupSpec-asserted). Null-text /
+    * null-id rows are dropped up front, matching the batch path's
+    * explode-of-null drop: without the guard a single poison row
+    * would deserialize a null bucket into the non-nullable BandRow
+    * and kill the streaming query unrecoverably. */
   def banded(docs: DataFrame): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
     docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), expr(Dedup.rowSigExpr).as("sig"))
       .select(col("doc_id"), col("sig"),
         posexplode(expr(Dedup.bandBucketExprs.mkString("array(", ", ", ")")))
@@ -82,7 +90,13 @@ object StreamingDedup {
               .find(_._2 >= NearThreshold)
             out += BandVerdict(r.doc_id, r.band, r.bucket,
               hit.map(_._1.doc_id), hit.map(_._2).getOrElse(0.0))
-            if (kept.size < MaxBucketState) kept = kept :+ BucketDoc(r.doc_id, r.sig)
+            // only CANONICAL (non-matching) docs enter the state: a
+            // boilerplate family must occupy one slot, not flood the
+            // cap with near-identical signatures and evict room for
+            // later distinct content (that recall hole grows with the
+            // duplication rate — review r5)
+            if (hit.isEmpty && kept.size < MaxBucketState)
+              kept = kept :+ BucketDoc(r.doc_id, r.sig)
           }
           state.update(BucketState(kept))
           out.result().iterator
