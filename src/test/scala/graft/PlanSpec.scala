@@ -94,6 +94,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("bit_count"), p)
   }
 
+  test("s_ivf_ann_indexed: data scan prunes to the NProbe cell partitions") {
+    val q = SparkEntry.queries("s_ivf_ann_indexed")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cell"), p)
+    assert(p.contains(" IN ("), p)
+  }
+
   test("s_centroids: exactly one hash-shuffle (partial agg carries (sum,count) pairs)") {
     val p = plan("s_centroids")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

@@ -109,6 +109,15 @@ class SimilaritySpec extends SparkSpec {
     assert(batch == single)
   }
 
+  test("s_ivf_ann_indexed equals the in-query IVF probe exactly") {
+    // same quantizer build (shared ivfAssignment), persisted vs inline
+    val inline = Similarity.queries("s_ivf_ann")(spark, sf)
+      .orderBy("vec_id").collect().toSeq
+    val indexed = Similarity.queries("s_ivf_ann_indexed")(spark, sf)
+      .orderBy("vec_id").collect().toSeq
+    assert(indexed == inline)
+  }
+
   test("s_blocked_knn: <=3 neighbours per vector, all same-label") {
     val df = Similarity.queries("s_blocked_knn")(spark, sf)
     assert(df.groupBy("a_id").count().filter(col("count") > 3).count() == 0)
