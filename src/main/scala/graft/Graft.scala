@@ -258,6 +258,34 @@ object Graft {
     def resampleHourly(df: DataFrame, keyCol: String, tsCol: String,
         valueCol: String): DataFrame =
       operators.TimeSeries.resampleHourly(df, keyCol, tsCol, valueCol)
+
+    /** Ordered-sequence funnel over an event frame: per key, the
+      * earliest occurrence of each stage strictly after the previous
+      * stage → (key, one timestamp column per stage, stage reached).
+      * `stages` are the event_type values in funnel order. Each stage
+      * is a key-level aggregate; joins carry key-count rows, never raw
+      * event volume. */
+    def funnel(df: DataFrame, keyCol: String, tsCol: String,
+        typeCol: String, stages: Seq[String]): DataFrame = {
+      require(stages.nonEmpty)
+      val first = df.filter(col(typeCol) === stages.head)
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t_${stages.head}"))
+      val perStage = stages.tail.scanLeft(first) { (prev, stage) =>
+        val prevCol = prev.columns.last
+        df.filter(col(typeCol) === stage)
+          .join(prev.select(col(keyCol), col(prevCol)), keyCol)
+          .filter(col(tsCol) > col(prevCol))
+          .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t_$stage"))
+      }
+      val joined = perStage.reduceLeft((acc, st) =>
+        acc.join(st.select(col(keyCol), col(st.columns.last)), Seq(keyCol), "left"))
+      // deepest reached stage: first non-null timestamp scanning from
+      // the deep end (when() without otherwise yields null ⇒ coalesce)
+      val stageLabel = coalesce(
+        stages.reverse.map(st => when(col(s"t_$st").isNotNull, lit(st)))
+          :+ lit(stages.head): _*)
+      joined.withColumn("stage", stageLabel)
+    }
   }
 
   object temporal {

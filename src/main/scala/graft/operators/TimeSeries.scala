@@ -165,14 +165,69 @@ object TimeSeries {
       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin
 
   // ----------------------------------------------------------------
+  // Ordered-sequence funnel: view → click → purchase, in order
+  // ----------------------------------------------------------------
+
+  /** FUNNEL analysis — ordered event-sequence matching (the
+    * MATCH_RECOGNIZE-lite every product-analytics stack ships): per
+    * user, the earliest `view`, the earliest `click` strictly AFTER
+    * that view, and the earliest `purchase` strictly after that click;
+    * `stage` = how deep the user got. Chained conditional mins: each
+    * stage is a per-user aggregate of the events filtered by the
+    * previous stage's timestamp — three user-keyed aggregates + two
+    * broadcast-size joins back (per-user frames shrink to one row per
+    * user immediately, so the joins carry user-count rows however
+    * large the raw event volume). Output timestamps make the result
+    * exactly oracle-checkable; stage counts are the funnel report. */
+  private def tsFunnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, "purchased")
+          .when(col("t_click").isNotNull, "clicked")
+          .otherwise("viewed").as("stage"))
+  }
+
+  private val tsFunnelSql =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |       CASE WHEN p.t_purchase IS NOT NULL THEN 'purchased'
+      |            WHEN c.t_click IS NOT NULL THEN 'clicked'
+      |            ELSE 'viewed' END AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "ts_rolling" -> tsRolling,
-    "ts_resample" -> tsResample)
+    "ts_resample" -> tsResample,
+    "ts_funnel" -> tsFunnel)
 
   val oracles: Map[String, String] = Map(
     "ts_sessionize" -> tsSessionizeSql,
     "ts_rolling" -> tsRollingSql,
-    "ts_resample" -> tsResampleSql)
+    "ts_resample" -> tsResampleSql,
+    "ts_funnel" -> tsFunnelSql)
 }

@@ -226,6 +226,18 @@ class GraftApiSpec extends SparkSpec {
     assert(k1.last.isNullAt(k1.last.fieldIndex("valid_to")))
   }
 
+  test("timeseries.funnel on a renamed schema matches the harness ts_funnel timestamps") {
+    val ev = Tables.events(spark, sf).select(
+      col("user_id").as("who"), col("ts").as("at"), col("event_type").as("kind"))
+    val api = Graft.timeseries.funnel(ev, "who", "at", "kind",
+      Seq("view", "click", "purchase"))
+      .select(col("who").as("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+    val harness = SparkEntry.queries("ts_funnel")(spark, sf)
+      .select("user_id", "t_view", "t_click", "t_purchase")
+    assert(api.orderBy("user_id").collect().toSeq ==
+      harness.orderBy("user_id").collect().toSeq)
+  }
+
   test("graphs.pageRank: base rank for sinks' sources, conservation on a simple cycle") {
     // 2-cycle a<->b with damping: pr converges toward 1 for both; with
     // pr0 = 1 every iteration keeps pr(a) = pr(b) = 1 exactly

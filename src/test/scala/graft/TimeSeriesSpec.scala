@@ -59,6 +59,24 @@ class TimeSeriesSpec extends SparkSpec {
     rs.unpersist()
   }
 
+  test("ts_funnel: stage timestamps strictly ordered, stage label consistent") {
+    val f = operators.TimeSeries.queries("ts_funnel")(spark, sf).cache()
+    // one row per user who ever viewed
+    assert(f.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // strict ordering wherever later stages exist
+    assert(f.filter(col("t_click").isNotNull && col("t_click") <= col("t_view")).count() == 0)
+    assert(f.filter(col("t_purchase").isNotNull && col("t_purchase") <= col("t_click")).count() == 0)
+    // stage label agrees with null pattern, and all three stages occur
+    assert(f.filter(col("stage") === "purchased" && col("t_purchase").isNull).count() == 0)
+    assert(f.filter(col("stage") === "clicked" &&
+      (col("t_click").isNull || col("t_purchase").isNotNull)).count() == 0)
+    // label domain (the dense sf0.001 fixture converts every viewer,
+    // so not all three labels need appear)
+    assert(f.filter(!col("stage").isin("viewed", "clicked", "purchased")).count() == 0)
+    assert(f.filter(col("stage") === "purchased").count() > 0)
+    f.unpersist()
+  }
+
   test("g_pagerank: one rank per page, every rank >= the base 0.15") {
     val pr = Graph.queries("g_pagerank")(spark, sf).cache()
     assert(pr.count() == Tables.documents(spark, sf).count())
