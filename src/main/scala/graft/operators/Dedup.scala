@@ -124,11 +124,15 @@ object Dedup {
   // N-gram Jaccard near-dup: inverted-index candidate join
   // ----------------------------------------------------------------
 
-  /** Near-dup pairs by exact 5-shingle Jaccard ≥ 0.5, candidates from an
-    * inverted shingle→doc index (pairs must share ≥1 rare shingle; hot
-    * shingles with df > MaxShingleDf are excluded from BOTH intersection
-    * and union, keeping the measure consistent). */
-  private def dNgramJaccard: Q = (s, dir) => {
+  /** Shared inverted-index pair statistics: candidate pairs sharing ≥1
+    * rare shingle (df ≤ MaxShingleDf), with their intersection size and
+    * both docs' rare-shingle set sizes — the common core under the
+    * Jaccard ([[dNgramJaccard]]) and containment ([[dContainment]])
+    * measures, factored so the candidate generation and the df-cap
+    * consistency rule (hot shingles excluded from intersection AND
+    * sizes) cannot drift between them. Returns (a_id, b_id, inter, na,
+    * nb). */
+  private def rareShinglePairStats(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(s, dir)
     val rare = sh.groupBy("h").count()
       .filter(col("count") <= MaxShingleDf).select("h")
@@ -146,14 +150,12 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
-  private val dNgramJaccardSql =
-    s"""WITH $duckShingleCte,
+  /** DuckDB CTE chain ending in `pstats(a_id, b_id, inter, na, nb)` —
+    * the oracle twin of [[rareShinglePairStats]]. */
+  private val duckPairStatsCte =
+    s"""$duckShingleCte,
        |e AS (SELECT doc_id, ${PortableHash.duckPolyHash("g")} AS h
        |      FROM (SELECT doc_id, unnest(shingles) AS g FROM s)),
        |rare AS (SELECT h FROM (SELECT h, count(*) c FROM e GROUP BY h) WHERE c <= $MaxShingleDf),
@@ -161,11 +163,61 @@ object Dedup {
        |sz AS (SELECT doc_id, count(*) n FROM er GROUP BY doc_id),
        |pairs AS (SELECT x.doc_id a_id, y.doc_id b_id, count(*) inter
        |          FROM er x JOIN er y ON x.h = y.h AND x.doc_id < y.doc_id
-       |          GROUP BY 1, 2)
+       |          GROUP BY 1, 2),
+       |pstats AS (SELECT a_id, b_id, inter, xa.n AS na, yb.n AS nb
+       |           FROM pairs JOIN sz xa ON a_id = xa.doc_id
+       |                      JOIN sz yb ON b_id = yb.doc_id)""".stripMargin
+
+  /** Near-dup pairs by exact 5-shingle Jaccard ≥ 0.5, candidates from an
+    * inverted shingle→doc index (pairs must share ≥1 rare shingle; hot
+    * shingles with df > MaxShingleDf are excluded from BOTH intersection
+    * and union, keeping the measure consistent). */
+  private def dNgramJaccard: Q = (s, dir) =>
+    rareShinglePairStats(s, dir)
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+
+  private val dNgramJaccardSql =
+    s"""WITH $duckPairStatsCte
        |SELECT a_id, b_id, inter,
-       |       round(inter / (xa.n + yb.n - inter), 6) AS jaccard
-       |FROM pairs JOIN sz xa ON a_id = xa.doc_id JOIN sz yb ON b_id = yb.doc_id
-       |WHERE round(inter / (xa.n + yb.n - inter), 6) >= $JaccardThreshold""".stripMargin
+       |       round(inter / (na + nb - inter), 6) AS jaccard
+       |FROM pstats
+       |WHERE round(inter / (na + nb - inter), 6) >= $JaccardThreshold""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Directional containment (quote / subset duplication)
+  // ----------------------------------------------------------------
+
+  private val ContainThreshold = 0.5
+
+  /** Directional containment — the subset-duplication signal Jaccard
+    * misses: c(a→b) = |S_a ∩ S_b| / |S_a| (Broder's containment). A
+    * short document quoted whole inside a long one has low Jaccard
+    * (the union is dominated by the long doc) but containment ≈ 1 in
+    * the short→long direction — the boilerplate-wrapper and
+    * quote-expansion cases a near-dup pass should still catch.
+    * Candidates come from the same rare-shingle inverted index as the
+    * Jaccard measure (containment ≥ Jaccard for every pair, so any
+    * pair above the threshold in either direction shares at least one
+    * rare shingle and is generated). Emits both directions; pairs kept
+    * when max(c_ab, c_ba) ≥ 0.5. Same scale shape as dNgramJaccard:
+    * the pair space is bounded by the df-capped index join. */
+  private def dContainment: Q = (s, dir) =>
+    rareShinglePairStats(s, dir)
+      .withColumn("c_ab", round(col("inter") / col("na"), 6))
+      .withColumn("c_ba", round(col("inter") / col("nb"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= ContainThreshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("c_ab"), col("c_ba"))
+
+  private val dContainmentSql =
+    s"""WITH $duckPairStatsCte
+       |SELECT a_id, b_id, inter,
+       |       round(inter / na, 6) AS c_ab,
+       |       round(inter / nb, 6) AS c_ba
+       |FROM pstats
+       |WHERE greatest(round(inter / na, 6), round(inter / nb, 6)) >= $ContainThreshold""".stripMargin
 
   // ----------------------------------------------------------------
   // MinHash + LSH near-dup
@@ -778,6 +830,7 @@ object Dedup {
     "d_contamination" -> dContamination,
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
+    "d_containment" -> dContainment,
     "d_minhash_lsh" -> dMinhashLsh,
     "d_editdist_verify" -> dEditdistVerify,
     "d_simhash" -> dSimhash,
@@ -792,6 +845,7 @@ object Dedup {
     "d_cluster_canonical" -> dClusterCanonicalSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
+    "d_containment" -> dContainmentSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_editdist_verify" -> dEditdistVerifySql,
     "d_simhash" -> dSimhashSql,

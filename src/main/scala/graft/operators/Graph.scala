@@ -526,12 +526,100 @@ object Graph {
        |FROM (SELECT unnest([x, y, z]) AS node FROM tris)
        |GROUP BY node""".stripMargin
 
+  // ----------------------------------------------------------------
+  // k-core decomposition (iterative peeling)
+  // ----------------------------------------------------------------
+
+  private val CoreK = 3
+  // rounds the ORACLE unrolls; peeling converges in ≤ this many rounds
+  // at the verified scales (extra unrolled rounds are idempotent —
+  // once no node drops, every later round is the identity), and the
+  // Spark side iterates to the true fixpoint regardless.
+  private val KcoreUnrollRounds = 10
+
+  /** k-core of a symmetric edge list — iterative peeling: drop every
+    * node with degree < k (and its edges), recompute degrees, repeat
+    * until no node drops. The remaining subgraph is the k-core: the
+    * densely-connected backbone (link-farm / community detection on a
+    * crawl graph; the "degeneracy ordering" primitive). Each round is
+    * one degree aggregate + two semi-join-shaped prunes, with the
+    * round's edge set checkpointed so lineage stays flat (same driver-
+    * loop discipline as [[bfs]]/[[labelPropagate]]); convergence is
+    * the per-round edge count reaching a fixpoint — the count rides
+    * the checkpoint materialization, no extra job. Round COUNT is the
+    * scale cost: bounded by the peeling depth of the graph (small on
+    * heavy-tailed web graphs, where most low-degree nodes peel in the
+    * first rounds), not by node count. Returns the surviving nodes
+    * with their in-core degree. */
+  def kcore(und: DataFrame, k: Int, maxRounds: Int = 64,
+      reliable: Boolean = false): DataFrame = {
+    var edges = materialize(und.select(col("src"), col("dst")), reliable)
+    var nEdges = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val pruned = edges
+        .join(keep.select(col("node").as("src")), Seq("src"))
+        .join(keep.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      val next = materialize(pruned, reliable)
+      val c = next.count()
+      converged = c == nEdges
+      edges = next
+      nEdges = c
+      round += 1
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Harness binding: 3-core of the undirected internal page-link
+    * graph (self-loops dropped, edges symmetrized + distinct'd). */
+  private def gKcore: Q = (s, dir) => {
+    val links = pageLinks(s, dir)
+      .filter(col("is_internal") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val und = links
+      .unionByName(links.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    kcore(und, CoreK)
+  }
+
+  // Unrolled peeling rounds: rN = edges of round N's subgraph. EVERY
+  // round CTE is MATERIALIZED: each rN is referenced twice (the degree
+  // filter and the next prune), so letting DuckDB inline CTEs would
+  // double the expression tree per round — 2^rounds re-evaluations of
+  // the polyhash link derivation (measured: the un-materialized form
+  // never finished; materialized it is sub-second). Same binder-quirk
+  // placement rules as the triangle oracle.
+  private val gKcoreSql = {
+    val rounds = (1 to KcoreUnrollRounds).map { i =>
+      s"""k${i - 1} AS MATERIALIZED (SELECT src FROM r${i - 1} GROUP BY src HAVING count(*) >= $CoreK),
+         |r$i AS MATERIALIZED (SELECT e.src, e.dst FROM r${i - 1} e
+         |        JOIN k${i - 1} a ON e.src = a.src
+         |        JOIN k${i - 1} b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckPageLinksCte,
+       |und0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM links WHERE is_internal),
+       |r0 AS MATERIALIZED (
+       |       SELECT a AS src, b AS dst FROM und0 WHERE a <> b
+       |       UNION ALL
+       |       SELECT b, a FROM und0 WHERE a <> b),
+       |$rounds
+       |SELECT src AS node, count(*) AS core_degree
+       |FROM r$KcoreUnrollRounds GROUP BY src""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "g_triangles" -> gTriangles,
     "g_degrees" -> gDegrees,
     "g_bfs" -> gBfs,
     "g_cc_labelprop" -> gCcLabelprop,
     "g_cc_star" -> gCcStar,
+    "g_kcore" -> gKcore,
     "g_pagerank" -> gPagerank,
     "s2_crawl" -> s2Crawl)
 
@@ -543,6 +631,7 @@ object Graph {
     "g_bfs" -> gBfsSql,
     "g_cc_labelprop" -> gCcLabelpropSql,
     "g_cc_star" -> gCcLabelpropSql,
+    "g_kcore" -> gKcoreSql,
     "g_pagerank" -> gPagerankSql,
     "s2_crawl" -> s2CrawlSql)
 }

@@ -188,6 +188,56 @@ object RelationalExt {
       |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)""".stripMargin
 
   // ----------------------------------------------------------------
+  // Incremental aggregate maintenance (materialized-rollup refresh)
+  // ----------------------------------------------------------------
+
+  /** The date at which the "already-materialized" history ends and the
+    * "newly landed" delta partition begins. */
+  private val IncAggCutoff = "1996-01-01"
+
+  /** Merge two partial per-key aggregates (count + exact DECIMAL sum)
+    * into one — the algebraic-merge step of incremental view
+    * maintenance. Expects columns (key, n_orders, revenue) on both
+    * sides; DECIMAL stays exact through the merge and is cast to
+    * DOUBLE only at the very end (comparator-stable repr, the r2
+    * decimal lesson). THE one implementation — harness query and
+    * facade both bind it. */
+  def mergeAggStates(base: DataFrame, delta: DataFrame, key: String): DataFrame =
+    base.select(col(key), col("n_orders").as("bn"), col("revenue").as("br"))
+      .join(delta.select(col(key), col("n_orders").as("dn"), col("revenue").as("dr")),
+        Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        expr("CAST(coalesce(br, 0) + coalesce(dr, 0) AS DOUBLE)").as("revenue"))
+
+  /** Incremental aggregate maintenance — how a 100 TB rollup absorbs a
+    * daily partition without rescanning history: count and revenue are
+    * ALGEBRAIC aggregates, so the maintained table is refreshed by
+    * aggregating ONLY the newly landed delta (orders on/after the
+    * cutoff) and merging per-key partial states with the existing
+    * base aggregate. The oracle is the full recompute over all of
+    * `orders`, so the correctness gate proves the maintenance
+    * identity merge(agg(base), agg(delta)) == agg(base ∪ delta)
+    * exactly (DECIMAL money arithmetic — no float drift between the
+    * two association orders). At scale the base aggregate is a stored
+    * table keyed/bucketed on `o_custkey`; here both sides derive from
+    * the same scan with a partition-prunable date predicate. */
+  private def u9IncrementalAgg: Q = (s, dir) => {
+    def aggOf(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("revenue"))
+    val orders = Tables.orders(s, dir)
+    val base = aggOf(orders.filter(col("o_orderdate") < lit(IncAggCutoff)))
+    val delta = aggOf(orders.filter(col("o_orderdate") >= lit(IncAggCutoff)))
+    mergeAggStates(base, delta, "o_custkey")
+  }
+
+  private val u9IncrementalAggSql =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  // ----------------------------------------------------------------
   // Multi-dimensional aggregation
   // ----------------------------------------------------------------
 
@@ -529,6 +579,7 @@ object RelationalExt {
     "u6_except" -> u6Except,
     "u7_upsert" -> u7Upsert,
     "u8_scd2" -> u8Scd2,
+    "u9_incremental_agg" -> u9IncrementalAgg,
     "a5_rollup" -> a5Rollup,
     "a6_cube" -> a6Cube,
     "a7_pivot" -> a7Pivot)
@@ -549,6 +600,7 @@ object RelationalExt {
     "u6_except" -> u6ExceptSql,
     "u7_upsert" -> u7UpsertSql,
     "u8_scd2" -> u8Scd2Sql,
+    "u9_incremental_agg" -> u9IncrementalAggSql,
     "a5_rollup" -> a5RollupSql,
     "a6_cube" -> a6CubeSql,
     "a7_pivot" -> a7PivotSql)

@@ -109,13 +109,57 @@ object Sampling {
        |  FROM documents)
        |WHERE rk <= $Quota""".stripMargin
 
+  // ----------------------------------------------------------------
+  // Deterministic train/validation/test split
+  // ----------------------------------------------------------------
+
+  /** Content-hash split bands out of 100: [0,90) train, [90,95)
+    * validation, [95,100) test. */
+  private val TrainBand = 90
+  private val ValBand = 95
+
+  /** Deterministic 3-way corpus split — the train/val/test assignment
+    * a training pipeline makes ONCE and must never revisit: membership
+    * is a pure function of the content hash, so it is identical across
+    * engines, re-runs, and re-partitionings, and a document can never
+    * migrate between train and the held-out splits when the corpus is
+    * re-sharded or backfilled (the invariant decontamination audits
+    * assume; a seeded `randomSplit` holds it only for one partitioning
+    * of one engine). Narrow projection inside the scan's codegen
+    * stage — zero shuffle at any corpus size. THE one implementation:
+    * the harness query and [[graft.Graft]]'s facade both bind it. */
+  def splitByHash(df: DataFrame, contentCol: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    df.withColumn("split_band",
+        expr(s"pmod(graft_polyhash($contentCol), 100)"))
+      .withColumn("split",
+        when(col("split_band") < TrainBand, "train")
+          .when(col("split_band") < ValBand, "validation")
+          .otherwise("test"))
+  }
+
+  private def p11Split: Q = (s, dir) =>
+    splitByHash(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("split_band"), col("split"))
+
+  private val p11SplitSql =
+    s"""SELECT doc_id, lang, split_band,
+       |  CASE WHEN split_band < $TrainBand THEN 'train'
+       |       WHEN split_band < $ValBand THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, lang,
+       |        ${PortableHash.duckPolyHash("text")} % 100 AS split_band
+       |      FROM documents)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p8_hash_sample" -> p8HashSample,
     "p9_stratified_sample" -> p9StratifiedSample,
-    "p10_quota_sample" -> p10QuotaSample)
+    "p10_quota_sample" -> p10QuotaSample,
+    "p11_split" -> p11Split)
 
   val oracles: Map[String, String] = Map(
     "p8_hash_sample" -> p8HashSampleSql,
     "p9_stratified_sample" -> p9StratifiedSampleSql,
-    "p10_quota_sample" -> p10QuotaSampleSql)
+    "p10_quota_sample" -> p10QuotaSampleSql,
+    "p11_split" -> p11SplitSql)
 }

@@ -550,7 +550,76 @@ object TextAnalysis {
 
   private def duckTokensRef = duckTokens("text")
 
+  // ----------------------------------------------------------------
+  // Cross-document boilerplate segment removal (C4/RefinedWeb line dedup)
+  // ----------------------------------------------------------------
+
+  private val SegLen = 10          // tokens per segment ("line")
+  private val BoilerplateDf = 3    // distinct docs ⇒ boilerplate
+
+  /** Cross-document boilerplate removal — the C4/RefinedWeb "line
+    * dedup" pass: segments that recur across ≥ BoilerplateDf distinct
+    * documents (nav bars, cookie banners, license footers) are struck
+    * from every document, and the cleaned text is reassembled in
+    * original order. The fixture corpus has no newlines, so the unit
+    * of dedup is a fixed 10-token segment standing in for a line — a
+    * real corpus would split on '\n' and the rest of the operator is
+    * unchanged.
+    *
+    * Scale shape: segments hash to 8-byte longs map-side, so the df
+    * aggregation shuffles (hash, doc_id) pairs, never segment text;
+    * the df side is segment-vocabulary-sized (candidate for a
+    * broadcast or a bloom prefilter at 100 TB); reassembly groups by
+    * doc_id with a per-doc collect bounded by document length. Output
+    * carries an md5 digest of the cleaned text (comparator-safe) plus
+    * the removal counts a pipeline would monitor. */
+  private def tLineDedup: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val segs = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0L, ((size(toks) + ${SegLen - 1}) DIV $SegLen) - 1)"))
+          .as("seg_idx"))
+      .withColumn("seg",
+        expr(s"array_join(slice(toks, cast(seg_idx * $SegLen + 1 AS int), $SegLen), ' ')"))
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        PortableHash.polyHash(col("seg")).as("h"))
+    val segDf = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(segDf, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("df") >= BoilerplateDf, 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(col("df") < BoilerplateDf,
+          struct(col("seg_idx"), col("seg"))))).as("kept"))
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        md5(expr("array_join(transform(kept, x -> x.seg), ' ')")).as("clean_digest"))
+  }
+
+  private val tLineDedupSql = {
+    val toks = duckTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |segs AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |         array_to_string(toks[i * $SegLen + 1 : i * $SegLen + $SegLen], ' ') AS seg
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, (len(toks) + ${SegLen - 1}) // $SegLen)) AS i
+       |        FROM t)),
+       |hs AS (SELECT doc_id, seg_idx, seg,
+       |         ${PortableHash.duckPolyHash("seg")} AS h
+       |       FROM segs),
+       |dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM hs GROUP BY h)
+       |SELECT doc_id,
+       |  count(*) AS n_segments,
+       |  CAST(count(*) FILTER (df >= $BoilerplateDf) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (df < $BoilerplateDf), '')) AS clean_digest
+       |FROM hs JOIN dfreq USING (h)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_line_dedup" -> tLineDedup,
     "t_chunk_overlap" -> tChunkOverlap,
     "t_repetition" -> tRepetition,
     "t_pack_sequences" -> tPackSequences,
@@ -565,6 +634,7 @@ object TextAnalysis {
     "t_tfidf" -> tTfidf)
 
   val oracles: Map[String, String] = Map(
+    "t_line_dedup" -> tLineDedupSql,
     "t_chunk_overlap" -> tChunkOverlapSql,
     "t_repetition" -> tRepetitionSql,
     "t_pack_sequences" -> tPackSequencesSql,

@@ -195,4 +195,37 @@ class DedupSpec extends SparkSpec {
     assert(rep(1L) > 0.9, s"repeated doc scored ${rep(1L)}")
     assert(rep(2L) == 0.0, s"unique doc scored ${rep(2L)}")
   }
+
+  test("d_containment: directions bounded by 1, and every Jaccard-qualified pair qualifies on containment") {
+    val cont = Dedup.queries("d_containment")(spark, sf)
+    assert(cont.count() > 0)
+    assert(cont.filter(col("c_ab") > 1.0 || col("c_ba") > 1.0
+      || col("c_ab") <= 0 || col("c_ba") <= 0).count() == 0)
+    // containment >= jaccard pointwise, so the J >= 0.5 pair set is a
+    // subset of the max-containment >= 0.5 pair set
+    val jac = Dedup.queries("d_ngram_jaccard")(spark, sf)
+    assert(jac.join(cont, Seq("a_id", "b_id"), "left_anti").count() == 0)
+    val joined = jac.join(cont, Seq("a_id", "b_id"))
+    assert(joined.filter(greatest(col("c_ab"), col("c_ba")) < col("jaccard")).count() == 0)
+  }
+
+  test("t_line_dedup: one row per doc, removal counts bounded, segment count arithmetic") {
+    val out = TextAnalysis.queries("t_line_dedup")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_removed") < 0 || col("n_removed") > col("n_segments")).count() == 0)
+    // n_segments = ceil(tokens / 10) with the reference tokenizer
+    val expect = docs.select(col("doc_id"),
+      expr("CAST((size(split(regexp_replace(lower(text), '[\\\\p{Punct} ]+', ' '), ' ')) + 9) DIV 10 AS LONG)")
+        .as("expect_segs"))
+    assert(out.join(expect, "doc_id")
+      .filter(col("n_segments") =!= col("expect_segs")).count() == 0)
+    // boilerplate is struck from EVERY doc, so identical docs clean identically:
+    // group by full-text hash and check digest agreement
+    val byText = docs.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(out, "doc_id")
+      .groupBy("th").agg(countDistinct("clean_digest").as("k"))
+    assert(byText.filter(col("k") =!= 1).count() == 0)
+  }
+
 }

