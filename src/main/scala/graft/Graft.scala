@@ -37,6 +37,15 @@ object Graft {
   def upsertByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     operators.RelationalExt.upsertByKey(base, updates, keys)
 
+  /** Incremental-view-maintenance merge: sum every `addCols` column
+    * across two partial per-key aggregate tables (counts, sums — any
+    * additive state; DECIMAL stays exact), absent keys contributing
+    * zero. merge(agg(base), agg(delta)) == agg(base ∪ delta) — the
+    * identity the u9 oracle proves. */
+  def mergeAggStates(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      addCols: Seq[String]): DataFrame =
+    operators.RelationalExt.mergeAggStates(base, delta, keys, addCols)
+
   private def asDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
 
@@ -150,6 +159,18 @@ object Graft {
           .filter(col("est_jaccard") >= minEstJaccard)
           .select(col("a_id"), col("b_id")),
         reliable)
+
+    /** Directional containment pairs — the quote/subset-dup signal
+      * Jaccard misses: (a_id, b_id, inter, c_ab, c_ba) for candidate
+      * pairs with max-direction containment ≥ `minContainment`
+      * (c(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|).
+      * Built uncached (leak-free, like [[minhashCandidates]]). */
+    def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+        minContainment: Double): DataFrame =
+      Dedup.containmentFromStats(
+        Dedup.rareShinglePairStatsOf(asDocs(df, idCol, textCol),
+          org.apache.spark.storage.StorageLevel.NONE),
+        minContainment)
   }
 
   object similarity {
@@ -201,6 +222,16 @@ object Graft {
       * qualified/aliased input columns work. */
     def fingerprint(c: Column): Column =
       call_function("graft_polyhash", concat_ws(" ", tokens(c)))
+
+    /** Cross-document boilerplate removal (C4/RefinedWeb line dedup):
+      * segments of `segLen` tokens recurring in ≥ `minDf` distinct
+      * documents are struck from every document → (doc_id, n_segments,
+      * n_removed, clean_text) with survivors rejoined in original
+      * order. Segment df shuffles 8-byte hashes, never text. */
+    def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+        segLen: Int = 10, minDf: Int = 3): DataFrame =
+      operators.TextAnalysis.removeBoilerplateOf(
+        asDocs(df, idCol, textCol), segLen, minDf)
   }
 
   object graphs {
@@ -235,6 +266,13 @@ object Graft {
     def pageRank(links: DataFrame, nodes: DataFrame, iters: Int = 3,
         damping: Double = 0.85): DataFrame =
       Graph.pageRank(links, nodes, iters, damping)
+
+    /** k-core by iterative peeling to fixpoint: surviving
+      * (node, core_degree) of the maximal subgraph where every node
+      * keeps degree ≥ k. `und` must hold BOTH edge directions, no
+      * self-loops. `reliable` as in [[bfs]]. */
+    def kcore(und: DataFrame, k: Int, reliable: Boolean = false): DataFrame =
+      Graph.kcore(und, k, reliable = reliable)
   }
 
   object timeseries {
@@ -351,6 +389,15 @@ object Graft {
       * scan; binds the same implementation as t_mixture_weights. */
     def mixtureWeights(df: DataFrame, stratumCol: String, textCol: String): DataFrame =
       operators.Sampling.mixtureWeights(df, stratumCol, textCol)
+
+    /** Deterministic train/validation/test split: appends
+      * (split_band, split) as a pure function of the content hash —
+      * stable across engines, re-runs, and re-partitionings, so a
+      * document can never migrate between train and the held-out
+      * splits. Binds the same implementation as the harness p11
+      * query. */
+    def splitByHash(df: DataFrame, contentCol: String): DataFrame =
+      operators.Sampling.splitByHash(df, contentCol)
   }
 
   object hicsa {

@@ -132,16 +132,27 @@ object Dedup {
     * consistency rule (hot shingles excluded from intersection AND
     * sizes) cannot drift between them. Returns (a_id, b_id, inter, na,
     * nb). */
-  private def rareShinglePairStats(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(s, dir)
+  private def rareShinglePairStats(s: SparkSession, dir: String): DataFrame =
+    rareShinglePairStatsOf(Tables.documents(s, dir))
+
+  /** DataFrame-parametric form (the facade surface; expects `doc_id`,
+    * `text`). Caching follows the signatures contract: the harness
+    * passes the default MEMORY_AND_DISK and clears per query; one-shot
+    * facade calls pass StorageLevel.NONE so nothing leaks into a
+    * long-lived session. */
+  private[graft] def rareShinglePairStatsOf(docs: DataFrame,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sh = shingleHashesOf(docs)
     val rare = sh.groupBy("h").count()
       .filter(col("count") <= MaxShingleDf).select("h")
     // persist: the filtered index feeds three consumers (sizes + both
     // sides of the pair join); without it Spark re-derives the shingle
     // pipeline per consumer. At 100 TB this is the step you'd
     // materialize to a bucketed table instead.
-    val shr = sh.join(rare, "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shr0 = sh.join(rare, "h")
+    val shr = if (storage == org.apache.spark.storage.StorageLevel.NONE) shr0
+      else shr0.persist(storage)
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = shr.as("x").join(shr.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -204,12 +215,18 @@ object Dedup {
     * rare shingle and is generated). Emits both directions; pairs kept
     * when max(c_ab, c_ba) ≥ 0.5. Same scale shape as dNgramJaccard:
     * the pair space is bounded by the df-capped index join. */
-  private def dContainment: Q = (s, dir) =>
-    rareShinglePairStats(s, dir)
+  /** Containment projection over a [[rareShinglePairStatsOf]] frame —
+    * shared by the harness query and [[graft.Graft.dedup]]. */
+  private[graft] def containmentFromStats(stats: DataFrame,
+      threshold: Double): DataFrame =
+    stats
       .withColumn("c_ab", round(col("inter") / col("na"), 6))
       .withColumn("c_ba", round(col("inter") / col("nb"), 6))
-      .filter(greatest(col("c_ab"), col("c_ba")) >= ContainThreshold)
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"), col("c_ab"), col("c_ba"))
+
+  private def dContainment: Q = (s, dir) =>
+    containmentFromStats(rareShinglePairStats(s, dir), ContainThreshold)
 
   private val dContainmentSql =
     s"""WITH $duckPairStatsCte

@@ -195,20 +195,22 @@ object RelationalExt {
     * "newly landed" delta partition begins. */
   private val IncAggCutoff = "1996-01-01"
 
-  /** Merge two partial per-key aggregates (count + exact DECIMAL sum)
-    * into one — the algebraic-merge step of incremental view
-    * maintenance. Expects columns (key, n_orders, revenue) on both
-    * sides; DECIMAL stays exact through the merge and is cast to
-    * DOUBLE only at the very end (comparator-stable repr, the r2
-    * decimal lesson). THE one implementation — harness query and
-    * facade both bind it. */
-  def mergeAggStates(base: DataFrame, delta: DataFrame, key: String): DataFrame =
-    base.select(col(key), col("n_orders").as("bn"), col("revenue").as("br"))
-      .join(delta.select(col(key), col("n_orders").as("dn"), col("revenue").as("dr")),
-        Seq(key), "full_outer")
-      .select(col(key),
-        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
-        expr("CAST(coalesce(br, 0) + coalesce(dr, 0) AS DOUBLE)").as("revenue"))
+  /** Merge two partial per-key aggregate tables into one — the
+    * algebraic-merge step of incremental view maintenance: every
+    * column in `addCols` (counts, sums — any type where merge = add;
+    * DECIMAL sums stay exact through the merge) is summed across the
+    * two sides with absent keys contributing zero. THE one
+    * implementation — harness query and [[graft.Graft.mergeAggStates]]
+    * both bind it. One shuffle on the keys; with the stored rollup
+    * bucketed on the keys the join co-locates. */
+  def mergeAggStates(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      addCols: Seq[String]): DataFrame = {
+    val b = addCols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    val d = addCols.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    b.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ addCols.map(c =>
+        (coalesce(col(s"__b_$c"), lit(0)) + coalesce(col(s"__d_$c"), lit(0))).as(c)): _*)
+  }
 
   /** Incremental aggregate maintenance — how a 100 TB rollup absorbs a
     * daily partition without rescanning history: count and revenue are
@@ -229,7 +231,11 @@ object RelationalExt {
     val orders = Tables.orders(s, dir)
     val base = aggOf(orders.filter(col("o_orderdate") < lit(IncAggCutoff)))
     val delta = aggOf(orders.filter(col("o_orderdate") >= lit(IncAggCutoff)))
-    mergeAggStates(base, delta, "o_custkey")
+    mergeAggStates(base, delta, Seq("o_custkey"), Seq("n_orders", "revenue"))
+      // merged DECIMAL cast to DOUBLE only at the very end
+      // (comparator-stable repr, the r2 decimal lesson)
+      .select(col("o_custkey"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"))
   }
 
   private val u9IncrementalAggSql =

@@ -573,15 +573,21 @@ object TextAnalysis {
     * doc_id with a per-doc collect bounded by document length. Output
     * carries an md5 digest of the cleaned text (comparator-safe) plus
     * the removal counts a pipeline would monitor. */
-  private def tLineDedup: Q = (s, dir) => {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val segs = Tables.documents(s, dir)
+  /** The boilerplate-removal core over a (doc_id, text) frame —
+    * returns (doc_id, n_segments, n_removed, clean_text) with the
+    * surviving segments rejoined in original order. THE one
+    * implementation: the harness query (which digests clean_text) and
+    * [[graft.Graft.text]]'s facade both bind it. */
+  private[graft] def removeBoilerplateOf(docs: DataFrame,
+      segLen: Int = SegLen, minDf: Int = BoilerplateDf): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    val segs = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0L, ((size(toks) + ${SegLen - 1}) DIV $SegLen) - 1)"))
+        explode(expr(s"sequence(0L, ((size(toks) + ${segLen - 1}) DIV $segLen) - 1)"))
           .as("seg_idx"))
       .withColumn("seg",
-        expr(s"array_join(slice(toks, cast(seg_idx * $SegLen + 1 AS int), $SegLen), ' ')"))
+        expr(s"array_join(slice(toks, cast(seg_idx * $segLen + 1 AS int), $segLen), ' ')"))
       .select(col("doc_id"), col("seg_idx"), col("seg"),
         PortableHash.polyHash(col("seg")).as("h"))
     val segDf = segs.groupBy(col("h"))
@@ -590,12 +596,17 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_segments"),
-        sum(when(col("df") >= BoilerplateDf, 1L).otherwise(0L)).as("n_removed"),
-        sort_array(collect_list(when(col("df") < BoilerplateDf,
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(col("df") < minDf,
           struct(col("seg_idx"), col("seg"))))).as("kept"))
       .select(col("doc_id"), col("n_segments"), col("n_removed"),
-        md5(expr("array_join(transform(kept, x -> x.seg), ' ')")).as("clean_digest"))
+        expr("array_join(transform(kept, x -> x.seg), ' ')").as("clean_text"))
   }
+
+  private def tLineDedup: Q = (s, dir) =>
+    removeBoilerplateOf(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        md5(col("clean_text")).as("clean_digest"))
 
   private val tLineDedupSql = {
     val toks = duckTokens("text")

@@ -26,6 +26,7 @@ class EmptyInputSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE)
     assert(Graft.dedup.clusterIdsFor(sig, 0.5).count() == 0)
     assert(Graft.dedup.contaminatedIds(emptyDocs, emptyDocs, "id", "body").count() == 0)
+    assert(Graft.dedup.containmentPairs(emptyDocs, "id", "body", 0.5).count() == 0)
   }
 
   test("similarity on an empty vector table: empty top-k") {
@@ -45,6 +46,7 @@ class EmptyInputSpec extends SparkSpec {
     val bfs = Graft.graphs.bfs(noEdges, seeds, maxDepth = 3).collect()
     assert(bfs.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((7L, 0)))
     assert(Graft.graphs.pageRank(noEdges, Seq.empty[Long].toDF("node")).count() == 0)
+    assert(Graft.graphs.kcore(noEdges, 2).count() == 0)
   }
 
   test("timeseries / temporal / relational ops on empty frames") {
@@ -61,6 +63,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.upsertByKey(ev, ev.limit(0), Seq("eid")).count() == 0)
     assert(operators.RelationalExt.scd2History(build, "k", "ts", "value").count() == 0)
     assert(Graft.dbMerge(emptyDocs, emptyDocs).count() == 0)
+    assert(Graft.mergeAggStates(
+      Seq.empty[(Long, Long)].toDF("k", "n"),
+      Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("n")).count() == 0)
+    assert(Graft.text.removeBoilerplate(emptyDocs, "id", "body").count() == 0)
+    assert(Graft.sampling.splitByHash(emptyDocs, "body").count() == 0)
   }
 
   test("hicsa pipeline on empty inputs: empty database, canonical schema") {

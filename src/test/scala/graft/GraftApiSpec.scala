@@ -252,4 +252,48 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(prChain("r") - 0.15) < 1e-12)
   }
+
+  test("dedup.containmentPairs matches d_containment on a renamed schema") {
+    val api = Graft.dedup.containmentPairs(corpus, "my_id", "body", 0.5)
+    val harness = SparkEntry.queries("d_containment")(spark, sf)
+    assert(api.orderBy("a_id", "b_id").collect().toSeq ==
+      harness.orderBy("a_id", "b_id").collect().toSeq)
+  }
+
+  test("text.removeBoilerplate matches t_line_dedup digests on a renamed schema") {
+    val api = Graft.text.removeBoilerplate(corpus, "my_id", "body")
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        md5(col("clean_text")).as("clean_digest"))
+    val harness = SparkEntry.queries("t_line_dedup")(spark, sf)
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("sampling.splitByHash matches p11_split on a renamed schema") {
+    val api = Graft.sampling.splitByHash(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text").as("body")), "body")
+      .select(col("doc_id"), col("split_band"), col("split"))
+    val harness = SparkEntry.queries("p11_split")(spark, sf)
+      .select(col("doc_id"), col("split_band"), col("split"))
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("mergeAggStates facade merges multi-key additive states") {
+    val base = Seq(("a", 1L, 2L)).toDF("k1", "k2", "n")
+    val delta = Seq(("a", 1L, 5L), ("b", 2L, 1L)).toDF("k1", "k2", "n")
+    val out = Graft.mergeAggStates(base, delta, Seq("k1", "k2"), Seq("n"))
+      .orderBy("k1").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 1L, 7L), ("b", 2L, 1L)))
+  }
+
+  test("graphs.kcore facade: pendant nodes peel, the clique survives") {
+    import spark.implicits._
+    val e = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4")).toDF("src", "dst")
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val core = Graft.graphs.kcore(und, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(core == Set(("1", 2L), ("2", 2L), ("3", 2L)))
+  }
+
 }

@@ -140,7 +140,9 @@ class RelationalSpec extends SparkSpec {
       .toDF("k", "n_orders", "revenue")
     val delta = Seq((2L, 3L, BigDecimal("1.25")), (3L, 1L, BigDecimal("7.00")))
       .toDF("k", "n_orders", "revenue")
-    val merged = operators.RelationalExt.mergeAggStates(base, delta, "k")
+    val merged = operators.RelationalExt
+      .mergeAggStates(base, delta, Seq("k"), Seq("n_orders", "revenue"))
+      .select(col("k"), col("n_orders"), col("revenue").cast("double"))
       .orderBy("k").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(merged.toSeq == Seq((1L, 2L, 10.0), (2L, 4L, 6.75), (3L, 1L, 7.0)))
