@@ -273,6 +273,13 @@ object Graft {
       * self-loops. `reliable` as in [[bfs]]. */
     def kcore(und: DataFrame, k: Int, reliable: Boolean = false): DataFrame =
       Graph.kcore(und, k, reliable = reliable)
+
+    /** Weighted single-source shortest paths (Bellman-Ford rounds to
+      * fixpoint): `edges(src, dst, w)`, `seeds(node)` → (node, dist);
+      * unreached nodes absent. `reliable` as in [[bfs]]. */
+    def sssp(edges: DataFrame, seeds: DataFrame,
+        reliable: Boolean = false): DataFrame =
+      Graph.sssp(edges, seeds, reliable = reliable)
   }
 
   object timeseries {
@@ -296,6 +303,13 @@ object Graft {
     def resampleHourly(df: DataFrame, keyCol: String, tsCol: String,
         valueCol: String): DataFrame =
       operators.TimeSeries.resampleHourly(df, keyCol, tsCol, valueCol)
+
+    /** Weekly cohort retention matrix: (cohort, week_k, retained,
+      * cohort_users, retention) — users cohort by the week of their
+      * first event. The only event-volume shuffle is the (key, week)
+      * distinct. */
+    def retention(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+      operators.TimeSeries.retention(df, keyCol, tsCol)
 
     /** Ordered-sequence funnel over an event frame: per key, the
       * earliest occurrence of each stage strictly after the previous

@@ -104,7 +104,10 @@ object ScaleCurve {
   private val Queries = Seq(
     "d_exact", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs",
     "d_cluster_canonical", "d_passage_coverage", "g_cc_labelprop", "g_cc_star",
-    "d_embedding_near_dup", "s_ann_lsh_batch")
+    "d_embedding_near_dup", "s_ann_lsh_batch",
+    // r6 additions: the two new driver-loop graph iteratives (round
+    // count is their scale story) and the two new index-shaped text ops
+    "g_kcore", "g_sssp", "t_line_dedup", "d_containment")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

@@ -613,6 +613,94 @@ object Graph {
        |FROM r$KcoreUnrollRounds GROUP BY src""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // Weighted single-source shortest paths (Bellman-Ford relaxation)
+  // ----------------------------------------------------------------
+
+  // rounds the ORACLE unrolls; relaxation reaches its fixpoint within
+  // this many rounds at the verified scales (extra rounds idempotent),
+  // while the Spark side iterates to the true fixpoint.
+  private val SsspUnrollRounds = 16
+
+  /** Weighted SSSP by synchronous Bellman-Ford rounds: dist(v) ←
+    * min(dist(v), min over in-edges (dist(u) + w)), iterated until a
+    * round changes nothing — BFS's weighted generalization (cheapest
+    * crawl path, latency-weighted reachability). Unreached nodes are
+    * absent (same contract as [[bfs]]). Per round: one edge⋈dist join
+    * + a min-aggregate, checkpointed; convergence is detected by
+    * comparing a (count, hash-sum, alt-hash-sum) fingerprint of the
+    * dist frame across rounds — the same fold-into-the-count-job
+    * discipline as [[starContractComponents]] (two independent 64-bit
+    * sums make a missed change a ~2⁻¹²⁸ event; no extra exceptAll
+    * job). Round count bounded by the weighted-path hop depth, not
+    * node count — the scale cost is rounds × (edges ⋈ dist-so-far). */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 64,
+      reliable: Boolean = false): DataFrame = {
+    val e = materialize(edges.select(col("src"), col("dst"), col("w")), reliable)
+    // bit_xor, not sum: summing 64-bit hashes overflows under ANSI
+    // (the starContract fingerprint's lesson, shared discipline)
+    def fp(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(node, dist))"), lit(0L)),
+        coalesce(expr("bit_xor(cast(hash(node, dist) as bigint))"), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var dist = materialize(seeds.select(col("node"), lit(0L).as("dist")), reliable)
+    var last = fp(dist)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = materialize(
+        dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")),
+        reliable)
+      val nfp = fp(next)
+      converged = nfp == last
+      dist = next
+      last = nfp
+      round += 1
+    }
+    dist
+  }
+
+  /** Deterministic per-edge weight for the harness graph: 1–5 from the
+    * endpoints (the stand-in for fetch latency / link cost). */
+  private def weighted(links: DataFrame): DataFrame =
+    links.withColumn("w", pmod(col("src") * 31 + col("dst"), lit(5)) + 1)
+
+  /** Harness binding: cheapest-path distances from page 0 over the
+    * weighted internal link graph. */
+  private def gSssp: Q = (s, dir) => {
+    import s.implicits._
+    val links = weighted(
+      pageLinks(s, dir)
+        .filter(col("is_internal") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct())
+    sssp(links, Seq(0L).toDF("node")).select(col("node"), col("dist"))
+  }
+
+  // Same MATERIALIZED-per-round rule as the k-core oracle: each dN is
+  // referenced twice, inlining would double the tree per round.
+  private val gSsspSql = {
+    val rounds = (1 to SsspUnrollRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d${i - 1}.dist + e.w FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckPageLinksCte,
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, (src * 31 + dst) % 5 + 1 AS w
+       |  FROM (SELECT DISTINCT src, dst FROM links WHERE is_internal AND src <> dst)),
+       |d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+       |$rounds
+       |SELECT node, dist FROM d$SsspUnrollRounds""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "g_triangles" -> gTriangles,
     "g_degrees" -> gDegrees,
@@ -620,6 +708,7 @@ object Graph {
     "g_cc_labelprop" -> gCcLabelprop,
     "g_cc_star" -> gCcStar,
     "g_kcore" -> gKcore,
+    "g_sssp" -> gSssp,
     "g_pagerank" -> gPagerank,
     "s2_crawl" -> s2Crawl)
 
@@ -632,6 +721,7 @@ object Graph {
     "g_cc_labelprop" -> gCcLabelpropSql,
     "g_cc_star" -> gCcLabelpropSql,
     "g_kcore" -> gKcoreSql,
+    "g_sssp" -> gSsspSql,
     "g_pagerank" -> gPagerankSql,
     "s2_crawl" -> s2CrawlSql)
 }

@@ -38,17 +38,23 @@ object Multimodal {
   // Binary column + typed metadata
   // ----------------------------------------------------------------
 
+  /** Deterministic width/height tags — the image-header-parse stub,
+    * shared by [[mBinaryMeta]] and the patch-grid generator so the
+    * "header" cannot drift between them. */
+  private def dims(df: DataFrame): DataFrame = df
+    .withColumn("width", (lit(16) + col("doc_id") % 64).cast("long"))
+    .withColumn("height", (lit(16) + (col("doc_id") * 7) % 64).cast("long"))
+
   /** Binary payload with typed metadata: byte length, content digest,
     * magic-bytes prefix, and deterministic width/height/format tags (the
     * stub for image-header parsing). */
   private def mBinaryMeta: Q = (s, dir) =>
-    withPayload(Tables.documents(s, dir)).select(
+    dims(withPayload(Tables.documents(s, dir))).select(
       col("doc_id"),
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("digest"),
       hex(substring(col("payload"), 1, 8)).as("magic"),
-      (lit(16) + col("doc_id") % 64).cast("long").as("width"),
-      (lit(16) + (col("doc_id") * 7) % 64).cast("long").as("height"),
+      col("width"), col("height"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
 
@@ -124,6 +130,59 @@ object Multimodal {
       |FROM (SELECT doc_id, text, octet_length(encode(text))::DOUBLE AS n FROM documents)""".stripMargin
 
   // ----------------------------------------------------------------
+  // Patch-grid generator (ViT-style image tiling)
+  // ----------------------------------------------------------------
+
+  private val PatchSize = 16
+
+  /** ViT patch-grid generation — the tiling pass between decode and an
+    * image encoder: each image (width × height from the stub header)
+    * explodes into its 16×16 patch grid with per-patch geometry
+    * (grid position, pixel offsets, clipped extent at the right/bottom
+    * edges, full-patch flag). A real pipeline would slice the decoded
+    * pixel buffer by exactly these offsets (the codec stays stubbed,
+    * the plumbing is real — same contract as the other multimodal
+    * ops). Pure map-side generator: patch count derives
+    * arithmetically from the header, rows explode before any shuffle,
+    * linear in input splits at any corpus size. */
+  private def mPatches: Q = (s, dir) =>
+    dims(Tables.documents(s, dir))
+      .withColumn("p_cols", ((col("width") + PatchSize - 1) / PatchSize).cast("long"))
+      .withColumn("p_rows", ((col("height") + PatchSize - 1) / PatchSize).cast("long"))
+      .select(col("doc_id"), col("width"), col("height"), col("p_cols"),
+        explode(sequence(lit(0L), col("p_rows") * col("p_cols") - 1)).as("patch_idx"))
+      .withColumn("p_row", expr("patch_idx DIV p_cols"))
+      .withColumn("p_col", expr("patch_idx % p_cols"))
+      .withColumn("x0", col("p_col") * PatchSize)
+      .withColumn("y0", col("p_row") * PatchSize)
+      .withColumn("pw", least(lit(PatchSize.toLong), col("width") - col("x0")))
+      .withColumn("ph", least(lit(PatchSize.toLong), col("height") - col("y0")))
+      .select(col("doc_id"), col("patch_idx"), col("p_row"), col("p_col"),
+        col("x0"), col("y0"), col("pw"), col("ph"),
+        (col("pw") === PatchSize && col("ph") === PatchSize).as("is_full"))
+
+  private val mPatchesSql =
+    s"""SELECT doc_id, patch_idx,
+       |  patch_idx // p_cols AS p_row,
+       |  patch_idx % p_cols AS p_col,
+       |  (patch_idx % p_cols) * $PatchSize AS x0,
+       |  (patch_idx // p_cols) * $PatchSize AS y0,
+       |  least($PatchSize, width - (patch_idx % p_cols) * $PatchSize) AS pw,
+       |  least($PatchSize, height - (patch_idx // p_cols) * $PatchSize) AS ph,
+       |  least($PatchSize, width - (patch_idx % p_cols) * $PatchSize) = $PatchSize
+       |    AND least($PatchSize, height - (patch_idx // p_cols) * $PatchSize) = $PatchSize
+       |    AS is_full
+       |FROM (
+       |  SELECT doc_id, width, height, p_cols,
+       |         unnest(range(0, p_rows * p_cols)) AS patch_idx
+       |  FROM (SELECT doc_id,
+       |          16 + doc_id % 64 AS width,
+       |          16 + (doc_id * 7) % 64 AS height,
+       |          (16 + doc_id % 64 + ${PatchSize - 1}) // $PatchSize AS p_cols,
+       |          (16 + (doc_id * 7) % 64 + ${PatchSize - 1}) // $PatchSize AS p_rows
+       |        FROM documents))""".stripMargin
+
+  // ----------------------------------------------------------------
   // Per-partition batch decode plumbing (Dataset + mapPartitions)
   // ----------------------------------------------------------------
 
@@ -166,10 +225,12 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "m_binary_meta" -> mBinaryMeta,
     "m_frame_sample" -> mFrameSample,
-    "m_features" -> mFeatures)
+    "m_features" -> mFeatures,
+    "m_patches" -> mPatches)
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
     "m_frame_sample" -> mFrameSampleSql,
-    "m_features" -> mFeaturesSql)
+    "m_features" -> mFeaturesSql,
+    "m_patches" -> mPatchesSql)
 }

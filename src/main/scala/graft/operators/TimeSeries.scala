@@ -218,16 +218,66 @@ object TimeSeries {
       |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // Cohort retention: weekly cohorts × weeks-since-first-seen
+  // ----------------------------------------------------------------
+
+  /** Fixture epoch (2024-01-01T00:00Z) in µs; weeks index from here. */
+  private val RetEpoch0Us = 1704067200000000L
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Weekly cohort retention — the activation/engagement matrix next
+    * to [[tsFunnel]]'s conversion report: users cohort by the week of
+    * their FIRST event; for every (cohort, weeks-since) cell, how many
+    * of the cohort's users were active that week and the retained
+    * fraction. Shape at scale: the ONLY event-volume shuffle is the
+    * (user, week) distinct — it carries two longs per row and
+    * partial-aggregates map-side; everything after is user-count rows
+    * (cohort assignment is a per-user min, the matrix joins are
+    * cohort-count-sized). week_k counts distinct users by construction
+    * because its input is already (user, week)-distinct. */
+  def retention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val wk = floor((unix_micros(col(tsCol)) - lit(RetEpoch0Us))
+      / lit(WeekUs.toDouble)).cast("long")
+    val userWeeks = df.select(col(keyCol).as("k"), wk.as("wk")).distinct()
+    val cohorts = userWeeks.groupBy(col("k")).agg(min(col("wk")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    userWeeks.join(cohorts, "k")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_k"))
+      .agg(count(lit(1)).as("retained"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("week_k"), col("retained"), col("cohort_users"),
+        round(col("retained") / col("cohort_users"), 6).as("retention"))
+  }
+
+  private def tsRetention: Q = (s, dir) =>
+    retention(Tables.events(s, dir), "user_id", "ts")
+
+  private val tsRetentionSql =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id AS k,
+       |    CAST(floor((epoch_us(ts) - $RetEpoch0Us) / $WeekUs.0) AS BIGINT) AS wk
+       |  FROM events),
+       |coh AS (SELECT k, min(wk) AS cohort FROM uw GROUP BY k),
+       |sz AS (SELECT cohort, count(*) AS cohort_users FROM coh GROUP BY cohort),
+       |ret AS (SELECT cohort, wk - cohort AS week_k, count(*) AS retained
+       |        FROM uw JOIN coh USING (k) GROUP BY 1, 2)
+       |SELECT cohort, week_k, retained, cohort_users,
+       |       round(retained / cohort_users, 6) AS retention
+       |FROM ret JOIN sz USING (cohort)""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "ts_sessionize" -> tsSessionize,
     "ts_rolling" -> tsRolling,
     "ts_resample" -> tsResample,
-    "ts_funnel" -> tsFunnel)
+    "ts_funnel" -> tsFunnel,
+    "ts_retention" -> tsRetention)
 
   val oracles: Map[String, String] = Map(
     "ts_sessionize" -> tsSessionizeSql,
     "ts_rolling" -> tsRollingSql,
     "ts_resample" -> tsResampleSql,
-    "ts_funnel" -> tsFunnelSql)
+    "ts_funnel" -> tsFunnelSql,
+    "ts_retention" -> tsRetentionSql)
 }

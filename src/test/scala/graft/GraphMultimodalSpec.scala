@@ -115,4 +115,32 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(out.filter(col("core_degree") < 3).count() == 0)
   }
 
+
+  test("sssp: multi-hop cheap path beats the direct heavy edge; unreached nodes absent") {
+    import spark.implicits._
+    // a->b costs 5 direct, but a->c->b costs 2; d is disconnected
+    val e = Seq(("a", "b", 5L), ("a", "c", 1L), ("c", "b", 1L), ("d", "a", 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.sssp(e, Seq("a").toDF("node")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("m_patches: grid size matches header dims; edge patches clipped, inner patches full") {
+    val out = Multimodal.queries("m_patches")(spark, sf)
+    val meta = Multimodal.queries("m_binary_meta")(spark, sf)
+      .select(col("doc_id"), col("width"), col("height"))
+    val counts = out.groupBy("doc_id").count()
+      .join(meta, "doc_id")
+      .filter(col("count") =!=
+        ceil(col("width") / 16.0).cast("long") * ceil(col("height") / 16.0).cast("long"))
+    assert(counts.count() == 0)
+    // geometry invariants: offsets inside the image, extents positive and clipped
+    assert(out.filter(col("x0") + col("pw") > 16 + 64 || col("pw") < 1 || col("ph") < 1).count() == 0)
+    val j = out.join(meta, "doc_id")
+    assert(j.filter(col("x0") + col("pw") > col("width")
+      || col("y0") + col("ph") > col("height")).count() == 0)
+    assert(j.filter(col("is_full") =!= (col("pw") === 16 && col("ph") === 16)).count() == 0)
+  }
+
 }

@@ -85,4 +85,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(pr.filter(col("pagerank") === 0.15).count() > 0)
     pr.unpersist()
   }
+
+  test("ts_retention: week-0 cell retains the whole cohort; retained never exceeds cohort size") {
+    val out = operators.TimeSeries.queries("ts_retention")(spark, sf)
+    // every user is active in their own first week
+    assert(out.filter(col("week_k") === 0 && col("retained") =!= col("cohort_users")).count() == 0)
+    assert(out.filter(col("retained") > col("cohort_users") || col("retained") < 1).count() == 0)
+    assert(out.filter(col("week_k") < 0).count() == 0)
+    // cohort sizes sum to the distinct-user count
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.filter(col("week_k") === 0)
+      .agg(sum("cohort_users")).collect()(0).getLong(0) == users)
+  }
+
 }
