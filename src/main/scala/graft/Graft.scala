@@ -160,6 +160,14 @@ object Graft {
           .select(col("a_id"), col("b_id")),
         reliable)
 
+    /** Content-hash diff of two corpus versions: (doc_id, status ∈
+      * added | removed | changed | unchanged) — the release-notes pass
+      * between training-data snapshots. Shuffles (id, hash), never
+      * text. */
+    def datasetDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+        textCol: String): DataFrame =
+      Dedup.datasetDiff(asDocs(v1, idCol, textCol), asDocs(v2, idCol, textCol))
+
     /** Directional containment pairs — the quote/subset-dup signal
       * Jaccard misses: (a_id, b_id, inter, c_ab, c_ba) for candidate
       * pairs with max-direction containment ≥ `minContainment`

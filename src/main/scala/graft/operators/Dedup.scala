@@ -842,7 +842,71 @@ object Dedup {
        |FROM cov GROUP BY doc_id, nt""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // Dataset version diff (training-data release accounting)
+  // ----------------------------------------------------------------
+
+  private val DiffRemovedMod = 17L
+  private val DiffChangedMod = 13L
+  private val DiffAddedMod = 19L
+  private val DiffAddedOffset = 1000000L
+
+  /** Content-hash diff of two corpus versions — the release-notes pass
+    * between training-data snapshots: every doc id classifies as
+    * added / removed / changed / unchanged by comparing 8-byte content
+    * fingerprints through a full-outer join, so the diff shuffles
+    * (id, hash) pairs and never text — at 100 TB this is the cheap,
+    * exact answer to "what moved between v1 and v2". The harness
+    * derives v2 from v1 deterministically (every 17th doc dropped,
+    * every 13th revised, every 19th cloned to a fresh id) so the
+    * expected class mix is known; the facade form takes two real
+    * frames. */
+  def datasetDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(v1.sparkSession)
+    def fp(df: DataFrame, out: String) = df.select(col("doc_id"),
+      PortableHash.polyHash(col("text")).as(out))
+    fp(v1, "fp1").join(fp(v2, "fp2"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  private def dDatasetDiff: Q = (s, dir) => {
+    val v1 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val v2 = v1.filter(pmod(col("doc_id"), lit(DiffRemovedMod)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(DiffChangedMod)) === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")).as("text"))
+      .unionByName(
+        v1.filter(pmod(col("doc_id"), lit(DiffAddedMod)) === 0)
+          .select((col("doc_id") + DiffAddedOffset).as("doc_id"), col("text")))
+    datasetDiff(v1, v2)
+  }
+
+  private val dDatasetDiffSql = {
+    val fp = PortableHash.duckPolyHash("text")
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $DiffChangedMod = 0 THEN text || ' [rev2]'
+       |              ELSE text END AS text
+       |  FROM v1 WHERE doc_id % $DiffRemovedMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $DiffAddedOffset, text FROM v1 WHERE doc_id % $DiffAddedMod = 0),
+       |f1 AS (SELECT doc_id, $fp AS fp1 FROM v1),
+       |f2 AS (SELECT doc_id, $fp AS fp2 FROM v2)
+       |SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
+       |       CASE WHEN f1.doc_id IS NULL THEN 'added'
+       |            WHEN f2.doc_id IS NULL THEN 'removed'
+       |            WHEN fp1 <> fp2 THEN 'changed'
+       |            ELSE 'unchanged' END AS status
+       |FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_dataset_diff" -> dDatasetDiff,
     "d_passage_coverage" -> dPassageCoverage,
     "d_contamination" -> dContamination,
     "d_exact" -> dExact,
@@ -861,6 +925,7 @@ object Dedup {
     "d_contamination" -> dContaminationSql,
     "d_cluster_canonical" -> dClusterCanonicalSql,
     "d_exact" -> dExactSql,
+    "d_dataset_diff" -> dDatasetDiffSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_containment" -> dContainmentSql,
     "d_minhash_lsh" -> dMinhashLshSql,

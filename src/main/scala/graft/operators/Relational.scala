@@ -479,6 +479,32 @@ object Relational {
       | toks[-1] AS last_tok
       |FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)""".stripMargin
 
+  /** F10 — the bitwise function family over order/part keys: AND, OR,
+    * XOR, shifts, popcount — the primitives under bitmap indexes,
+    * bloom-filter arithmetic, and the simhash/band bucketing this
+    * engine uses internally, surfaced as first-class scalars. Narrow
+    * codegen'd projection, zero shuffle. */
+  private def fBits: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("b_and"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("b_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+        shiftleft(col("l_orderkey"), 2).as("b_shl"),
+        shiftright(col("l_orderkey"), 1).as("b_shr"),
+        bit_count(col("l_orderkey")).cast("long").as("b_pop"))
+
+  private val fBitsSql =
+    """SELECT l_orderkey, l_partkey,
+      | l_orderkey & l_partkey AS b_and,
+      | l_orderkey | l_partkey AS b_or,
+      | xor(l_orderkey, l_partkey) AS b_xor,
+      | l_orderkey << 2 AS b_shl,
+      | l_orderkey >> 1 AS b_shr,
+      | bit_count(l_orderkey)::BIGINT AS b_pop
+      |FROM lineitem""".stripMargin
+
   /** X4 — UNPIVOT (wide → long): the inverse of a7_pivot, melting two
     * customer numeric columns into (metric, amount) rows via `stack` —
     * a codegen'd generator, rows ×2 produced map-side with no shuffle
@@ -579,6 +605,7 @@ object Relational {
     "x3_split_pad" -> x3SplitPad,
     "x4_unpivot" -> x4Unpivot,
     "f_arrays" -> fArrays,
+    "f_bits" -> fBits,
     "f_strings" -> fStrings,
     "f6_na_concat" -> f6NaConcat,
     "f_json_extract" -> fJsonExtract)
@@ -609,6 +636,7 @@ object Relational {
     "x3_split_pad" -> x3Sql,
     "x4_unpivot" -> x4Sql,
     "f_arrays" -> fArraysSql,
+    "f_bits" -> fBitsSql,
     "f_strings" -> fStringsSql,
     "f6_na_concat" -> f6Sql,
     "f_json_extract" -> fJsonSql)

@@ -645,8 +645,56 @@ object Similarity {
       |GROUP BY label, dim""".stripMargin
 
   // ----------------------------------------------------------------
+  // Random-projection dimensionality reduction (Achlioptas signs)
+  // ----------------------------------------------------------------
+
+  private val RpInDims = 64
+  private val RpOutDims = 16
+
+  /** Deterministic ±1 projection signs (Achlioptas' database-friendly
+    * JL matrix, sign-only variant). Computed ONCE here in Scala and
+    * inlined as literal arrays into BOTH plans, so engine hash parity
+    * is a non-issue — the matrix is part of the operator definition,
+    * exactly how a production pipeline would pin its projection seed. */
+  private def rpSign(i: Int, j: Int): Long = {
+    val h = (i.toLong * 2654435761L + j.toLong * 40503L + 12345L) % 1000000007L
+    if ((h & 1L) == 1L) 1L else -1L
+  }
+
+  /** Johnson-Lindenstrauss dimensionality reduction — the embedding-
+    * pipeline step between the encoder and a cheaper index: 64-dim
+    * float vectors project to 16 dims through the fixed ±1 sign matrix
+    * (scaled 1/√16 = 0.25, exact in binary), cutting index storage and
+    * probe arithmetic 4× while approximately preserving angles.
+    * Narrow per-row projection, zero shuffle at any corpus size; the
+    * left-fold sum runs in identical element order in both engines, so
+    * the oracle is exact after 6dp rounding. Output as named scalar
+    * columns (array cells crash the comparator's row sort). */
+  private def sDimReduce: Q = (s, dir) => {
+    val outCols = (0 until RpOutDims).map { j =>
+      val signs = (0 until RpInDims).map(rpSign(_, j)).mkString("array(", ", ", ")")
+      round(expr(
+        s"aggregate(zip_with(embedding, $signs, (x, s) -> CAST(x AS DOUBLE) * s), 0D, (a, x) -> a + x)")
+        * 0.25, 6).as(s"r$j")
+    }
+    Tables.embeddings(s, dir).select(col("vec_id") +: outCols: _*)
+  }
+
+  private val sDimReduceSql = {
+    val outCols = (0 until RpOutDims).map { j =>
+      val signs = (0 until RpInDims).map(rpSign(_, j)).mkString("[", ", ", "]")
+      s"""round(list_reduce(list_prepend(0.0, list_transform(range(1, ${RpInDims + 1}),
+         |    i -> embedding[i]::DOUBLE * ($signs)[i])), (a, x) -> a + x) * 0.25, 6) AS r$j""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $outCols
+       |FROM embeddings""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "s_dim_reduce" -> sDimReduce,
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_lsh_batch" -> sAnnLshBatch,
@@ -666,5 +714,6 @@ object Similarity {
     "s_ivf_ann_indexed" -> sIvfAnnSql,
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,
-    "s_centroids" -> sCentroidsSql)
+    "s_centroids" -> sCentroidsSql,
+    "s_dim_reduce" -> sDimReduceSql)
 }

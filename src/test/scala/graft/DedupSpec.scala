@@ -228,4 +228,19 @@ class DedupSpec extends SparkSpec {
     assert(byText.filter(col("k") =!= 1).count() == 0)
   }
 
+
+  test("d_dataset_diff: class counts match the deterministic v2 derivation") {
+    val out = Dedup.queries("d_dataset_diff")(spark, sf)
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val removed = ids.count(_ % 17 == 0)
+    val added = ids.count(_ % 19 == 0)
+    val changed = ids.count(i => i % 13 == 0 && i % 17 != 0)
+    val byStatus = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("removed", 0L) == removed)
+    assert(byStatus.getOrElse("added", 0L) == added)
+    assert(byStatus.getOrElse("changed", 0L) == changed)
+    assert(byStatus.values.sum == ids.length + added)
+  }
+
 }

@@ -148,4 +148,15 @@ class RelationalSpec extends SparkSpec {
     assert(merged.toSeq == Seq((1L, 2L, 10.0), (2L, 4L, 6.75), (3L, 1L, 7.0)))
   }
 
+
+  test("f_bits: algebraic identities of the bitwise family hold row-wise") {
+    val out = Relational.queries("f_bits")(spark, sf)
+    // AND + OR = a + b; XOR = OR - AND; shifts are *4 and div 2
+    assert(out.filter(col("b_and") + col("b_or") =!= col("l_orderkey") + col("l_partkey")).count() == 0)
+    assert(out.filter(col("b_xor") =!= col("b_or") - col("b_and")).count() == 0)
+    assert(out.filter(col("b_shl") =!= col("l_orderkey") * 4).count() == 0)
+    assert(out.filter(col("b_shr") =!= expr("l_orderkey DIV 2")).count() == 0)
+    assert(out.filter(col("b_pop") < 0 || col("b_pop") > 64).count() == 0)
+  }
+
 }

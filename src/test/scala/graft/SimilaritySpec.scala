@@ -159,4 +159,26 @@ class SimilaritySpec extends SparkSpec {
       .sortBy { case (s0, i) => (-s0, i) }.take(5)
     assert(top.map(r => (r.getDouble(0), r.getLong(1))) == expected)
   }
+
+  test("s_dim_reduce: projection matches the pinned sign matrix on sampled vectors") {
+    // reimplements the sign formula independently — a change to the
+    // projection matrix must fail here, not silently re-seed the index
+    def sign(i: Int, j: Int): Long = {
+      val h = (i.toLong * 2654435761L + j.toLong * 40503L + 12345L) % 1000000007L
+      if ((h & 1L) == 1L) 1L else -1L
+    }
+    val out = Similarity.queries("s_dim_reduce")(spark, sf)
+      .filter(col("vec_id") < 3).orderBy("vec_id").collect()
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")))
+    out.zip(embs).foreach { case (row, emb) =>
+      for (j <- 0 until 16) {
+        val expect = emb.zipWithIndex.foldLeft(0.0) { case (a, (x, i)) =>
+          a + x.toDouble * sign(i, j) } * 0.25
+        assert(math.abs(row.getDouble(row.fieldIndex(s"r$j")) - expect) < 1e-6)
+      }
+    }
+  }
+
 }
