@@ -231,6 +231,13 @@ object Graft {
     def fingerprint(c: Column): Column =
       call_function("graft_polyhash", concat_ws(" ", tokens(c)))
 
+    /** BPE merge induction (tokenizer vocabulary training): the corpus
+      * collapses once to a (word, freq) vocab, then `rounds` greedy
+      * merge rounds over the vocab-sized symbol table → the learned
+      * merge table (merge_round, sym_a, sym_b, pair_count). */
+    def bpeMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame =
+      operators.TextAnalysis.bpeMerges(df.select(col(textCol).as("text")), rounds)
+
     /** Cross-document boilerplate removal (C4/RefinedWeb line dedup):
       * segments of `segLen` tokens recurring in ≥ `minDf` distinct
       * documents are struck from every document → (doc_id, n_segments,

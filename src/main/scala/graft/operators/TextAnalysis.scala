@@ -629,7 +629,95 @@ object TextAnalysis {
        |GROUP BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // BPE merge induction (tokenizer vocabulary training)
+  // ----------------------------------------------------------------
+
+  private val BpeRounds = 3
+
+  /** BPE vocabulary induction — the tokenizer-training loop itself,
+    * run the way production BPE trainers run it: the corpus collapses
+    * ONCE to a (word, freq) vocabulary table (the only corpus-volume
+    * aggregate; everything after is vocab-sized however large the
+    * corpus), words split to character symbols, then each round counts
+    * adjacent symbol pairs weighted by word frequency, picks the most
+    * frequent pair (ties break lexicographically), and merges it
+    * everywhere — the greedy leftmost non-overlapping scan, expressed
+    * as a left fold over each word's symbol array with the winning
+    * pair cross-joined in as columns (both engines fold in identical
+    * element order). Output: the learned merge table
+    * (merge_round, sym_a, sym_b, pair_count) — rounds-deep driver
+    * iteration over vocab-sized frames, exactly the loop shape real
+    * trainers use. */
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var cur = words.select(split(col("w"), "").as("syms"), col("freq"))
+    val merges = (0 until rounds).map { r =>
+      val pairs = cur.select(col("freq"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), (a, b) -> struct(a, b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).select(col("a"), col("b"), col("cnt"))
+      cur = cur.crossJoin(broadcast(top.select(col("a"), col("b"))))
+        .select(expr(
+          """aggregate(syms, cast(array() as array<string>), (acc, x) ->
+            |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
+            |       THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+            |       ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
+          col("freq"))
+      top.select(lit(r.toLong).as("merge_round"),
+        col("a").as("sym_a"), col("b").as("sym_b"), col("cnt").as("pair_count"))
+    }
+    merges.reduce(_ unionByName _)
+  }
+
+  private def tBpeMerges: Q = (s, dir) =>
+    bpeMerges(Tables.documents(s, dir))
+
+  private val tBpeMergesSql = {
+    val toks = duckTokens("text")
+    // per-round CTE triple: pN (pair counts), mN (argmax), wN+1 (merged
+    // vocab). MATERIALIZED like every unrolled oracle here — each wN is
+    // referenced twice.
+    val rounds = (0 until BpeRounds).map { r =>
+      val next =
+        if (r == BpeRounds - 1) "" // last round never applies its merge
+        else s""",
+          |w${r + 1} AS MATERIALIZED (
+          |  SELECT list_reduce(list_transform(syms, x -> [x]),
+          |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$r.a AND x[1] = m$r.b
+          |                            THEN acc[1:len(acc)-1] || [m$r.a || m$r.b]
+          |                            ELSE acc || x END) AS syms,
+          |         freq
+          |  FROM w$r CROSS JOIN m$r)""".stripMargin
+      s"""p$r AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(syms[1:len(syms)-1]) AS a,
+         |               unnest(syms[2:len(syms)]) AS b, freq
+         |        FROM w$r)
+         |  GROUP BY a, b),
+         |m$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)$next""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest($toks) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT split(w, '') AS syms, freq FROM words),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_bpe_merges" -> tBpeMerges,
     "t_line_dedup" -> tLineDedup,
     "t_chunk_overlap" -> tChunkOverlap,
     "t_repetition" -> tRepetition,
@@ -645,6 +733,7 @@ object TextAnalysis {
     "t_tfidf" -> tTfidf)
 
   val oracles: Map[String, String] = Map(
+    "t_bpe_merges" -> tBpeMergesSql,
     "t_line_dedup" -> tLineDedupSql,
     "t_chunk_overlap" -> tChunkOverlapSql,
     "t_repetition" -> tRepetitionSql,

@@ -243,4 +243,18 @@ class DedupSpec extends SparkSpec {
     assert(byStatus.values.sum == ids.length + added)
   }
 
+
+  test("bpeMerges: greedy merges on a pinned vocabulary, lexicographic tie-break") {
+    import spark.implicits._
+    // "aaab" x3: round 0 merges (a,a) [count 6]; round 1 ties (a,b) vs
+    // (aa,a) at 3 and lexicographic order picks (a,b); round 2 merges
+    // the two survivors (aa, ab)
+    val docs = Seq("aaab aaab", "aaab").toDF("text")
+    val out = graft.Graft.text.bpeMerges(docs, "text").orderBy("merge_round")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, "a", "a", 6L), (1L, "a", "b", 3L), (2L, "aa", "ab", 3L)))
+    // empty corpus: no merges, no throw
+    assert(graft.Graft.text.bpeMerges(Seq.empty[String].toDF("text"), "text").count() == 0)
+  }
+
 }
