@@ -244,6 +244,35 @@ object RelationalExt {
       |FROM orders GROUP BY o_custkey""".stripMargin
 
   // ----------------------------------------------------------------
+  // Mode (most frequent value) per group — deterministic ties
+  // ----------------------------------------------------------------
+
+  /** Per-group MODE with a DETERMINISTIC tie-break: count each value,
+    * rank per group by (count desc, value asc), keep rank 1. Built-in
+    * `mode()` breaks ties arbitrarily in both engines — useless for an
+    * exact oracle and for reproducible pipelines; this construction is
+    * the portable form. Two stages: a partial-agg'd count (the only
+    * pass over raw volume) and a group-count-sized window. */
+  private def a13Mode: Q = (s, dir) => {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n_occurrences").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"),
+        col("n_occurrences"))
+  }
+
+  private val a13ModeSql =
+    """SELECT l_returnflag, l_quantity AS mode_quantity, n_occurrences
+      |FROM (SELECT l_returnflag, l_quantity, count(*) AS n_occurrences,
+      |        row_number() OVER (PARTITION BY l_returnflag
+      |          ORDER BY count(*) DESC, l_quantity) AS rn
+      |      FROM lineitem GROUP BY l_returnflag, l_quantity)
+      |WHERE rn = 1""".stripMargin
+
+  // ----------------------------------------------------------------
   // Multi-dimensional aggregation
   // ----------------------------------------------------------------
 
@@ -586,6 +615,7 @@ object RelationalExt {
     "u7_upsert" -> u7Upsert,
     "u8_scd2" -> u8Scd2,
     "u9_incremental_agg" -> u9IncrementalAgg,
+    "a13_mode" -> a13Mode,
     "a5_rollup" -> a5Rollup,
     "a6_cube" -> a6Cube,
     "a7_pivot" -> a7Pivot)
@@ -607,6 +637,7 @@ object RelationalExt {
     "u7_upsert" -> u7UpsertSql,
     "u8_scd2" -> u8Scd2Sql,
     "u9_incremental_agg" -> u9IncrementalAggSql,
+    "a13_mode" -> a13ModeSql,
     "a5_rollup" -> a5RollupSql,
     "a6_cube" -> a6CubeSql,
     "a7_pivot" -> a7PivotSql)

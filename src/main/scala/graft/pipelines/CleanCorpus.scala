@@ -129,10 +129,55 @@ object CleanCorpus {
        |  ${graft.operators.TextAnalysis.duckRedact("text")} AS redacted
        |FROM shard""".stripMargin
 
+  /** The dataset-card composite — the release-manifest numbers a
+    * corpus publisher ships: the cleaned corpus ([[clean]]) gets its
+    * deterministic train/val/test assignment (the SHARED
+    * [[graft.operators.Sampling.splitByHash]] — the same split a later
+    * decontamination audit will recompute) and rolls up to per-(split,
+    * language) document/token counts with each language's token share
+    * of its split. Stats are split×lang-sized after one pass over the
+    * kept docs' text; the share window runs on that tiny aggregate. */
+  def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val kept = clean(s, dir).select(col("doc_id"), col("lang"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val split = graft.operators.Sampling.splitByHash(kept.join(docs, "doc_id"), "text")
+      .withColumn("n_tokens", size(expr(Dedup.toksExpr)).cast("long"))
+    val stats = split.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val w = Window.partitionBy(col("split"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats.withColumn("split_tokens", sum(col("n_tokens")).over(w))
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("split_tokens"), 6).as("lang_share"))
+  }
+
+  private val releaseManifestSql =
+    s"""$cleanCteSql,
+       |assigned AS (
+       |  SELECT k.lang,
+       |    CASE WHEN band < 90 THEN 'train'
+       |         WHEN band < 95 THEN 'validation'
+       |         ELSE 'test' END AS split,
+       |    CAST(len(${Dedup.duckToks}) AS BIGINT) AS n_tokens
+       |  FROM kept k JOIN (
+       |    SELECT doc_id, text,
+       |      ${PortableHash.duckPolyHash("text")} % 100 AS band
+       |    FROM documents) d ON k.doc_id = d.doc_id),
+       |stats AS (
+       |  SELECT split, lang, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM assigned GROUP BY split, lang)
+       |SELECT split, lang, n_docs, n_tokens,
+       |  round(n_tokens / CAST(sum(n_tokens) OVER (PARTITION BY split) AS DOUBLE), 6)
+       |    AS lang_share
+       |FROM stats""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> ((s, d) => clean(s, d)),
-    "pipeline_training_shards" -> ((s, d) => trainingShards(s, d)))
+    "pipeline_training_shards" -> ((s, d) => trainingShards(s, d)),
+    "pipeline_release_manifest" -> ((s, d) => releaseManifest(s, d)))
   val oracles: Map[String, String] = Map(
     "pipeline_clean_corpus" -> cleanSql,
-    "pipeline_training_shards" -> trainingShardsSql)
+    "pipeline_training_shards" -> trainingShardsSql,
+    "pipeline_release_manifest" -> releaseManifestSql)
 }

@@ -159,4 +159,25 @@ class RelationalSpec extends SparkSpec {
     assert(out.filter(col("b_pop") < 0 || col("b_pop") > 64).count() == 0)
   }
 
+
+  test("a13_mode: one row per group; no value beats the mode's count") {
+    val out = operators.RelationalExt.queries("a13_mode")(spark, sf)
+    val groups = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
+    assert(out.count() == groups)
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_quantity")).count()
+    val maxes = counts.groupBy("l_returnflag").agg(max("count").as("mx"))
+    assert(out.join(maxes, "l_returnflag")
+      .filter(col("n_occurrences") =!= col("mx")).count() == 0)
+  }
+
+  test("pipeline_release_manifest: shares sum to 1 per split; docs reconcile with clean corpus") {
+    val out = pipelines.CleanCorpus.queries("pipeline_release_manifest")(spark, sf)
+    val bad = out.groupBy("split").agg(sum("lang_share").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-4)
+    assert(bad.count() == 0)
+    val kept = pipelines.CleanCorpus.queries("pipeline_clean_corpus")(spark, sf).count()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == kept)
+  }
+
 }
