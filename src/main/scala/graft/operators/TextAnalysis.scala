@@ -570,14 +570,13 @@ object TextAnalysis {
     * aggregation shuffles (hash, doc_id) pairs, never segment text;
     * the df side is segment-vocabulary-sized (candidate for a
     * broadcast or a bloom prefilter at 100 TB); reassembly groups by
-    * doc_id with a per-doc collect bounded by document length. Output
-    * carries an md5 digest of the cleaned text (comparator-safe) plus
-    * the removal counts a pipeline would monitor. */
-  /** The boilerplate-removal core over a (doc_id, text) frame —
-    * returns (doc_id, n_segments, n_removed, clean_text) with the
+    * doc_id with a per-doc collect bounded by document length.
+    *
+    * Returns (doc_id, n_segments, n_removed, clean_text) with the
     * surviving segments rejoined in original order. THE one
-    * implementation: the harness query (which digests clean_text) and
-    * [[graft.Graft.text]]'s facade both bind it. */
+    * implementation: the harness query (which digests clean_text —
+    * comparator-safe) and [[graft.Graft.text]]'s facade both bind
+    * it. */
   private[graft] def removeBoilerplateOf(docs: DataFrame,
       segLen: Int = SegLen, minDf: Int = BoilerplateDf): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
