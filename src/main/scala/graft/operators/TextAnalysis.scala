@@ -649,30 +649,50 @@ object TextAnalysis {
     * iteration over vocab-sized frames, exactly the loop shape real
     * trainers use. */
   def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the ONE corpus-volume aggregate, persisted so the merge rounds
+    // genuinely reuse it (an unpersisted lazy chain would re-run the
+    // corpus scan per round); released before returning — the result
+    // is a driver-local merge table, so nothing leaks into the session
     val words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    var cur = words.select(split(col("w"), "").as("syms"), col("freq"))
-    val merges = (0 until rounds).map { r =>
-      val pairs = cur.select(col("freq"), explode(expr(
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = words
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val top = cur.select(col("freq"), explode(expr(
           "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), (a, b) -> struct(a, b))"))
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).select(col("a"), col("b"), col("cnt"))
-      cur = cur.crossJoin(broadcast(top.select(col("a"), col("b"))))
-        .select(expr(
-          """aggregate(syms, cast(array() as array<string>), (acc, x) ->
-            |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
-            |       THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
-            |       ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
-          col("freq"))
-      top.select(lit(r.toLong).as("merge_round"),
-        col("a").as("sym_a"), col("b").as("sym_b"), col("cnt").as("pair_count"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // vocab ran out of pairs
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r.toLong, a, b, cnt))
+        // apply the merge; eager localCheckpoint keeps the per-round
+        // lineage flat (same discipline as the graph driver loops) and
+        // lets `words` unpersist safely after the loop
+        cur = cur.crossJoin(broadcast(Seq((a, b)).toDF("a", "b")))
+          .select(expr(
+            """aggregate(syms, cast(array() as array<string>), (acc, x) ->
+              |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
+              |       THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+              |       ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
+            col("freq"))
+          .localCheckpoint()
+      }
+      r += 1
     }
-    merges.reduce(_ unionByName _)
+    words.unpersist()
+    learned.toSeq.toDF("merge_round", "sym_a", "sym_b", "pair_count")
   }
 
   private def tBpeMerges: Q = (s, dir) =>

@@ -224,4 +224,29 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("r6 narrow ops plan with zero shuffles: split, bits, dim-reduce, patches") {
+    for (q <- Seq("p11_split", "f_bits", "s_dim_reduce", "m_patches")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("t_line_dedup: the df aggregate shuffles the 8-byte segment hash, not segment text") {
+    val p = plan("t_line_dedup")
+    // the first aggregation keys on the hash column h (count distinct
+    // doc_id per h) — a shuffle keyed on seg text would appear as
+    // hashpartitioning(seg...)
+    assert(p.contains("Exchange hashpartitioning(h#"), p)
+    assert(!p.contains("Exchange hashpartitioning(seg#"), p)
+  }
+
+  test("u9: incremental merge keeps exact decimal until the final double cast") {
+    val p = plan("u9_incremental_agg")
+    // both partial aggregates sum DECIMAL; one exchange per side plus
+    // the full-outer join's — never more than 3 hash shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
 }
