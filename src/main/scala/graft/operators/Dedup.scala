@@ -849,7 +849,6 @@ object Dedup {
   private val DiffRemovedMod = 17L
   private val DiffChangedMod = 13L
   private val DiffAddedMod = 19L
-  private val DiffAddedOffset = 1000000L
 
   /** Content-hash diff of two corpus versions — the release-notes pass
     * between training-data snapshots: every doc id classifies as
@@ -875,26 +874,32 @@ object Dedup {
 
   private def dDatasetDiff: Q = (s, dir) => {
     val v1 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // "added" clones get ids above max(doc_id): a fixed offset would
+    // collide with real ids once the corpus outgrows it
+    val maxId = v1.agg(max(col("doc_id")).as("max_id"))
     val v2 = v1.filter(pmod(col("doc_id"), lit(DiffRemovedMod)) =!= 0)
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(DiffChangedMod)) === 0,
           concat(col("text"), lit(" [rev2]"))).otherwise(col("text")).as("text"))
       .unionByName(
         v1.filter(pmod(col("doc_id"), lit(DiffAddedMod)) === 0)
-          .select((col("doc_id") + DiffAddedOffset).as("doc_id"), col("text")))
+          .crossJoin(broadcast(maxId))
+          .select((col("doc_id") + col("max_id") + 1).as("doc_id"), col("text")))
     datasetDiff(v1, v2)
   }
 
   private val dDatasetDiffSql = {
     val fp = PortableHash.duckPolyHash("text")
     s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       |mx AS (SELECT max(doc_id) AS max_id FROM v1),
        |v2 AS (
        |  SELECT doc_id,
        |         CASE WHEN doc_id % $DiffChangedMod = 0 THEN text || ' [rev2]'
        |              ELSE text END AS text
        |  FROM v1 WHERE doc_id % $DiffRemovedMod <> 0
        |  UNION ALL
-       |  SELECT doc_id + $DiffAddedOffset, text FROM v1 WHERE doc_id % $DiffAddedMod = 0),
+       |  SELECT doc_id + max_id + 1, text FROM v1 CROSS JOIN mx
+       |  WHERE doc_id % $DiffAddedMod = 0),
        |f1 AS (SELECT doc_id, $fp AS fp1 FROM v1),
        |f2 AS (SELECT doc_id, $fp AS fp2 FROM v2)
        |SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,

@@ -537,52 +537,60 @@ object Graph {
   // Spark side iterates to the true fixpoint regardless.
   private val KcoreUnrollRounds = 10
 
+  /** Lazy variant of [[materialize]] for the convergence-checked
+    * loops: `localCheckpoint(false)` defers block creation to the
+    * round's own count/fingerprint action, so each round runs ONE job
+    * instead of checkpoint-then-count (labelPropagate's discipline).
+    * The reliable path stays an eager `checkpoint()` — Spark offers no
+    * lazy fault-tolerant form. */
+  private def materializeLazy(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint(false)
+
   /** k-core of a symmetric edge list — iterative peeling: drop every
     * node with degree < k (and its edges), recompute degrees, repeat
     * until no node drops. The remaining subgraph is the k-core: the
     * densely-connected backbone (link-farm / community detection on a
-    * crawl graph; the "degeneracy ordering" primitive). Each round is
-    * one degree aggregate + two semi-join-shaped prunes, with the
-    * round's edge set checkpointed so lineage stays flat (same driver-
-    * loop discipline as [[bfs]]/[[labelPropagate]]); convergence is
-    * the per-round edge count reaching a fixpoint — the count rides
-    * the checkpoint materialization, no extra job. Round COUNT is the
-    * scale cost: bounded by the peeling depth of the graph (small on
-    * heavy-tailed web graphs, where most low-degree nodes peel in the
-    * first rounds), not by node count. Returns the surviving nodes
-    * with their in-core degree. */
-  def kcore(und: DataFrame, k: Int, maxRounds: Int = 64,
-      reliable: Boolean = false): DataFrame = {
-    var edges = materialize(und.select(col("src"), col("dst")), reliable)
+    * crawl graph; the "degeneracy ordering" primitive). Runs to the
+    * TRUE fixpoint with no round cap — peeling strictly removes edges
+    * every non-converged round, so termination is guaranteed within
+    * ≤ node-count rounds (a long path with k=2 peels only its two
+    * endpoints per round — a fixed cap would silently return a
+    * non-core there). Each round is one degree aggregate + two
+    * semi-join-shaped prunes, lazily checkpointed so the round's own
+    * convergence count materializes it (one job per round, same as
+    * [[labelPropagate]]). Parallel edges are deduplicated up front so
+    * multigraph input cannot inflate degrees (A↔B twice is one
+    * neighbor, not a 2-core). Returns the surviving nodes with their
+    * in-core degree. */
+  def kcore(und: DataFrame, k: Int, reliable: Boolean = false): DataFrame = {
+    var edges = materializeLazy(
+      und.select(col("src"), col("dst")).distinct(), reliable)
     var nEdges = edges.count()
     var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
+    while (!converged) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
       val pruned = edges
         .join(keep.select(col("node").as("src")), Seq("src"))
         .join(keep.select(col("node").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-      val next = materialize(pruned, reliable)
+      val next = materializeLazy(pruned, reliable)
       val c = next.count()
       converged = c == nEdges
       edges = next
       nEdges = c
-      round += 1
     }
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 
   /** Harness binding: 3-core of the undirected internal page-link
-    * graph (self-loops dropped, edges symmetrized + distinct'd). */
+    * graph (self-loops dropped, edges symmetrized; kcore dedups). */
   private def gKcore: Q = (s, dir) => {
     val links = pageLinks(s, dir)
       .filter(col("is_internal") && col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
     val und = links
       .unionByName(links.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
     kcore(und, CoreK)
   }
 
@@ -625,16 +633,22 @@ object Graph {
   /** Weighted SSSP by synchronous Bellman-Ford rounds: dist(v) ←
     * min(dist(v), min over in-edges (dist(u) + w)), iterated until a
     * round changes nothing — BFS's weighted generalization (cheapest
-    * crawl path, latency-weighted reachability). Unreached nodes are
-    * absent (same contract as [[bfs]]). Per round: one edge⋈dist join
-    * + a min-aggregate, checkpointed; convergence is detected by
-    * comparing a (count, hash-sum, alt-hash-sum) fingerprint of the
-    * dist frame across rounds — the same fold-into-the-count-job
-    * discipline as [[starContractComponents]] (two independent 64-bit
-    * sums make a missed change a ~2⁻¹²⁸ event; no extra exceptAll
-    * job). Round count bounded by the weighted-path hop depth, not
-    * node count — the scale cost is rounds × (edges ⋈ dist-so-far). */
-  def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 64,
+    * crawl path, latency-weighted reachability). Weights must be
+    * NON-NEGATIVE: relaxation is then monotone non-increasing and
+    * bounded below, so the fixpoint is reached within ≤ node-count
+    * rounds; `maxRounds` is a safety valve against a negative cycle
+    * (where no fixpoint exists) and exceeding it THROWS rather than
+    * returning silently stale distances. Unreached nodes are absent
+    * (same contract as [[bfs]]). Per round: one edge⋈dist join + a
+    * min-aggregate, lazily checkpointed so the round's fingerprint
+    * job materializes it; convergence compares a (count, hash-xor,
+    * alt-hash-xor) fingerprint across rounds — the same
+    * fold-into-the-count-job discipline as
+    * [[starContractComponents]] (two independent 64-bit xors make a
+    * missed change a ~2⁻¹²⁸ event; no extra exceptAll job). Round
+    * count bounded by the weighted-path hop depth — the scale cost is
+    * rounds × (edges ⋈ dist-so-far). */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 10000,
       reliable: Boolean = false): DataFrame = {
     val e = materialize(edges.select(col("src"), col("dst"), col("w")), reliable)
     // bit_xor, not sum: summing 64-bit hashes overflows under ANSI
@@ -646,14 +660,14 @@ object Graph {
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    var dist = materialize(seeds.select(col("node"), lit(0L).as("dist")), reliable)
+    var dist = materializeLazy(seeds.select(col("node"), lit(0L).as("dist")), reliable)
     var last = fp(dist)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = materialize(
+      val next = materializeLazy(
         dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")),
         reliable)
       val nfp = fp(next)
@@ -662,6 +676,10 @@ object Graph {
       last = nfp
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"sssp did not converge within $maxRounds rounds — negative-weight " +
+          "cycle, or raise maxRounds for an extremely deep graph")
     dist
   }
 

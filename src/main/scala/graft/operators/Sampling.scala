@@ -114,9 +114,11 @@ object Sampling {
   // ----------------------------------------------------------------
 
   /** Content-hash split bands out of 100: [0,90) train, [90,95)
-    * validation, [95,100) test. */
-  private val TrainBand = 90
-  private val ValBand = 95
+    * validation, [95,100) test. private[graft]: oracle SQL builders
+    * (p11, the release manifest) interpolate them so the bands cannot
+    * drift between the pipeline and its oracles. */
+  private[graft] val TrainBand = 90
+  private[graft] val ValBand = 95
 
   /** Deterministic 3-way corpus split — the train/val/test assignment
     * a training pipeline makes ONCE and must never revisit: membership
@@ -130,8 +132,11 @@ object Sampling {
     * the harness query and [[graft.Graft]]'s facade both bind it. */
   def splitByHash(df: DataFrame, contentCol: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    // call_function on the composed Column, not SQL-string
+    // interpolation: qualified/aliased/reserved-word column names work
+    // (the same rule as Graft.text.fingerprint)
     df.withColumn("split_band",
-        expr(s"pmod(graft_polyhash($contentCol), 100)"))
+        pmod(call_function("graft_polyhash", col(contentCol)), lit(100)))
       .withColumn("split",
         when(col("split_band") < TrainBand, "train")
           .when(col("split_band") < ValBand, "validation")

@@ -155,8 +155,8 @@ object CleanCorpus {
     s"""$cleanCteSql,
        |assigned AS (
        |  SELECT k.lang,
-       |    CASE WHEN band < 90 THEN 'train'
-       |         WHEN band < 95 THEN 'validation'
+       |    CASE WHEN band < ${graft.operators.Sampling.TrainBand} THEN 'train'
+       |         WHEN band < ${graft.operators.Sampling.ValBand} THEN 'validation'
        |         ELSE 'test' END AS split,
        |    CAST(len(${Dedup.duckToks}) AS BIGINT) AS n_tokens
        |  FROM kept k JOIN (

@@ -109,10 +109,29 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(Graph.kcore(g2, 2).count() == 0)
   }
 
-  test("g_kcore: every surviving node meets the degree floor and its neighbors survive too") {
+  test("kcore: a 40-node path peels to empty (no round cap) and parallel edges don't inflate degree") {
+    import spark.implicits._
+    // k=2 peeling removes only the two ENDPOINTS per round, so this
+    // needs ~20 rounds — a fixed round cap silently returns the
+    // residual path as a bogus "core" (review finding r6)
+    val path = (0 until 40).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")
+    val und = path.unionByName(path.select(col("dst").as("src"), col("src").as("dst")))
+    assert(Graph.kcore(und, 2).count() == 0)
+    // multigraph: A↔B listed twice is ONE neighbor each, not a 2-core
+    val multi = Seq(("a", "b"), ("a", "b")).toDF("src", "dst")
+    val undM = multi.unionByName(multi.select(col("dst").as("src"), col("src").as("dst")))
+    assert(Graph.kcore(undM, 2).count() == 0)
+  }
+
+  test("g_kcore: degree floor holds and the surviving subgraph is undirected-consistent") {
     val out = Graph.queries("g_kcore")(spark, sf)
     // k-core definition half 1: degree >= 3 inside the subgraph
     assert(out.filter(col("core_degree") < 3).count() == 0)
+    // surviving degrees count edges of a symmetric subgraph: each
+    // undirected edge contributes to exactly two nodes, so the total
+    // is even (a prune that kept edges into peeled nodes breaks this)
+    val total = out.agg(sum("core_degree")).collect()(0).getLong(0)
+    assert(total % 2 == 0, s"odd total core degree $total")
   }
 
 
