@@ -645,6 +645,108 @@ object Similarity {
       |GROUP BY label, dim""".stripMargin
 
   // ----------------------------------------------------------------
+  // MMR diversity re-ranking (maximal marginal relevance)
+  // ----------------------------------------------------------------
+
+  private val MmrK = 5
+  private val MmrCandN = 10
+  // λ = 0.5 — exact in binary, so λ·rel − (1−λ)·pen computes
+  // bit-identically in both engines (0.6 would put a rounding step
+  // between them)
+  private val MmrLambda = 0.5
+
+  /** MMR re-ranking — the serving-side diversity pass between a top-N
+    * retrieval and the response: greedily pick K of the top-N
+    * candidates maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked, so near-duplicate hits don't crowd the slate
+    * (Carbonell-Goldstein MMR). Shape: the candidate pool is the exact
+    * cosine top-N (TakeOrderedAndProject over the corpus — the only
+    * corpus-volume stage at any scale), checkpointed once; each of the
+    * K greedy rounds is a candidate×selected penalty aggregate over
+    * ≤ N rows plus a 1-row argmax collect (the documented driver-side
+    * scalar, same as the ANN probe). All cosines are the shared
+    * left-fold dot ⇒ the selection sequence is bit-deterministic and
+    * the oracle (unrolled MATERIALIZED greedy rounds) exact. */
+  private def sMmrRerank: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    import s.implicits._
+    val v = withNorm(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val cand = v.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(MmrCandN)
+      .localCheckpoint()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    var rem = cand
+    var r = 0
+    var exhausted = false
+    while (r < MmrK && !exhausted) {
+      val scored =
+        if (picked.isEmpty)
+          rem.select(col("vec_id"), col("rel"),
+            (lit(MmrLambda) * col("rel")).as("mmr"))
+        else {
+          val sel = cand.filter(col("vec_id").isin(picked.toSeq.map(_._2): _*))
+            .select(col("embedding").as("se"), col("nrm").as("snrm"))
+          rem.crossJoin(sel)
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(max(expr(cosExpr("embedding", "se", "nrm", "snrm"))).as("pen"))
+            .select(col("vec_id"), col("rel"),
+              (lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("pen")).as("mmr"))
+        }
+      val top = scored.orderBy(col("mmr").desc, col("vec_id").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val t = top(0)
+        picked += ((r.toLong, t.getLong(0), t.getDouble(1), t.getDouble(2)))
+        rem = rem.filter(col("vec_id") =!= t.getLong(0))
+      }
+      r += 1
+    }
+    picked.toSeq.toDF("rank", "vec_id", "rel", "mmr")
+      .select(col("rank"), col("vec_id"),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+  }
+
+  private val sMmrRerankSql = {
+    val lam = "0.5"
+    val rounds = (1 until MmrK).map { r =>
+      s"""remc$r AS (SELECT * FROM cand
+         |           WHERE vec_id NOT IN (SELECT vec_id FROM sel${r - 1})),
+         |pen$r AS MATERIALIZED (
+         |  SELECT c.vec_id,
+         |         max(${duckCosExpr("c.embedding", "s.embedding", "c.nrm", "s.nrm")}) AS pen
+         |  FROM remc$r c CROSS JOIN sel${r - 1} s GROUP BY c.vec_id),
+         |s$r AS MATERIALIZED (
+         |  SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+         |         $lam * c.rel - (1 - $lam) * p.pen AS mmr
+         |  FROM remc$r c JOIN pen$r p ON c.vec_id = p.vec_id
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until MmrK).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, vec_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v WHERE vec_id = $QueryVec),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm,
+       |         ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS rel
+       |  FROM v CROSS JOIN q WHERE vec_id <> $QueryVec
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrCandN),
+       |s0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, rel, $lam * rel AS mmr
+       |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+       |sel0 AS MATERIALIZED (SELECT * FROM s0),
+       |$rounds
+       |$out""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Random-projection dimensionality reduction (Achlioptas signs)
   // ----------------------------------------------------------------
 
@@ -695,6 +797,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "s_dim_reduce" -> sDimReduce,
+    "s_mmr_rerank" -> sMmrRerank,
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_lsh_batch" -> sAnnLshBatch,
@@ -715,5 +818,6 @@ object Similarity {
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,
     "s_centroids" -> sCentroidsSql,
-    "s_dim_reduce" -> sDimReduceSql)
+    "s_dim_reduce" -> sDimReduceSql,
+    "s_mmr_rerank" -> sMmrRerankSql)
 }

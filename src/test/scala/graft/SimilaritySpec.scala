@@ -181,4 +181,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+
+  test("s_mmr_rerank: K distinct picks from the top-N pool; rank 0 is the pure-relevance argmax") {
+    val out = Similarity.queries("s_mmr_rerank")(spark, sf).orderBy("rank").collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).distinct.length == 5)
+    // the first greedy pick maximizes lambda*rel with no penalty — it
+    // must equal the brute top-1 by cosine
+    val top1 = Similarity.queries("s_cosine_topk")(spark, sf)
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(1)
+      .collect()(0).getLong(0)
+    assert(out(0).getLong(1) == top1)
+    // every pick's rel is one of the top-10 rel values
+    val top10 = Similarity.queries("s_cosine_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(1)).forall(top10.contains))
+  }
+
 }
