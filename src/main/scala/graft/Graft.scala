@@ -78,9 +78,26 @@ object Graft {
     }
 
     /** Candidate pairs over a precomputed [[signatures]] frame:
-      * (a_id, b_id, n_shared_bands, est_jaccard), a_id < b_id. */
-    def minhashCandidatesFor(sig: DataFrame): DataFrame =
-      Dedup.minhashCandidatesFromSig(sig)
+      * (a_id, b_id, n_shared_bands, est_jaccard), a_id < b_id.
+      * `bucketCap` bounds the per-(band, bucket) pair space: each
+      * bucket keeps its earliest-`bucketCap` doc_ids as
+      * representatives and every later member pairs only against
+      * them — O(n·cap) pairs per band instead of O(occupancy²), the
+      * batch twin of the streaming path's `MaxBucketState` discipline.
+      * With occupancy ≤ cap output is identical to the uncapped join;
+      * audit overflow with [[bucketStats]]. */
+    def minhashCandidatesFor(sig: DataFrame,
+        bucketCap: Int = Dedup.MaxBucketOccupancy): DataFrame =
+      Dedup.minhashCandidatesFromSig(sig, bucketCap)
+
+    /** Per-band truncation audit for the capped band joins:
+      * (band, n_buckets, max_occupancy, docs_kept, docs_truncated)
+      * over a precomputed [[signatures]] frame. `docs_truncated` > 0
+      * means some bucket exceeded `bucketCap` and pair recall inside
+      * it is representative-mediated. */
+    def bucketStats(sig: DataFrame,
+        bucketCap: Int = Dedup.MaxBucketOccupancy): DataFrame =
+      Dedup.bucketOccupancyStats(sig, bucketCap)
 
     /** One-shot MinHash+LSH near-dup candidates. Builds the signature
       * frame UNCACHED (each of the candidate join's three consumers
@@ -134,13 +151,19 @@ object Graft {
       * for an EXACT levenshtein — (a_id, b_id, est_jaccard,
       * edit_distance). Signatures are built uncached (leak-free, like
       * [[minhashCandidates]]); precompute [[signatures]] and use
-      * [[minhashCandidatesFor]] + your own join for repeated calls. */
+      * [[minhashCandidatesFor]] + your own join for repeated calls.
+      * `maxCandidatesPerDoc` bounds the exact-verify work per document
+      * (highest est_jaccard first) — inside a dup cluster of size m,
+      * candidates grow ~m per doc, so an unbounded confirm stage is
+      * quadratic in cluster size even with capped candidate
+      * generation. */
     def editDistanceVerified(df: DataFrame, idCol: String, textCol: String,
-        minEstJaccard: Double): DataFrame = {
+        minEstJaccard: Double,
+        maxCandidatesPerDoc: Int = Dedup.MaxConfirmCandidates): DataFrame = {
       val docs = asDocs(df, idCol, textCol)
       Dedup.editdistVerifyFromSig(
         Dedup.signaturesOf(docs, org.apache.spark.storage.StorageLevel.NONE),
-        docs, minEstJaccard)
+        docs, minEstJaccard, maxCandidatesPerDoc)
     }
 
     /** Transitively-closed near-dup clusters over a precomputed

@@ -315,10 +315,57 @@ object Dedup {
     sig.select(col("doc_id"),
       posexplode(expr(bandBucketExprs.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
 
-  /** DataFrame-parametric form over a precomputed signature frame. */
-  private[graft] def minhashCandidatesFromSig(sig: DataFrame): DataFrame = {
+  /** Per-(band, bucket) occupancy cap for the batch pair joins — the
+    * batch twin of [[graft.streaming.StreamingDedup.MaxBucketState]]
+    * (same value, same earliest-first discipline). Why a cap at all:
+    * pairs within a bucket are O(occupancy²), and a boilerplate-heavy
+    * 100 TB corpus can put 10⁶ near-identical docs in ONE band bucket
+    * (10¹² pairs). The cap keeps the earliest `cap` doc_ids per bucket
+    * as REPRESENTATIVES; every later doc still pairs against all
+    * representatives (probe side is uncapped), so the pair space is
+    * O(n·cap·bands) and — crucially for [[clusterVerdictsFromPairs]] —
+    * every doc in an oversized bucket stays connected to the cluster
+    * through its representatives. Truncation is auditable via
+    * [[bucketOccupancyStats]] / the `d_lsh_bucket_stats` query. */
+  private[graft] val MaxBucketOccupancy = 64
+
+  /** Earliest-`cap` representatives per (band, bucket): deterministic
+    * doc-id order, the batch mirror of streaming's earliest-arrival
+    * bucket state. */
+  private[graft] def keptBandedOf(banded: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    banded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).drop("rn")
+  }
+
+  /** Per-band truncation accounting for the capped band joins:
+    * (band, n_buckets, max_occupancy, docs_kept, docs_truncated).
+    * Non-zero `docs_truncated` means some bucket exceeded `cap` and
+    * pair recall inside it is representative-mediated. */
+  private[graft] def bucketOccupancyStats(sig: DataFrame, cap: Int): DataFrame =
+    bandedOf(sig)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occupancy"),
+        sum(least(col("occ"), lit(cap.toLong))).as("docs_kept"),
+        sum(greatest(col("occ") - cap, lit(0L))).as("docs_truncated"))
+
+  /** DataFrame-parametric form over a precomputed signature frame.
+    * `bucketCap` bounds the per-bucket pair space (see
+    * [[MaxBucketOccupancy]]): the LEFT side of the band join is the
+    * earliest-`cap` representatives per bucket, the right side is every
+    * bucket member, so pairs are probe-vs-representative — O(n·cap)
+    * per band instead of O(occupancy²). With occupancy ≤ cap the
+    * output is IDENTICAL to the uncapped join (representatives = the
+    * whole bucket). */
+  private[graft] def minhashCandidatesFromSig(sig: DataFrame,
+      bucketCap: Int = MaxBucketOccupancy): DataFrame = {
     val banded = bandedOf(sig)
-    val cand = banded.as("x").join(banded.as("y"),
+    val kept = keptBandedOf(banded, bucketCap)
+    val cand = kept.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -343,9 +390,10 @@ object Dedup {
       rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P})")
     }.mkString("[", ", ", "]")
 
-  /** DuckDB CTE chain ending in `mh(a_id, b_id, n_shared_bands,
-    * est_jaccard)` — the oracle twin of [[minhashCandidates]]. */
-  private[graft] val duckMinhashCandCte: String = {
+  /** DuckDB CTE chain ending in `banded(doc_id, band, bucket)` — the
+    * shared prefix of the candidate oracle and the bucket-stats
+    * oracle (one banding arithmetic, two consumers). */
+  private[graft] val duckSigBandedCte: String =
     s"""$duckShingleCte,
        |hs AS (SELECT doc_id,
        |         list_transform(shingles, g -> ${PortableHash.duckPolyHash("g")}) AS hs
@@ -353,9 +401,17 @@ object Dedup {
        |sig AS (SELECT doc_id, $duckSigExpr AS sig FROM hs),
        |banded AS (SELECT doc_id, unnest(range(0, $Bands)) AS band,
        |                  unnest($duckBandHashList) AS bucket
-       |           FROM sig),
+       |           FROM sig)""".stripMargin
+
+  /** DuckDB CTE chain ending in `mh(a_id, b_id, n_shared_bands,
+    * est_jaccard)` — the oracle twin of [[minhashCandidates]]. */
+  private[graft] val duckMinhashCandCte: String = {
+    s"""$duckSigBandedCte,
+       |bkept AS (SELECT doc_id, band, bucket FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) rn
+       |           FROM banded) WHERE rn <= $MaxBucketOccupancy),
        |cand AS (SELECT x.doc_id a_id, y.doc_id b_id, count(*) n_shared_bands
-       |         FROM banded x JOIN banded y
+       |         FROM bkept x JOIN banded y
        |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
        |         GROUP BY 1, 2),
        |mh AS (SELECT a_id, b_id, n_shared_bands,
@@ -367,17 +423,47 @@ object Dedup {
     s"""WITH $duckMinhashCandCte
        |SELECT a_id, b_id, n_shared_bands, est_jaccard FROM mh""".stripMargin
 
+  /** Truncation audit for the capped band joins: per band, bucket
+    * count, hottest-bucket occupancy, and how many doc slots the
+    * [[MaxBucketOccupancy]] cap kept vs truncated. A pipeline running
+    * capped LSH at scale checks `docs_truncated` here to know whether
+    * any bucket actually overflowed (and by how much). */
+  private def dLshBucketStats: Q = (s, dir) =>
+    bucketOccupancyStats(signatures(s, dir), MaxBucketOccupancy)
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("max_occupancy"), col("docs_kept"), col("docs_truncated"))
+
+  private val dLshBucketStatsSql =
+    s"""WITH $duckSigBandedCte,
+       |occ AS (SELECT band, bucket, count(*) AS occ FROM banded GROUP BY 1, 2)
+       |SELECT band, count(*) AS n_buckets, max(occ) AS max_occupancy,
+       |       CAST(sum(least(occ, $MaxBucketOccupancy)) AS BIGINT) AS docs_kept,
+       |       CAST(sum(greatest(occ - $MaxBucketOccupancy, 0)) AS BIGINT) AS docs_truncated
+       |FROM occ GROUP BY band""".stripMargin
+
   /** Shared confirm-stage core (harness query + [[graft.Graft.dedup]]
     * façade) of the two-phase near-dup pipeline — cheap sketch recall,
     * exact precision: LSH candidate pairs at/above `minEstJaccard`
     * joined back to their texts for an exact levenshtein. The harness
     * binding [[dEditdistVerify]] fixes the threshold at
     * EstVerifyThreshold. */
+  /** Per-doc confirm-stage budget: inside a dup cluster of size m every
+    * doc carries ~m LSH candidates, so confirm pairs grow ~m² even
+    * though candidate GENERATION is capped — this bounds the exact
+    * levenshtein work at `cap` pairs per a_id (highest est_jaccard
+    * first), independently of the bucket cap. */
+  private[graft] val MaxConfirmCandidates = 32
+
   private[graft] def editdistVerifyFromSig(sig: DataFrame, docs: DataFrame,
-      minEstJaccard: Double): DataFrame = {
+      minEstJaccard: Double,
+      maxCandidatesPerDoc: Int = MaxConfirmCandidates): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))
+    val wc = Window.partitionBy(col("a_id"))
+      .orderBy(col("est_jaccard").desc, col("b_id").asc)
     minhashCandidatesFromSig(sig)
       .filter(col("est_jaccard") >= minEstJaccard)
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= maxCandidatesPerDoc).drop("crn")
       .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
       .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
       .select(col("a_id"), col("b_id"), col("est_jaccard"),
@@ -388,13 +474,17 @@ object Dedup {
     editdistVerifyFromSig(signatures(s, dir), Tables.documents(s, dir), EstVerifyThreshold)
 
   private val dEditdistVerifySql =
-    s"""WITH $duckMinhashCandCte
+    s"""WITH $duckMinhashCandCte,
+       |capped AS (SELECT a_id, b_id, est_jaccard FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY a_id
+       |               ORDER BY est_jaccard DESC, b_id) crn
+       |             FROM mh WHERE est_jaccard >= $EstVerifyThreshold)
+       |           WHERE crn <= $MaxConfirmCandidates)
        |SELECT a_id, b_id, est_jaccard,
        |       levenshtein(ta.text, tb.text) AS edit_distance
-       |FROM mh
-       |JOIN documents ta ON mh.a_id = ta.doc_id
-       |JOIN documents tb ON mh.b_id = tb.doc_id
-       |WHERE est_jaccard >= $EstVerifyThreshold""".stripMargin
+       |FROM capped
+       |JOIN documents ta ON capped.a_id = ta.doc_id
+       |JOIN documents tb ON capped.b_id = tb.doc_id""".stripMargin
 
 
   // ----------------------------------------------------------------
@@ -624,13 +714,16 @@ object Dedup {
 
   /** SimHash near-dup pairs: Hamming(simhash) ≤ 3, candidates from
     * 12-bit band buckets (pigeonhole guarantees recall at Hamming ≤ 3;
-    * 4096 buckets per band keep occupancy — and therefore the
-    * self-join's pair space — bounded as n scales). */
+    * 4096 buckets per band spread occupancy, and the
+    * [[MaxBucketOccupancy]] representative cap bounds the per-bucket
+    * pair space even when a boilerplate corpus defeats the spread —
+    * same probe-vs-representative shape as the MinHash band join). */
   private def dSimhashPairs: Q = (s, dir) => {
     val sh = simhashes(s, dir)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(sparkBandArray)).as(Seq("band", "bucket")))
-    banded.as("x").join(banded.as("y"),
+    val kept = keptBandedOf(banded, MaxBucketOccupancy)
+    kept.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
@@ -643,10 +736,13 @@ object Dedup {
     s"""WITH $duckSimhashCte,
        |banded AS (SELECT doc_id, simhash, unnest(range(0, $SimBands)) AS band,
        |                  unnest($duckBandArray) AS bucket
-       |           FROM sh)
+       |           FROM sh),
+       |kept AS (SELECT doc_id, simhash, band, bucket FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) rn
+       |           FROM banded) WHERE rn <= $MaxBucketOccupancy)
        |SELECT DISTINCT x.doc_id a_id, y.doc_id b_id,
        |       bit_count(xor(x.simhash, y.simhash)) AS hamming
-       |FROM banded x JOIN banded y
+       |FROM kept x JOIN banded y
        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
 
@@ -681,7 +777,13 @@ object Dedup {
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), signBucket.as("bucket"),
         expr(s"sqrt(${foldDot("embedding", "embedding")})").as("nrm"))
-    val pairs = v.as("x").join(v.as("y"),
+    // candidate side capped at MaxBucketOccupancy representatives per
+    // bucket (earliest vec_ids): every vector still probes, so each
+    // a_id keeps a nearest — pairs are O(n·cap), not O(occupancy²)
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val reps = v.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= MaxBucketOccupancy).drop("rn")
+    val pairs = v.as("x").join(reps.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
         expr(s"${foldDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm)").as("cos"))
@@ -696,9 +798,12 @@ object Dedup {
     s"""WITH v AS (SELECT vec_id, embedding, ($bucket) AS bucket,
        |             sqrt(${duckFoldDot("embedding", "embedding")}) AS nrm
        |           FROM embeddings),
+       |reps AS (SELECT vec_id, embedding, bucket, nrm FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) rn
+       |           FROM v) WHERE rn <= $MaxBucketOccupancy),
        |p AS (SELECT x.vec_id a_id, y.vec_id b_id,
        |        ${duckFoldDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
-       |      FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |      FROM v x JOIN reps y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
        |SELECT a_id, b_id AS nearest_id, round(cos, 6) AS cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) rn FROM p)
        |WHERE rn = 1""".stripMargin
@@ -852,18 +957,21 @@ object Dedup {
 
   /** Content-hash diff of two corpus versions — the release-notes pass
     * between training-data snapshots: every doc id classifies as
-    * added / removed / changed / unchanged by comparing 8-byte content
-    * fingerprints through a full-outer join, so the diff shuffles
-    * (id, hash) pairs and never text — at 100 TB this is the cheap,
-    * exact answer to "what moved between v1 and v2". The harness
+    * added / removed / changed / unchanged by comparing 128-bit md5
+    * content digests through a full-outer join, so the diff shuffles
+    * (id, digest) pairs and never text — at 100 TB this is the cheap,
+    * collision-safe answer to "what moved between v1 and v2". The harness
     * derives v2 from v1 deterministically (every 17th doc dropped,
     * every 13th revised, every 19th cloned to a fresh id) so the
     * expected class mix is known; the facade form takes two real
     * frames. */
   def datasetDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
-    org.apache.spark.sql.graft.GraftFunctions.register(v1.sparkSession)
+    // md5, not the 30-bit polyhash: at the billions-of-docs scale this
+    // diff targets, 2^-30 per-doc collision odds silently misreport
+    // changed docs as 'unchanged' (and base-31 mod-p is adversarially
+    // collidable); a 128-bit digest is parity-safe in both engines
     def fp(df: DataFrame, out: String) = df.select(col("doc_id"),
-      PortableHash.polyHash(col("text")).as(out))
+      md5(col("text").cast("binary")).as(out))
     fp(v1, "fp1").join(fp(v2, "fp2"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("fp1").isNull, "added")
@@ -889,7 +997,7 @@ object Dedup {
   }
 
   private val dDatasetDiffSql = {
-    val fp = PortableHash.duckPolyHash("text")
+    val fp = "md5(text)"
     s"""WITH v1 AS (SELECT doc_id, text FROM documents),
        |mx AS (SELECT max(doc_id) AS max_id FROM v1),
        |v2 AS (
@@ -918,6 +1026,7 @@ object Dedup {
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_containment" -> dContainment,
     "d_minhash_lsh" -> dMinhashLsh,
+    "d_lsh_bucket_stats" -> dLshBucketStats,
     "d_editdist_verify" -> dEditdistVerify,
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs,
@@ -934,6 +1043,7 @@ object Dedup {
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_containment" -> dContainmentSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_lsh_bucket_stats" -> dLshBucketStatsSql,
     "d_editdist_verify" -> dEditdistVerifySql,
     "d_simhash" -> dSimhashSql,
     "d_simhash_pairs" -> dSimhashPairsSql,

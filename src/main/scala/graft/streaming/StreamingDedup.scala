@@ -45,7 +45,10 @@ object StreamingDedup {
   case class BandVerdict(doc_id: Long, band: Int, bucket: Long,
       dup_of: Option[Long], est_jaccard: Double)
 
-  val MaxBucketState = 64
+  /** One cap, two engines: the batch band joins truncate buckets at the
+    * same occupancy ([[graft.operators.Dedup.MaxBucketOccupancy]]), so
+    * batch and streaming share one skew-armor discipline. */
+  val MaxBucketState: Int = graft.operators.Dedup.MaxBucketOccupancy
   /** fraction of matching signature components to call a near-dup */
   val NearThreshold = 0.75
 

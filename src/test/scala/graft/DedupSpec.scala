@@ -257,4 +257,58 @@ class DedupSpec extends SparkSpec {
     assert(graft.Graft.text.bpeMerges(Seq.empty[String].toDF("text"), "text").count() == 0)
   }
 
+  test("bucket cap bounds the band-join pair space on an all-identical corpus") {
+    import spark.implicits._
+    // the 100 TB failure mode in miniature: every doc identical, so all
+    // n land in ONE band bucket — uncapped pairs would be C(n,2)
+    val n = 200; val cap = 8
+    val docs = (0L until n).map(i =>
+        (i, "the same boilerplate text repeated verbatim on every single page of the site"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.signaturesOf(docs, org.apache.spark.storage.StorageLevel.NONE)
+    val pairs = Dedup.minhashCandidatesFromSig(sig, cap)
+    // pairs = C(cap,2) among the kept representatives + (n-cap)·cap
+    // probe-vs-representative — O(n·cap), never O(n²)
+    assert(pairs.count() == cap * (cap - 1) / 2 + (n - cap) * cap)
+    assert(pairs.count() < n.toLong * (n - 1) / 2)
+    // connectivity survives truncation: every doc but the cluster head
+    // still appears as b_id, so CC closure reaches the whole cluster
+    assert(pairs.select("b_id").distinct().count() == n - 1)
+    // all-identical docs: every pair is a full-signature match
+    assert(pairs.filter(col("est_jaccard") =!= 1.0).count() == 0)
+    // truncation accounting: one hot bucket per band, n-cap truncated
+    val stats = Dedup.bucketOccupancyStats(sig, cap).collect()
+    assert(stats.length == 3)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("max_occupancy") == n)
+      assert(r.getAs[Long]("docs_kept") == cap)
+      assert(r.getAs[Long]("docs_truncated") == n - cap)
+    }
+  }
+
+  test("bucket cap is a no-op when occupancy stays under it") {
+    val sig = Dedup.signaturesOf(
+      Tables.documents(spark, sf).select("doc_id", "text"),
+      org.apache.spark.storage.StorageLevel.NONE)
+    val capped = Dedup.minhashCandidatesFromSig(sig)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val uncapped = Dedup.minhashCandidatesFromSig(sig, Int.MaxValue)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(capped == uncapped)
+  }
+
+  test("confirm-stage cap bounds levenshtein pairs per doc") {
+    import spark.implicits._
+    val n = 50; val m = 3
+    val docs = (0L until n).map(i =>
+        (i, "identical dup cluster text for the confirm stage budget test case"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.signaturesOf(docs, org.apache.spark.storage.StorageLevel.NONE)
+    val out = Dedup.editdistVerifyFromSig(sig, docs, 0.9, m)
+    // unbounded confirm would be C(50,2)=1225 levenshteins; capped is ≤ n·m
+    assert(out.count() <= n.toLong * m)
+    assert(out.groupBy("a_id").count().filter(col("count") > m).count() == 0)
+    assert(out.filter(col("edit_distance") =!= 0).count() == 0)
+  }
+
 }
