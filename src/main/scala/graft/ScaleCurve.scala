@@ -107,7 +107,10 @@ object ScaleCurve {
     "d_embedding_near_dup", "s_ann_lsh_batch",
     // r6 additions: the two new driver-loop graph iteratives (round
     // count is their scale story) and the two new index-shaped text ops
-    "g_kcore", "g_sssp", "t_line_dedup", "d_containment")
+    "g_kcore", "g_sssp", "t_line_dedup", "d_containment",
+    // r7: the two former >4x outliers, re-measured after their fixes
+    // (graft_topk map-side collapse; per-doc confirm cap)
+    "s_blocked_knn", "d_editdist_verify")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
@@ -118,7 +121,11 @@ object ScaleCurve {
     // FULL mode sweeps the whole registered suite (SPARK_GRAFT_SCALES
     // is typically narrowed to "1,10"); default is the heavy list above
     val full = sys.env.contains("SPARK_GRAFT_SCALE_FULL")
-    val queries = if (full) SparkEntry.queries.keys.toSeq.sorted else Queries
+    // SPARK_GRAFT_SCALE_QUERIES=a,b,c narrows to an explicit list (for
+    // re-measuring a single fixed query without the whole heavy sweep)
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(if (full) SparkEntry.queries.keys.toSeq.sorted else Queries)
     val outFile = if (full) "scale_curve_full.json" else "scale_curve.json"
     val spark = BenchKit.session(cpus)
     BenchKit.warmup(spark, src)

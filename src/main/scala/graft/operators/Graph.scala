@@ -558,13 +558,17 @@ object Graph {
     * non-core there). Each round is one degree aggregate + two
     * semi-join-shaped prunes, lazily checkpointed so the round's own
     * convergence count materializes it (one job per round, same as
-    * [[labelPropagate]]). Parallel edges are deduplicated up front so
-    * multigraph input cannot inflate degrees (A↔B twice is one
-    * neighbor, not a 2-core). Returns the surviving nodes with their
+    * [[labelPropagate]]). Parallel edges are deduplicated and
+    * self-loops dropped up front so real-world edge lists cannot
+    * inflate degrees (A↔B twice is one neighbor, not a 2-core; a
+    * self-loop is not a neighbor and must not buy its node core
+    * membership) — both documented preconditions enforced here, not
+    * left to the caller. Returns the surviving nodes with their
     * in-core degree. */
   def kcore(und: DataFrame, k: Int, reliable: Boolean = false): DataFrame = {
     var edges = materializeLazy(
-      und.select(col("src"), col("dst")).distinct(), reliable)
+      und.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct(), reliable)
     var nEdges = edges.count()
     var converged = false
     while (!converged) {
@@ -618,7 +622,16 @@ object Graph {
        |       SELECT b, a FROM und0 WHERE a <> b),
        |$rounds
        |SELECT src AS node, count(*) AS core_degree
-       |FROM r$KcoreUnrollRounds GROUP BY src""".stripMargin
+       |FROM r$KcoreUnrollRounds GROUP BY src
+       |UNION ALL
+       |-- convergence sentinel: the Spark side iterates to the true
+       |-- fixpoint while this oracle unrolls a fixed depth; if the last
+       |-- two unrolled rounds still differ the unroll depth was too
+       |-- shallow for this fixture — poison the result so the gate
+       |-- failure names the depth assumption, not a parity bug
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT count(*) FROM r$KcoreUnrollRounds)
+       |   <> (SELECT count(*) FROM r${KcoreUnrollRounds - 1})""".stripMargin
   }
 
   // ----------------------------------------------------------------
@@ -630,53 +643,52 @@ object Graph {
   // while the Spark side iterates to the true fixpoint.
   private val SsspUnrollRounds = 16
 
-  /** Weighted SSSP by synchronous Bellman-Ford rounds: dist(v) ←
-    * min(dist(v), min over in-edges (dist(u) + w)), iterated until a
-    * round changes nothing — BFS's weighted generalization (cheapest
-    * crawl path, latency-weighted reachability). Weights must be
-    * NON-NEGATIVE: relaxation is then monotone non-increasing and
-    * bounded below, so the fixpoint is reached within ≤ node-count
-    * rounds; `maxRounds` is a safety valve against a negative cycle
-    * (where no fixpoint exists) and exceeding it THROWS rather than
-    * returning silently stale distances. Unreached nodes are absent
-    * (same contract as [[bfs]]). Per round: one edge⋈dist join + a
-    * min-aggregate, lazily checkpointed so the round's fingerprint
-    * job materializes it; convergence compares a (count, hash-xor,
-    * alt-hash-xor) fingerprint across rounds — the same
-    * fold-into-the-count-job discipline as
-    * [[starContractComponents]] (two independent 64-bit xors make a
-    * missed change a ~2⁻¹²⁸ event; no extra exceptAll job). Round
-    * count bounded by the weighted-path hop depth — the scale cost is
-    * rounds × (edges ⋈ dist-so-far). */
+  /** Weighted SSSP by FRONTIER-DELTA Bellman-Ford rounds: each round
+    * relaxes only the edges leaving nodes whose distance IMPROVED last
+    * round (the delta frontier), min-merges the candidates into the
+    * distance table through one full-outer join, and converges when no
+    * node improves — BFS's weighted generalization (cheapest crawl
+    * path, latency-weighted reachability). Same synchronous-round
+    * fixpoint as full relaxation (a distance can only improve via a
+    * neighbor that itself improved), but the per-round join carries
+    * edges ⋈ FRONTIER instead of edges ⋈ all-reached — the frontier
+    * collapses as distances settle, so late rounds touch a shrinking
+    * sliver of the graph instead of re-relaxing every settled node
+    * (the r6 sweep's cost driver). Weights must be NON-NEGATIVE:
+    * relaxation is then monotone non-increasing and bounded below, so
+    * the fixpoint is reached within ≤ node-count rounds; `maxRounds`
+    * is a safety valve against a negative cycle (where no fixpoint
+    * exists) and exceeding it THROWS rather than returning silently
+    * stale distances. Unreached nodes are absent (same contract as
+    * [[bfs]]). One job per round: the merged frame is lazily
+    * checkpointed and the frontier count materializes it — convergence
+    * IS the count hitting zero, no fingerprint needed (an exact
+    * improved-flag replaces the probabilistic hash-xor comparison). */
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 10000,
       reliable: Boolean = false): DataFrame = {
     val e = materialize(edges.select(col("src"), col("dst"), col("w")), reliable)
-    // bit_xor, not sum: summing 64-bit hashes overflows under ANSI
-    // (the starContract fingerprint's lesson, shared discipline)
-    def fp(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(node, dist))"), lit(0L)),
-        coalesce(expr("bit_xor(cast(hash(node, dist) as bigint))"), lit(0L)))
-        .collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
     var dist = materializeLazy(seeds.select(col("node"), lit(0L).as("dist")), reliable)
-    var last = fp(dist)
-    var converged = false
+    var delta = dist
+    var deltaCount = delta.count()
     var round = 0
-    while (!converged && round < maxRounds) {
-      val relaxed = e.join(dist, e("src") === dist("node"))
-        .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = materializeLazy(
-        dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")),
+    while (deltaCount > 0 && round < maxRounds) {
+      val cand = e.join(delta, e("src") === delta("node"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy("node").agg(min("cand").as("cand"))
+      val improved = coalesce(
+        col("dist").isNull || col("cand") < col("dist"), lit(false))
+      val merged = materializeLazy(
+        dist.join(cand, Seq("node"), "full_outer")
+          .select(col("node"),
+            when(improved, col("cand")).otherwise(col("dist")).as("dist"),
+            improved.as("improved")),
         reliable)
-      val nfp = fp(next)
-      converged = nfp == last
-      dist = next
-      last = nfp
+      delta = merged.filter(col("improved")).select(col("node"), col("dist"))
+      deltaCount = delta.count()
+      dist = merged.select(col("node"), col("dist"))
       round += 1
     }
-    if (!converged)
+    if (deltaCount > 0)
       throw new IllegalStateException(
         s"sssp did not converge within $maxRounds rounds — negative-weight " +
           "cycle, or raise maxRounds for an extremely deep graph")
@@ -716,7 +728,15 @@ object Graph {
        |  FROM (SELECT DISTINCT src, dst FROM links WHERE is_internal AND src <> dst)),
        |d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
        |$rounds
-       |SELECT node, dist FROM d$SsspUnrollRounds""".stripMargin
+       |SELECT node, dist FROM d$SsspUnrollRounds
+       |UNION ALL
+       |-- convergence sentinel (same rationale as the k-core oracle):
+       |-- poison the result if the last two unrolled rounds differ —
+       |-- row counts alone can't certify SSSP convergence (a distance
+       |-- can improve without the row count moving), so compare sets
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE EXISTS (SELECT * FROM d$SsspUnrollRounds
+       |              EXCEPT SELECT * FROM d${SsspUnrollRounds - 1})""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

@@ -10,25 +10,81 @@ import graft.Tables
   * with typed metadata, plus decode / frame-sample / feature-extract
   * plumbing.
   *
-  * The container has no media codecs, so the DECODE step is a
-  * deterministic stub (documented at each site); everything Spark-side —
-  * binary schema, chunked frame iteration, per-partition batch decode,
-  * feature schema — is real and tested. Payload bytes are the UTF-8
-  * encoding of the document text (ASCII), which lets the DuckDB oracle
-  * compute identical values through VARCHAR functions (DuckDB 1.0 has no
-  * md5/substring over BLOB).
+  * The IMAGE decode is REAL: payloads are genuine PNGs (encoded with
+  * `javax.imageio`, which ships in every JDK) and [[mFeatures]] /
+  * [[decodePartitions]] run `ImageIO.read` on the bytes and compute
+  * stats from the decoded raster. Oracle strategy: the synthetic image's
+  * pixels are a closed-form function of (x, y, doc_id), so DuckDB
+  * verifies the DECODED stats arithmetically without needing a codec —
+  * a wrong decode (stride, band order, bit depth) breaks parity. Only
+  * audio/video stay stubbed (the JDK genuinely has no codecs for them;
+  * documented at the site). Frame/meta queries keep UTF-8 text payloads
+  * so their digests stay VARCHAR-computable in DuckDB 1.0 (no md5 over
+  * BLOB).
   *
-  * Scale notes: all three queries are narrow per-row projections /
-  * generators over the scan — no shuffle, linear in input splits. Frame
-  * explosion multiplies rows by payload-size/64 BEFORE any shuffle, so
-  * downstream aggs see fixed-size frames, the same shape a video
-  * pipeline needs (decode fan-out at the map side).
+  * Scale notes: all queries are narrow per-row projections / generators
+  * over the scan — no shuffle, linear in input splits. Frame explosion
+  * multiplies rows by payload-size/64 BEFORE any shuffle, so downstream
+  * aggs see fixed-size frames, the same shape a video pipeline needs
+  * (decode fan-out at the map side).
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
   private val FrameBytes = 64
   private val SampleEvery = 4
+
+  // ----------------------------------------------------------------
+  // Real PNG codec path (javax.imageio — in every JDK)
+  // ----------------------------------------------------------------
+
+  /** Deterministic grayscale test-card pixel: the closed form both the
+    * Spark encoder and the DuckDB oracle share. */
+  private def pixel(x: Int, y: Int, docId: Long): Int =
+    ((x * 7L + y * 13L + docId * 31L) % 256L).toInt
+
+  /** A real PNG of the (w × h) deterministic test card. */
+  private[graft] def synthPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y, docId)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[graft] case class PixelStats(width: Int, height: Int,
+      channels: Int, mean: Double, min: Int, max: Int)
+
+  /** REAL image decode: `ImageIO.read` over the payload bytes, stats
+    * from the decoded raster (band 0). Integer sum / exact division, so
+    * a correct decode reproduces the oracle's closed-form mean
+    * bit-identically. */
+  private[graft] def decodeStats(png: Array[Byte]): PixelStats = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "payload is not a decodable image")
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = r.getSample(x, y, 0)
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    PixelStats(w, h, r.getNumBands, sum.toDouble / (w.toLong * h), mn, mx)
+  }
 
   /** The opaque payload column (stub: UTF-8 bytes of the text). */
   private def withPayload(df: DataFrame): DataFrame =
@@ -105,29 +161,45 @@ object Multimodal {
   // Feature extraction (stubbed decode → numeric feature vector)
   // ----------------------------------------------------------------
 
-  /** Stub "decode + featurize": byte-class ratios as the feature vector
-    * (a real pipeline would decode pixels/samples here; ratios of exact
-    * integer counts divide to bit-identical doubles in both engines).
-    * The harness projection emits the vector as named scalar columns:
-    * array cells crash the driver comparator's pandas row-sort; the
-    * array form stays available via [[decodePartitions]]. */
-  private def mFeatures: Q = (s, dir) =>
-    withPayload(Tables.documents(s, dir))
-      .withColumn("n", length(col("payload")).cast("double"))
-      .select(
-        col("doc_id"),
-        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")) / col("n")).as("f_alpha"),
-        (length(regexp_replace(col("text"), "[^0-9]", "")) / col("n")).as("f_digit"),
-        (length(regexp_replace(col("text"), "[^ ]", "")) / col("n")).as("f_space"),
-        (col("n") / 1000.0).as("f_kb"))
+  /** Decode + featurize with a REAL codec: every document's image is a
+    * genuine PNG ([[synthPng]] — `javax.imageio` encode), and the
+    * features are computed from pixels DECODED back out of it with
+    * `ImageIO.read` inside a mapPartitions batch (codec init amortized
+    * per partition, the Pandas-UDF shape). The oracle knows the test
+    * card's closed-form pixel function, so it verifies the decoded
+    * width/height/band-count/mean/min/max arithmetically — a stride,
+    * band-order, or bit-depth bug in the decode path breaks parity.
+    * Map-side only, no shuffle; linear in input splits. */
+  private def mFeatures: Q = (s, dir) => {
+    import s.implicits._
+    dims(Tables.documents(s, dir))
+      .select(col("doc_id"), col("width").cast("int"), col("height").cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        // ImageIO reader-SPI lookup and temp-cache config happen once
+        // per partition, not per record
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, w, h) =>
+          val st = decodeStats(synthPng(id, w, h))
+          (id, st.width.toLong, st.height.toLong, st.channels.toLong,
+            st.mean, st.min.toLong, st.max.toLong)
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels",
+        "mean_pixel", "min_pixel", "max_pixel")
+  }
 
   private val mFeaturesSql =
-    """SELECT doc_id,
-      | length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n AS f_alpha,
-      | length(regexp_replace(text, '[^0-9]', '', 'g')) / n AS f_digit,
-      | length(regexp_replace(text, '[^ ]', '', 'g')) / n AS f_space,
-      | n / 1000.0 AS f_kb
-      |FROM (SELECT doc_id, text, octet_length(encode(text))::DOUBLE AS n FROM documents)""".stripMargin
+    """WITH d AS (SELECT doc_id,
+      |             16 + doc_id % 64 AS w, 16 + (doc_id * 7) % 64 AS h
+      |           FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+      |SELECT doc_id, w AS width, h AS height, CAST(1 AS BIGINT) AS channels,
+      |       CAST(sum((x * 7 + y * 13 + doc_id * 31) % 256) AS DOUBLE) / (w * h) AS mean_pixel,
+      |       CAST(min((x * 7 + y * 13 + doc_id * 31) % 256) AS BIGINT) AS min_pixel,
+      |       CAST(max((x * 7 + y * 13 + doc_id * 31) % 256) AS BIGINT) AS max_pixel
+      |FROM px GROUP BY doc_id, w, h""".stripMargin
 
   // ----------------------------------------------------------------
   // Patch-grid generator (ViT-style image tiling)
@@ -187,37 +259,60 @@ object Multimodal {
   // ----------------------------------------------------------------
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
+  /** width/height/channels are decoded image geometry; -1 for the
+    * non-image media types (whose decode is stubbed). */
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-      mean_byte: Double, frames: Int)
+      mean_byte: Double, frames: Int, width: Long, height: Long, channels: Long)
 
   /** The Scala analogue of a Pandas-UDF/mapInPandas decode stage:
-    * per-partition iteration so a real decoder could amortize model/codec
-    * init across the batch (the Spark-side plumbing the SURVEY asks to
-    * keep real while stubbing the codec itself). */
+    * per-partition iteration so decoder init amortizes across the
+    * batch. IMAGE records get a REAL `javax.imageio` decode (payloads
+    * are genuine PNGs — mean_byte is the decoded mean pixel, geometry
+    * from the raster). Audio/video stay STUBBED with byte-level stats:
+    * the JDK ships no audio/video codecs, so only for those the decode
+    * body is a placeholder. */
   def decodePartitions(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // STUB: a real implementation would initialize the codec once here.
+      // per-partition codec init: reader-SPI lookup + cache config once
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val bytes = r.payload
-        var sum = 0L
-        var i = 0
-        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-        MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
-          if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-          (bytes.length + FrameBytes - 1) / FrameBytes)
+        if (r.media_type == "image") {
+          val st = decodeStats(bytes)
+          MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
+            st.mean, 1, st.width.toLong, st.height.toLong, st.channels.toLong)
+        } else {
+          // STUB (audio/video only): byte stats in place of a codec
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+          MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
+            if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+            (bytes.length + FrameBytes - 1) / FrameBytes, -1L, -1L, -1L)
+        }
       }
     }
   }
 
-  /** Typed media table for [[decodePartitions]]. */
+  /** Typed media table for [[decodePartitions]]: image docs carry a
+    * REAL PNG payload (the deterministic test card), audio/video carry
+    * the UTF-8 byte stub. PNG encoding happens map-side per partition —
+    * the write half of the codec plumbing. */
   def mediaRecords(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    withPayload(Tables.documents(s, dir))
+    dims(withPayload(Tables.documents(s, dir)))
       .select(col("doc_id"), col("payload"),
+        col("width").cast("int").as("w"), col("height").cast("int").as("h"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
-      .as[MediaRecord]
+      .as[(Long, Array[Byte], Int, Int, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload, w, h, mt) =>
+          MediaRecord(id, if (mt == "image") synthPng(id, w, h) else payload, mt)
+        }
+      }
   }
 
   // ----------------------------------------------------------------

@@ -549,22 +549,29 @@ object Similarity {
   // ----------------------------------------------------------------
 
   /** All-vectors kNN, blocked by label (IVF-style coarse cell): for
-    * each vector its top-3 same-label neighbours by cosine. The pair
-    * space is Σ_cells n_cell² — bounded per cell, shuffled on the
-    * block key, never a global cross join. */
+    * each vector its top-3 same-label neighbours by cosine. Scoring is
+    * Σ_cells n_cell² dot products (the exact-within-cell contract), but
+    * the pair set is never MATERIALIZED through a shuffle: pairs are
+    * scored inside the co-partitioned label join and immediately
+    * collapsed map-side by the k-bounded `graft_topk` aggregate
+    * ([[TopKByScore]], same (score desc, id asc) order as the former
+    * window), so the only post-join shuffle carries O(n·k) buffer rows
+    * — the previous window formulation shuffled AND sorted all
+    * Σ n_cell² pairs, which is what turned a hot label into a
+    * cartesian bomb at scale. */
   private def sBlockedKnn: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val v = withNorm(Tables.embeddings(s, dir))
-    val pairs = v.as("x").join(v.as("y"),
+    v.as("x").join(v.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        col("x.label").as("label"),
+      .select(col("x.vec_id").as("a_id"), col("x.label").as("label"),
+        col("y.vec_id").as("b_id"),
         expr(cosExpr("x.embedding", "y.embedding", "x.nrm", "y.nrm")).as("cos"))
-    val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("a_id"), col("rank").cast("long").as("rank"),
-        col("b_id"), col("label"), round(col("cos"), 6).as("cosine"))
+      .groupBy(col("a_id"), col("label"))
+      .agg(expr("graft_topk(cos, b_id, 3)").as("top"))
+      .select(col("a_id"), col("label"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("a_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as("b_id"), col("label"), round(col("hit.score"), 6).as("cosine"))
   }
 
   private val sBlockedKnnSql =
@@ -714,7 +721,7 @@ object Similarity {
   private val sMmrRerankSql = {
     val lam = "0.5"
     val rounds = (1 until MmrK).map { r =>
-      s"""remc$r AS (SELECT * FROM cand
+      s"""remc$r AS MATERIALIZED (SELECT * FROM cand
          |           WHERE vec_id NOT IN (SELECT vec_id FROM sel${r - 1})),
          |pen$r AS MATERIALIZED (
          |  SELECT c.vec_id,

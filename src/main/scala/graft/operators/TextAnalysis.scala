@@ -580,8 +580,10 @@ object TextAnalysis {
   private[graft] def removeBoilerplateOf(docs: DataFrame,
       segLen: Int = SegLen, minDf: Int = BoilerplateDf): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    // coalesce: a NULL text would otherwise explode into zero segment
+    // rows and silently drop the doc from the one-row-per-doc output
     val segs = docs
-      .withColumn("toks", tokens(col("text")))
+      .withColumn("toks", tokens(coalesce(col("text"), lit(""))))
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(0L, ((size(toks) + ${segLen - 1}) DIV $segLen) - 1)"))
           .as("seg_idx"))

@@ -67,6 +67,11 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("k", "n"),
       Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("n")).count() == 0)
     assert(Graft.text.removeBoilerplate(emptyDocs, "id", "body").count() == 0)
+    // null text must not silently drop the doc from the per-doc output
+    val nullDoc = Seq((1L, Option.empty[String]), (2L, Some("real text here")))
+      .toDF("id", "body")
+    val cleaned = Graft.text.removeBoilerplate(nullDoc, "id", "body")
+    assert(cleaned.count() == 2)
     assert(Graft.sampling.splitByHash(emptyDocs, "body").count() == 0)
   }
 

@@ -78,13 +78,46 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(idx.filter(col("level") > 2).count() == 0)
   }
 
-  test("decodePartitions: per-partition stub decode produces sane features") {
+  test("decodePartitions: real PNG decode for images, byte stub for audio/video") {
     val out = Multimodal.decodePartitions(Multimodal.mediaRecords(spark, sf))
     val df = out.toDF()
     assert(df.count() == Tables.documents(spark, sf).count())
-    // ASCII payloads: mean byte in (0, 127]; frames consistent with size
-    assert(df.filter(col("mean_byte") <= 0 || col("mean_byte") > 127).count() == 0)
-    assert(df.filter(col("frames") =!= ((col("n_bytes") + 63) / 64).cast("int")).count() == 0)
+    // image rows went through a REAL ImageIO decode: geometry matches
+    // the deterministic header, grayscale = 1 band, pixel means in range
+    val img = df.filter(col("media_type") === "image")
+    assert(img.count() > 0)
+    assert(img.filter(col("width") =!= (lit(16) + col("doc_id") % 64)).count() == 0)
+    assert(img.filter(col("height") =!= (lit(16) + (col("doc_id") * 7) % 64)).count() == 0)
+    assert(img.filter(col("channels") =!= 1).count() == 0)
+    assert(img.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
+    // audio/video stay stubbed: ASCII payloads, mean byte in (0, 127],
+    // frames consistent with size, no geometry
+    val av = df.filter(col("media_type") =!= "image")
+    assert(av.filter(col("mean_byte") <= 0 || col("mean_byte") > 127).count() == 0)
+    assert(av.filter(col("frames") =!= ((col("n_bytes") + 63) / 64).cast("int")).count() == 0)
+    assert(av.filter(col("width") =!= -1 || col("channels") =!= -1).count() == 0)
+  }
+
+  test("PNG codec round-trip pins known pixel stats") {
+    // hand-built 2x2 gray image [0, 255; 128, 64] through the SAME
+    // encode->decode path: pins the codec itself, no shared formula
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 0)
+    img.getRaster.setSample(1, 0, 0, 255)
+    img.getRaster.setSample(0, 1, 0, 128)
+    img.getRaster.setSample(1, 1, 0, 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val st = Multimodal.decodeStats(bos.toByteArray)
+    assert(st == Multimodal.PixelStats(2, 2, 1, (0 + 255 + 128 + 64) / 4.0, 0, 255))
+    // and the synthetic test card for doc 0 decodes to its closed form:
+    // pixel(x, y, 0) = (7x + 13y) % 256 over 16x16
+    val card = Multimodal.decodeStats(Multimodal.synthPng(0L, 16, 16))
+    val vals = for { y <- 0 until 16; x <- 0 until 16 } yield (x * 7 + y * 13) % 256
+    assert(card.width == 16 && card.height == 16 && card.channels == 1)
+    assert(card.mean == vals.sum.toDouble / 256)
+    assert(card.min == vals.min && card.max == vals.max)
   }
 
   test("m_frame_sample only emits every 4th frame") {
