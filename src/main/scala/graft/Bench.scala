@@ -57,7 +57,16 @@ object Bench {
     }.find(identity)
     spark.stop()
     // print LAST, after Spark's shutdown noise, so the line sits at the
-    // very end of the captured output
-    println(json)
+    // very end of the captured output. The stdout line must also FIT
+    // the driver's 2000-char output tail: the full ~130-query map is
+    // ~2700 chars, which pushed the line's HEAD (metric/value) out of
+    // the r6 tail and left BENCH_r06.parsed null. So stdout carries the
+    // total plus only the 25 slowest queries; the complete map lives in
+    // bench_out.json (written above).
+    val slowest = results.toSeq.sortBy { case (_, v) => -v }.take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + BenchKit.ms(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${BenchKit.ms(total)},"unit":"sec","passes":$passes,"n_queries":${results.size},"failed":$failedJson,"full":"$outPath","queries":$slowest,"sf":"$sfDir"}""")
   }
 }

@@ -72,9 +72,10 @@ object Graft {
       * session. */
     def signatures(df: DataFrame, idCol: String, textCol: String,
         storage: org.apache.spark.storage.StorageLevel =
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+        numPerms: Int = Dedup.K): DataFrame = {
       register(df.sparkSession)
-      Dedup.signaturesOf(asDocs(df, idCol, textCol), storage)
+      Dedup.signaturesOf(asDocs(df, idCol, textCol), storage, numPerms)
     }
 
     /** Candidate pairs over a precomputed [[signatures]] frame:
@@ -85,10 +86,16 @@ object Graft {
       * them — O(n·cap) pairs per band instead of O(occupancy²), the
       * batch twin of the streaming path's `MaxBucketState` discipline.
       * With occupancy ≤ cap output is identical to the uncapped join;
-      * audit overflow with [[bucketStats]]. */
+      * audit overflow with [[bucketStats]].
+      * `bands`/`rowsPerBand` set the LSH geometry — `bands ×
+      * rowsPerBand` must equal the [[signatures]] frame's `numPerms`.
+      * Pick them from the S-curve P[collide] = 1 − (1 − J^rows)^bands:
+      * more bands of the same rows raises recall at a given Jaccard,
+      * more rows per band sharpens the threshold. */
     def minhashCandidatesFor(sig: DataFrame,
-        bucketCap: Int = Dedup.MaxBucketOccupancy): DataFrame =
-      Dedup.minhashCandidatesFromSig(sig, bucketCap)
+        bucketCap: Int = Dedup.MaxBucketOccupancy,
+        bands: Int = Dedup.Bands, rowsPerBand: Int = Dedup.Rows): DataFrame =
+      Dedup.minhashCandidatesFromSig(sig, bucketCap, bands, rowsPerBand)
 
     /** Per-band truncation audit for the capped band joins:
       * (band, n_buckets, max_occupancy, docs_kept, docs_truncated)

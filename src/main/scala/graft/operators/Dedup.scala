@@ -38,8 +38,8 @@ object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
   private[graft] val K = 12         // minhash permutations
-  private val Rows = 4       // rows per LSH band
-  private val Bands = K / Rows
+  private[graft] val Rows = 4       // rows per LSH band
+  private[graft] val Bands = K / Rows
   private val MaxShingleDf = 20
   private val JaccardThreshold = 0.5
   // confirm-stage threshold: 0.9 (not lower) so the filter is actually
@@ -261,16 +261,21 @@ object Dedup {
   private[graft] def signatures(s: SparkSession, dir: String): DataFrame =
     signaturesOf(Tables.documents(s, dir))
 
+  /** `numPerms` widens the signature beyond the harness default of
+    * K=12 — production recall targets pick (perms, bands, rows) from
+    * the S-curve P[collide] = 1 − (1 − J^rows)^bands; pass the matching
+    * geometry to [[minhashCandidatesFromSig]]. */
   private[graft] def signaturesOf(docs: DataFrame,
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      numPerms: Int = K): DataFrame = {
     val sig = shingleHashesOf(docs)
       .groupBy("doc_id")
       .agg(
         min(expr(PortableHash.permSql("h", 0))).as("m0"),
-        (1 until K).map(k => min(expr(PortableHash.permSql("h", k))).as(s"m$k")): _*)
+        (1 until numPerms).map(k => min(expr(PortableHash.permSql("h", k))).as(s"m$k")): _*)
       .select(col("doc_id"),
-        expr((0 until K).map(k => s"m$k").mkString("array(", ", ", ")")).as("sig"))
+        expr((0 until numPerms).map(k => s"m$k").mkString("array(", ", ", ")")).as("sig"))
     if (storage == org.apache.spark.storage.StorageLevel.NONE) sig
     else sig.persist(storage)
   }
@@ -302,18 +307,30 @@ object Dedup {
     s"transform(sequence(0, ${K - 1}), k -> array_min($perms))"
   }
 
-  /** Per-band bucket expressions over a `sig` column — the ONE banding
-    * geometry (poly-combine of each band's rows), shared by the batch
-    * self-join, the incremental probe, and the streaming state key. */
-  private[graft] val bandBucketExprs: Seq[String] = (0 until Bands).map { b =>
-    val rows = (0 until Rows).map(r => s"element_at(sig, ${b * Rows + r + 1})")
-    rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P}L)")
-  }
+  /** Per-band bucket expressions over a `sig` column for an arbitrary
+    * (bands × rowsPerBand) geometry — poly-combine of each band's rows.
+    * The default-geometry instance [[bandBucketExprs]] is shared by the
+    * batch self-join, the incremental probe, and the streaming state
+    * key. */
+  private[graft] def bandBucketExprsFor(bands: Int, rowsPerBand: Int): Seq[String] =
+    (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => s"element_at(sig, ${b * rowsPerBand + r + 1})")
+      rows.reduce((acc, x) => s"(($acc * 31 + $x) % ${PortableHash.P}L)")
+    }
 
-  /** LSH banding of a signature frame → (doc_id, band, bucket). */
-  private[graft] def bandedOf(sig: DataFrame): DataFrame =
+  /** The ONE default banding geometry (3 bands × 4 rows over K=12). */
+  private[graft] val bandBucketExprs: Seq[String] = bandBucketExprsFor(Bands, Rows)
+
+  /** LSH banding of a signature frame → (doc_id, band, bucket).
+    * `bands × rowsPerBand` must equal the signature length (a shorter
+    * geometry silently ignores trailing components; a longer one reads
+    * nulls) — callers widening [[signaturesOf]]'s `numPerms` pass the
+    * matching geometry here. */
+  private[graft] def bandedOf(sig: DataFrame,
+      bands: Int = Bands, rowsPerBand: Int = Rows): DataFrame =
     sig.select(col("doc_id"),
-      posexplode(expr(bandBucketExprs.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
+      posexplode(expr(bandBucketExprsFor(bands, rowsPerBand)
+        .mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
 
   /** Per-(band, bucket) occupancy cap for the batch pair joins — the
     * batch twin of [[graft.streaming.StreamingDedup.MaxBucketState]]
@@ -362,19 +379,23 @@ object Dedup {
     * output is IDENTICAL to the uncapped join (representatives = the
     * whole bucket). */
   private[graft] def minhashCandidatesFromSig(sig: DataFrame,
-      bucketCap: Int = MaxBucketOccupancy): DataFrame = {
-    val banded = bandedOf(sig)
+      bucketCap: Int = MaxBucketOccupancy,
+      bands: Int = Bands, rowsPerBand: Int = Rows): DataFrame = {
+    val banded = bandedOf(sig, bands, rowsPerBand)
     val kept = keptBandedOf(banded, bucketCap)
     val cand = kept.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
+    // est_jaccard divides by the signature's OWN length, so the
+    // estimate tracks whatever numPerms the caller built
     cand
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
       .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
       .select(col("a_id"), col("b_id"), col("n_shared_bands"),
-        round(expr(s"size(filter(sequence(1, $K), i -> element_at(sa, i) = element_at(sb, i)))") / lit(K.toDouble), 6)
+        round(expr("size(filter(sequence(1, size(sa)), i -> element_at(sa, i) = element_at(sb, i)))")
+          / expr("cast(size(sa) as double)"), 6)
           .as("est_jaccard"))
   }
 

@@ -257,6 +257,53 @@ class DedupSpec extends SparkSpec {
     assert(graft.Graft.text.bpeMerges(Seq.empty[String].toDF("text"), "text").count() == 0)
   }
 
+  test("bpeMerges holds its vocab-sized per-round cost at 50 rounds") {
+    // rounds=3 in the harness is a toy depth; production BPE runs
+    // hundreds of rounds. The scale claim is that each round's cost is
+    // VOCAB-sized (pair-count over the word table + one merge fold),
+    // independent of the round index — so 5x the rounds should cost
+    // ~5x, not blow up. Measured (and recorded in SURVEY §6): the
+    // per-round cost curve is flat.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def timed(rounds: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = graft.Graft.text.bpeMerges(docs, "text", rounds).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    timed(3) // warmup: JIT + codegen caches
+    val (n10, t10) = timed(10)
+    val (n50, t50) = timed(50)
+    assert(n10 == 10 && n50 == 50, "fixture vocab must support 50 merge rounds")
+    val merges = graft.Graft.text.bpeMerges(docs, "text", 50).collect()
+    assert(merges.map(_.getLong(0)).toSeq == (0L until 50L))
+    assert(merges.forall(_.getLong(3) >= 1L))
+    // flat per-round cost: 5x rounds should stay within ~3x of linear
+    // (generous for CI noise; a per-round cost GROWING with depth
+    // would put this far above 15x)
+    info(f"bpe rounds=10: $t10%.2fs (${t10 / 10}%.3fs/round); rounds=50: $t50%.2fs (${t50 / 50}%.3fs/round)")
+    assert(t50 <= t10 * 15.0,
+      f"per-round cost grew with depth: 10 rounds $t10%.2fs vs 50 rounds $t50%.2fs")
+  }
+
+  test("widened minhash geometry: 24 perms / 6 bands recalls the default's pairs") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val sig24 = Graft.dedup.signatures(docs, "doc_id", "text", none, numPerms = 24)
+    assert(sig24.select(size(col("sig"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(24))
+    val wide = Graft.dedup.minhashCandidatesFor(sig24, bands = 6, rowsPerBand = 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dflt = Dedup.minhashCandidatesFromSig(
+        Dedup.signaturesOf(docs, none))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bands 1-3 of the wide geometry ARE the default geometry (same
+    // perm family, same band hash), so every default candidate pair
+    // must re-collide under the wider net — candidate RECALL can only
+    // grow with extra bands
+    assert(dflt.nonEmpty)
+    assert((dflt -- wide).isEmpty, s"wide geometry lost pairs: ${dflt -- wide}")
+  }
+
   test("bucket cap bounds the band-join pair space on an all-identical corpus") {
     import spark.implicits._
     // the 100 TB failure mode in miniature: every doc identical, so all

@@ -249,4 +249,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("AQE skew join splits the hot partition at runtime") {
+    // the runtime complement to j4_salted_join's MANUAL salting demo:
+    // with adaptive skew-join on, a sort-merge join against a key whose
+    // rows dwarf the median partition is re-planned mid-query — the
+    // executed SMJ node carries skew=true and the hot partition is
+    // split without any key rewrite. At 100 TB this is the armor for
+    // skew you did NOT predict (salting covers the skew you did).
+    import spark.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // shrink the detection thresholds so fixture-scale bytes qualify
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pad = "x" * 64
+      val left = ((1 to 30000).map(i => (0L, s"hot-$i-$pad")) ++
+        (1 to 300).map(i => (i.toLong, "cold"))).toDF("k", "v")
+      val right = (0 to 300).map(i => (i.toLong, s"r$i")).toDF("k", "r")
+      val joined = left.join(right, "k")
+      // collect() drives joined's OWN queryExecution (count() would
+      // execute a separate aggregate plan and leave this one unrun)
+      assert(joined.collect().length == 30000 + 300)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
 }
