@@ -230,6 +230,23 @@ object Graft {
         .limit(k)
     }
 
+    /** Each vector's nearest same-bucket neighbour by cosine:
+      * (a_id, nearest_id, cosine) — the embedding near-dup signal.
+      * `bucketBits` sets the sign-LSH width: production picks
+      * bits ≈ log₂(n / target_bucket_size); true near-dups (cos ≈ 1)
+      * share all sign bits, so widening costs no recall. `bucketBits
+      * = 0` degenerates to one bucket = exact all-pairs nearest (only
+      * for small n). `bucketCap` bounds each bucket's candidate side
+      * at its earliest-id representatives (pairs O(n·cap)); every
+      * vector still probes, so every a_id keeps a nearest. */
+    def nearestInBucket(vectors: DataFrame, idCol: String, vecCol: String,
+        bucketBits: Int = 8,
+        bucketCap: Int = Dedup.MaxBucketOccupancy): DataFrame =
+      Dedup.embeddingNearDupOf(
+        vectors.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("embedding")),
+        bucketBits, bucketCap)
+
     /** Per-group exact top-k via the `graft_topk` aggregate:
       * (group, id, score) — one shuffle of k-bounded buffers. */
     def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,

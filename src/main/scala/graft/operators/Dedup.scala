@@ -540,8 +540,13 @@ object Dedup {
       .join(corpusFp, Seq("fp"), "left_semi").select("doc_id")
     val sig = signatures(s, dir)
     val banded = bandedOf(sig)
+    // corpus side capped at MaxBucketOccupancy representatives per
+    // bucket — the pre-materialized bucket index a production deploy
+    // would probe carries the same cap discipline, so batch work is
+    // ∝ batch × cap even against a boilerplate-heavy corpus bucket
+    val corpusKept = keptBandedOf(banded.filter(!isBatch), MaxBucketOccupancy)
     val cand = banded.filter(isBatch).as("x")
-      .join(banded.filter(!isBatch).as("y"),
+      .join(corpusKept.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
@@ -576,10 +581,14 @@ object Dedup {
        |exact_ids AS (SELECT DISTINCT b.doc_id
        |              FROM fp b JOIN fp c ON b.fp = c.fp
        |              WHERE b.doc_id % $IncMod = 0 AND c.doc_id % $IncMod <> 0),
+       |ckept AS (SELECT doc_id, band, bucket FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) rn
+       |            FROM banded WHERE doc_id % $IncMod <> 0)
+       |          WHERE rn <= $MaxBucketOccupancy),
        |cand AS (SELECT DISTINCT x.doc_id, y.doc_id AS corpus_id
-       |         FROM banded x JOIN banded y
+       |         FROM banded x JOIN ckept y
        |           ON x.band = y.band AND x.bucket = y.bucket
-       |         WHERE x.doc_id % $IncMod = 0 AND y.doc_id % $IncMod <> 0),
+       |         WHERE x.doc_id % $IncMod = 0),
        |near_ids AS (SELECT DISTINCT cand.doc_id
        |             FROM cand
        |             JOIN sig sa ON cand.doc_id = sa.doc_id
@@ -790,20 +799,25 @@ object Dedup {
     * (cos ≈ 1) share ALL sign bits, so widening costs no recall.
     * 8 bits here keeps the harness fixture's buckets populated.
     * Cosine via deterministic left-fold. */
-  private def dEmbeddingNearDup: Q = (s, dir) => {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val signBucket = expr(Similarity.bucketExpr)
+  /** DataFrame-parametric embedding near-dup (expects `vec_id`,
+    * `embedding`): `bucketBits` sets the sign-LSH width — production
+    * picks bits ≈ log₂(n / target_bucket_size), the dimensioning note
+    * made an actual knob; `bucketCap` bounds each bucket's candidate
+    * side at its earliest-id representatives (pairs O(n·cap), every
+    * vector still probes so every a_id keeps a nearest). */
+  private[graft] def embeddingNearDupOf(vectors: DataFrame,
+      bucketBits: Int = 8,
+      bucketCap: Int = MaxBucketOccupancy): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
+    val signBucket = expr(Similarity.bucketExprFor(bucketBits))
     // norms precomputed per vector, BELOW the pair join (one fold per
     // pair instead of three — Similarity.scala has the measurement)
-    val v = Tables.embeddings(s, dir)
+    val v = vectors
       .select(col("vec_id"), col("embedding"), signBucket.as("bucket"),
         expr(s"sqrt(${foldDot("embedding", "embedding")})").as("nrm"))
-    // candidate side capped at MaxBucketOccupancy representatives per
-    // bucket (earliest vec_ids): every vector still probes, so each
-    // a_id keeps a nearest — pairs are O(n·cap), not O(occupancy²)
     val wb = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
     val reps = v.withColumn("rn", row_number().over(wb))
-      .filter(col("rn") <= MaxBucketOccupancy).drop("rn")
+      .filter(col("rn") <= bucketCap).drop("rn")
     val pairs = v.as("x").join(reps.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
@@ -813,6 +827,11 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("a_id"), col("b_id").as("nearest_id"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Harness binding: the shared 8-bit geometry over `embeddings`
+    * (same buckets s_ann_lsh probes), default representative cap. */
+  private def dEmbeddingNearDup: Q = (s, dir) =>
+    embeddingNearDupOf(Tables.embeddings(s, dir))
 
   private val dEmbeddingNearDupSql = {
     val bucket = Similarity.duckBucketExpr

@@ -65,6 +65,18 @@ object Similarity {
   private val duckNormExpr =
     s"sqrt(${duckFoldDot("embedding", "embedding")})"
 
+  /** Sign-LSH bucket over the first `bits` dims (axis-aligned
+    * hyperplanes) — the parametric form behind [[bucketExpr]].
+    * Production dimensions the width with the corpus: bits ≈
+    * log₂(n / target_bucket_size); true near-dups (cos ≈ 1) share ALL
+    * sign bits, so widening costs no recall. `bits = 0` degenerates to
+    * one global bucket (exact brute force — the spec's oracle). */
+  private[graft] def bucketExprFor(bits: Int): String =
+    if (bits == 0) "0"
+    else (0 until bits)
+      .map(j => s"CASE WHEN element_at(embedding, ${j + 1}) >= 0 THEN ${1L << j}L ELSE 0L END")
+      .mkString(" + ")
+
   /** 8-bit sign-LSH bucket (axis-aligned hyperplanes on dims 1..8).
     * Shared with Dedup's embedding near-dup so both operators use the
     * SAME LSH geometry — a bucketing change lands everywhere at once

@@ -27,6 +27,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.dedup.clusterIdsFor(sig, 0.5).count() == 0)
     assert(Graft.dedup.contaminatedIds(emptyDocs, emptyDocs, "id", "body").count() == 0)
     assert(Graft.dedup.containmentPairs(emptyDocs, "id", "body", 0.5).count() == 0)
+    assert(Graft.dedup.bucketStats(sig).count() == 0)
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vid", LongType),
+        StructField("vec", ArrayType(FloatType)))))
+    assert(Graft.similarity.nearestInBucket(emptyVecs, "vid", "vec").count() == 0)
   }
 
   test("similarity on an empty vector table: empty top-k") {

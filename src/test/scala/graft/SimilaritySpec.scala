@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 class SimilaritySpec extends SparkSpec {
 
@@ -196,6 +196,44 @@ class SimilaritySpec extends SparkSpec {
     val top10 = Similarity.queries("s_cosine_topk")(spark, sf)
       .collect().map(_.getLong(0)).toSet
     assert(out.map(_.getLong(1)).forall(top10.contains))
+  }
+
+  test("nearestInBucket: bits=0 is exact all-pairs nearest; wider bits keep the contract") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n = vecs.count()
+    // bits=0 → one bucket → every vector's nearest is the EXACT global
+    // nearest; verify against a brute-force window computed here
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val exact = {
+      val v = vecs.select(col("vec_id"), col("embedding"),
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+      val p = v.as("x").join(v.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+          expr("graft_dot(x.embedding, y.embedding) / (x.nrm * y.nrm)").as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id").asc)
+      p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nearest_id"),
+          round(col("cos"), 6).as("cosine"))
+    }
+    val flat = Graft.similarity.nearestInBucket(vecs, "vec_id", "embedding",
+      bucketBits = 0, bucketCap = Int.MaxValue)
+    assert(flat.count() == n)
+    assert(flat.exceptAll(exact).count() == 0 && exact.exceptAll(flat).count() == 0)
+    // widening to 12 bits: every returned pair really shares the
+    // 12-bit sign bucket, and the harness's 8-bit geometry is the
+    // facade default
+    val wide = Graft.similarity.nearestInBucket(vecs, "vec_id", "embedding",
+      bucketBits = 12)
+    val bucket12 = vecs.select(col("vec_id"),
+      expr(Similarity.bucketExprFor(12)).as("b"))
+    val joined = wide
+      .join(bucket12.select(col("vec_id").as("a_id"), col("b").as("ba")), "a_id")
+      .join(bucket12.select(col("vec_id").as("nearest_id"), col("b").as("bb")), "nearest_id")
+    assert(joined.filter(col("ba") =!= col("bb")).count() == 0)
+    val dflt = Graft.similarity.nearestInBucket(vecs, "vec_id", "embedding")
+    val harness = Dedup.queries("d_embedding_near_dup")(spark, sf)
+    assert(dflt.exceptAll(harness).count() == 0 && harness.exceptAll(dflt).count() == 0)
   }
 
 }
