@@ -153,6 +153,16 @@ object Graft {
     def passageCoverage(df: DataFrame, idCol: String, textCol: String): DataFrame =
       Dedup.passageCoverageOf(asDocs(df, idCol, textCol))
 
+    /** The actuator for [[passageCoverage]]'s signal: REMOVE every
+      * token position covered by a cross-doc-repeated 5-token shingle
+      * (Lee et al. 2022 cut repeated substrings out of the training
+      * corpus rather than dropping whole docs). One row per doc —
+      * (doc_id, n_tokens, n_removed, clean_digest), the digest
+      * standing in for the cleaned text. Rides the same single-scan
+      * positional index as the coverage signal. */
+    def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      Dedup.stripRepeatedSpansOf(asDocs(df, idCol, textCol))
+
     /** Confirm-stage near-dup verification: MinHash-LSH candidate pairs
       * with est. Jaccard ≥ `minEstJaccard` joined back to their texts
       * for an EXACT levenshtein — (a_id, b_id, est_jaccard,
@@ -163,14 +173,18 @@ object Graft {
       * (highest est_jaccard first) — inside a dup cluster of size m,
       * candidates grow ~m per doc, so an unbounded confirm stage is
       * quadratic in cluster size even with capped candidate
-      * generation. */
+      * generation. `maxEditDistance` bounds the per-PAIR cost: the
+      * banded levenshtein runs O(maxEditDistance·n) instead of
+      * O(n·m) cells and reports −1 for pairs whose distance provably
+      * exceeds the bound (i.e. "LSH false positive, not a near-dup"). */
     def editDistanceVerified(df: DataFrame, idCol: String, textCol: String,
         minEstJaccard: Double,
-        maxCandidatesPerDoc: Int = Dedup.MaxConfirmCandidates): DataFrame = {
+        maxCandidatesPerDoc: Int = Dedup.MaxConfirmCandidates,
+        maxEditDistance: Int = Dedup.MaxEditDistance): DataFrame = {
       val docs = asDocs(df, idCol, textCol)
       Dedup.editdistVerifyFromSig(
         Dedup.signaturesOf(docs, org.apache.spark.storage.StorageLevel.NONE),
-        docs, minEstJaccard, maxCandidatesPerDoc)
+        docs, minEstJaccard, maxCandidatesPerDoc, maxEditDistance)
     }
 
     /** Transitively-closed near-dup clusters over a precomputed

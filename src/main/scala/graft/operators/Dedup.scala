@@ -475,9 +475,26 @@ object Dedup {
     * first), independently of the bucket cap. */
   private[graft] val MaxConfirmCandidates = 32
 
+  /** Per-PAIR confirm-stage budget: full levenshtein is O(|a|·|b|)
+    * DP cells per pair — two 10 KB docs are 10⁸ cells, and the
+    * confirm stage only ever cares about SMALL distances (the pairs
+    * came out of LSH at est_jaccard ≥ 0.9). The native
+    * `graft_bounded_editdist(a, b, t)` expression strips the common
+    * prefix/suffix (near-identical pairs leave a few-edit middle, so
+    * the typical pair costs one text scan) and band-limits the DP
+    * that remains to O(t·middle) cells, returning −1 once the
+    * distance provably exceeds t — exactly the "not actually a
+    * near-dup" verdict the confirm stage wants to emit. Same contract
+    * as Spark's three-arg `levenshtein`, which computes the full DP
+    * matrix however similar the pair is (measured 30 ms/pair on the
+    * 10× replica corpus vs ~0.1 ms for the stripped band). */
+  private[graft] val MaxEditDistance = 128
+
   private[graft] def editdistVerifyFromSig(sig: DataFrame, docs: DataFrame,
       minEstJaccard: Double,
-      maxCandidatesPerDoc: Int = MaxConfirmCandidates): DataFrame = {
+      maxCandidatesPerDoc: Int = MaxConfirmCandidates,
+      maxEditDistance: Int = MaxEditDistance): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
     val txt = docs.select(col("doc_id"), col("text"))
     val wc = Window.partitionBy(col("a_id"))
       .orderBy(col("est_jaccard").desc, col("b_id").asc)
@@ -488,7 +505,8 @@ object Dedup {
       .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
       .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
       .select(col("a_id"), col("b_id"), col("est_jaccard"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_distance"))
+        expr(s"graft_bounded_editdist(ta, tb, $maxEditDistance)").cast("long")
+          .as("edit_distance"))
   }
 
   private def dEditdistVerify: Q = (s, dir) =>
@@ -502,10 +520,13 @@ object Dedup {
        |             FROM mh WHERE est_jaccard >= $EstVerifyThreshold)
        |           WHERE crn <= $MaxConfirmCandidates)
        |SELECT a_id, b_id, est_jaccard,
-       |       levenshtein(ta.text, tb.text) AS edit_distance
-       |FROM capped
-       |JOIN documents ta ON capped.a_id = ta.doc_id
-       |JOIN documents tb ON capped.b_id = tb.doc_id""".stripMargin
+       |       CASE WHEN ld <= $MaxEditDistance THEN ld ELSE -1 END
+       |         AS edit_distance
+       |FROM (SELECT a_id, b_id, est_jaccard,
+       |        levenshtein(ta.text, tb.text) AS ld
+       |      FROM capped
+       |      JOIN documents ta ON capped.a_id = ta.doc_id
+       |      JOIN documents tb ON capped.b_id = tb.doc_id)""".stripMargin
 
 
   // ----------------------------------------------------------------
@@ -965,6 +986,81 @@ object Dedup {
       .withColumn("coverage", round(col("n_covered") / col("n_tokens"), 6))
   }
 
+  /** SUBSTRING-level span REMOVAL — the actuator for the signal
+    * [[passageCoverageOf]] measures (Lee et al. 2022 cut the repeated
+    * substrings out of the corpus; coverage only reports them): every
+    * token position covered by a cross-doc-repeated W-shingle is
+    * dropped, the surviving tokens rejoin in order. Returns one row
+    * per doc — (doc_id, n_tokens, n_removed, clean_digest) — with the
+    * digest standing in for the cleaned text (comparator-safe, same
+    * contract as [[TextAnalysis.removeBoilerplateOf]]).
+    *
+    * Plan shape for 100 TB: the repeated-window flags ride the SAME
+    * single-scan positional index as passage coverage (min≠max window
+    * over the hash partition — no df re-scan, no probe join); flagged
+    * starts explode ×W into covered token positions (amplifies only
+    * the FLAGGED slice, 16-byte rows); the text shuffles once, in
+    * token pieces, for the per-doc reassembly — bounded by document
+    * length, the same reassembly removeBoilerplate pays. */
+  private[graft] def stripRepeatedSpansOf(docs: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    val pe = docs.select(
+      col("doc_id"),
+      posexplode_outer(expr("graft_shingle_hashes_pos(text)")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+    val wh = Window.partitionBy(col("h"))
+    val covered = pe
+      .withColumn("rep", min(col("doc_id")).over(wh) =!= max(col("doc_id")).over(wh))
+      .filter(col("rep"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${W - 1})")).as("tpos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode_outer(expr(toksExpr)).as(Seq("tpos", "tok")))
+      .filter(col("tok").isNotNull)
+    toks.join(covered.withColumn("cov", lit(true)), Seq("doc_id", "tpos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(col("cov").isNull,
+          struct(col("tpos"), col("tok"))))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(expr("cast(array_join(transform(kept, x -> x.tok), ' ') as binary)"))
+          .as("clean_digest"))
+  }
+
+  private def dStripSpans: Q = (s, dir) =>
+    stripRepeatedSpansOf(Tables.documents(s, dir))
+
+  private val dStripSpansSql = {
+    val hashWin = PortableHash.duckPolyHash(s"array_to_string(toks[i:i+${W - 1}], ' ')")
+    val hashAll = PortableHash.duckPolyHash("array_to_string(toks, ' ')")
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+       |ph AS (SELECT doc_id, nt,
+       |         CASE WHEN nt >= $W
+       |           THEN list_transform(range(1, nt - ${W - 2}), i -> $hashWin)
+       |           ELSE [$hashAll] END AS hs
+       |       FROM n),
+       |pe AS (SELECT doc_id, unnest(hs) AS h, unnest(range(0, len(hs))) AS pos
+       |       FROM ph),
+       |rep AS (SELECT h FROM pe GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT pe.doc_id, pe.pos + u.k AS tpos
+       |        FROM pe JOIN rep USING (h)
+       |        CROSS JOIN range(0, $W) AS u(k)),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |               unnest(range(0, len(toks))) AS tpos
+       |        FROM n)
+       |SELECT tok.doc_id, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN cov.tpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       md5(coalesce(string_agg(CASE WHEN cov.tpos IS NULL THEN tok END,
+       |                               ' ' ORDER BY tok.tpos), '')) AS clean_digest
+       |FROM tok LEFT JOIN cov
+       |  ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+       |GROUP BY tok.doc_id""".stripMargin
+  }
+
   private val dPassageCoverageSql = {
     val hashWin = PortableHash.duckPolyHash(s"array_to_string(toks[i:i+${W - 1}], ' ')")
     val hashAll = PortableHash.duckPolyHash("array_to_string(toks, ' ')")
@@ -1061,6 +1157,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d_dataset_diff" -> dDatasetDiff,
     "d_passage_coverage" -> dPassageCoverage,
+    "d_strip_spans" -> dStripSpans,
     "d_contamination" -> dContamination,
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
@@ -1076,6 +1173,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d_passage_coverage" -> dPassageCoverageSql,
+    "d_strip_spans" -> dStripSpansSql,
     "d_contamination" -> dContaminationSql,
     "d_cluster_canonical" -> dClusterCanonicalSql,
     "d_exact" -> dExactSql,

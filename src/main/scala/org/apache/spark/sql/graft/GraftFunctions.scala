@@ -2,10 +2,10 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression computing PortableHash's polynomial
@@ -258,6 +258,98 @@ object DotProduct {
   }
 }
 
+/** Threshold-bounded Levenshtein distance tuned for near-dup CONFIRM
+  * workloads: `graft_bounded_editdist(a, b, t)` = the exact edit
+  * distance when it is ≤ t, −1 otherwise (the same contract as
+  * Spark's three-arg `levenshtein`). Two properties make it the
+  * confirm-stage engine where the builtin is O(|a|·|b|) DP cells per
+  * pair regardless of how similar the strings are:
+  *
+  *  1. common prefix AND suffix are stripped first (unit-cost edit
+  *     distance is invariant under both) — LSH-confirmed candidates
+  *     are near-identical, so the surviving middle is typically a few
+  *     edits long, not the whole document;
+  *  2. the DP that remains runs on the Ukkonen band of width 2t+1 —
+  *     O(t · middle) cells with an early −1 exit on the length gap —
+  *     so even the adversarial middle (edits at both ends of the doc)
+  *     costs t·n, not n².
+  *
+  * Operates on Unicode code points (the builtin's unit), so values
+  * agree with `levenshtein(a, b, t)` on any input — spec-asserted
+  * against the builtin on ASCII and astral-plane pairs. */
+case class BoundedEditDist(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bounded_editdist"
+
+  protected override def nullSafeEval(a: Any, b: Any, t: Any): Any =
+    BoundedEditDist.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], t.asInstanceOf[Int])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, t) => s"org.apache.spark.sql.graft.BoundedEditDist.compute($a, $b, $t)")
+
+  protected override def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BoundedEditDist =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BoundedEditDist {
+  private final val Inf = Int.MaxValue / 2
+
+  def compute(ua: UTF8String, ub: UTF8String, t: Int): Int = {
+    if (t < 0) return -1
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
+    // strip the common prefix, then the common suffix of the remainder
+    var lo = 0
+    var aHi = a.length
+    var bHi = b.length
+    while (lo < aHi && lo < bHi && a(lo) == b(lo)) lo += 1
+    while (aHi > lo && bHi > lo && a(aHi - 1) == b(bHi - 1)) { aHi -= 1; bHi -= 1 }
+    // keep the shorter middle on the row axis: O(short · (2t+1)) cells
+    val aShort = aHi - lo <= bHi - lo
+    val s = if (aShort) a else b
+    val l = if (aShort) b else a
+    val sHi = if (aShort) aHi else bHi
+    val lHi = if (aShort) bHi else aHi
+    val n = sHi - lo
+    val m = lHi - lo
+    if (m - n > t) return -1
+    if (n == 0) return m // m - 0 <= t guaranteed by the gap check
+    val band = math.min(t, m)
+    // two-row band DP; each row writes its full read-window (boundary
+    // cell, band cells, one Inf sentinel), so a reference swap carries
+    // exactly the cells the next row reads
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= band) j else Inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val jLo = math.max(1, i - band)
+      val jHi = math.min(m, i + band)
+      cur(jLo - 1) = if (jLo == 1 && i <= band) i else Inf
+      val si = s(lo + i - 1)
+      j = jLo
+      while (j <= jHi) {
+        val sub = prev(j - 1) + (if (si == l(lo + j - 1)) 0 else 1)
+        val del = (if (j < i + band) prev(j) else Inf) + 1
+        val ins = cur(j - 1) + 1
+        cur(j) = math.min(sub, math.min(del, ins))
+        j += 1
+      }
+      if (jHi < m) cur(jHi + 1) = Inf
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(m) <= t) prev(m) else -1
+  }
+}
+
 /** Registers graft's native Catalyst expressions in a session's
   * FunctionRegistry so they are usable from `expr(...)` strings
   * (including inside higher-order-function lambdas).
@@ -287,6 +379,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_bounded_editdist"),
+      new ExpressionInfo(classOf[BoundedEditDist].getName, "graft_bounded_editdist"),
+      (children: Seq[Expression]) => BoundedEditDist(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_html_elements"),
       new ExpressionInfo(classOf[HtmlElements].getName, "graft_html_elements"),
       (children: Seq[Expression]) => HtmlElements(children.head)),

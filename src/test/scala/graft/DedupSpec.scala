@@ -170,6 +170,51 @@ class DedupSpec extends SparkSpec {
     assert(cov(2L) == ((10L, 5L, 0.5)), s"doc 2: ${cov(2L)}")
   }
 
+  test("stripRepeatedSpansOf removes exactly the cross-doc-repeated spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 u1 u2 u3 u4 u5"),
+      (2L, "c1 c2 c3 c4 c5 v1 v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Dedup.stripRepeatedSpansOf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_digest")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "one row per doc, including clean docs")
+    assert(out(1L) == ((10L, 5L, md5hex("u1 u2 u3 u4 u5"))), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((10L, 5L, md5hex("v1 v2 v3 v4 v5"))), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((10L, 0L, md5hex("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))))
+  }
+
+  test("d_strip_spans invariants on the fixture: one row per doc, removal bounded") {
+    val df = Dedup.queries("d_strip_spans")(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("n_removed") < 0 || col("n_removed") > col("n_tokens")).count() == 0)
+    df.unpersist()
+  }
+
+  test("confirm-stage bounded levenshtein reports -1 above the cap") {
+    import spark.implicits._
+    // same lowercase tokens => identical signatures => guaranteed LSH
+    // candidate at est_jaccard 1.0; case-sensitive levenshtein still
+    // sees 10 UPPER<->lower char edits, above a cap of 4.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, s"ALPHABETIC $base"), (2L, s"alphabetic $base"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.signaturesOf(docs, org.apache.spark.storage.StorageLevel.NONE)
+    val capped = Dedup.editdistVerifyFromSig(sig, docs, 0.9, maxEditDistance = 4)
+      .collect()
+    assert(capped.nonEmpty, "identical-signature pair must be a candidate")
+    assert(capped.forall(_.getAs[Long]("edit_distance") == -1L))
+    val uncapped = Dedup.editdistVerifyFromSig(sig, docs, 0.9, maxEditDistance = 128)
+      .collect()
+    assert(uncapped.forall(_.getAs[Long]("edit_distance") == 10L))
+  }
+
   test("d_passage_coverage invariants on the fixture: bounds and flagged-only rows") {
     val df = Dedup.queries("d_passage_coverage")(spark, sf).cache()
     assert(df.count() > 0, "fixture's planted dups should share passages")

@@ -21,6 +21,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.dedup.minhashCandidates(emptyDocs, "id", "body").count() == 0)
     assert(Graft.dedup.nearDupIds(emptyDocs, "id", "body", 0.9).count() == 0)
     assert(Graft.dedup.passageCoverage(emptyDocs, "id", "body").count() == 0)
+    assert(Graft.dedup.stripRepeatedSpans(emptyDocs, "id", "body").count() == 0)
     assert(Graft.dedup.editDistanceVerified(emptyDocs, "id", "body", 0.9).count() == 0)
     val sig = Graft.dedup.signatures(emptyDocs, "id", "body",
       org.apache.spark.storage.StorageLevel.NONE)

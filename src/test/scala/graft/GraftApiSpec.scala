@@ -79,6 +79,13 @@ class GraftApiSpec extends SparkSpec {
       harness.orderBy("doc_id").collect().toSeq)
   }
 
+  test("dedup.stripRepeatedSpans equals the harness d_strip_spans on a renamed schema") {
+    val api = Graft.dedup.stripRepeatedSpans(corpus, "my_id", "body")
+    val harness = SparkEntry.queries("d_strip_spans")(spark, sf)
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+
   test("dedup.editDistanceVerified equals the harness d_editdist_verify") {
     val api = Graft.dedup.editDistanceVerified(corpus, "my_id", "body", 0.9)
     val harness = SparkEntry.queries("d_editdist_verify")(spark, sf)

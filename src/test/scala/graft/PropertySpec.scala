@@ -137,6 +137,24 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("bounded-editdist law: native == builtin levenshtein(a,b,t) on arbitrary pairs") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // small alphabet forces real edit structure (shared chars, runs);
+    // include empty strings and an astral-plane char (code point unit)
+    val sGen = Gen.listOf(Gen.oneOf("a", "b", "c", " ", "😀")).map(_.mkString)
+    val pairGen = for {
+      a <- sGen; b <- sGen; t <- Gen.oneOf(0, 1, 2, 5, 100)
+    } yield (a, b, t)
+    val cases = samples(pairGen, 200) ++ Seq(
+      ("", "", 0), ("", "abc", 2), ("abc", "", 3),
+      ("same prefix XX same suffix", "same prefix YYYY same suffix", 8),
+      ("same prefix XX same suffix", "same prefix YYYY same suffix", 3))
+    val df = cases.toDF("a", "b", "t").select(
+      expr("graft_bounded_editdist(a, b, t)").as("native"),
+      expr("levenshtein(a, b, t)").as("builtin"))
+    assert(df.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
   test("asofJoin law: output rows == probe rows; value is the max build ts ≤ probe ts") {
     val caseGen = for {
       nProbe <- Gen.chooseNum(1, 12)
