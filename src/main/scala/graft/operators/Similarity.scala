@@ -560,21 +560,38 @@ object Similarity {
   // Blocked kNN: top-3 neighbours per vector within its label cell
   // ----------------------------------------------------------------
 
+  /** Candidate-side cell cap for [[sBlockedKnn]]: each probe vector
+    * scores against at most this many same-label candidates (the
+    * earliest by vec_id — the same deterministic earliest-K rule as
+    * `Dedup.MaxBucketOccupancy`), so per-cell work is O(n_cell · cap ·
+    * dim), never n_cell². A hot label at corpus scale degrades to
+    * top-k-of-a-fixed-candidate-panel instead of a cartesian bomb.
+    * Unlike the LSH bucket cap, the ORACLE applies the same rule, so
+    * driver parity holds at any cell size, capped or not. */
+  private[graft] val MaxKnnCellCandidates = 256
+
   /** All-vectors kNN, blocked by label (IVF-style coarse cell): for
-    * each vector its top-3 same-label neighbours by cosine. Scoring is
-    * Σ_cells n_cell² dot products (the exact-within-cell contract), but
-    * the pair set is never MATERIALIZED through a shuffle: pairs are
-    * scored inside the co-partitioned label join and immediately
-    * collapsed map-side by the k-bounded `graft_topk` aggregate
-    * ([[TopKByScore]], same (score desc, id asc) order as the former
-    * window), so the only post-join shuffle carries O(n·k) buffer rows
-    * — the previous window formulation shuffled AND sorted all
-    * Σ n_cell² pairs, which is what turned a hot label into a
-    * cartesian bomb at scale. */
-  private def sBlockedKnn: Q = (s, dir) => {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val v = withNorm(Tables.embeddings(s, dir))
-    v.as("x").join(v.as("y"),
+    * each vector its top-3 neighbours by cosine among its cell's
+    * candidate panel (the whole cell while n_cell ≤
+    * [[MaxKnnCellCandidates]] — exact; the earliest-by-id cap above
+    * that). The pair set is never MATERIALIZED through a shuffle:
+    * pairs are scored inside the co-partitioned label join and
+    * immediately collapsed map-side by the k-bounded `graft_topk`
+    * aggregate ([[TopKByScore]], same (score desc, id asc) order as
+    * the former window), so the only post-join shuffle carries O(n·k)
+    * buffer rows. The two hazards of the original formulation are
+    * both paid off: the window that shuffled AND sorted all Σ n_cell²
+    * pairs (r5), and the unbounded candidate side that kept the
+    * COMPUTE quadratic per cell even after the aggregate fixed the
+    * shuffle (r6 → 16.8× time at 10× volume; capped: the sweep's
+    * ratio is the linear-in-n one). */
+  private[graft] def blockedKnnOf(v0: DataFrame, cap: Int = MaxKnnCellCandidates): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(v0.sparkSession)
+    val v = withNorm(v0)
+    val wCell = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val cand = v.withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= cap).drop("crn")
+    v.as("x").join(cand.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("x.label").as("label"),
         col("y.vec_id").as("b_id"),
@@ -586,11 +603,18 @@ object Similarity {
         col("hit.id").as("b_id"), col("label"), round(col("hit.score"), 6).as("cosine"))
   }
 
+  private def sBlockedKnn: Q = (s, dir) =>
+    blockedKnnOf(Tables.embeddings(s, dir))
+
   private val sBlockedKnnSql =
     s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |cand AS (SELECT * FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS crn
+       |           FROM v)
+       |         WHERE crn <= $MaxKnnCellCandidates),
        |p AS (SELECT x.vec_id a_id, y.vec_id b_id, x.label AS label,
        |             ${duckCosExpr("x.embedding", "y.embedding", "x.nrm", "y.nrm")} AS cos
-       |           FROM v x JOIN v y
+       |           FROM v x JOIN cand y
        |             ON x.label = y.label AND x.vec_id <> y.vec_id)
        |SELECT a_id, rank, b_id, label, round(cos, 6) AS cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank

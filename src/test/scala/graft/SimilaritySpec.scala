@@ -126,6 +126,23 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("label") =!= col("true_label")).count() == 0)
   }
 
+  test("blocked kNN cell cap restricts candidates to the earliest panel, keeps k per probe") {
+    import spark.implicits._
+    val v = (0 until 20).map(i =>
+        (i.toLong, Array(1.0f, i.toFloat / 20f), 7)).toDF("vec_id", "embedding", "label")
+    val capped = Similarity.blockedKnnOf(v, cap = 5)
+    // candidate panel = earliest 5 ids; no reported neighbour outside it
+    assert(capped.filter(col("b_id") >= 5).count() == 0)
+    // every probe still gets its full k (panel 5, minus self for members)
+    assert(capped.groupBy("a_id").count().filter(col("count") =!= 3).count() == 0)
+    assert(capped.select("a_id").distinct().count() == 20)
+    // a non-binding cap is exact: same rows as an effectively-unbounded one
+    val exact = Similarity.blockedKnnOf(v, cap = 1000)
+    val atSize = Similarity.blockedKnnOf(v, cap = 20)
+    assert(atSize.orderBy("a_id", "rank").collect().toSeq ==
+      exact.orderBy("a_id", "rank").collect().toSeq)
+  }
+
   test("native graft_polyhash equals the HOF formulation") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val df = Tables.documents(spark, sf).select(
