@@ -244,6 +244,22 @@ object Graft {
         .limit(k)
     }
 
+    /** Multi-round Lloyd k-means over `vecCol` — the quantizer
+      * TRAINING loop (IVF coarse quantizer, SemDeDup cluster build).
+      * Deterministic end-to-end: seeds = k lowest ids, argmin ties →
+      * lowest cell, float32 centroids each round, empty cells drop.
+      * Returns the model as (cell, dim, centroid, n_vectors) — k×dim
+      * rows, eagerly materialized so no cached frame leaks. Per round
+      * the corpus is scanned ONCE (broadcast join against k centroid
+      * rows; shuffles carry argmin structs and per-(cell,dim) scalar
+      * partials, never vectors). */
+    def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
+        k: Int, rounds: Int): DataFrame =
+      operators.Similarity.kmeansOf(
+        vectors.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("embedding")),
+        k, rounds)
+
     /** Each vector's nearest same-bucket neighbour by cosine:
       * (a_id, nearest_id, cosine) — the embedding near-dup signal.
       * `bucketBits` sets the sign-LSH width: production picks

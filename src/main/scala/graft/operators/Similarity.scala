@@ -688,6 +688,130 @@ object Similarity {
       |GROUP BY label, dim""".stripMargin
 
   // ----------------------------------------------------------------
+  // K-means training loop (multi-round Lloyd, the full quantizer build)
+  // ----------------------------------------------------------------
+
+  /** Rounds the harness binding runs (and the oracle unrolls). */
+  private[graft] val KmeansRounds = 3
+  private[graft] val KmeansK = 8
+
+  /** Multi-round Lloyd k-means over an embedding column — the full
+    * quantizer-training loop that [[ivfAssignment]]'s single
+    * deterministic iteration seeds (sf an IVF/SemDeDup build trains
+    * 10–50 rounds before a corpus-scale assign pass). Returns the
+    * final model as one row per (cell, dim): `(cell, dim, centroid,
+    * n_vectors)`.
+    *
+    * Determinism & cross-engine exactness (every round is
+    * oracle-checkable, not just round 1):
+    *  - seeds = the k lowest vec_ids (no RNG);
+    *  - assignment = argmin ‖c‖² − 2·x·c via the shared left-fold dot,
+    *    ties → lowest cell;
+    *  - M-step = per-(cell, dim) avg — EXACT double sums of float32
+    *    values (see [[sCentroids]]'s mantissa argument), so no
+    *    intermediate rounding is needed;
+    *  - the new centroid is cast double→float32 on BOTH engines
+    *    (IEEE round-to-nearest both sides — the FAISS convention) so
+    *    every later round folds float·float exactly like round 1;
+    *  - a cell that captures no vectors drops out of the model (the
+    *    deterministic variant of the usual re-seed heuristic).
+    *
+    * Scale shape: per round, ONE corpus scan — a broadcast join
+    * against k centroid rows, a vec_id-keyed argmin whose shuffle
+    * carries (score, cell) structs, and a (cell, dim)-keyed partial
+    * agg whose shuffle carries scalar partials. The loop is eager
+    * (each round's k×dim model persisted, the previous released) so
+    * lineage stays one round deep — the [[graft.operators.TextAnalysis]]
+    * BPE-loop discipline. */
+  private[graft] def kmeansOf(v0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(v0.sparkSession)
+    val v = v0.select(col("vec_id"), col("embedding"))
+    // seeds = the k lowest ids (TakeOrdered, k rows), cells numbered
+    // 0..k-1 in id order — id-scheme-agnostic, and identical to
+    // "cell = vec_id" on the harness fixture's 0-based ids
+    var cent = v.orderBy(col("vec_id")).limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cell"), col("embedding").as("ce"))
+      .withColumn("cn", expr(foldDot("ce", "ce")))
+      .withColumn("n_vectors", lit(0L))
+    cent.persist().count()
+    var r = 0
+    while (r < rounds) {
+      val assigned = v.crossJoin(broadcast(cent.select(col("cell"), col("ce"), col("cn"))))
+        .withColumn("score", col("cn") - lit(2.0) * expr(foldDot("embedding", "ce")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("score"), col("cell"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("best.cell").as("cell"), col("embedding"))
+      val next = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("cv")).as("m"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> cast(s.m as float))").as("ce"),
+          first(col("n")).as("n_vectors"))
+        .withColumn("cn", expr(foldDot("ce", "ce")))
+      next.persist().count()
+      cent.unpersist()
+      cent = next
+      r += 1
+    }
+    val out = cent
+      .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "cf")), col("n_vectors"))
+      .select(col("cell").cast("long").as("cell"),
+        (col("pos") + 1).cast("long").as("dim"),
+        round(col("cf").cast("double"), 6).as("centroid"), col("n_vectors"))
+    // the model is k×dim rows — safe to fully materialize before the
+    // backing frame unpersists (callers hold only the tiny result)
+    val rows = out.collect()
+    cent.unpersist()
+    v0.sparkSession.createDataFrame(
+      v0.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
+  private def sKmeans: Q = (s, dir) =>
+    kmeansOf(Tables.embeddings(s, dir), KmeansK, KmeansRounds)
+
+  private val sKmeansSql = {
+    def fold(a: String, b: String) = duckFoldDot(a, b)
+    val seed =
+      s"""cent0 AS MATERIALIZED (
+         |  SELECT vec_id::INT AS cell,
+         |         list_transform(embedding, x -> x::FLOAT) AS ce
+         |  FROM embeddings WHERE vec_id < $KmeansK)""".stripMargin
+    val roundCtes = (1 to KmeansRounds).map { r =>
+      s"""p$r AS (SELECT v.vec_id, s.cell,
+         |          ${fold("s.ce", "s.ce")} - 2 * ${fold("v.embedding", "s.ce")} AS score
+         |        FROM embeddings v CROSS JOIN cent${r - 1} s),
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+         |    FROM p$r) ranked$r
+         |  WHERE rn = 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT cell, dim, avg(cv) AS m, count(*) AS n
+         |  FROM (SELECT a$r.cell,
+         |          unnest(range(1, len(v.embedding) + 1)) AS dim,
+         |          unnest(v.embedding) AS cv
+         |        FROM a$r JOIN embeddings v ON a$r.vec_id = v.vec_id)
+         |  GROUP BY cell, dim),
+         |cent$r AS MATERIALIZED (
+         |  SELECT cell, list_transform(list(m ORDER BY dim), x -> x::FLOAT) AS ce,
+         |         first(n) AS n_vectors
+         |  FROM m$r GROUP BY cell)""".stripMargin
+    }
+    s"""WITH $seed,
+       |${roundCtes.mkString(",\n")}
+       |SELECT cell::BIGINT AS cell, dim::BIGINT AS dim,
+       |       round(cf::DOUBLE, 6) AS centroid, n_vectors
+       |FROM (SELECT cell, unnest(range(1, len(ce) + 1)) AS dim,
+       |             unnest(ce) AS cf, n_vectors
+       |      FROM cent$KmeansRounds)""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // MMR diversity re-ranking (maximal marginal relevance)
   // ----------------------------------------------------------------
 
@@ -849,6 +973,7 @@ object Similarity {
     "s_quantized_topk" -> sQuantizedTopk,
     "s_blocked_knn" -> sBlockedKnn,
     "s_topk_agg" -> sTopkAgg,
+    "s_kmeans" -> sKmeans,
     "s_centroids" -> sCentroids)
 
   val oracles: Map[String, String] = Map(
@@ -860,6 +985,7 @@ object Similarity {
     "s_ivf_ann_indexed" -> sIvfAnnSql,
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,
+    "s_kmeans" -> sKmeansSql,
     "s_centroids" -> sCentroidsSql,
     "s_dim_reduce" -> sDimReduceSql,
     "s_mmr_rerank" -> sMmrRerankSql)

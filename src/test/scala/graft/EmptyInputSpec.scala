@@ -41,6 +41,7 @@ class EmptyInputSpec extends SparkSpec {
       StructType(Seq(StructField("vid", LongType),
         StructField("emb", ArrayType(FloatType)))))
     assert(Graft.similarity.topK(empty, "vid", "emb", Array(1.0f, 0.0f), 5).count() == 0)
+    assert(Graft.similarity.kmeans(empty, "vid", "emb", 4, 2).count() == 0)
     assert(Graft.similarity.topKPerGroup(
       Seq.empty[(Long, Long, Double)].toDF("g", "item", "s"), "g", "item", "s", 3).count() == 0)
   }

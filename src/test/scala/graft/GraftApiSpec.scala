@@ -117,6 +117,15 @@ class GraftApiSpec extends SparkSpec {
     assert(api.collect().toSeq == harness.collect().toSeq)
   }
 
+  test("similarity.kmeans equals the harness s_kmeans on a renamed schema") {
+    val vectors = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val api = Graft.similarity.kmeans(vectors, "vid", "emb", 8, 3)
+    val harness = SparkEntry.queries("s_kmeans")(spark, sf)
+    assert(api.orderBy("cell", "dim").collect().toSeq ==
+      harness.orderBy("cell", "dim").collect().toSeq)
+  }
+
   test("similarity.topKPerGroup returns k best per group in order") {
     val scored = Seq((1L, 10L, 0.9), (1L, 11L, 0.7), (1L, 12L, 0.95),
       (2L, 20L, 0.1), (2L, 21L, 0.2)).toDF("g", "item", "s")

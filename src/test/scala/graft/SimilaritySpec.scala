@@ -143,6 +143,38 @@ class SimilaritySpec extends SparkSpec {
       exact.orderBy("a_id", "rank").collect().toSeq)
   }
 
+  test("kmeans converges to the true means on two planted clusters") {
+    import spark.implicits._
+    // ids 0 and 1 seed the two cells; points split cleanly around them
+    val pts = Seq(
+      (0L, Array(0.0f, 0.1f)), (2L, Array(0.0f, 0.3f)), (4L, Array(0.2f, 0.2f)),
+      (1L, Array(5.0f, 5.1f)), (3L, Array(5.0f, 5.3f)), (5L, Array(5.2f, 5.2f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.kmeansOf(pts, k = 2, rounds = 3)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("dim")) ->
+        ((r.getAs[Double]("centroid"), r.getAs[Long]("n_vectors")))).toMap
+    // cluster 0 mean = (0.066667, 0.2), cluster 1 mean = (5.066667, 5.2)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(close(model((0L, 1L))._1, 0.066667), s"got ${model((0L, 1L))}")
+    assert(close(model((0L, 2L))._1, 0.2))
+    assert(close(model((1L, 1L))._1, 5.066667))
+    assert(close(model((1L, 2L))._1, 5.2))
+    assert(model.values.forall(_._2 == 3L))
+  }
+
+  test("kmeans seeds are the k lowest ids under any id scheme") {
+    import spark.implicits._
+    // same geometry, ids offset by 1000 — cells renumber 0..k-1
+    val pts = Seq(
+      (1000L, Array(0.0f, 0.1f)), (1002L, Array(0.0f, 0.3f)),
+      (1001L, Array(5.0f, 5.1f)), (1003L, Array(5.0f, 5.3f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.kmeansOf(pts, k = 2, rounds = 2)
+    assert(model.select("cell").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L))
+    assert(model.filter(col("n_vectors") =!= 2L).count() == 0)
+  }
+
   test("native graft_polyhash equals the HOF formulation") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val df = Tables.documents(spark, sf).select(
