@@ -277,6 +277,22 @@ object Graft {
           col(vecCol).as("embedding")),
         bucketBits, bucketCap)
 
+    /** SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+      * then mark each vector a semantic duplicate iff its cosine to a
+      * lower-id representative of the SAME cell reaches `threshold` —
+      * (vec_id, cell, kept, dup_of, max_cos), `-1` sentinels where a
+      * cell has no earlier candidate. The quadratic lives strictly
+      * inside a cell and the candidate side is capped per cell
+      * (`cellCap` earliest-id reps ⇒ pairs O(n·cap)); production
+      * dimensions k ≈ n / target_cell_size and τ ≈ 0.95–0.99. */
+    def semDeDup(vectors: DataFrame, idCol: String, vecCol: String,
+        k: Int, rounds: Int, threshold: Double,
+        cellCap: Int = Dedup.MaxBucketOccupancy): DataFrame =
+      Dedup.semDeDupOf(
+        vectors.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("embedding")),
+        k, rounds, threshold, cellCap)
+
     /** Per-group exact top-k via the `graft_topk` aggregate:
       * (group, id, score) — one shuffle of k-bounded buffers. */
     def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
@@ -324,6 +340,37 @@ object Graft {
         segLen: Int = 10, minDf: Int = 3): DataFrame =
       operators.TextAnalysis.removeBoilerplateOf(
         asDocs(df, idCol, textCol), segLen, minDf)
+
+    /** The Gopher hard-filter rule battery (Rae et al. 2021): per-doc
+      * rule measurements (word count, symbol-to-word ratio, bullet /
+      * ellipsis line fractions, alpha-word fraction, stopword hits)
+      * plus the boolean `passes` a cleaning pipeline branches on —
+      * the hard-filter complement of the soft quality score. Pure
+      * per-row projections, one codegen stage at any scale. */
+    def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      operators.TextAnalysis.gopherRulesOf(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"),
+          length(col(textCol)).cast("long").as("n_chars")))
+
+    /** CCNet-style LM fluency signal: an add-k-smoothed bigram model
+      * trained on the corpus in one aggregate pass, each doc scored by
+      * its mean per-token conditional probability (higher = more
+      * corpus-typical). The model is two vocab-bounded count tables —
+      * broadcastable at any corpus scale; documents never shuffle. */
+    def lmScore(df: DataFrame, idCol: String, textCol: String,
+        k: Double = operators.TextAnalysis.LmK): DataFrame =
+      operators.TextAnalysis.lmScoreOf(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text")), k)
+
+    /** The conventional perplexity view of [[lmScore]]'s model:
+      * per-doc exp(−mean ln p). Same ranking signal, log units. */
+    def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
+        k: Double = operators.TextAnalysis.LmK): DataFrame =
+      operators.TextAnalysis.lmPerplexityOf(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text")), k)
   }
 
   object graphs {

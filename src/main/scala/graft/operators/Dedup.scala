@@ -871,6 +871,110 @@ object Dedup {
   }
 
   // ----------------------------------------------------------------
+  // SemDeDup: k-means-clustered semantic dedup (Abbas et al. 2023)
+  // ----------------------------------------------------------------
+
+  /** Demo threshold for the harness binding. The fixture's synthetic
+    * vectors top out at cos ≈ 0.51 pairwise (no planted semantic
+    * dups), so 0.35 exercises both branches; a production corpus runs
+    * τ ≈ 0.95–0.99 — the knob is the facade parameter either way. */
+  private[graft] val SemDedupTau = 0.35
+
+  /** Semantic dedup, SemDeDup-style: train a k-means coarse quantizer
+    * over the embeddings ([[Similarity.kmeansFit]] — the model comes
+    * back as k driver-local rows), assign every vector to its nearest
+    * cell in ONE corpus scan against the broadcast model, then prune
+    * within cells only: a vector is a semantic duplicate iff its
+    * cosine to some LOWER-ID representative of the same cell reaches
+    * `threshold`. Returns one row per vector: `(vec_id, cell, kept,
+    * dup_of, max_cos)` with `-1` sentinels where no in-cell candidate
+    * exists (first vector of its cell).
+    *
+    * Decision rule: lower-id-representative (x is dropped if ANY
+    * lower-id rep matches, regardless of that rep's own fate) — the
+    * parallel, order-free variant of the paper's per-cluster greedy;
+    * it equals greedy keep-first whenever in-cell similarity is
+    * transitive at τ (the near-dup regime) and is deterministic
+    * under any partitioning.
+    *
+    * Scale shape: the quadratic lives strictly inside a cell and is
+    * then capped — the candidate side keeps the `cellCap` earliest-id
+    * reps per cell ([[MaxBucketOccupancy]] discipline, same as the
+    * LSH band joins), so pairs are O(n · cap), not O(Σ cell²); every
+    * vector still probes, so every row still gets a verdict.
+    * Production dimensions k ≈ n / target_cell_size (the paper uses
+    * 50k cells for 5B embeddings) — cells are the parallelism unit. */
+  private[graft] def semDeDupOf(vectors: DataFrame, k: Int, rounds: Int,
+      threshold: Double, cellCap: Int = MaxBucketOccupancy): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("vec_id"), col("embedding"))
+    val model = Similarity.kmeansFit(v, k, rounds)
+    val assigned = v.crossJoin(broadcast(model.select(col("cell"), col("ce"), col("cn"))))
+      .withColumn("score", col("cn") - lit(2.0) * expr(foldDot("embedding", "ce")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("embedding"))
+      .withColumn("nrm", expr(s"sqrt(${foldDot("embedding", "embedding")})"))
+    val wc = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val reps = assigned.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= cellCap).drop("rn")
+    val pairs = assigned.as("x").join(reps.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("b_id"),
+        expr(s"${foldDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm)").as("cos"))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("b_id").asc)
+    val best = pairs.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("b_id"), col("cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        (coalesce(col("cos"), lit(-1.0)) < threshold).as("kept"),
+        when(coalesce(col("cos"), lit(-1.0)) >= threshold, col("b_id"))
+          .otherwise(lit(-1L)).as("dup_of"),
+        round(coalesce(col("cos"), lit(-1.0)), 6).as("max_cos"))
+  }
+
+  /** Harness binding: the s_kmeans geometry (k=8, 3 rounds) + the
+    * demo τ, default cell cap. */
+  private def dSemDedup: Q = (s, dir) =>
+    semDeDupOf(Tables.embeddings(s, dir),
+      Similarity.KmeansK, Similarity.KmeansRounds, SemDedupTau)
+
+  private val dSemDedupSql = {
+    val r = Similarity.KmeansRounds
+    s"""WITH ${Similarity.duckKmeansCtes(Similarity.KmeansK, r)},
+       |pF AS (SELECT v.vec_id, s.cell,
+       |         ${duckFoldDot("s.ce", "s.ce")} - 2 * ${duckFoldDot("v.embedding", "s.ce")} AS score
+       |       FROM embeddings v CROSS JOIN cent$r s),
+       |aF AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+       |    FROM pF) rankedF
+       |  WHERE rn = 1),
+       |v2 AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell, v.embedding,
+       |         sqrt(${duckFoldDot("v.embedding", "v.embedding")}) AS nrm
+       |  FROM aF a JOIN embeddings v ON a.vec_id = v.vec_id),
+       |reps AS (SELECT vec_id, cell, embedding, nrm FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) rn
+       |           FROM v2) WHERE rn <= $MaxBucketOccupancy),
+       |pr AS (SELECT x.vec_id, y.vec_id AS b_id,
+       |         ${duckFoldDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+       |       FROM v2 x JOIN reps y ON x.cell = y.cell AND y.vec_id < x.vec_id),
+       |best AS (SELECT vec_id, b_id, cos FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, b_id) rn
+       |           FROM pr) WHERE rn = 1)
+       |SELECT v2.vec_id, v2.cell::BIGINT AS cell,
+       |       coalesce(cos, -1) < $SemDedupTau::DOUBLE AS kept,
+       |       CASE WHEN coalesce(cos, -1) >= $SemDedupTau::DOUBLE THEN b_id
+       |            ELSE -1 END AS dup_of,
+       |       round(coalesce(cos, -1), 6) AS max_cos
+       |FROM v2 LEFT JOIN best ON v2.vec_id = best.vec_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Benchmark decontamination: training docs sharing n-grams with a holdout
   // ----------------------------------------------------------------
 
@@ -1168,6 +1272,7 @@ object Dedup {
     "d_simhash" -> dSimhash,
     "d_simhash_pairs" -> dSimhashPairs,
     "d_embedding_near_dup" -> dEmbeddingNearDup,
+    "d_semdedup" -> dSemDedup,
     "d_incremental" -> dIncremental,
     "d_cluster_canonical" -> dClusterCanonical)
 
@@ -1186,5 +1291,6 @@ object Dedup {
     "d_simhash" -> dSimhashSql,
     "d_simhash_pairs" -> dSimhashPairsSql,
     "d_embedding_near_dup" -> dEmbeddingNearDupSql,
+    "d_semdedup" -> dSemDedupSql,
     "d_incremental" -> dIncrementalSql)
 }

@@ -724,6 +724,23 @@ object Similarity {
     * lineage stays one round deep — the [[graft.operators.TextAnalysis]]
     * BPE-loop discipline. */
   private[graft] def kmeansOf(v0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val model = kmeansFit(v0, k, rounds)
+    val out = model
+      .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "cf")), col("n_vectors"))
+      .select(col("cell").cast("long").as("cell"),
+        (col("pos") + 1).cast("long").as("dim"),
+        round(col("cf").cast("double"), 6).as("centroid"), col("n_vectors"))
+    out
+  }
+
+  /** The Lloyd loop itself: returns the final model as a DRIVER-LOCAL
+    * literal frame `(cell int, ce array<float>, cn double, n_vectors
+    * long)` — k tiny rows, fully materialized so no persisted loop
+    * frame leaks and the returned plan is self-contained (a literal
+    * scan, broadcastable into any downstream join). Shared by
+    * [[kmeansOf]] (long-format model) and [[Dedup.semDeDupOf]]
+    * (corpus-scale assign + in-cell prune). */
+  private[operators] def kmeansFit(v0: DataFrame, k: Int, rounds: Int): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(v0.sparkSession)
     val v = v0.select(col("vec_id"), col("embedding"))
     // seeds = the k lowest ids (TakeOrdered, k rows), cells numbered
@@ -757,30 +774,31 @@ object Similarity {
       cent = next
       r += 1
     }
-    val out = cent
-      .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "cf")), col("n_vectors"))
-      .select(col("cell").cast("long").as("cell"),
-        (col("pos") + 1).cast("long").as("dim"),
-        round(col("cf").cast("double"), 6).as("centroid"), col("n_vectors"))
-    // the model is k×dim rows — safe to fully materialize before the
+    // the model is k rows — safe to fully materialize before the
     // backing frame unpersists (callers hold only the tiny result)
-    val rows = out.collect()
+    val rows = cent.collect()
+    val schema = cent.schema
     cent.unpersist()
     v0.sparkSession.createDataFrame(
-      v0.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      v0.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
   private def sKmeans: Q = (s, dir) =>
     kmeansOf(Tables.embeddings(s, dir), KmeansK, KmeansRounds)
 
-  private val sKmeansSql = {
+  /** The unrolled Lloyd-loop CTE chain (seed + `rounds` E/M rounds),
+    * ending in `cent$rounds(cell, ce, n_vectors)` — shared by the
+    * s_kmeans oracle and [[Dedup]]'s d_semdedup oracle so the two can
+    * never drift. Seed `cell = vec_id` replicates "k lowest ids" on
+    * the fixture's 0-based contiguous ids. */
+  private[operators] def duckKmeansCtes(k: Int, rounds: Int): String = {
     def fold(a: String, b: String) = duckFoldDot(a, b)
     val seed =
       s"""cent0 AS MATERIALIZED (
          |  SELECT vec_id::INT AS cell,
          |         list_transform(embedding, x -> x::FLOAT) AS ce
-         |  FROM embeddings WHERE vec_id < $KmeansK)""".stripMargin
-    val roundCtes = (1 to KmeansRounds).map { r =>
+         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (SELECT v.vec_id, s.cell,
          |          ${fold("s.ce", "s.ce")} - 2 * ${fold("v.embedding", "s.ce")} AS score
          |        FROM embeddings v CROSS JOIN cent${r - 1} s),
@@ -802,14 +820,17 @@ object Similarity {
          |         first(n) AS n_vectors
          |  FROM m$r GROUP BY cell)""".stripMargin
     }
-    s"""WITH $seed,
-       |${roundCtes.mkString(",\n")}
+    s"""$seed,
+       |${roundCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private val sKmeansSql =
+    s"""WITH ${duckKmeansCtes(KmeansK, KmeansRounds)}
        |SELECT cell::BIGINT AS cell, dim::BIGINT AS dim,
        |       round(cf::DOUBLE, 6) AS centroid, n_vectors
        |FROM (SELECT cell, unnest(range(1, len(ce) + 1)) AS dim,
        |             unnest(ce) AS cf, n_vectors
        |      FROM cent$KmeansRounds)""".stripMargin
-  }
 
   // ----------------------------------------------------------------
   // MMR diversity re-ranking (maximal marginal relevance)

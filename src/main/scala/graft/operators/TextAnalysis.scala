@@ -223,6 +223,191 @@ object TextAnalysis {
        |FROM ($duckQualityMetricsSub)""".stripMargin
 
   // ----------------------------------------------------------------
+  // Gopher-rule hard filter: per-rule verdicts + the drop decision
+  // ----------------------------------------------------------------
+
+  /** The HARD-FILTER complement of [[tQualityScore]]'s soft score —
+    * the Gopher rule battery (Rae et al. 2021 §A1.1) as explicit
+    * per-rule measurements plus the boolean drop decision a cleaning
+    * pipeline actually branches on: word-count bounds [50, 100k],
+    * mean word length ∈ [3, 10], symbol-to-word ratio ('#' + '…'-style
+    * ellipses) ≤ 0.1, ≤ 90 % bullet-led lines, ≤ 30 % ellipsis-ended
+    * lines, ≥ 80 % of words with an alphabetic character, and ≥ 2
+    * distinct stopwords present (the shared 7-word list — the same
+    * list the quality score rates, so the two ops cannot drift).
+    * Pure per-row projections over one scan: one codegen stage at any
+    * scale, no shuffle. The fixture's single-line texts exercise the
+    * word-count and stopword branches; the line-shape and symbol
+    * rules are pinned by planted docs in TextAnalysisSpec. */
+  private def tGopherRules: Q = (s, dir) =>
+    gopherRulesOf(Tables.documents(s, dir))
+
+  /** DataFrame-parametric rule battery (expects `doc_id, text,
+    * n_chars`) — the spec plants rule-violating docs through this. */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame =
+    withQualityHeuristics(docs)
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_lines", size(col("lines")).cast("double"))
+      .withColumn("symbol_ratio",
+        ((size(split(col("text"), "#", -1)) - 1
+          + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+          .cast("double") / col("n_words")))
+      .withColumn("frac_bullet_lines",
+        size(filter(col("lines"), l => trim(l).rlike("^[-*•]"))).cast("double")
+          / col("n_lines"))
+      .withColumn("frac_ellipsis_lines",
+        size(filter(col("lines"), l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
+          / col("n_lines"))
+      .withColumn("frac_alpha_words",
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
+          / col("n_words"))
+      .withColumn("n_stop_hits",
+        size(filter(expr(stopwordArray), w => array_contains(col("toks"), w)))
+          .cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"),
+        round(col("frac_bullet_lines"), 6).as("frac_bullet_lines"),
+        round(col("frac_ellipsis_lines"), 6).as("frac_ellipsis_lines"),
+        round(col("frac_alpha_words"), 6).as("frac_alpha_words"),
+        col("n_stop_hits"),
+        (col("n_words").between(50.0, 100000.0)
+          && col("mean_word_len").between(3.0, 10.0)
+          && col("symbol_ratio") <= 0.1
+          && col("frac_bullet_lines") <= 0.9
+          && col("frac_ellipsis_lines") <= 0.3
+          && col("frac_alpha_words") >= 0.8
+          && col("n_stop_hits") >= 2).as("passes"))
+
+  private val tGopherRulesSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, ${duckTokens("text")} AS toks,
+       |         string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks)::DOUBLE AS n_words,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(toks, t -> length(t)::BIGINT)),
+       |      (acc, x) -> acc + x)::DOUBLE / len(toks) AS mean_word_len,
+       |    (len(string_split(text, '#')) - 1
+       |      + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+       |      / len(toks) AS symbol_ratio,
+       |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+       |      / len(lines) AS frac_bullet_lines,
+       |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE
+       |      / len(lines) AS frac_ellipsis_lines,
+       |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+       |      / len(toks) AS frac_alpha_words,
+       |    len(list_filter($duckStopwordList, w -> list_contains(toks, w)))::BIGINT AS n_stop_hits
+       |  FROM base)
+       |SELECT doc_id,
+       |  n_words::BIGINT AS n_words,
+       |  round(symbol_ratio, 6) AS symbol_ratio,
+       |  round(frac_bullet_lines, 6) AS frac_bullet_lines,
+       |  round(frac_ellipsis_lines, 6) AS frac_ellipsis_lines,
+       |  round(frac_alpha_words, 6) AS frac_alpha_words,
+       |  n_stop_hits,
+       |  (n_words BETWEEN 50.0 AND 100000.0
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_ratio <= 0.1
+       |    AND frac_bullet_lines <= 0.9
+       |    AND frac_ellipsis_lines <= 0.3
+       |    AND frac_alpha_words >= 0.8
+       |    AND n_stop_hits >= 2) AS passes
+       |FROM m""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Bigram language-model scoring (CCNet-style fluency signal)
+  // ----------------------------------------------------------------
+
+  /** Add-k smoothing constant for [[lmScoreOf]]. */
+  private[graft] val LmK = 0.5
+
+  /** CCNet-style LM fluency scoring, log-free: train an add-k-smoothed
+    * bigram model over the corpus in ONE aggregate pass, then score
+    * every document by its MEAN per-token conditional probability
+    * p(tᵢ | tᵢ₋₁) = (c₂ + k) / (c₁ + k·V). CCNet ranks by per-doc LM
+    * perplexity; mean token probability is the same signal with the
+    * log taken out — and the log is exactly what an engine-exact
+    * oracle cannot afford (libm `ln` is not bit-identical across
+    * engines; see the TF-IDF ratio-form idf precedent). The facade
+    * exposes the log-perplexity view on top ([[graft.Graft.text]]),
+    * spec-pinned Spark-side only.
+    *
+    * Cross-engine exactness: c₂, c₁, V are exact longs, k = 0.5 is an
+    * exact double, so every p is one IEEE division of exact operands —
+    * bit-identical in both engines; each p is then rounded to 9 dp and
+    * summed in DECIMAL(28,9) (the money discipline: partial-agg ORDER
+    * cannot matter in an exact-decimal sum), one final cast back.
+    *
+    * Scale shape: the model is two token-keyed count tables bounded by
+    * vocab (c₁) and observed-bigram (c₂) cardinality — for natural
+    * language both are millions of rows at any corpus size (Heaps'
+    * law), broadcastable; the scoring join shuffles 8-byte-hashable
+    * token keys, never documents. Two corpus scans total (count,
+    * score). */
+  /** The shared bigram-LM core: one row per bigram position with its
+    * smoothed conditional probability `p` — consumed by [[lmScoreOf]]
+    * (oracle-exact mean-probability view) and [[lmPerplexityOf]]
+    * (the conventional log view, Spark-side). */
+  private def lmScoredBigrams(docs: DataFrame, k: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .withColumn("bgs", expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bi.join(c2, Seq("a", "b")).join(c1, Seq("a")).crossJoin(broadcast(vocab))
+      .withColumn("p",
+        (col("c2") + lit(k)) / (col("c1") + lit(k) * col("v")))
+  }
+
+  private[graft] def lmScoreOf(docs: DataFrame, k: Double = LmK): DataFrame =
+    lmScoredBigrams(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(col("p"), 9).cast("decimal(28,9)")).as("sum_p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_p").cast("double") / col("n_bigrams"), 6)
+          .as("mean_token_prob"))
+
+  /** The conventional CCNet view of the same model: per-doc bigram
+    * PERPLEXITY exp(−mean ln p). Lives outside the oracle gate (libm
+    * `ln` is not bit-identical cross-engine); ranking equivalence with
+    * the oracle-checked mean-probability view is spec-pinned. */
+  private[graft] def lmPerplexityOf(docs: DataFrame, k: Double = LmK): DataFrame =
+    lmScoredBigrams(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        exp(-avg(log(col("p")))).as("ppl"))
+      .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 6).as("ppl"))
+
+  private def tLmScore: Q = (s, dir) => lmScoreOf(Tables.documents(s, dir))
+
+  private val tLmScoreSql =
+    s"""WITH base AS (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents),
+       |big AS (SELECT doc_id,
+       |          unnest(toks[1:len(toks) - 1]) AS a,
+       |          unnest(toks[2:len(toks)]) AS b
+       |        FROM base WHERE len(toks) >= 2),
+       |cnt2 AS (SELECT a, b, count(*) AS c2 FROM big GROUP BY a, b),
+       |cnt1 AS (SELECT a, count(*) AS c1 FROM big GROUP BY a),
+       |voc AS (SELECT count(DISTINCT t) AS v
+       |        FROM (SELECT unnest(toks) AS t FROM base))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       round(sum(round((c2 + $LmK) / (c1 + $LmK * v), 9)::DECIMAL(28,9))::DOUBLE
+       |             / count(*), 6) AS mean_token_prob
+       |FROM big JOIN cnt2 USING (a, b) JOIN cnt1 USING (a) CROSS JOIN voc
+       |GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // Language identification: profile-overlap heuristic
   // ----------------------------------------------------------------
 
@@ -749,6 +934,8 @@ object TextAnalysis {
     "t_mixture_weights" -> tMixtureWeights,
     "t_bigram_pmi" -> tBigramPmi,
     "t_quality_score" -> tQualityScore,
+    "t_gopher_rules" -> tGopherRules,
+    "t_lm_score" -> tLmScore,
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
     "t_tfidf" -> tTfidf)
@@ -765,6 +952,8 @@ object TextAnalysis {
     "t_mixture_weights" -> tMixtureWeightsSql,
     "t_bigram_pmi" -> tBigramPmiSql,
     "t_quality_score" -> tQualityScoreSql,
+    "t_gopher_rules" -> tGopherRulesSql,
+    "t_lm_score" -> tLmScoreSql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_tfidf" -> tTfidfSql)

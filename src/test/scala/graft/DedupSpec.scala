@@ -403,4 +403,104 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("edit_distance") =!= 0).count() == 0)
   }
 
+  test("semDeDup drops planted near-dups, keeps originals and distinct vectors") {
+    import spark.implicits._
+    // production regime: τ=0.99. ids 0,1 seed the two cells; 2 and 4
+    // are near-copies of 0, 3 shares 1's cell but is NOT a near-dup
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f, 0.0f)),
+      (3L, Array(0.3f, 0.7f, 0.0f)),
+      (4L, Array(0.998f, 0.002f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Dedup.semDeDupOf(pts, k = 2, rounds = 2, threshold = 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of")))).toMap
+    assert(m(0L) == ((true, -1L)), s"got ${m(0L)}")  // first of its cell
+    assert(m(1L)._1)                                 // first of its cell
+    assert(!m(2L)._1 && m(2L)._2 == 0L)
+    assert(m(3L)._1 && m(3L)._2 == -1L)              // cos(3,1) ≈ 0.92 < τ
+    assert(!m(4L)._1 && Set(0L, 2L)(m(4L)._2))
+  }
+
+  test("semDeDup cell cap bounds the candidate panel, every vector still judged") {
+    import spark.implicits._
+    // all-identical vectors: one cell swallows the corpus (the other
+    // seed ties away and drops empty) — uncapped pairs would be C(n,2)
+    val n = 100; val cap = 4
+    val pts = (0L until n).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDeDupOf(pts, k = 2, rounds = 2, threshold = 0.99,
+      cellCap = cap)
+    assert(out.count() == n)                         // a verdict per vector
+    val byId = out.collect().map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of")))).toMap
+    assert(byId(0L) == ((true, -1L)))                // cluster head survives
+    assert((1L until n).forall(i => !byId(i)._1))    // everyone else dropped
+    // cos ties → lowest rep id: every dup resolves against vec 0, and
+    // no candidate outside the cap panel was ever consulted
+    assert((1L until n).forall(i => byId(i)._2 == 0L))
+  }
+
+  test("gopher rules: each planted violation trips its own rule") {
+    import spark.implicits._
+    // the fixture's single-line texts never exercise the line-shape /
+    // symbol rules — planted docs pin each rule's firing condition
+    val good = ("the quick brown fox jumps over a lazy dog and runs " +
+      "to the hills of green in silence ") * 4
+    val bullets = (1 to 10).map(i =>
+      s"- bullet item number $i in the endless list").mkString("\n")
+    val dots = (1 to 10).map(i =>
+      if (i <= 4) s"a trailing thought number $i..."
+      else s"a plain line number $i").mkString("\n")
+    val hashy = "tag " + ("# " * 30).trim
+    val numeric = (1 to 60).map(_.toString).mkString(" ")
+    val out = graft.Graft.text.gopherRules(
+        Seq((0L, good), (1L, bullets), (2L, dots), (3L, hashy), (4L, numeric))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("passes"))
+    assert(out(1L).getAs[Double]("frac_bullet_lines") == 1.0
+      && !out(1L).getAs[Boolean]("passes"))
+    assert(out(2L).getAs[Double]("frac_ellipsis_lines") == 0.4
+      && !out(2L).getAs[Boolean]("passes"))
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1
+      && !out(3L).getAs[Boolean]("passes"))
+    assert(out(4L).getAs[Double]("frac_alpha_words") < 0.8
+      && !out(4L).getAs[Boolean]("passes"))
+    // word-count lower bound: the good text cut to its first sentence
+    val short = graft.Graft.text.gopherRules(
+      Seq((9L, "the quick brown fox jumps over a lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(short.getAs[Long]("n_words") < 50 && !short.getAs[Boolean]("passes"))
+  }
+
+  test("lm score: hand-computed micro corpus, add-k arithmetic exact") {
+    import spark.implicits._
+    // one doc "a b a b": c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2
+    // p(a,b) = 2.5/3, p(b,a) = 1.5/2 → mean = (2·(2.5/3) + 0.75)/3
+    val out = TextAnalysis.lmScoreOf(Seq((0L, "a b a b")).toDF("doc_id", "text"))
+      .head()
+    assert(out.getAs[Long]("n_bigrams") == 3L)
+    assert(out.getAs[Double]("mean_token_prob") == 0.805556)
+  }
+
+  test("lm score ranks corpus-typical text above token soup; ppl view inverts") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the cat sat on the mat again"),
+      (1L, "the cat sat on the mat"),
+      (2L, "zyx qwv jkl pqr stu vwx")).toDF("doc_id", "text")
+    val score = TextAnalysis.lmScoreOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_token_prob")).toMap
+    assert(score(0L) > score(2L) && score(1L) > score(2L))
+    assert(score.values.forall(p => p > 0.0 && p <= 1.0))
+    val ppl = graft.Graft.text.lmPerplexity(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    // same model, log view: the soup doc is the most perplexing
+    assert(ppl(2L) > ppl(0L) && ppl(2L) > ppl(1L))
+    assert(ppl.values.forall(_ >= 1.0))
+  }
+
 }

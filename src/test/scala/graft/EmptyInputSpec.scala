@@ -42,6 +42,7 @@ class EmptyInputSpec extends SparkSpec {
         StructField("emb", ArrayType(FloatType)))))
     assert(Graft.similarity.topK(empty, "vid", "emb", Array(1.0f, 0.0f), 5).count() == 0)
     assert(Graft.similarity.kmeans(empty, "vid", "emb", 4, 2).count() == 0)
+    assert(Graft.similarity.semDeDup(empty, "vid", "emb", 4, 2, 0.9).count() == 0)
     assert(Graft.similarity.topKPerGroup(
       Seq.empty[(Long, Long, Double)].toDF("g", "item", "s"), "g", "item", "s", 3).count() == 0)
   }
@@ -81,6 +82,9 @@ class EmptyInputSpec extends SparkSpec {
     val cleaned = Graft.text.removeBoilerplate(nullDoc, "id", "body")
     assert(cleaned.count() == 2)
     assert(Graft.sampling.splitByHash(emptyDocs, "body").count() == 0)
+    assert(Graft.text.gopherRules(emptyDocs, "id", "body").count() == 0)
+    assert(Graft.text.lmScore(emptyDocs, "id", "body").count() == 0)
+    assert(Graft.text.lmPerplexity(emptyDocs, "id", "body").count() == 0)
   }
 
   test("hicsa pipeline on empty inputs: empty database, canonical schema") {

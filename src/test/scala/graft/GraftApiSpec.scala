@@ -117,6 +117,15 @@ class GraftApiSpec extends SparkSpec {
     assert(api.collect().toSeq == harness.collect().toSeq)
   }
 
+  test("similarity.semDeDup equals the harness d_semdedup on a renamed schema") {
+    val vectors = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val api = Graft.similarity.semDeDup(vectors, "vid", "emb", 8, 3, 0.35)
+    val harness = SparkEntry.queries("d_semdedup")(spark, sf)
+    assert(api.orderBy("vec_id").collect().toSeq ==
+      harness.orderBy("vec_id").collect().toSeq)
+  }
+
   test("similarity.kmeans equals the harness s_kmeans on a renamed schema") {
     val vectors = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("vid"), col("embedding").as("emb"))
