@@ -331,6 +331,16 @@ object Graft {
     def bpeMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame =
       operators.TextAnalysis.bpeMerges(df.select(col(textCol).as("text")), rounds)
 
+    /** BPE ENCODE — apply [[bpeMerges]]'s learned merge table back to
+      * the corpus: per doc, word count, encoded symbol count (the
+      * trained tokenizer's "token bill") and a digest of the encoded
+      * stream. Encoding runs over the distinct-word vocabulary
+      * (vocab-sized merge folds); the corpus pays one token→vocab
+      * join plus a per-doc ordered agg — text never enters the folds. */
+    def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+        rounds: Int = 3): DataFrame =
+      operators.TextAnalysis.bpeEncodeOf(asDocs(df, idCol, textCol), rounds)
+
     /** Cross-document boilerplate removal (C4/RefinedWeb line dedup):
       * segments of `segLen` tokens recurring in ≥ `minDf` distinct
       * documents are struck from every document → (doc_id, n_segments,
@@ -535,6 +545,16 @@ object Graft {
     def quotaPerStratum(df: DataFrame, stratumCol: String, contentCol: String,
         tieCol: String, quota: Int): DataFrame =
       operators.Sampling.quotaPerStratum(df, stratumCol, contentCol, tieCol, quota)
+
+    /** Per-stratum TOKEN budget (training mixtures are specified in
+      * tokens, not documents): keep each stratum's hash-ordered prefix
+      * of documents whose running token total stays ≤ `budget`
+      * (+ `n_tokens`, `cum_tokens` columns). Deterministic and
+      * re-run-stable like [[quotaPerStratum]]; binds the same
+      * implementation as the harness p12 query. */
+    def tokenBudgetPerStratum(df: DataFrame, stratumCol: String,
+        textCol: String, tieCol: String, budget: Long): DataFrame =
+      operators.Sampling.tokenBudgetPerStratum(df, stratumCol, textCol, tieCol, budget)
 
     /** Per-stratum mixing accounting: (stratum, n_rows, n_tokens,
       * token_share, uniform_weight) — the resampling factors that

@@ -75,6 +75,41 @@ object Sampling {
     quotaPerStratum(Tables.documents(s, dir), "lang", "text", "doc_id", Quota)
       .select(col("doc_id"), col("lang"), col("rk"))
 
+  // keeps ~2/3 of each fixture stratum (strata total 1100–1600 tokens)
+  // so the cutoff genuinely fires in the oracle comparison
+  private val TokenBudget = 1000L
+
+  /** Token-BUDGET sampling per stratum — the unit training mixtures
+    * are actually specified in ("this many code tokens, this many
+    * wiki tokens"), where [[quotaPerStratum]] counts documents: rank
+    * each stratum by (content-hash, tiebreak) and keep documents
+    * while the RUNNING token total stays within the stratum's budget
+    * (strict ≤ — the doc that would overshoot is excluded, as is
+    * everything after it in hash order). Hash order makes the kept
+    * set deterministic, re-run-stable, and engine-portable; the
+    * running sum is a rows-unbounded-preceding window inside the
+    * stratum — one shuffle on the stratum key, same scale contract
+    * (and the same big-stratum caveat) as the quota sampler. THE one
+    * implementation — harness query and façade both bind it. */
+  def tokenBudgetPerStratum(df: DataFrame, stratumCol: String,
+      textCol: String, tieCol: String, budget: Long): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(call_function("graft_polyhash", col(textCol)), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  private def p12TokenBudget: Q = (s, dir) =>
+    tokenBudgetPerStratum(Tables.documents(s, dir), "source", "text",
+        "doc_id", TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+
   /** Per-stratum mixing accounting: (stratum, n_rows, n_tokens,
     * token_share, uniform_weight) — the resampling factors that would
     * hit a uniform target mixture over `stratumCol`. ONE input scan:
@@ -108,6 +143,17 @@ object Sampling {
        |           ORDER BY ${PortableHash.duckPolyHash("text")}, doc_id) AS rk
        |  FROM documents)
        |WHERE rk <= $Quota""".stripMargin
+
+  private val p12TokenBudgetSql =
+    s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM (SELECT doc_id, source,
+       |          len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |          ${PortableHash.duckPolyHash("text")} AS h
+       |        FROM documents))
+       |WHERE cum_tokens <= $TokenBudget""".stripMargin
 
   // ----------------------------------------------------------------
   // Deterministic train/validation/test split
@@ -160,11 +206,13 @@ object Sampling {
     "p8_hash_sample" -> p8HashSample,
     "p9_stratified_sample" -> p9StratifiedSample,
     "p10_quota_sample" -> p10QuotaSample,
-    "p11_split" -> p11Split)
+    "p11_split" -> p11Split,
+    "p12_token_budget" -> p12TokenBudget)
 
   val oracles: Map[String, String] = Map(
     "p8_hash_sample" -> p8HashSampleSql,
     "p9_stratified_sample" -> p9StratifiedSampleSql,
     "p10_quota_sample" -> p10QuotaSampleSql,
-    "p11_split" -> p11SplitSql)
+    "p11_split" -> p11SplitSql,
+    "p12_token_budget" -> p12TokenBudgetSql)
 }

@@ -821,6 +821,16 @@ object TextAnalysis {
 
   private val BpeRounds = 3
 
+  /** The greedy leftmost non-overlapping merge scan as a left fold
+    * over a word's symbol array — expects columns `syms, a, b`; the
+    * ONE definition [[bpeMerges]] trains with and [[bpeEncodeOf]]
+    * applies, so train and encode cannot disagree on scan order. */
+  private val MergeFold =
+    """aggregate(syms, cast(array() as array<string>), (acc, x) ->
+      |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
+      |       THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+      |       ELSE concat(acc, array(x)) END)""".stripMargin
+
   /** BPE vocabulary induction — the tokenizer-training loop itself,
     * run the way production BPE trainers run it: the corpus collapses
     * ONCE to a (word, freq) vocabulary table (the only corpus-volume
@@ -868,12 +878,7 @@ object TextAnalysis {
         // lineage flat (same discipline as the graph driver loops) and
         // lets `words` unpersist safely after the loop
         cur = cur.crossJoin(broadcast(Seq((a, b)).toDF("a", "b")))
-          .select(expr(
-            """aggregate(syms, cast(array() as array<string>), (acc, x) ->
-              |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
-              |       THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
-              |       ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
-            col("freq"))
+          .select(expr(MergeFold).as("syms"), col("freq"))
           .localCheckpoint()
       }
       r += 1
@@ -885,20 +890,26 @@ object TextAnalysis {
   private def tBpeMerges: Q = (s, dir) =>
     bpeMerges(Tables.documents(s, dir))
 
-  private val tBpeMergesSql = {
+  /** DuckDB twin of the greedy merge scan — expects a symbol list
+    * `$syms` and a merge row `$m` (columns a, b) in scope. */
+  private def duckMergeFold(syms: String, m: String): String =
+    s"""list_reduce(list_transform($syms, x -> [x]),
+       |  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.a AND x[1] = $m.b
+       |                   THEN acc[1:len(acc)-1] || [$m.a || $m.b]
+       |                   ELSE acc || x END)""".stripMargin
+
+  /** The unrolled BPE-training CTE chain (words/w0 + per-round
+    * pN/mN/wN+1) ending with merge rows m0..m{rounds-1} — shared by
+    * the merges oracle and the encode oracle. MATERIALIZED like every
+    * unrolled oracle here — each wN is referenced twice. */
+  private def duckBpeCtes(rounds: Int): String = {
     val toks = duckTokens("text")
-    // per-round CTE triple: pN (pair counts), mN (argmax), wN+1 (merged
-    // vocab). MATERIALIZED like every unrolled oracle here — each wN is
-    // referenced twice.
-    val rounds = (0 until BpeRounds).map { r =>
+    val roundCtes = (0 until rounds).map { r =>
       val next =
-        if (r == BpeRounds - 1) "" // last round never applies its merge
+        if (r == rounds - 1) "" // last round never applies its merge
         else s""",
           |w${r + 1} AS MATERIALIZED (
-          |  SELECT list_reduce(list_transform(syms, x -> [x]),
-          |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$r.a AND x[1] = m$r.b
-          |                            THEN acc[1:len(acc)-1] || [m$r.a || m$r.b]
-          |                            ELSE acc || x END) AS syms,
+          |  SELECT ${duckMergeFold("syms", s"m$r")} AS syms,
           |         freq
           |  FROM w$r CROSS JOIN m$r)""".stripMargin
       s"""p$r AS MATERIALIZED (
@@ -910,20 +921,89 @@ object TextAnalysis {
          |m$r AS MATERIALIZED (
          |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)$next""".stripMargin
     }.mkString(",\n")
-    val out = (0 until BpeRounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w, count(*) AS freq
        |  FROM (SELECT unnest($toks) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w),
        |w0 AS MATERIALIZED (SELECT split(w, '') AS syms, freq FROM words),
-       |$rounds
+       |$roundCtes""".stripMargin
+  }
+
+  private val tBpeMergesSql = {
+    val out = (0 until BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${duckBpeCtes(BpeRounds)}
        |$out""".stripMargin
+  }
+
+  /** BPE ENCODE — the apply half of the tokenizer story: run the
+    * learned merge table over the corpus and emit, per document, the
+    * word count, the encoded symbol count (the "token count" the
+    * trained tokenizer would bill), and an md5 digest of the encoded
+    * symbol stream in document order (standing in for the encoded
+    * ids). Merges are applied with the SAME [[MergeFold]] scan they
+    * were trained with, in training order — encode of a training word
+    * is exactly its final training segmentation, and unseen words get
+    * the standard longest-learned-first behavior of ordered BPE.
+    *
+    * Scale shape: the merges come back as `rounds` driver-local rows;
+    * encoding runs over the DISTINCT-word vocabulary (vocab-sized
+    * work, broadcast merge rows, however large the corpus), and the
+    * corpus only pays a token→vocab equi-join plus a per-doc ordered
+    * agg — text never carries through the merge folds. */
+  private[graft] def bpeEncodeOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = bpeMerges(docs, rounds).collect()
+      .sortBy(_.getAs[Long]("merge_round"))
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    val vocab0 = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .withColumn("syms", split(col("w"), ""))
+    val encVocab = merges.foldLeft(vocab0) { case (acc, (a, b)) =>
+      acc.crossJoin(broadcast(Seq((a, b)).toDF("a", "b")))
+        .select(col("w"), expr(MergeFold).as("syms"))
+    }
+    val dt = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    dt.join(encVocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_symbols"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, syms))), s -> array_join(s.syms, ' '))"))
+          .cast("binary")).as("enc_digest"))
+  }
+
+  private def tBpeEncode: Q = (s, dir) => bpeEncodeOf(Tables.documents(s, dir))
+
+  private val tBpeEncodeSql = {
+    val evChain = (0 until BpeRounds).map { r =>
+      s"""ev${r + 1} AS MATERIALIZED (
+         |  SELECT w, ${duckMergeFold("syms", s"m$r")} AS syms
+         |  FROM ev$r CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${duckBpeCtes(BpeRounds)},
+       |ev0 AS (SELECT w, split(w, '') AS syms FROM words),
+       |$evChain,
+       |dt AS (SELECT doc_id,
+       |         unnest(range(1, len(toks) + 1)) AS pos,
+       |         unnest(toks) AS w
+       |       FROM (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents)),
+       |j AS (SELECT doc_id, pos, syms
+       |      FROM (SELECT * FROM dt WHERE w <> '') d
+       |      JOIN ev$BpeRounds USING (w))
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+       |       md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS enc_digest
+       |FROM j GROUP BY doc_id""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
     "t_bpe_merges" -> tBpeMerges,
+    "t_bpe_encode" -> tBpeEncode,
     "t_line_dedup" -> tLineDedup,
     "t_chunk_overlap" -> tChunkOverlap,
     "t_repetition" -> tRepetition,
@@ -942,6 +1022,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t_bpe_merges" -> tBpeMergesSql,
+    "t_bpe_encode" -> tBpeEncodeSql,
     "t_line_dedup" -> tLineDedupSql,
     "t_chunk_overlap" -> tChunkOverlapSql,
     "t_repetition" -> tRepetitionSql,

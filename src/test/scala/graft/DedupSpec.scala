@@ -476,6 +476,25 @@ class DedupSpec extends SparkSpec {
     assert(short.getAs[Long]("n_words") < 50 && !short.getAs[Boolean]("passes"))
   }
 
+  test("bpeEncode: hand-derived merges segment the training corpus exactly") {
+    import spark.implicits._
+    // freq: low=4, lower=2, lowest=1 → merges (l,o), (lo,w), (low,e);
+    // encode: low=[low], lower=[lowe,r], lowest=[lowe,s,t]
+    val docs = Seq((0L, "low lower lowest low low"), (1L, "low lower"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeOf(docs, rounds = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_symbols")))).toMap
+    assert(out(0L) == ((5L, 8L)), s"got ${out(0L)}")  // 1+2+3+1+1
+    assert(out(1L) == ((2L, 3L)))                     // 1+2
+    // deterministic end to end: re-encoding yields identical digests
+    val d1 = TextAnalysis.bpeEncodeOf(docs, rounds = 3)
+      .orderBy("doc_id").collect().map(_.getAs[String]("enc_digest")).toSeq
+    val d2 = graft.Graft.text.bpeEncode(docs, "doc_id", "text", rounds = 3)
+      .orderBy("doc_id").collect().map(_.getAs[String]("enc_digest")).toSeq
+    assert(d1 == d2)
+  }
+
   test("lm score: hand-computed micro corpus, add-k arithmetic exact") {
     import spark.implicits._
     // one doc "a b a b": c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2

@@ -82,6 +82,8 @@ class EmptyInputSpec extends SparkSpec {
     val cleaned = Graft.text.removeBoilerplate(nullDoc, "id", "body")
     assert(cleaned.count() == 2)
     assert(Graft.sampling.splitByHash(emptyDocs, "body").count() == 0)
+    assert(Graft.sampling.tokenBudgetPerStratum(
+      emptyDocs.withColumn("src", lit("s")), "src", "body", "id", 100L).count() == 0)
     assert(Graft.text.gopherRules(emptyDocs, "id", "body").count() == 0)
     assert(Graft.text.lmScore(emptyDocs, "id", "body").count() == 0)
     assert(Graft.text.lmPerplexity(emptyDocs, "id", "body").count() == 0)

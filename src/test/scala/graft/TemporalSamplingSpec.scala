@@ -119,4 +119,27 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0)
   }
 
+  test("p12 token budget: greedy prefix respects the budget exactly, per stratum") {
+    import spark.implicits._
+    // every doc is exactly 5 tokens → a 12-token budget keeps exactly
+    // 2 docs per stratum (10 ≤ 12; a third would be 15), whatever the
+    // hash order picks
+    val docs = (0L until 8L).map(i =>
+        (i, s"stratum${i % 2}", s"five tokens in doc $i"))
+      .toDF("doc_id", "source", "text")
+    val out = Graft.sampling.tokenBudgetPerStratum(docs, "source", "text",
+      "doc_id", budget = 12L)
+    assert(out.count() == 4)
+    assert(out.groupBy("source").count().collect().forall(_.getLong(1) == 2))
+    assert(out.agg(max("cum_tokens")).head().getLong(0) == 10L)
+    // re-run stability: the deterministic hash order picks the same docs
+    val again = Graft.sampling.tokenBudgetPerStratum(docs, "source", "text",
+      "doc_id", budget = 12L)
+    assert(out.exceptAll(again).count() == 0)
+    // harness binding: no stratum exceeds the fixture budget
+    val harness = Sampling.queries("p12_token_budget")(spark, sf)
+    assert(harness.filter(col("cum_tokens") > 1000L).count() == 0)
+    assert(harness.count() < Tables.documents(spark, sf).count()) // cutoff fires
+  }
+
 }
