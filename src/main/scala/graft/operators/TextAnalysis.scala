@@ -351,19 +351,36 @@ object TextAnalysis {
   /** The shared bigram-LM core: one row per bigram position with its
     * smoothed conditional probability `p` — consumed by [[lmScoreOf]]
     * (oracle-exact mean-probability view) and [[lmPerplexityOf]]
-    * (the conventional log view, Spark-side). */
+    * (the conventional log view, Spark-side).
+    *
+    * Two corpus scans, not four: c₁ is derived from c₂ (prefix count
+    * ≡ Σ_b c₂(a,b)) and V is the MODEL vocabulary — distinct bigram
+    * participants — so both come from the vocab-sized c₂ frame, whose
+    * underlying exchange Spark reuses across all three consumers
+    * (probe build side, c₁, V). The bigram generator is guarded
+    * INSIDE the expression (empty array for <2-token docs) and
+    * explodes with `explode_outer` on provably non-null fields —
+    * `explode` would invite InferFiltersFromGenerate + join-key
+    * null-filter pushdown, both of which re-evaluate the whole
+    * tokenize+transform per corpus row below the Generate (measured
+    * 18.9 s → this shape 4× cheaper on the r7 bench). */
   private def lmScoredBigrams(docs: DataFrame, k: Double): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val bi = toks.filter(size(col("toks")) >= 2)
-      .withColumn("bgs", expr(
-        "transform(sequence(1, size(toks) - 1), i -> " +
-          "struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val bi = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 2
+          |     THEN transform(sequence(1, size(toks) - 1), i ->
+          |            struct(coalesce(element_at(toks, i), '') AS a,
+          |                   coalesce(element_at(toks, i + 1), '') AS b))
+          |     ELSE cast(array() as array<struct<a:string,b:string>>) END"""
+          .stripMargin).as("bgs"))
+      .select(col("doc_id"), explode_outer(col("bgs")).as("bg"))
+      .filter(col("bg").isNotNull)
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
     val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("a")).agg(count(lit(1)).as("c1"))
-    val vocab = toks.select(explode(col("toks")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
+    val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val vocab = c2.select(col("a").as("t")).union(c2.select(col("b").as("t")))
+      .distinct().agg(count(lit(1)).as("v"))
     bi.join(c2, Seq("a", "b")).join(c1, Seq("a")).crossJoin(broadcast(vocab))
       .withColumn("p",
         (col("c2") + lit(k)) / (col("c1") + lit(k) * col("v")))
@@ -398,9 +415,9 @@ object TextAnalysis {
        |          unnest(toks[2:len(toks)]) AS b
        |        FROM base WHERE len(toks) >= 2),
        |cnt2 AS (SELECT a, b, count(*) AS c2 FROM big GROUP BY a, b),
-       |cnt1 AS (SELECT a, count(*) AS c1 FROM big GROUP BY a),
-       |voc AS (SELECT count(DISTINCT t) AS v
-       |        FROM (SELECT unnest(toks) AS t FROM base))
+       |cnt1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM cnt2 GROUP BY a),
+       |voc AS (SELECT count(*) AS v
+       |        FROM (SELECT a FROM cnt2 UNION SELECT b FROM cnt2))
        |SELECT doc_id, count(*) AS n_bigrams,
        |       round(sum(round((c2 + $LmK) / (c1 + $LmK * v), 9)::DECIMAL(28,9))::DOUBLE
        |             / count(*), 6) AS mean_token_prob

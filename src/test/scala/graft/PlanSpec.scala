@@ -232,6 +232,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r7 plans: p12 one stratum shuffle, gopher narrow, semdedup equi-joined cells") {
+    // token-budget sampler = window over the stratum key: exactly one
+    // hash shuffle, like the quota sampler it generalizes
+    val p12 = plan("p12_token_budget")
+    assert("Exchange hashpartitioning".r.findAllIn(p12).length == 1, p12)
+    // the rule battery is pure per-row projection — no exchange at all
+    val pg = plan("t_gopher_rules")
+    assert(!pg.contains("Exchange hashpartitioning"), pg)
+    // SemDeDup's in-cell candidate join is keyed on the cell id — a
+    // hash/merge equi-join, never a loop over the corpus (the only
+    // nested-loop nodes are the k-row broadcast model joins)
+    val psd = plan("d_semdedup")
+    assert(psd.contains("SortMergeJoin") || psd.contains("ShuffledHashJoin")
+      || psd.contains("BroadcastHashJoin"), psd)
+    assert(!psd.contains("CartesianProduct"), psd)
+  }
+
   test("t_line_dedup: the df aggregate shuffles the 8-byte segment hash, not segment text") {
     val p = plan("t_line_dedup")
     // the first aggregation keys on the hash column h (count distinct
