@@ -131,9 +131,14 @@ object ScaleCurve {
     BenchKit.warmup(spark, src)
 
     val results = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
+    // SPARK_GRAFT_SCALE_REUSE=1 skips re-replication when the scaled
+    // dir already exists — lets a long sweep run in query chunks
+    val reuse = sys.env.contains("SPARK_GRAFT_SCALE_REUSE")
     for (k <- scales) {
       val dir = s"$outBase/x$k"
-      replicate(spark, src, dir, k)
+      if (!(reuse && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))))
+        replicate(spark, src, dir, k)
       for (pass <- 1 to 2; name <- queries) {
         val (t, ok) = BenchKit.timeNoop(spark, SparkEntry.queries(name)(spark, dir))
         require(ok, s"$name failed at scale x$k")
