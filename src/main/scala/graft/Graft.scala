@@ -176,7 +176,11 @@ object Graft {
       * generation. `maxEditDistance` bounds the per-PAIR cost: the
       * banded levenshtein runs O(maxEditDistance·n) instead of
       * O(n·m) cells and reports −1 for pairs whose distance provably
-      * exceeds the bound (i.e. "LSH false positive, not a near-dup"). */
+      * exceeds the bound (i.e. "LSH false positive, not a near-dup").
+      * CAUTION when thresholding the result: write
+      * `edit_distance BETWEEN 0 AND t`, never `edit_distance <= t` —
+      * the −1 sentinel satisfies the latter and would admit exactly
+      * the pairs the verify stage ruled OUT. */
     def editDistanceVerified(df: DataFrame, idCol: String, textCol: String,
         minEstJaccard: Double,
         maxCandidatesPerDoc: Int = Dedup.MaxConfirmCandidates,

@@ -132,12 +132,16 @@ object ScaleCurve {
 
     val results = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[Int, Double]]()
     // SPARK_GRAFT_SCALE_REUSE=1 skips re-replication when the scaled
-    // dir already exists — lets a long sweep run in query chunks
+    // dir already holds EVERY table — a partial replica (killed mid-
+    // replicate) must be rebuilt, not silently benchmarked mixed-scale
     val reuse = sys.env.contains("SPARK_GRAFT_SCALE_REUSE")
+    val allTables = Seq("documents", "embeddings", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "nation", "region")
     for (k <- scales) {
       val dir = s"$outBase/x$k"
-      if (!(reuse && java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$dir/documents.parquet"))))
+      val complete = allTables.forall(t => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/$t.parquet/_SUCCESS")))
+      if (!(reuse && complete))
         replicate(spark, src, dir, k)
       for (pass <- 1 to 2; name <- queries) {
         val (t, ok) = BenchKit.timeNoop(spark, SparkEntry.queries(name)(spark, dir))

@@ -1106,8 +1106,13 @@ object Dedup {
     * the FLAGGED slice, 16-byte rows); the text shuffles once, in
     * token pieces, for the per-doc reassembly — bounded by document
     * length, the same reassembly removeBoilerplate pays. */
-  private[graft] def stripRepeatedSpansOf(docs: DataFrame): DataFrame = {
-    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+  private[graft] def stripRepeatedSpansOf(docs0: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs0.sparkSession)
+    // coalesce: a NULL text would explode to zero token rows and drop
+    // the doc from the one-row-per-doc output (removeBoilerplateOf's
+    // documented hazard, enforced here too)
+    val docs = docs0.select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
     val pe = docs.select(
       col("doc_id"),
       posexplode_outer(expr("graft_shingle_hashes_pos(text)")).as(Seq("pos", "h")))

@@ -667,7 +667,11 @@ object Graph {
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 10000,
       reliable: Boolean = false): DataFrame = {
     val e = materialize(edges.select(col("src"), col("dst"), col("w")), reliable)
-    var dist = materializeLazy(seeds.select(col("node"), lit(0L).as("dist")), reliable)
+    // distinct: duplicate seed rows would survive every full_outer
+    // merge round verbatim (the pre-frontier-delta code collapsed them
+    // in its per-round groupBy) and break the one-row-per-node contract
+    var dist = materializeLazy(
+      seeds.select(col("node")).distinct().withColumn("dist", lit(0L)), reliable)
     var delta = dist
     var deltaCount = delta.count()
     var round = 0

@@ -99,8 +99,10 @@ object Sampling {
       .orderBy(call_function("graft_polyhash", col(textCol)), col(tieCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // coalesce: size(split(NULL)) is -1 in non-ANSI Spark — a NULL-text
+    // row would DECREMENT the running budget and over-admit later docs
     df.withColumn("n_tokens",
-        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+        size(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
@@ -150,7 +152,7 @@ object Sampling {
        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
        |  FROM (SELECT doc_id, source,
-       |          len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       |          len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))::BIGINT AS n_tokens,
        |          ${PortableHash.duckPolyHash("text")} AS h
        |        FROM documents))
        |WHERE cum_tokens <= $TokenBudget""".stripMargin

@@ -81,9 +81,7 @@ object Similarity {
     * Shared with Dedup's embedding near-dup so both operators use the
     * SAME LSH geometry — a bucketing change lands everywhere at once
     * (and must bump [[IndexFormatVersion]]). */
-  private[graft] val bucketExpr = (0 until 8)
-    .map(j => s"CASE WHEN element_at(embedding, ${j + 1}) >= 0 THEN ${1 << j} ELSE 0 END")
-    .mkString(" + ")
+  private[graft] val bucketExpr = bucketExprFor(8)
 
   private[graft] val duckBucketExpr = (0 until 8)
     .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
@@ -239,7 +237,8 @@ object Similarity {
         .limit(0)
     } else {
       val qRow = qRows(0)
-      val qbucket = qRow.getInt(2)
+      // bucket is BIGINT since bucketExpr unified onto bucketExprFor
+      val qbucket = qRow.getAs[Number](2).intValue
       val probes = (0 until 256)
         .filter(b => java.lang.Integer.bitCount(b ^ qbucket) <= radius)
         .map(Int.box)
@@ -283,8 +282,11 @@ object Similarity {
     * corpus regardless of corpus size. */
   private def sAnnLshBatch: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
+    // int-typed probe ids to match the index's inferred partition
+    // column — a bigint probe side would push the cast onto the scan
+    // and defeat dynamic partition pruning
     val probeArray = (Seq(0) ++ (0 until 8).map(1 << _))
-      .map(m => s"qbucket ^ $m").mkString("array(", ", ", ")")
+      .map(m => s"cast(qbucket ^ $m as int)").mkString("array(", ", ", ")")
     val probes = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") % BatchMod === 0))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"),
         expr(bucketExpr).as("qbucket"))

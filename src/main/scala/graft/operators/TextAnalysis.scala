@@ -163,14 +163,21 @@ object TextAnalysis {
     * Adds `toks, n_words, stop_ratio, alpha_ratio, mean_word_len` and
     * the unrounded 4-band `quality` to a frame with `text, n_chars`. */
   private[graft] def withQualityHeuristics(df: DataFrame): DataFrame =
-    df.withColumn("toks", tokens(col("text")))
+    // coalesce: NULL text must yield measured-as-empty metrics (and a
+    // false `passes` in the rule battery), not null-poisoned ones that
+    // drop or mis-rank the doc
+    df.withColumn("toks", tokens(coalesce(col("text"), lit(""))))
       .withColumn("n_words", size(col("toks")).cast("double"))
       .withColumn("stop_ratio",
         size(filter(col("toks"), t => array_contains(expr(stopwordArray), t)))
           / col("n_words"))
       .withColumn("alpha_ratio",
-        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-          / col("n_chars"))
+        // n_chars = 0 (empty/null doc) measures as ratio 0, not a
+        // divide-by-zero under ANSI mode
+        when(col("n_chars") > 0,
+          length(regexp_replace(coalesce(col("text"), lit("")), "[^a-zA-Z]", ""))
+            .cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)))
       .withColumn("mean_word_len",
         aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
           / col("n_words"))
@@ -187,10 +194,12 @@ object TextAnalysis {
     s"""SELECT doc_id, lang, text, n_chars,
        |    len(toks)::DOUBLE AS n_words,
        |    len(list_filter(toks, t -> list_contains($duckStopwordList, t))) / len(toks)::DOUBLE AS stop_ratio,
-       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
+       |    CASE WHEN n_chars > 0
+       |         THEN length(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g'))::DOUBLE / n_chars
+       |         ELSE 0.0 END AS alpha_ratio,
        |    list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
        |                (acc, x) -> acc + x)::DOUBLE / len(toks) AS mean_word_len
-       |  FROM (SELECT doc_id, lang, text, n_chars, ${duckTokens("text")} AS toks FROM documents)""".stripMargin
+       |  FROM (SELECT doc_id, lang, text, n_chars, ${duckTokens("coalesce(text, '')")} AS toks FROM documents)""".stripMargin
 
   /** Oracle twin of the 4-band quality sum (unrounded). */
   private[graft] val duckQualityCaseSql =
@@ -985,13 +994,20 @@ object TextAnalysis {
     val dt = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
-    dt.join(encVocab, "w")
+    val perDoc = dt.join(encVocab, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("syms"))).cast("long").as("n_symbols"),
         md5(concat_ws(" ", expr(
           "transform(array_sort(collect_list(struct(pos, syms))), s -> array_join(s.syms, ' '))"))
           .cast("binary")).as("enc_digest"))
+    // left join from the doc set: a NULL/empty text must keep its row
+    // (0 words, 0 symbols, digest of "") — the one-row-per-doc contract
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        coalesce(col("enc_digest"), md5(lit("").cast("binary"))).as("enc_digest"))
   }
 
   private def tBpeEncode: Q = (s, dir) => bpeEncodeOf(Tables.documents(s, dir))
@@ -1011,11 +1027,17 @@ object TextAnalysis {
        |       FROM (SELECT doc_id, ${duckTokens("text")} AS toks FROM documents)),
        |j AS (SELECT doc_id, pos, syms
        |      FROM (SELECT * FROM dt WHERE w <> '') d
-       |      JOIN ev$BpeRounds USING (w))
-       |SELECT doc_id, count(*) AS n_words,
-       |       CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
-       |       md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS enc_digest
-       |FROM j GROUP BY doc_id""".stripMargin
+       |      JOIN ev$BpeRounds USING (w)),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |         CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+       |         md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS enc_digest
+       |  FROM j GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(n_words, 0) AS n_words,
+       |       coalesce(n_symbols, 0) AS n_symbols,
+       |       coalesce(enc_digest, md5('')) AS enc_digest
+       |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

@@ -495,6 +495,22 @@ class DedupSpec extends SparkSpec {
     assert(d1 == d2)
   }
 
+  test("null/empty text keeps its one-row-per-doc row in the r7 per-doc ops") {
+    import spark.implicits._
+    val docs = Seq((0L, Option("real text here for the survivors group")),
+      (1L, Option.empty[String]), (2L, Some("")))
+      .toDF("doc_id", "text")
+    assert(Dedup.stripRepeatedSpansOf(docs).count() == 3)
+    val enc = TextAnalysis.bpeEncodeOf(docs, rounds = 1)
+    assert(enc.count() == 3)
+    val emptyRow = enc.filter(col("doc_id") === 1L).head()
+    assert(emptyRow.getAs[Long]("n_symbols") == 0L)
+    val rules = graft.Graft.text.gopherRules(
+      docs.withColumnRenamed("text", "body"), "doc_id", "body")
+    assert(rules.count() == 3)
+    assert(!rules.filter(col("doc_id") === 1L).head().getAs[Boolean]("passes"))
+  }
+
   test("lm score: hand-computed micro corpus, add-k arithmetic exact") {
     import spark.implicits._
     // one doc "a b a b": c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2

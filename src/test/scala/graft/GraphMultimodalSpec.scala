@@ -176,6 +176,10 @@ class GraphMultimodalSpec extends SparkSpec {
     val out = Graph.sssp(e, Seq("a").toDF("node")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out == Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+    // duplicate seed rows must not break the one-row-per-node contract
+    // (the frontier-delta merge would otherwise carry both rows forever)
+    val dup = Graph.sssp(e, Seq("a", "a", "a").toDF("node"))
+    assert(dup.count() == 3 && dup.select("node").distinct().count() == 3)
   }
 
   test("m_patches: grid size matches header dims; edge patches clipped, inner patches full") {

@@ -136,6 +136,14 @@ class TemporalSamplingSpec extends SparkSpec {
     val again = Graft.sampling.tokenBudgetPerStratum(docs, "source", "text",
       "doc_id", budget = 12L)
     assert(out.exceptAll(again).count() == 0)
+    // NULL text must not decrement the running budget (size(split(null))
+    // is -1 in non-ANSI Spark) and re-admit docs past the cutoff
+    val withNull = docs.unionByName(
+      Seq((99L, "stratum0", Option.empty[String])).toDF("doc_id", "source", "text"))
+    val outN = Graft.sampling.tokenBudgetPerStratum(withNull, "source", "text",
+      "doc_id", budget = 12L)
+    assert(outN.filter(col("n_tokens") < 0L).count() == 0)
+    assert(outN.filter(col("source") === "stratum0" && col("doc_id") < 90L).count() <= 2)
     // harness binding: no stratum exceeds the fixture budget
     val harness = Sampling.queries("p12_token_budget")(spark, sf)
     assert(harness.filter(col("cum_tokens") > 1000L).count() == 0)
