@@ -493,6 +493,78 @@ object Similarity {
        |SELECT vec_id, label, cell, round(cos, 6) AS cosine
        |FROM cands ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
 
+  /** IVF probe over a TRAINED coarse quantizer — [[sIvfAnn]]'s single
+    * deterministic Lloyd iteration replaced by the full
+    * [[kmeansFit]] training loop (KmeansRounds rounds), the way a
+    * production IVF build actually trains before the corpus-scale
+    * assign pass. The model comes back as k driver-local rows, the
+    * assignment is ONE broadcast pass, the query probes its NProbe
+    * nearest cells, candidates get exact cosine rank. Trained
+    * centroids tighten the cells, which is what makes a small nprobe
+    * hold recall as the corpus grows — the missing half of the IVF
+    * story next to the persisted-index layout. */
+  private def sIvfTrained: Q = (s, dir) => {
+    val v = withNorm(Tables.embeddings(s, dir))
+    val model = kmeansFit(v.select(col("vec_id"), col("embedding")),
+      IvfCells, KmeansRounds)
+    val assigned = v.crossJoin(broadcast(model.select(col("cell"), col("ce"), col("cn"))))
+      .withColumn("score", col("cn") - lit(2.0) * expr(foldDot("embedding", "ce")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"))).as("best"),
+        first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("best.cell").as("cell"))
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probes = model.crossJoin(broadcast(q))
+      .withColumn("pscore", col("cn") - lit(2.0) * expr(foldDot("qe", "ce")))
+      .orderBy(col("pscore").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell"))
+    assigned.filter(col("vec_id") =!= QueryVec)
+      .join(broadcast(probes), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("cell"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  // lazy: KmeansRounds/duckKmeansCtes are declared further down the
+  // object — an eager val here would read 0 during object init and
+  // emit an empty CTE chain
+  private lazy val sIvfTrainedSql = {
+    val r = KmeansRounds
+    s"""WITH ${duckKmeansCtes(IvfCells, r)},
+       |pF AS (SELECT v.vec_id, s.cell,
+       |         ${duckFoldDot("s.ce", "s.ce")} - 2 * ${duckFoldDot("v.embedding", "s.ce")} AS score
+       |       FROM embeddings v CROSS JOIN cent$r s),
+       |aF AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+       |    FROM pF) rankedF
+       |  WHERE rn = 1),
+       |v2 AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell, v.label, v.embedding,
+       |         sqrt(${duckFoldDot("v.embedding", "v.embedding")}) AS nrm
+       |  FROM aF a JOIN embeddings v ON a.vec_id = v.vec_id),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v2 WHERE vec_id = $QueryVec),
+       |probe AS (SELECT cell FROM cent$r CROSS JOIN q
+       |          ORDER BY ${duckFoldDot("ce", "ce")} - 2 * ${duckFoldDot("qe", "ce")}, cell
+       |          LIMIT $NProbe),
+       |cands AS (SELECT a.vec_id, a.label, a.cell,
+       |                 ${duckCosExpr("a.embedding", "qe", "a.nrm", "qnrm")} AS cos
+       |          FROM v2 a JOIN probe USING (cell) CROSS JOIN q
+       |          WHERE a.vec_id <> $QueryVec)
+       |SELECT vec_id, label, cell::BIGINT AS cell, round(cos, 6) AS cosine
+       |FROM cands ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // Scalar-quantized top-k: int8 codes, integer dot product
   // ----------------------------------------------------------------
@@ -997,6 +1069,7 @@ object Similarity {
     "s_blocked_knn" -> sBlockedKnn,
     "s_topk_agg" -> sTopkAgg,
     "s_kmeans" -> sKmeans,
+    "s_ivf_trained" -> sIvfTrained,
     "s_centroids" -> sCentroids)
 
   val oracles: Map[String, String] = Map(
@@ -1009,6 +1082,7 @@ object Similarity {
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,
     "s_kmeans" -> sKmeansSql,
+    "s_ivf_trained" -> sIvfTrainedSql,
     "s_centroids" -> sCentroidsSql,
     "s_dim_reduce" -> sDimReduceSql,
     "s_mmr_rerank" -> sMmrRerankSql)

@@ -54,7 +54,7 @@ class SimilaritySpec extends SparkSpec {
     // is asserted through its radius knob below rather than here
     val brute = Similarity.queries("s_cosine_topk")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    for (q <- Seq("s_ivf_ann", "s_quantized_topk")) {
+    for (q <- Seq("s_ivf_ann", "s_ivf_trained", "s_quantized_topk")) {
       val approx = Similarity.queries(q)(spark, sf)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       val recall = (approx & brute).size
