@@ -78,11 +78,11 @@ object ScaleCurve {
     offsetCopy("part", Seq("p_partkey"))
     offsetCopy("orders", Seq("o_orderkey", "o_custkey"))
     offsetCopy("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    // events: the harness file stores ts as TIMESTAMP(NANOS); read it
-    // as raw nanos longs (the Tables.events legacy conf) and keep the
-    // column a long so the loader's div-1000 truncation still applies
-    // to the replica. Same instants per copy, distinct users/ids —
-    // event DENSITY grows with volume, the realistic stream shape.
+    // events: copy ts verbatim in whatever physical type this data
+    // generation wrote (nanos-long needs the legacy conf to read;
+    // Tables.events normalizes either form on load). Same instants per
+    // copy, distinct users/ids — event DENSITY grows with volume, the
+    // realistic stream shape.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$src/events.parquet")
     (0 until k).map(i => ev

@@ -24,14 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read as a timestamp. Read nanos as long (legacy conf) and
-    * truncate to microseconds — exactly what DuckDB does natively when
-    * it reads the same file, so oracle parity is preserved. */
+  /** events.parquet's `ts` physical type has varied across harness data
+    * generations: TIMESTAMP(NANOS) (which Spark 4 only reads as a long,
+    * via the legacy conf), TIMESTAMP(MICROS) without timezone (read as
+    * TIMESTAMP_NTZ), or a plain instant. Normalize all three to the
+    * session-UTC TimestampType every consumer expects; DuckDB reads the
+    * same file natively as TIMESTAMP either way, so oracle parity is
+    * preserved. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(s, d, "events")
+    raw.withColumn("ts", normalizedEventTs(raw.schema("ts").dataType))
+  }
+
+  /** The ts-normalizing column for a given physical type — shared with
+    * the streaming source so batch and stream agree byte-for-byte. */
+  def normalizedEventTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

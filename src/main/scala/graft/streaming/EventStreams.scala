@@ -111,21 +111,21 @@ object EventStreams {
   // true streaming builders (spec-tested)
   // ----------------------------------------------------------------
 
-  /** Raw parquet schema of events (ts as nanos-long; see Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Streaming source over the events parquet with event-time watermark;
-    * feed it to [[tumbling]]/[[sliding]]/[[sessions]] unchanged. */
+    * feed it to [[tumbling]]/[[sliding]]/[[sessions]] unchanged.
+    * Streaming file sources require an explicit schema; take it from
+    * the file footer (a metadata-only batch read) so the ts physical
+    * type — nanos-long vs TIMESTAMP_NTZ, see Tables.events — is
+    * whatever this data generation actually wrote, then normalize it
+    * with the same shared column as the batch loader. */
   def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = s.read.parquet(s"$dir/events.parquet").schema
     s.readStream
-      .schema(rawSchema)
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.normalizedEventTs(fileSchema("ts").dataType))
       .withWatermark("ts", "1 day")
   }
 
