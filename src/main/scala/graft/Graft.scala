@@ -297,6 +297,20 @@ object Graft {
           col(vecCol).as("embedding")),
         k, rounds, threshold, cellCap)
 
+    /** Hard-negative mining for contrastive training: for each anchor
+      * row, the top-`k` most-similar vectors with a DIFFERENT label —
+      * (anchor_id, anchor_label, rank, neg_id, neg_label, cosine).
+      * Anchors broadcast (a query batch, never corpus-scale); one
+      * corpus scan collapses map-side through the k-bounded
+      * `graft_topk` aggregate. */
+    def hardNegatives(vectors: DataFrame, anchors: DataFrame,
+        idCol: String, vecCol: String, labelCol: String, k: Int = 5): DataFrame = {
+      def norm(df: DataFrame) =
+        df.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("embedding"), col(labelCol).as("label"))
+      operators.Similarity.hardNegativesOf(norm(vectors), norm(anchors), k)
+    }
+
     /** Per-group exact top-k via the `graft_topk` aggregate:
       * (group, id, score) — one shuffle of k-bounded buffers. */
     def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
@@ -433,6 +447,27 @@ object Graft {
     def sssp(edges: DataFrame, seeds: DataFrame,
         reliable: Boolean = false): DataFrame =
       Graph.sssp(edges, seeds, reliable = reliable)
+
+    /** Fixed-iteration HITS (Kleinberg hubs & authorities),
+      * unnormalized exact-integer form: `links(src, dst)`,
+      * `nodes(node)` covering every endpoint → (node, auth, hub) as
+      * BIGINTs. Rankings per round are identical to the L1-normalized
+      * textbook update (normalization only rescales); see
+      * [[hitsNormalized]] for unit-max scores. */
+    def hits(links: DataFrame, nodes: DataFrame, iters: Int = 2): DataFrame =
+      Graph.hits(links, nodes, iters)
+
+    /** [[hits]] rescaled to unit max (auth_n = auth/max(auth), hub_n =
+      * hub/max(hub)) — the comparable-across-graphs view. */
+    def hitsNormalized(links: DataFrame, nodes: DataFrame, iters: Int = 2): DataFrame = {
+      import org.apache.spark.sql.functions.{col, max => fmax, round => fround}
+      val h = Graph.hits(links, nodes, iters)
+      val m = h.agg(fmax(col("auth")).as("ma"), fmax(col("hub")).as("mh"))
+      h.crossJoin(org.apache.spark.sql.functions.broadcast(m))
+        .select(col("node"),
+          fround(col("auth") / col("ma"), 6).as("auth_n"),
+          fround(col("hub") / col("mh"), 6).as("hub_n"))
+    }
   }
 
   object timeseries {

@@ -453,6 +453,90 @@ object Graph {
   }
 
   // ----------------------------------------------------------------
+  // HITS hubs & authorities (fixed-iteration, exact integer form)
+  // ----------------------------------------------------------------
+
+  /** Full (authority, hub) update rounds [[gHits]] runs — and the
+    * oracle unrolls. */
+  private[graft] val HitsIters = 2
+
+  /** Fixed-iteration HITS: `links(src, dst)`, `nodes(node)` covering
+    * every src/dst, returns (node, authority, hub) UNNORMALIZED as
+    * exact BIGINTs. Each round: a(v) = Σ_{u→v} h(u) then h(u) =
+    * Σ_{u→v} a(v) (Kleinberg's mutual-reinforcement update). The
+    * per-round L1 normalization of textbook HITS only rescales — the
+    * RANKING each round is identical — and dropping it keeps every
+    * value an integer sum of integers, which IEEE doubles and both
+    * engines' BIGINTs compute EXACTLY in any aggregation order: the
+    * whole fixpoint is oracle-checkable with no rounding tolerance.
+    * The façade exposes the unit-normalized view on top (one division
+    * by the final max — a single exact op, Spark-side spec-pinned).
+    * Magnitudes grow ~(Σdeg²)^iters; at 2 full rounds a graph needs
+    * ≳10⁶-degree hubs to threaten the 2⁶³ bound — production depths
+    * switch the accumulator to double (sums stay exact until 2⁵³).
+    *
+    * Scale shape (same as [[pageRank]]): per half-round one shuffle
+    * join score↔links on the matching endpoint and one groupBy with
+    * map-side partial sums — the shuffle carries (id, long) pairs;
+    * the link list is persisted by the caller and reused by all
+    * rounds. */
+  def hits(links: DataFrame, nodes: DataFrame, iters: Int = HitsIters): DataFrame = {
+    var hub = nodes.withColumn("hub", lit(1L))
+    var auth = nodes.withColumn("auth", lit(1L))
+    for (_ <- 1 to iters) {
+      auth = nodes
+        .join(links.join(hub.select(col("node").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("auth"))
+      hub = nodes
+        .join(links.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("hub"))
+    }
+    auth.join(hub, Seq("node"))
+  }
+
+  /** HITS over the crawler's internal page-link graph — the other
+    * classic link-analysis ranking next to [[gPagerank]] (hub pages
+    * that POINT at good content vs authority pages pointed AT). */
+  private def gHits: Q = (s, dir) => {
+    val links = pageLinks(s, dir).filter(col("is_internal"))
+      .select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
+    hits(links, nodes)
+      .select(col("node").as("page_id"), col("auth").as("authority"), col("hub"))
+  }
+
+  /** Oracle: the same full rounds unrolled — a$k from h$(k-1), h$k from
+    * a$k; all-BIGINT, so equality is exact. */
+  private val gHitsSql = {
+    val rounds = (1 to HitsIters).map { k =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT n.node, coalesce(s.s, 0) AS auth
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT il.dst AS node, CAST(sum(h.hub) AS BIGINT) AS s
+         |    FROM il JOIN h${k - 1} h ON il.src = h.node
+         |    GROUP BY il.dst) s ON n.node = s.node),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.node, coalesce(s.s, 0) AS hub
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT il.src AS node, CAST(sum(a.auth) AS BIGINT) AS s
+         |    FROM il JOIN a$k a ON il.dst = a.node
+         |    GROUP BY il.src) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckPageLinksCte,
+       |il AS (SELECT src, dst FROM links WHERE is_internal),
+       |nodes AS (SELECT doc_id AS node FROM documents),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+       |$rounds
+       |SELECT a.node AS page_id, a.auth AS authority, h.hub
+       |FROM a$HitsIters a JOIN h$HitsIters h ON a.node = h.node""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Triangle counting (canonical-order join, each triangle once)
   // ----------------------------------------------------------------
 
@@ -752,6 +836,7 @@ object Graph {
     "g_kcore" -> gKcore,
     "g_sssp" -> gSssp,
     "g_pagerank" -> gPagerank,
+    "g_hits" -> gHits,
     "s2_crawl" -> s2Crawl)
 
   // g_cc_star shares the labelprop oracle: both compute the
@@ -765,5 +850,6 @@ object Graph {
     "g_kcore" -> gKcoreSql,
     "g_sssp" -> gSsspSql,
     "g_pagerank" -> gPagerankSql,
+    "g_hits" -> gHitsSql,
     "s2_crawl" -> s2CrawlSql)
 }

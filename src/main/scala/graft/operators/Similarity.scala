@@ -732,6 +732,74 @@ object Similarity {
        |WHERE rn <= 3""".stripMargin
 
   // ----------------------------------------------------------------
+  // Hard-negative mining (contrastive training pairs)
+  // ----------------------------------------------------------------
+
+  /** Anchors [[sHardNegatives]] mines for (the NAnchors lowest
+    * vec_ids) and negatives kept per anchor. */
+  private val NAnchors = 5
+  private val NegK = 5
+
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor, the top-K most-similar vectors with a DIFFERENT label —
+    * the "hard" negatives that teach a metric model the most (easy
+    * negatives are already far away; in-batch random negatives are
+    * mostly easy). Output: (anchor_id, anchor_label, rank, neg_id,
+    * neg_label, cosine).
+    *
+    * Scale shape: anchors are a broadcast panel (query batches are
+    * thousands of rows, never corpus-scale); ONE corpus scan scores
+    * n·|anchors| pairs map-side and the k-bounded `graft_topk`
+    * aggregate collapses them before the shuffle, which carries
+    * O(|anchors|·k) buffer rows — the [[sBlockedKnn]] discipline. In
+    * production the label filter generalizes to any metadata predicate
+    * (e.g. same-source exclusion windows). */
+  private[graft] def hardNegativesOf(v0: DataFrame, anchors: DataFrame,
+      k: Int = NegK): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(v0.sparkSession)
+    val v = withNorm(v0)
+    val a = withNorm(anchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("ae"), col("nrm").as("anrm"))
+    val top = v.crossJoin(broadcast(a))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("vec_id"), col("label"),
+        expr(cosExpr("embedding", "ae", "nrm", "anrm")).as("cos"))
+      .groupBy(col("anchor_id"), col("anchor_label"))
+      .agg(expr(s"graft_topk(cos, vec_id, $k)").as("top"))
+      .select(col("anchor_id"), col("anchor_label"),
+        posexplode(col("top")).as(Seq("pos", "hit")))
+    // recover the negative's label with a second corpus pass against
+    // the broadcast |anchors|·k winner panel (labels never ride the
+    // k-bounded buffers, so the aggregate stays (score, id)-narrow)
+    v0.select(col("vec_id").as("neg_id"), col("label").as("neg_label"))
+      .join(broadcast(top), col("hit.id") === col("neg_id"))
+      .select(col("anchor_id"), col("anchor_label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("neg_id"), col("neg_label"), round(col("hit.score"), 6).as("cosine"))
+  }
+
+  private def sHardNegatives: Q = (s, dir) => {
+    val v = Tables.embeddings(s, dir)
+    hardNegativesOf(v, v.filter(col("vec_id") < NAnchors))
+  }
+
+  private val sHardNegativesSql =
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+       |             embedding AS ae, nrm AS anrm
+       |      FROM v WHERE vec_id < $NAnchors),
+       |p AS (SELECT a.anchor_id, a.anchor_label, v.vec_id AS neg_id,
+       |             v.label AS neg_label,
+       |             ${duckCosExpr("v.embedding", "a.ae", "v.nrm", "a.anrm")} AS cos
+       |      FROM v CROSS JOIN a WHERE v.label <> a.anchor_label)
+       |SELECT anchor_id, anchor_label, rank, neg_id, neg_label,
+       |       round(cos, 6) AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY cos DESC, neg_id) AS rank FROM p)
+       |WHERE rank <= $NegK""".stripMargin
+
+  // ----------------------------------------------------------------
   // Per-label centroids (the IVF training step / k-means assign pass)
   // ----------------------------------------------------------------
 
@@ -1068,6 +1136,7 @@ object Similarity {
     "s_quantized_topk" -> sQuantizedTopk,
     "s_blocked_knn" -> sBlockedKnn,
     "s_topk_agg" -> sTopkAgg,
+    "s_hard_negatives" -> sHardNegatives,
     "s_kmeans" -> sKmeans,
     "s_ivf_trained" -> sIvfTrained,
     "s_centroids" -> sCentroids)
@@ -1081,6 +1150,7 @@ object Similarity {
     "s_ivf_ann_indexed" -> sIvfAnnSql,
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,
+    "s_hard_negatives" -> sHardNegativesSql,
     "s_kmeans" -> sKmeansSql,
     "s_ivf_trained" -> sIvfTrainedSql,
     "s_centroids" -> sCentroidsSql,

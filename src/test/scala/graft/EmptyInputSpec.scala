@@ -45,6 +45,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.similarity.semDeDup(empty, "vid", "emb", 4, 2, 0.9).count() == 0)
     assert(Graft.similarity.topKPerGroup(
       Seq.empty[(Long, Long, Double)].toDF("g", "item", "s"), "g", "item", "s", 3).count() == 0)
+    val emptyLab = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vid", LongType),
+        StructField("emb", ArrayType(FloatType)), StructField("lab", IntegerType))))
+    assert(Graft.similarity.hardNegatives(emptyLab, emptyLab, "vid", "emb", "lab").count() == 0)
   }
 
   test("graphs on empty edge lists: empty labelings, BFS returns only seeds") {
@@ -55,6 +59,7 @@ class EmptyInputSpec extends SparkSpec {
     val bfs = Graft.graphs.bfs(noEdges, seeds, maxDepth = 3).collect()
     assert(bfs.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((7L, 0)))
     assert(Graft.graphs.pageRank(noEdges, Seq.empty[Long].toDF("node")).count() == 0)
+    assert(Graft.graphs.hits(noEdges, Seq.empty[Long].toDF("node")).count() == 0)
     assert(Graft.graphs.kcore(noEdges, 2).count() == 0)
   }
 

@@ -135,6 +135,17 @@ class GraftApiSpec extends SparkSpec {
       harness.orderBy("cell", "dim").collect().toSeq)
   }
 
+  test("similarity.hardNegatives equals the harness s_hard_negatives on a renamed schema") {
+    val vectors = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"),
+        col("label").as("lab"))
+    val api = Graft.similarity.hardNegatives(
+      vectors, vectors.filter(col("vid") < 5), "vid", "emb", "lab")
+    val harness = SparkEntry.queries("s_hard_negatives")(spark, sf)
+    assert(api.orderBy("anchor_id", "rank").collect().toSeq ==
+      harness.orderBy("anchor_id", "rank").collect().toSeq)
+  }
+
   test("similarity.topKPerGroup returns k best per group in order") {
     val scored = Seq((1L, 10L, 0.9), (1L, 11L, 0.7), (1L, 12L, 0.95),
       (2L, 20L, 0.1), (2L, 21L, 0.2)).toDF("g", "item", "s")
@@ -276,6 +287,25 @@ class GraftApiSpec extends SparkSpec {
     val prChain = Graft.graphs.pageRank(chain, Seq("r", "s").toDF("node"), iters = 3)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(prChain("r") - 0.15) < 1e-12)
+  }
+
+  test("graphs.hits: known hub/authority counts on a star, normalized view rescales") {
+    // hub h points at authorities x, y, z; one back-edge x -> h.
+    // Round 1: auth = in-degree (x,y,z = 1 from h; h = 1 from x),
+    // hub(h) = 3, hub(x) = 1. Round 2: auth(x|y|z) = hub(h) = 3,
+    // auth(h) = hub(x) = 1; hub(h) = 3 + 3 + 3 = 9, hub(x) = auth(h) = 1.
+    val links = Seq(("h", "x"), ("h", "y"), ("h", "z"), ("x", "h")).toDF("src", "dst")
+    val nodes = Seq("h", "x", "y", "z").toDF("node")
+    val out = Graft.graphs.hits(links, nodes).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("h") == ((1L, 9L)))
+    assert(out("x") == ((3L, 1L)))
+    assert(out("y") == ((3L, 0L)))
+    assert(out("z") == ((3L, 0L)))
+    val norm = Graft.graphs.hitsNormalized(links, nodes).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(norm("h") == ((0.333333, 1.0)))   // 1/3, 9/9 — rounded 6dp
+    assert(norm("x") == ((1.0, 0.111111)))   // 3/3, 1/9
   }
 
   test("dedup.containmentPairs matches d_containment on a renamed schema") {
