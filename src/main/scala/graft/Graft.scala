@@ -399,6 +399,33 @@ object Graft {
       operators.TextAnalysis.lmPerplexityOf(
         df.select(col(idCol).cast("long").as("doc_id"),
           col(textCol).as("text")), k)
+
+    /** DSIR-style domain-affinity weighting: score each document by
+      * how much its hashed-unigram features look like the rows where
+      * `isTarget` holds vs the whole corpus — (doc_id, in_target,
+      * n_tokens, affinity), higher = more target-like. Probability-
+      * difference estimator (engine-exact); see [[domainAffinityLog]]
+      * for DSIR's log-likelihood ratio. The model is ≤ `buckets` rows
+      * — broadcast at any corpus scale; documents never shuffle. */
+    def domainAffinity(df: DataFrame, idCol: String, textCol: String,
+        isTarget: Column,
+        buckets: Int = operators.TextAnalysis.AffinityBuckets): DataFrame =
+      operators.TextAnalysis.domainAffinityOf(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"), isTarget.as("__t")),
+        col("__t"), buckets)
+
+    /** DSIR's log-likelihood-ratio estimator over the same hashed
+      * features: (doc_id, in_target, n_tokens, log_weight). Ranking
+      * agrees with [[domainAffinity]] (spec-pinned); exp(log_weight)
+      * is the importance-resampling weight. */
+    def domainAffinityLog(df: DataFrame, idCol: String, textCol: String,
+        isTarget: Column,
+        buckets: Int = operators.TextAnalysis.AffinityBuckets): DataFrame =
+      operators.TextAnalysis.domainAffinityLogOf(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"), isTarget.as("__t")),
+        col("__t"), buckets)
   }
 
   object graphs {

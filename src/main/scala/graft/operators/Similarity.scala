@@ -331,6 +331,49 @@ object Similarity {
        |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
 
   // ----------------------------------------------------------------
+  // ANN recall evaluation (approximate vs exact, one query)
+  // ----------------------------------------------------------------
+
+  /** Recall@K of the radius-1 sign-LSH probe against the exact cosine
+    * top-K, as ONE query — the evaluation every ANN deployment runs
+    * before trusting an index (recall is a measured property of data
+    * + geometry, not a constant of the algorithm; the scaladoc numbers
+    * on [[annLshTopk]] came from exactly this measurement). Both sides
+    * are deterministic (shared left-fold dot, (cos desc, id) ties), so
+    * the report itself is oracle-exact — an eval harness you can
+    * regression-gate on.
+    *
+    * Scale shape: the exact side is the one corpus-volume stage
+    * (TakeOrderedAndProject, the [[sCosineTopk]] plan); the ANN side
+    * reads its probe partitions; the overlap join is K×K rows.
+    * Production evals run a query PANEL through the same shape (the
+    * [[sAnnLshBatch]] join) and average — one query is the unit cell. */
+  private def sAnnRecall: Q = (s, dir) => {
+    val ann = annLshTopk(s, dir, radius = 1).select(col("vec_id"))
+    val exact = sCosineTopk(s, dir).select(col("vec_id"))
+    exact.join(ann, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(K.toLong).as("k"), lit(1L).as("radius"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(K.toDouble), 6).as("recall"))
+  }
+
+  private val sAnnRecallSql =
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
+       |                  ($duckBucketExpr) AS bucket FROM embeddings),
+       |q AS (SELECT embedding qe, nrm qnrm, bucket qbucket FROM v WHERE vec_id = $QueryVec),
+       |scored AS (SELECT vec_id, bucket, qbucket,
+       |             ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS cos
+       |           FROM v CROSS JOIN q WHERE vec_id <> $QueryVec),
+       |annk AS (SELECT vec_id FROM scored
+       |         WHERE bit_count(xor(bucket, qbucket)) <= 1
+       |         ORDER BY cos DESC, vec_id LIMIT $K),
+       |exactk AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT $K)
+       |SELECT CAST($K AS BIGINT) AS k, CAST(1 AS BIGINT) AS radius,
+       |       count(*) AS n_hits,
+       |       round(count(*)::DOUBLE / $K, 6) AS recall
+       |FROM exactk JOIN annk USING (vec_id)""".stripMargin
+
+  // ----------------------------------------------------------------
   // IVF ANN: coarse quantizer cells + nprobe=2 probe
   // ----------------------------------------------------------------
 
@@ -461,6 +504,93 @@ object Similarity {
           round(col("cos"), 6).as("cosine"))
     }
   }
+
+  // ----------------------------------------------------------------
+  // Metadata-filtered ANN (predicate + IVF probe)
+  // ----------------------------------------------------------------
+
+  /** Labels the filtered probe restricts to, and its widened probe
+    * count. */
+  private val FilteredLabels = Seq(2, 5)
+  private val FilteredNProbe = 3
+
+  /** Metadata-FILTERED ANN over the persisted IVF index — the
+    * "vector search with a WHERE clause" every retrieval stack needs
+    * (RAG with source/tenant/date predicates). Post-filter form: the
+    * query probes its nearest cells exactly like [[sIvfAnnIndexed]],
+    * and the metadata predicate applies INSIDE the probed cells — on
+    * the index scan itself, where Parquet evaluates it as a pushed
+    * filter under the cell PartitionFilters, so selectivity costs a
+    * row-group skip, not a second pass. The standard recall caveat is
+    * baked in: a selective filter empties probed cells, so the probe
+    * WIDENS (`FilteredNProbe` > [[NProbe]]) — the production knob is
+    * nprobe ∝ 1/selectivity (or pre-filtered per-tenant indexes when
+    * a predicate is permanent).
+    *
+    * Oracle: the in-query quantizer CTEs with the same filter — the
+    * persisted index holds exactly the in-query assignment
+    * ([[ivfIndex]] shares [[ivfAssignment]]), so parity holds. */
+  private def sIvfFiltered: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val root = ivfIndex(s, dir)
+    val q = withNorm(Tables.embeddings(s, dir)).filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probeCells = s.read.parquet(s"$root/centroids")
+      .crossJoin(broadcast(q))
+      .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
+      .orderBy(col("pscore").asc, col("cell").asc)
+      .limit(FilteredNProbe)
+      .select(col("cell")).collect().map(_.getLong(0))
+    if (probeCells.isEmpty) {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), lit(0L).as("cell"), lit(0.0).as("cosine"))
+        .limit(0)
+    } else {
+      s.read.parquet(s"$root/data")
+        .filter(col("cell").isin(probeCells.map(Long.box): _*))
+        .filter(col("label").isin(FilteredLabels.map(Int.box): _*))
+        .filter(col("vec_id") =!= QueryVec)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+          expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(K)
+        .select(col("vec_id"), col("label"), col("cell"),
+          round(col("cos"), 6).as("cosine"))
+    }
+  }
+
+  private val sIvfFilteredSql =
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell, embedding AS se,
+       |                 ${duckFoldDot("embedding", "embedding")} AS sn
+       |          FROM embeddings WHERE vec_id < $IvfCells),
+       |scored AS (SELECT v.vec_id, v.label, v.embedding, v.nrm, s.cell,
+       |                  s.sn - 2 * ${duckFoldDot("v.embedding", "s.se")} AS score
+       |           FROM v CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, label, embedding, nrm, cell
+       |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY score, cell) AS rn FROM scored)
+       |             WHERE rn = 1),
+       |cent AS (SELECT cell, list(m ORDER BY dim)::FLOAT[] AS ce
+       |         FROM (SELECT cell, dim, avg(cv) AS m
+       |               FROM (SELECT cell,
+       |                       unnest(range(1, len(embedding) + 1)) AS dim,
+       |                       unnest(embedding) AS cv
+       |                     FROM assigned)
+       |               GROUP BY cell, dim)
+       |         GROUP BY cell),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v WHERE vec_id = $QueryVec),
+       |probe AS (SELECT cell FROM cent CROSS JOIN q
+       |          ORDER BY ${duckFoldDot("ce", "ce")} - 2 * ${duckFoldDot("qe", "ce")}, cell
+       |          LIMIT $FilteredNProbe),
+       |cands AS (SELECT a.vec_id, a.label, a.cell,
+       |                 ${duckCosExpr("a.embedding", "qe", "a.nrm", "qnrm")} AS cos
+       |          FROM assigned a JOIN probe USING (cell) CROSS JOIN q
+       |          WHERE a.vec_id <> $QueryVec
+       |            AND a.label IN (${FilteredLabels.mkString(", ")}))
+       |SELECT vec_id, label, cell, round(cos, 6) AS cosine
+       |FROM cands ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
 
   private val sIvfAnnSql =
     s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
@@ -1130,9 +1260,11 @@ object Similarity {
     "s_mmr_rerank" -> sMmrRerank,
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
+    "s_ann_recall" -> sAnnRecall,
     "s_ann_lsh_batch" -> sAnnLshBatch,
     "s_ivf_ann" -> sIvfAnn,
     "s_ivf_ann_indexed" -> sIvfAnnIndexed,
+    "s_ivf_filtered" -> sIvfFiltered,
     "s_quantized_topk" -> sQuantizedTopk,
     "s_blocked_knn" -> sBlockedKnn,
     "s_topk_agg" -> sTopkAgg,
@@ -1145,9 +1277,11 @@ object Similarity {
     "s_quantized_topk" -> sQuantizedTopkSql,
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
+    "s_ann_recall" -> sAnnRecallSql,
     "s_ann_lsh_batch" -> sAnnLshBatchSql,
     "s_ivf_ann" -> sIvfAnnSql,
     "s_ivf_ann_indexed" -> sIvfAnnSql,
+    "s_ivf_filtered" -> sIvfFilteredSql,
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,
     "s_hard_negatives" -> sHardNegativesSql,

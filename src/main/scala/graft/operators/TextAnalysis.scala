@@ -434,6 +434,125 @@ object TextAnalysis {
        |GROUP BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // DSIR-style domain-affinity weighting (hashed-feature importance)
+  // ----------------------------------------------------------------
+
+  /** Feature-hash buckets for [[domainAffinityOf]]. Production sizes
+    * B ≈ 10⁴–10⁶ (DSIR uses 10⁴ hashed n-gram buckets); the fixture
+    * corpus keeps B small enough that bucket collisions and smoothing
+    * are actually exercised. */
+  private[graft] val AffinityBuckets = 64
+  private val AffinityTargetSources = Seq("src1", "src2", "src3")
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-unigram features look like a
+    * TARGET domain vs the raw corpus. Features are
+    * `graft_polyhash(token) mod B`; both distributions get add-1
+    * smoothing over the B buckets; a document scores
+    * Σ_f c_f · (p_target(f) − p_raw(f)).
+    * DSIR proper uses the log-likelihood ratio Σ c_f·log(p_t/p_r) —
+    * the probability-DIFFERENCE form here keeps every term one exact
+    * IEEE op chain (two divisions of exact longs, one subtract, one
+    * multiply), which libm `ln` cannot offer cross-engine (the
+    * [[lmScoreOf]] precedent); the façade exposes the log form,
+    * spec-pinned to agree with this one on ranking. Each term is
+    * rounded to 9 dp and summed in DECIMAL(28,9) — the money
+    * discipline, aggregation order can't matter.
+    *
+    * Scale shape: ONE tokenize pass → per-(doc, feature) counts (the
+    * shuffle carries (doc_id, int, long) rows bounded by tokens); the
+    * two feature tables derive from that frame and are ≤ B rows —
+    * broadcast; the scoring join is per-doc-feature × B-row model.
+    * The target indicator is any Column predicate — at 100 TB a
+    * curated target corpus unions in with `in_target = true`. */
+  /** The shared hashed-feature core: per-(doc, feature) counts joined
+    * with the smoothed target/raw probabilities — one row per
+    * (doc_id, in_target, f, c, pt, pr). Consumed by [[domainAffinityOf]]
+    * (probability-difference, oracle-exact) and
+    * [[domainAffinityLogOf]] (DSIR's log-likelihood ratio). */
+  private def affinityTerms(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    val cdf = docs
+      .select(col("doc_id"), isTarget.as("in_target"),
+        tokens(coalesce(col("text"), lit(""))).as("toks"))
+      .select(col("doc_id"), col("in_target"), explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("doc_id"), col("in_target"),
+        pmod(expr("graft_polyhash(t)"), lit(buckets.toLong)).as("f"))
+      .groupBy(col("doc_id"), col("in_target"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = cdf.groupBy(col("f")).agg(sum(col("c")).as("cr"))
+    val tgt = cdf.filter(col("in_target")).groupBy(col("f")).agg(sum(col("c")).as("ct"))
+    val model = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(cdf.agg(
+        sum(col("c")).as("tr"),
+        sum(when(col("in_target"), col("c")).otherwise(0L)).as("tt"))))
+      .select(col("f"),
+        ((col("ct") + lit(1)) / (col("tt") + lit(buckets))).as("pt"),
+        ((col("cr") + lit(1)) / (col("tr") + lit(buckets))).as("pr"))
+    cdf.join(broadcast(model), Seq("f"))
+  }
+
+  private[graft] def domainAffinityOf(docs: DataFrame, isTarget: Column,
+      buckets: Int = AffinityBuckets): DataFrame =
+    affinityTerms(docs, isTarget, buckets)
+      .groupBy(col("doc_id"), col("in_target"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(round(col("c") * (col("pt") - col("pr")), 9)
+          .cast("decimal(28,9)")).as("aff"))
+      .select(col("doc_id"), col("in_target"), col("n_tokens"),
+        round(col("aff").cast("double"), 6).as("affinity"))
+
+  /** DSIR's actual estimator — the per-doc log-likelihood ratio
+    * Σ_f c_f · ln(p_t(f)/p_r(f)). Lives outside the oracle gate (libm
+    * `ln`, the [[lmPerplexityOf]] precedent); its ranking agreement
+    * with the oracle-checked difference form is spec-pinned. */
+  private[graft] def domainAffinityLogOf(docs: DataFrame, isTarget: Column,
+      buckets: Int = AffinityBuckets): DataFrame =
+    affinityTerms(docs, isTarget, buckets)
+      .groupBy(col("doc_id"), col("in_target"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * (log(col("pt")) - log(col("pr")))).as("llr"))
+      .select(col("doc_id"), col("in_target"), col("n_tokens"),
+        round(col("llr"), 6).as("log_weight"))
+
+  private def tDomainAffinity: Q = (s, dir) =>
+    domainAffinityOf(Tables.documents(s, dir),
+      col("source").isin(AffinityTargetSources: _*))
+
+  private val tDomainAffinitySql = {
+    val b = AffinityBuckets
+    val srcs = AffinityTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, source IN ($srcs) AS in_target,
+       |         unnest(${duckTokens("coalesce(text, '')")}) AS t
+       |  FROM documents),
+       |cdf AS (SELECT doc_id, in_target,
+       |          ${graft.functions.PortableHash.duckPolyHash("t")} % $b AS f,
+       |          count(*) AS c
+       |        FROM base GROUP BY 1, 2, 3),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tr,
+       |               CAST(sum(CASE WHEN in_target THEN c ELSE 0 END) AS BIGINT) AS tt
+       |        FROM cdf),
+       |model AS (
+       |  SELECT r.f,
+       |         (coalesce(t.ct, 0) + 1) / (tot.tt + $b)
+       |           - (r.cr + 1) / (tot.tr + $b) AS diff
+       |  FROM (SELECT f, CAST(sum(c) AS BIGINT) AS cr FROM cdf GROUP BY f) r
+       |  LEFT JOIN (SELECT f, CAST(sum(c) AS BIGINT) AS ct FROM cdf
+       |             WHERE in_target GROUP BY f) t ON r.f = t.f
+       |  CROSS JOIN tot)
+       |SELECT doc_id, in_target, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       round(sum(round(c * diff, 9)::DECIMAL(28,9))::DOUBLE, 6) AS affinity
+       |FROM cdf JOIN model USING (f)
+       |GROUP BY doc_id, in_target""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Language identification: profile-overlap heuristic
   // ----------------------------------------------------------------
 
@@ -1055,6 +1174,7 @@ object TextAnalysis {
     "t_quality_score" -> tQualityScore,
     "t_gopher_rules" -> tGopherRules,
     "t_lm_score" -> tLmScore,
+    "t_domain_affinity" -> tDomainAffinity,
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
     "t_tfidf" -> tTfidf)
@@ -1074,6 +1194,7 @@ object TextAnalysis {
     "t_quality_score" -> tQualityScoreSql,
     "t_gopher_rules" -> tGopherRulesSql,
     "t_lm_score" -> tLmScoreSql,
+    "t_domain_affinity" -> tDomainAffinitySql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_tfidf" -> tTfidfSql)

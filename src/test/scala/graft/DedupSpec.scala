@@ -521,6 +521,29 @@ class DedupSpec extends SparkSpec {
     assert(out.getAs[Double]("mean_token_prob") == 0.805556)
   }
 
+  test("domain affinity: target-typical docs score high, difference and log forms agree on ranking") {
+    import spark.implicits._
+    // target domain talks about cats; raw background is cooking text.
+    // doc 4 is cat-like but NOT in-target — affinity must recognize it.
+    val docs = Seq(
+      (0L, "cat whiskers purr cat", true),
+      (1L, "cat purr cat cat whiskers", true),
+      (2L, "flour oven knead bake flour", false),
+      (3L, "oven bake simmer flour salt", false),
+      (4L, "cat purr whiskers purr", false)).toDF("doc_id", "text", "tgt")
+    val aff = TextAnalysis.domainAffinityOf(docs, col("tgt")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("affinity")).toMap
+    assert(aff(4L) > aff(2L) && aff(4L) > aff(3L),
+      "out-of-target cat doc should outscore cooking docs")
+    assert(Seq(0L, 1L).map(aff).min > Seq(2L, 3L).map(aff).max)
+    val logw = TextAnalysis.domainAffinityLogOf(docs, col("tgt")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    // the two estimators need not be affine but must rank identically
+    // on a fixture with distinct scores
+    def ranking(m: Map[Long, Double]) = m.toSeq.sortBy { case (id, v) => (-v, id) }.map(_._1)
+    assert(ranking(aff) == ranking(logw))
+  }
+
   test("lm score ranks corpus-typical text above token soup; ppl view inverts") {
     import spark.implicits._
     val docs = Seq(

@@ -92,6 +92,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.text.gopherRules(emptyDocs, "id", "body").count() == 0)
     assert(Graft.text.lmScore(emptyDocs, "id", "body").count() == 0)
     assert(Graft.text.lmPerplexity(emptyDocs, "id", "body").count() == 0)
+    assert(Graft.text.domainAffinity(emptyDocs, "id", "body", lit(true)).count() == 0)
   }
 
   test("hicsa pipeline on empty inputs: empty database, canonical schema") {

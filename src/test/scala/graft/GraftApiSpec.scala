@@ -289,6 +289,16 @@ class GraftApiSpec extends SparkSpec {
     assert(math.abs(prChain("r") - 0.15) < 1e-12)
   }
 
+  test("text.domainAffinity equals the harness t_domain_affinity on a renamed schema") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text").as("body"), col("source"))
+    val api = Graft.text.domainAffinity(docs, "id", "body",
+      col("source").isin("src1", "src2", "src3"))
+    val harness = SparkEntry.queries("t_domain_affinity")(spark, sf)
+    assert(api.orderBy("doc_id").collect().toSeq ==
+      harness.orderBy("doc_id").collect().toSeq)
+  }
+
   test("graphs.hits: known hub/authority counts on a star, normalized view rescales") {
     // hub h points at authorities x, y, z; one back-edge x -> h.
     // Round 1: auth = in-degree (x,y,z = 1 from h; h = 1 from x),

@@ -62,6 +62,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s_ivf_filtered: every hit satisfies the predicate, probes ≤ 3 cells, cosines agree with exact") {
+    val out = Similarity.queries("s_ivf_filtered")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.forall(r => Set(2, 5).contains(r.getAs[Int]("label"))),
+      "a hit escaped the metadata filter")
+    assert(out.map(_.getAs[Long]("cell")).toSet.size <= 3, "more than nprobe cells probed")
+    // the filter must not perturb scoring: any hit shared with the
+    // UNfiltered exact top-k carries the identical cosine
+    val exact = Similarity.queries("s_cosine_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cosine")).toMap
+    out.foreach { r =>
+      exact.get(r.getLong(0)).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
+  test("s_ann_recall reports exactly the overlap its two constituent queries have") {
+    val report = Similarity.queries("s_ann_recall")(spark, sf).collect()(0)
+    val ann = Similarity.queries("s_ann_lsh")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.queries("s_cosine_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val hits = (ann & exact).size.toLong
+    assert(report.getAs[Long]("n_hits") == hits)
+    assert(report.getAs[Double]("recall") ==
+      BigDecimal(hits / 10.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("LSH probe radius trades scan fraction for recall (the multi-probe knob)") {
     val brute = Similarity.queries("s_cosine_topk")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
