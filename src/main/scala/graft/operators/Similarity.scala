@@ -761,6 +761,124 @@ object Similarity {
        |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
 
   // ----------------------------------------------------------------
+  // Product quantization: subspace codebooks + ADC top-k
+  // ----------------------------------------------------------------
+
+  /** PQ geometry: M subspaces of SubDim dims, K centroids per
+    * subspace, trained PqRounds Lloyd rounds. Codes are M small ints
+    * per vector — 64 float32 dims (256 B) compress to 4 codes (4 B at
+    * k ≤ 256), the memory ratio that makes billion-vector serving
+    * feasible (Jégou et al. 2011, the FAISS IndexPQ design). */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+  private val PqRounds = 2
+
+  /** Product-quantization ADC top-K: train an independent k-means
+    * codebook per subspace (the full [[kmeansFit]] loop on each slice),
+    * ENCODE every vector as its per-subspace nearest-centroid ids, and
+    * rank candidates against the query through ASYMMETRIC DISTANCE
+    * COMPUTATION — the query precomputes an M×K table of subspace
+    * distances, and a candidate's score is M table lookups summed,
+    * never a full-dimension dot product. Complements [[sQuantizedTopk]]
+    * (scalar int8: 4× compression, full-width scan) with the codebook
+    * path (64× here; lookups ∝ M).
+    *
+    * Ranking uses Σ_m (‖c_m‖² − 2·q_m·c_m) — each subspace term drops
+    * the ‖q_m‖² constant, so ordering equals true L2 to the
+    * reconstructed codewords. Every dot is the shared left-fold; the
+    * M-term sum rounds each term to 9 dp into a DECIMAL(28,9)
+    * accumulator (aggregation order can't matter), so encode, table,
+    * and ranking are bit-identical in the oracle.
+    *
+    * Scale shape: training reads the corpus PqRounds times per
+    * subspace with k-row broadcast models ([[kmeansFit]]); encode is
+    * ONE corpus scan against the broadcast M·K-row codebook union,
+    * collapsing map-side to (vec_id, m, code); the ADC scan joins
+    * codes to the broadcast M×K distance table and shuffles (vec_id,
+    * decimal) partials. At serving scale the codes frame IS the index
+    * (stored, 64× smaller than the vectors); only it is scanned. */
+  private def sPqAdc: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val v = Tables.embeddings(s, dir)
+    val models = (0 until PqM).map { m =>
+      kmeansFit(v.select(col("vec_id"),
+          expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
+        PqK, PqRounds)
+        .select(lit(m).as("mm"), col("cell"), col("ce"), col("cn"))
+    }.reduce(_ unionByName _)
+    val subs = (0 until PqM)
+      .map(m => s"struct($m as m, slice(embedding, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
+      .mkString("array(", ", ", ")")
+    val scored = v
+      .select(col("vec_id"), col("label"), explode(expr(subs)).as("p"))
+      .select(col("vec_id"), col("label"), col("p.m").as("m"), col("p.sv").as("sv"))
+      .join(broadcast(models), col("m") === col("mm"))
+      .select(col("vec_id"), col("label"), col("m"), col("cell"),
+        (col("cn") - lit(2.0) * expr(foldDot("sv", "ce"))).as("score"))
+    val codes = scored
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("cell"))).as("best"),
+        first(col("label")).as("label"))
+      .select(col("vec_id"), col("label"), col("m"), col("best.cell").as("code"))
+    // the query's ADC table is its own scored rows — M×K entries
+    val dt = scored.filter(col("vec_id") === QueryVec)
+      .select(col("m").as("dm"), col("cell").as("dcell"), col("score").as("dscore"))
+    codes.filter(col("vec_id") =!= QueryVec)
+      .join(broadcast(dt), col("m") === col("dm") && col("code") === col("dcell"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"),
+        sum(round(col("dscore"), 9).cast("decimal(28,9)")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("label"),
+        round(col("adc").cast("double"), 6).as("adc_score"))
+  }
+
+  private lazy val sPqAdcSql = {
+    val subCtes = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""sub$m AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"""
+    }.mkString(",\n")
+    val trainCtes = (0 until PqM)
+      .map(m => duckKmeansCtesFor(PqK, PqRounds, s"sub$m", s"q$m"))
+      .mkString(",\n")
+    val modelSelects = (0 until PqM)
+      .map(m => s"SELECT $m AS m, cell, ce, ${duckFoldDot("ce", "ce")} AS cn FROM q${m}cent$PqRounds")
+      .mkString("\nUNION ALL\n")
+    val vsubSelects = (0 until PqM)
+      .map(m => s"SELECT vec_id, $m AS m, embedding FROM sub$m")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $subCtes,
+       |$trainCtes,
+       |model AS MATERIALIZED ($modelSelects),
+       |vsub AS ($vsubSelects),
+       |scored AS MATERIALIZED (
+       |  SELECT v.vec_id, v.m, s.cell,
+       |         s.cn - 2 * ${duckFoldDot("v.embedding", "s.ce")} AS score
+       |  FROM vsub v JOIN model s ON v.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, cell AS code FROM (
+       |    SELECT vec_id, m, cell,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |                              ORDER BY score, cell) AS rn
+       |    FROM scored) rankedc
+       |  WHERE rn = 1),
+       |dt AS (SELECT m AS dm, cell AS dcell, score AS dscore
+       |       FROM scored WHERE vec_id = $QueryVec),
+       |adc AS (
+       |  SELECT c.vec_id,
+       |         sum(round(dt.dscore, 9)::DECIMAL(28,9)) AS adc
+       |  FROM codes c JOIN dt ON c.m = dt.dm AND c.code = dt.dcell
+       |  WHERE c.vec_id <> $QueryVec
+       |  GROUP BY c.vec_id)
+       |SELECT a.vec_id, e.label, round(a.adc::DOUBLE, 6) AS adc_score
+       |FROM adc a JOIN embeddings e ON a.vec_id = e.vec_id
+       |ORDER BY a.adc, a.vec_id LIMIT $K""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Blocked kNN: top-3 neighbours per vector within its label cell
   // ----------------------------------------------------------------
 
@@ -1063,34 +1181,42 @@ object Similarity {
     * s_kmeans oracle and [[Dedup]]'s d_semdedup oracle so the two can
     * never drift. Seed `cell = vec_id` replicates "k lowest ids" on
     * the fixture's 0-based contiguous ids. */
-  private[operators] def duckKmeansCtes(k: Int, rounds: Int): String = {
+  private[operators] def duckKmeansCtes(k: Int, rounds: Int): String =
+    duckKmeansCtesFor(k, rounds, "embeddings", "")
+
+  /** The tagged/retargetable form: `src` is the relation trained on
+    * (must expose vec_id + embedding), `tag` prefixes every CTE name so
+    * several chains coexist in one WITH (the PQ oracle trains one
+    * chain per subspace). Final model CTE: `${tag}cent$rounds`. */
+  private[operators] def duckKmeansCtesFor(k: Int, rounds: Int,
+      src: String, tag: String): String = {
     def fold(a: String, b: String) = duckFoldDot(a, b)
     val seed =
-      s"""cent0 AS MATERIALIZED (
+      s"""${tag}cent0 AS MATERIALIZED (
          |  SELECT vec_id::INT AS cell,
          |         list_transform(embedding, x -> x::FLOAT) AS ce
-         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+         |  FROM $src WHERE vec_id < $k)""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
-      s"""p$r AS (SELECT v.vec_id, s.cell,
+      s"""${tag}p$r AS (SELECT v.vec_id, s.cell,
          |          ${fold("s.ce", "s.ce")} - 2 * ${fold("v.embedding", "s.ce")} AS score
-         |        FROM embeddings v CROSS JOIN cent${r - 1} s),
-         |a$r AS MATERIALIZED (
+         |        FROM $src v CROSS JOIN ${tag}cent${r - 1} s),
+         |${tag}a$r AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
-         |    FROM p$r) ranked$r
+         |    FROM ${tag}p$r) ${tag}ranked$r
          |  WHERE rn = 1),
-         |m$r AS MATERIALIZED (
+         |${tag}m$r AS MATERIALIZED (
          |  SELECT cell, dim, avg(cv) AS m, count(*) AS n
-         |  FROM (SELECT a$r.cell,
+         |  FROM (SELECT ${tag}a$r.cell,
          |          unnest(range(1, len(v.embedding) + 1)) AS dim,
          |          unnest(v.embedding) AS cv
-         |        FROM a$r JOIN embeddings v ON a$r.vec_id = v.vec_id)
+         |        FROM ${tag}a$r JOIN $src v ON ${tag}a$r.vec_id = v.vec_id)
          |  GROUP BY cell, dim),
-         |cent$r AS MATERIALIZED (
+         |${tag}cent$r AS MATERIALIZED (
          |  SELECT cell, list_transform(list(m ORDER BY dim), x -> x::FLOAT) AS ce,
          |         first(n) AS n_vectors
-         |  FROM m$r GROUP BY cell)""".stripMargin
+         |  FROM ${tag}m$r GROUP BY cell)""".stripMargin
     }
     s"""$seed,
        |${roundCtes.mkString(",\n")}""".stripMargin
@@ -1269,6 +1395,7 @@ object Similarity {
     "s_blocked_knn" -> sBlockedKnn,
     "s_topk_agg" -> sTopkAgg,
     "s_hard_negatives" -> sHardNegatives,
+    "s_pq_adc" -> sPqAdc,
     "s_kmeans" -> sKmeans,
     "s_ivf_trained" -> sIvfTrained,
     "s_centroids" -> sCentroids)
@@ -1285,6 +1412,7 @@ object Similarity {
     "s_blocked_knn" -> sBlockedKnnSql,
     "s_topk_agg" -> sTopkAggSql,
     "s_hard_negatives" -> sHardNegativesSql,
+    "s_pq_adc" -> sPqAdcSql,
     "s_kmeans" -> sKmeansSql,
     "s_ivf_trained" -> sIvfTrainedSql,
     "s_centroids" -> sCentroidsSql,
