@@ -129,6 +129,18 @@ object Graft {
       nearDupIdsFor(signatures(df, idCol, textCol,
         org.apache.spark.storage.StorageLevel.NONE), minEstJaccard)
 
+    /** Candidate-recall report for the LSH banding geometry: of pairs
+      * whose TRUE shingle Jaccard ≥ `minJaccard`, the fraction the
+      * banded MinHash generator surfaces — (n_true, n_candidates,
+      * n_captured, recall). Run on a hash-sampled slice before a
+      * corpus-scale dedup to validate the (perms, bands, rows)
+      * choice against the S-curve. */
+    def lshRecall(df: DataFrame, idCol: String, textCol: String,
+        minJaccard: Double = 0.5): DataFrame =
+      Dedup.lshRecallOf(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text")), minJaccard)
+
     /** Benchmark DECONTAMINATION: ids of `corpus` docs sharing any
       * 5-shingle with `holdout` (the eval/benchmark set), with the
       * distinct shared-shingle count — run this before trusting a
@@ -399,6 +411,17 @@ object Graft {
       operators.TextAnalysis.lmPerplexityOf(
         df.select(col(idCol).cast("long").as("doc_id"),
           col(textCol).as("text")), k)
+
+    /** CCNet-style head/middle/tail quality strata: within each
+      * language, rank documents by the corpus-trained LM's mean token
+      * probability and cut into tertiles — (doc_id, lang,
+      * mean_token_prob, bucket). Head = most corpus-typical (lowest
+      * perplexity). Windows partition by language, never globally. */
+    def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+        langCol: String): DataFrame =
+      operators.TextAnalysis.ccnetBucketsOf(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"), col(langCol).as("lang")))
 
     /** DSIR-style domain-affinity weighting: score each document by
       * how much its hashed-unigram features look like the rows where

@@ -444,6 +444,69 @@ object Dedup {
     s"""WITH $duckMinhashCandCte
        |SELECT a_id, b_id, n_shared_bands, est_jaccard FROM mh""".stripMargin
 
+  /** LSH candidate RECALL against ground truth — the measurement that
+    * justifies (or indicts) a banding geometry before a corpus-scale
+    * run: of the pairs whose TRUE shingle Jaccard reaches
+    * [[JaccardThreshold]], what fraction did the banded MinHash
+    * candidate generator surface? One report row: (n_true,
+    * n_candidates, n_captured, recall). The S-curve predicts
+    * P[candidate] = 1 − (1 − J^rows)^bands; this query measures the
+    * realized value on the actual corpus — the [[graft.operators
+    * .Similarity]] `s_ann_recall` twin for the dedup side. Both sides
+    * are exact (inverted-index Jaccard, deterministic banding), so the
+    * report is oracle-checkable.
+    *
+    * Scale shape: the two pair generators are the ones the pipeline
+    * already runs (df-capped index join; capped band join); the
+    * overlap is a semi-join on pair keys; everything after is three
+    * 1-row aggregates. At 100 TB one measures on a hash-sampled slice
+    * (p8's sampler) — the ratio, not the corpus, is the deliverable. */
+  /** Generic entry behind `d_lsh_recall` (and the
+    * [[graft.Graft.dedup]] façade): `docs(doc_id, text)`. */
+  private[graft] def lshRecallOf(docs: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val truth = rareShinglePairStatsOf(docs)
+      .filter(round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
+        >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val cand = minhashCandidatesFromSig(signaturesOf(docs))
+      .select(col("a_id"), col("b_id"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val ncap = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_captured"))
+    nt.crossJoin(nc).crossJoin(ncap)
+      .select(col("n_true"), col("n_candidates"), col("n_captured"),
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(round(col("n_captured").cast("double") / col("n_true"), 6))
+          .as("recall"))
+  }
+
+  private def dLshRecall: Q = (s, dir) =>
+    lshRecallOf(Tables.documents(s, dir))
+
+  private val dLshRecallSql = {
+    // both composite chains embed the shingle CTEs verbatim at their
+    // head; splice them into ONE WITH by dropping the duplicate prefix
+    require(duckMinhashCandCte.startsWith(duckShingleCte + ","),
+      "CTE prefix drifted; d_lsh_recall splice is stale")
+    val candTail = duckMinhashCandCte.substring(duckShingleCte.length + 2)
+    s"""WITH $duckPairStatsCte,
+       |$candTail,
+       |truth AS (SELECT a_id, b_id FROM pstats
+       |          WHERE round(inter / (na + nb - inter), 6) >= $JaccardThreshold),
+       |capd AS (SELECT count(*) AS n_captured
+       |         FROM truth WHERE EXISTS (SELECT 1 FROM mh
+       |           WHERE mh.a_id = truth.a_id AND mh.b_id = truth.b_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |       (SELECT count(*) FROM mh) AS n_candidates,
+       |       n_captured,
+       |       CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+       |            ELSE round(n_captured::DOUBLE / (SELECT count(*) FROM truth), 6)
+       |       END AS recall
+       |FROM capd""".stripMargin
+  }
+
   /** Truncation audit for the capped band joins: per band, bucket
     * count, hottest-bucket occupancy, and how many doc slots the
     * [[MaxBucketOccupancy]] cap kept vs truncated. A pipeline running
@@ -1272,6 +1335,7 @@ object Dedup {
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_containment" -> dContainment,
     "d_minhash_lsh" -> dMinhashLsh,
+    "d_lsh_recall" -> dLshRecall,
     "d_lsh_bucket_stats" -> dLshBucketStats,
     "d_editdist_verify" -> dEditdistVerify,
     "d_simhash" -> dSimhash,
@@ -1291,6 +1355,7 @@ object Dedup {
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_containment" -> dContainmentSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_lsh_recall" -> dLshRecallSql,
     "d_lsh_bucket_stats" -> dLshBucketStatsSql,
     "d_editdist_verify" -> dEditdistVerifySql,
     "d_simhash" -> dSimhashSql,

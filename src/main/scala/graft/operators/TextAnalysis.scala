@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -434,8 +435,58 @@ object TextAnalysis {
        |GROUP BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
-  // DSIR-style domain-affinity weighting (hashed-feature importance)
+  // CCNet head/middle/tail split (per-language LM-quality tertiles)
   // ----------------------------------------------------------------
+
+  /** CCNet's corpus partitioning (Wenzek et al. 2020): within each
+    * language, rank documents by LM quality and cut into
+    * head/middle/tail tertiles — the standard quality strata that
+    * downstream mixtures sample from (head-only for high-quality
+    * pretraining, head+middle for scale). Quality here is
+    * [[lmScoreOf]]'s mean token probability (highest = most
+    * corpus-typical = head; CCNet ranks by perplexity, same ordering
+    * reversed). The bucket rule is integer-exact — doc is head iff
+    * 3·rank ≤ n, middle iff 3·rank ≤ 2n — so the oracle needs no
+    * tolerance anywhere: scores are the oracle-exact lm values and
+    * the cut is arithmetic on row_number/count.
+    *
+    * Scale shape: the LM scoring is [[lmScoreOf]] (two corpus scans,
+    * vocab-bounded broadcast model); the ranking windows partition BY
+    * LANGUAGE — no global sort. A language's stratum at 100 TB is
+    * still one sort partition; production shards further by
+    * (lang, hash-range) exactly like CCNet's per-shard percentile
+    * estimation, trading exact tertiles for bounded partitions. */
+  /** Generic entry behind `t_ccnet_buckets` — `docs` must carry
+    * (doc_id, text, lang). */
+  private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
+    val scored = lmScoreOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val rankW = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_token_prob").desc, col("doc_id").asc)
+    val cntW = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(cntW))
+      .select(col("doc_id"), col("lang"), col("mean_token_prob"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private def tCcnetBuckets: Q = (s, dir) =>
+    ccnetBucketsOf(Tables.documents(s, dir))
+
+  private val tCcnetBucketsSql =
+    s"""SELECT doc_id, lang, mean_token_prob,
+       |  CASE WHEN 3 * rn <= n THEN 'head'
+       |       WHEN 3 * rn <= 2 * n THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM (SELECT l.doc_id, d.lang, l.mean_token_prob,
+       |        row_number() OVER (PARTITION BY d.lang
+       |          ORDER BY l.mean_token_prob DESC, l.doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY d.lang) AS n
+       |      FROM ($tLmScoreSql) l
+       |      JOIN documents d USING (doc_id)) ranked""".stripMargin
 
   /** Feature-hash buckets for [[domainAffinityOf]]. Production sizes
     * B ≈ 10⁴–10⁶ (DSIR uses 10⁴ hashed n-gram buckets); the fixture
@@ -1175,6 +1226,7 @@ object TextAnalysis {
     "t_gopher_rules" -> tGopherRules,
     "t_lm_score" -> tLmScore,
     "t_domain_affinity" -> tDomainAffinity,
+    "t_ccnet_buckets" -> tCcnetBuckets,
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
     "t_tfidf" -> tTfidf)
@@ -1195,6 +1247,7 @@ object TextAnalysis {
     "t_gopher_rules" -> tGopherRulesSql,
     "t_lm_score" -> tLmScoreSql,
     "t_domain_affinity" -> tDomainAffinitySql,
+    "t_ccnet_buckets" -> tCcnetBucketsSql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_tfidf" -> tTfidfSql)

@@ -544,6 +544,51 @@ class DedupSpec extends SparkSpec {
     assert(ranking(aff) == ranking(logw))
   }
 
+  test("lsh recall: exact duplicates are always captured (recall 1), report counts add up") {
+    import spark.implicits._
+    // two exact-dup clusters (identical text ⇒ identical signatures ⇒
+    // every band collides ⇒ candidates MUST include all true pairs)
+    // plus unrelated filler
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven"
+    val docs = (Seq((0L, a), (1L, a), (2L, a), (3L, b), (4L, b)) ++
+      (5L to 14L).map(i => (i, s"filler text number $i with unique words w${i}a w${i}b w${i}c")))
+      .toDF("id", "body")
+    val r = Graft.dedup.lshRecall(docs, "id", "body").head()
+    // true pairs: C(3,2) + C(2,2) = 4, all captured
+    assert(r.getAs[Long]("n_true") == 4L)
+    assert(r.getAs[Long]("n_captured") == 4L)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Long]("n_candidates") >= 4L)
+  }
+
+  test("ccnet buckets: per-language tertiles, fluent text lands in head, soup in tail") {
+    import spark.implicits._
+    // 6 English docs: 2 fluent (repeat corpus phrases), 2 middling, 2
+    // token soup; plus a 3-doc second language to prove the window
+    // partitions per lang (its tertiles are its own).
+    val docs = Seq(
+      (0L, "the cat sat on the mat and the cat sat on the mat", "en"),
+      (1L, "the cat sat on the mat again and again and again", "en"),
+      (2L, "the dog stood on the mat sometimes", "en"),
+      (3L, "a dog sat near the cat quietly", "en"),
+      (4L, "zyx qwv jkl pqr stu vwx", "en"),
+      (5L, "qqq www eee rrr ttt yyy", "en"),
+      (10L, "uno dos tres uno dos tres", "es"),
+      (11L, "uno dos tres cuatro", "es"),
+      (12L, "xxo ppl mmn bbv", "es")).toDF("id", "body", "language")
+    val out = Graft.text.ccnetBuckets(docs, "id", "body", "language").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[String]("bucket")))).toMap
+    val en = out.filter(_._2._1 == "en").view.mapValues(_._2).toMap
+    assert(en.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    assert(Set(en(4L), en(5L)) == Set("tail"), "token soup must land in tail")
+    val es = out.filter(_._2._1 == "es").view.mapValues(_._2).toMap
+    assert(es.values.toSet == Set("head", "middle", "tail"),
+      "3-doc language must spread one per tertile")
+  }
+
   test("lm score ranks corpus-typical text above token soup; ppl view inverts") {
     import spark.implicits._
     val docs = Seq(

@@ -93,6 +93,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.text.lmScore(emptyDocs, "id", "body").count() == 0)
     assert(Graft.text.lmPerplexity(emptyDocs, "id", "body").count() == 0)
     assert(Graft.text.domainAffinity(emptyDocs, "id", "body", lit(true)).count() == 0)
+    assert(Graft.text.ccnetBuckets(
+      emptyDocs.withColumn("lg", lit("en")), "id", "body", "lg").count() == 0)
+    // the recall report on an empty corpus is the 1-row zero report
+    val rep = Graft.dedup.lshRecall(emptyDocs, "id", "body").head()
+    assert(rep.getAs[Long]("n_true") == 0L && rep.getAs[Double]("recall") == 0.0)
   }
 
   test("hicsa pipeline on empty inputs: empty database, canonical schema") {
