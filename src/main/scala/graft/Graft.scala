@@ -139,7 +139,8 @@ object Graft {
         minJaccard: Double = 0.5): DataFrame =
       Dedup.lshRecallOf(
         df.select(col(idCol).cast("long").as("doc_id"),
-          col(textCol).as("text")), minJaccard)
+          col(textCol).as("text")), minJaccard,
+        org.apache.spark.storage.StorageLevel.NONE)
 
     /** Benchmark DECONTAMINATION: ids of `corpus` docs sharing any
       * 5-shingle with `holdout` (the eval/benchmark set), with the
@@ -416,7 +417,10 @@ object Graft {
       * language, rank documents by the corpus-trained LM's mean token
       * probability and cut into tertiles — (doc_id, lang,
       * mean_token_prob, bucket). Head = most corpus-typical (lowest
-      * perplexity). Windows partition by language, never globally. */
+      * perplexity). Windows partition by language, never globally.
+      * Documents with < 2 tokens have no LM score and are absent from
+      * the output — apply a min-length filter ([[gopherRules]])
+      * upstream, as a real pipeline does before perplexity bucketing. */
     def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
         langCol: String): DataFrame =
       operators.TextAnalysis.ccnetBucketsOf(
@@ -436,7 +440,8 @@ object Graft {
       operators.TextAnalysis.domainAffinityOf(
         df.select(col(idCol).cast("long").as("doc_id"),
           col(textCol).as("text"), isTarget.as("__t")),
-        col("__t"), buckets)
+        col("__t"), buckets,
+        org.apache.spark.storage.StorageLevel.NONE)
 
     /** DSIR's log-likelihood-ratio estimator over the same hashed
       * features: (doc_id, in_target, n_tokens, log_weight). Ranking
@@ -448,7 +453,8 @@ object Graft {
       operators.TextAnalysis.domainAffinityLogOf(
         df.select(col(idCol).cast("long").as("doc_id"),
           col(textCol).as("text"), isTarget.as("__t")),
-        col("__t"), buckets)
+        col("__t"), buckets,
+        org.apache.spark.storage.StorageLevel.NONE)
   }
 
   object graphs {
@@ -508,15 +514,21 @@ object Graft {
       Graph.hits(links, nodes, iters)
 
     /** [[hits]] rescaled to unit max (auth_n = auth/max(auth), hub_n =
-      * hub/max(hub)) — the comparable-across-graphs view. */
+      * hub/max(hub)) — the comparable-across-graphs view. An edgeless
+      * graph (max 0) yields 0 scores, not a division error. The HITS
+      * subtree is localCheckpoint'd: two consumers read it (the max
+      * aggregate and the projection), and without the cut the whole
+      * iterative chain would execute twice. */
     def hitsNormalized(links: DataFrame, nodes: DataFrame, iters: Int = 2): DataFrame = {
-      import org.apache.spark.sql.functions.{col, max => fmax, round => fround}
-      val h = Graph.hits(links, nodes, iters)
+      import org.apache.spark.sql.functions.{col, lit, max => fmax, round => fround, when}
+      val h = Graph.hits(links, nodes, iters).localCheckpoint()
       val m = h.agg(fmax(col("auth")).as("ma"), fmax(col("hub")).as("mh"))
       h.crossJoin(org.apache.spark.sql.functions.broadcast(m))
         .select(col("node"),
-          fround(col("auth") / col("ma"), 6).as("auth_n"),
-          fround(col("hub") / col("mh"), 6).as("hub_n"))
+          when(col("ma") === 0L, lit(0.0))
+            .otherwise(fround(col("auth") / col("ma"), 6)).as("auth_n"),
+          when(col("mh") === 0L, lit(0.0))
+            .otherwise(fround(col("hub") / col("mh"), 6)).as("hub_n"))
     }
   }
 

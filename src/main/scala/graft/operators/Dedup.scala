@@ -462,14 +462,20 @@ object Dedup {
     * 1-row aggregates. At 100 TB one measures on a hash-sampled slice
     * (p8's sampler) — the ratio, not the corpus, is the deliverable. */
   /** Generic entry behind `d_lsh_recall` (and the
-    * [[graft.Graft.dedup]] façade): `docs(doc_id, text)`. */
+    * [[graft.Graft.dedup]] façade): `docs(doc_id, text)`. `storage`
+    * follows the one-shot-façade contract: the harness passes the
+    * default MEMORY_AND_DISK (and clears its cache per query), façade
+    * calls pass StorageLevel.NONE so nothing leaks into a long-lived
+    * session. */
   private[graft] def lshRecallOf(docs: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
-    val truth = rareShinglePairStatsOf(docs)
+      threshold: Double = JaccardThreshold,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val truth = rareShinglePairStatsOf(docs, storage)
       .filter(round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
         >= threshold)
       .select(col("a_id"), col("b_id"))
-    val cand = minhashCandidatesFromSig(signaturesOf(docs))
+    val cand = minhashCandidatesFromSig(signaturesOf(docs, storage))
       .select(col("a_id"), col("b_id"))
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nc = cand.agg(count(lit(1)).as("n_candidates"))

@@ -475,7 +475,14 @@ object Similarity {
     * identical results to [[sIvfAnn]] (SimilaritySpec-pinned), but the
     * corpus-wide assignment is paid once at build time instead of per
     * query. */
-  private def sIvfAnnIndexed: Q = (s, dir) => {
+  /** The ONE probe path over the persisted [[ivfIndex]]: nearest
+    * `nprobe` cells from the stored centroids (quantizer-sized
+    * collect), cell-pruned data scan, optional metadata predicate
+    * (pushed into the pruned scan), exact cosine rank. Shared by
+    * [[sIvfAnnIndexed]] and [[sIvfFiltered]] so the probe logic (and
+    * its empty-corpus degradation) cannot drift between them. */
+  private def ivfIndexProbeTopk(s: SparkSession, dir: String, nprobe: Int,
+      extraFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val root = ivfIndex(s, dir)
     val q = withNorm(Tables.embeddings(s, dir)).filter(col("vec_id") === QueryVec)
@@ -484,7 +491,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
       .orderBy(col("pscore").asc, col("cell").asc)
-      .limit(NProbe)
+      .limit(nprobe)
       .select(col("cell")).collect().map(_.getLong(0))
     if (probeCells.isEmpty) {
       // no query vector in this corpus → empty top-K, query's schema
@@ -492,8 +499,9 @@ object Similarity {
         .select(col("vec_id"), col("label"), lit(0L).as("cell"), lit(0.0).as("cosine"))
         .limit(0)
     } else {
-      s.read.parquet(s"$root/data")
+      val scan = s.read.parquet(s"$root/data")
         .filter(col("cell").isin(probeCells.map(Long.box): _*))
+      extraFilter.fold(scan)(scan.filter)
         .filter(col("vec_id") =!= QueryVec)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
@@ -504,6 +512,9 @@ object Similarity {
           round(col("cos"), 6).as("cosine"))
     }
   }
+
+  private def sIvfAnnIndexed: Q = (s, dir) =>
+    ivfIndexProbeTopk(s, dir, NProbe, None)
 
   // ----------------------------------------------------------------
   // Metadata-filtered ANN (predicate + IVF probe)
@@ -530,35 +541,9 @@ object Similarity {
     * Oracle: the in-query quantizer CTEs with the same filter — the
     * persisted index holds exactly the in-query assignment
     * ([[ivfIndex]] shares [[ivfAssignment]]), so parity holds. */
-  private def sIvfFiltered: Q = (s, dir) => {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val root = ivfIndex(s, dir)
-    val q = withNorm(Tables.embeddings(s, dir)).filter(col("vec_id") === QueryVec)
-      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
-    val probeCells = s.read.parquet(s"$root/centroids")
-      .crossJoin(broadcast(q))
-      .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
-      .orderBy(col("pscore").asc, col("cell").asc)
-      .limit(FilteredNProbe)
-      .select(col("cell")).collect().map(_.getLong(0))
-    if (probeCells.isEmpty) {
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), lit(0L).as("cell"), lit(0.0).as("cosine"))
-        .limit(0)
-    } else {
-      s.read.parquet(s"$root/data")
-        .filter(col("cell").isin(probeCells.map(Long.box): _*))
-        .filter(col("label").isin(FilteredLabels.map(Int.box): _*))
-        .filter(col("vec_id") =!= QueryVec)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
-          expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-        .limit(K)
-        .select(col("vec_id"), col("label"), col("cell"),
-          round(col("cos"), 6).as("cosine"))
-    }
-  }
+  private def sIvfFiltered: Q = (s, dir) =>
+    ivfIndexProbeTopk(s, dir, FilteredNProbe,
+      Some(col("label").isin(FilteredLabels.map(Int.box): _*)))
 
   private val sIvfFilteredSql =
     s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),

@@ -457,7 +457,12 @@ object TextAnalysis {
     * (lang, hash-range) exactly like CCNet's per-shard percentile
     * estimation, trading exact tertiles for bounded partitions. */
   /** Generic entry behind `t_ccnet_buckets` — `docs` must carry
-    * (doc_id, text, lang). */
+    * (doc_id, text, lang). Covers exactly the LM-scorable subset:
+    * documents with < 2 tokens have no bigrams, get no LM score, and
+    * are ABSENT from the strata (tertile boundaries count only scored
+    * docs) — route them through a length filter first (gopherRules'
+    * min-length rule), which a real pipeline applies before
+    * perplexity bucketing anyway. */
   private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
     val scored = lmScoreOf(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -523,9 +528,10 @@ object TextAnalysis {
     * (probability-difference, oracle-exact) and
     * [[domainAffinityLogOf]] (DSIR's log-likelihood ratio). */
   private def affinityTerms(docs: DataFrame, isTarget: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int,
+      storage: org.apache.spark.storage.StorageLevel): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
-    val cdf = docs
+    val cdf0 = docs
       .select(col("doc_id"), isTarget.as("in_target"),
         tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), col("in_target"), explode_outer(col("toks")).as("t"))
@@ -534,10 +540,14 @@ object TextAnalysis {
         pmod(expr("graft_polyhash(t)"), lit(buckets.toLong)).as("f"))
       .groupBy(col("doc_id"), col("in_target"), col("f"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // four consumers (raw, tgt, totals, scoring join) re-derive the
+    // tokenize pipeline without the persist; one-shot façade calls
+    // pass NONE per the cache contract (harness clears per query)
+    val cdf = if (storage == org.apache.spark.storage.StorageLevel.NONE) cdf0
+      else cdf0.persist(storage)
     val raw = cdf.groupBy(col("f")).agg(sum(col("c")).as("cr"))
     val tgt = cdf.filter(col("in_target")).groupBy(col("f")).agg(sum(col("c")).as("ct"))
-    val model = raw.join(tgt, Seq("f"), "left")
+    val model = raw.join(broadcast(tgt), Seq("f"), "left")
       .select(col("f"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
       .crossJoin(broadcast(cdf.agg(
         sum(col("c")).as("tr"),
@@ -549,8 +559,10 @@ object TextAnalysis {
   }
 
   private[graft] def domainAffinityOf(docs: DataFrame, isTarget: Column,
-      buckets: Int = AffinityBuckets): DataFrame =
-    affinityTerms(docs, isTarget, buckets)
+      buckets: Int = AffinityBuckets,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    affinityTerms(docs, isTarget, buckets, storage)
       .groupBy(col("doc_id"), col("in_target"))
       .agg(sum(col("c")).as("n_tokens"),
         sum(round(col("c") * (col("pt") - col("pr")), 9)
@@ -563,8 +575,10 @@ object TextAnalysis {
     * `ln`, the [[lmPerplexityOf]] precedent); its ranking agreement
     * with the oracle-checked difference form is spec-pinned. */
   private[graft] def domainAffinityLogOf(docs: DataFrame, isTarget: Column,
-      buckets: Int = AffinityBuckets): DataFrame =
-    affinityTerms(docs, isTarget, buckets)
+      buckets: Int = AffinityBuckets,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    affinityTerms(docs, isTarget, buckets, storage)
       .groupBy(col("doc_id"), col("in_target"))
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * (log(col("pt")) - log(col("pr")))).as("llr"))

@@ -60,6 +60,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(bfs.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((7L, 0)))
     assert(Graft.graphs.pageRank(noEdges, Seq.empty[Long].toDF("node")).count() == 0)
     assert(Graft.graphs.hits(noEdges, Seq.empty[Long].toDF("node")).count() == 0)
+    // edgeless graph with nodes: all-zero scores must normalize to 0,
+    // not raise ANSI DIVIDE_BY_ZERO
+    val hn = Graft.graphs.hitsNormalized(noEdges, Seq(1L, 2L).toDF("node")).collect()
+    assert(hn.length == 2 &&
+      hn.forall(r => r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0))
     assert(Graft.graphs.kcore(noEdges, 2).count() == 0)
   }
 

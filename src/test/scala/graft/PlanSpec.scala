@@ -266,6 +266,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("r8 plans: hard-negatives one k-bounded shuffle, affinity/pq broadcast-only joins") {
+    // s_hard_negatives: the n·|anchors| pair space collapses map-side
+    // through graft_topk — exactly ONE hash shuffle (the aggregate's),
+    // carrying k-bounded buffers; anchors and the winner panel both
+    // broadcast, so no shuffle join anywhere
+    val hn = plan("s_hard_negatives")
+    assert("Exchange hashpartitioning".r.findAllIn(hn).length == 1, hn)
+    assert(!hn.contains("SortMergeJoin"), hn)
+    // t_domain_affinity: every model-side join is broadcast (the
+    // feature tables are ≤ B rows); the corpus never shuffles as text —
+    // the exchanges carry (doc_id, f, c) rows and B-row aggregates
+    val da = plan("t_domain_affinity")
+    assert(!da.contains("SortMergeJoin"), da)
+    // s_pq_adc: codebooks are driver-local literals, the encode join
+    // and the ADC table join both broadcast
+    val pq = plan("s_pq_adc")
+    assert(!pq.contains("SortMergeJoin"), pq)
+  }
+
   test("AQE skew join splits the hot partition at runtime") {
     // the runtime complement to j4_salted_join's MANUAL salting demo:
     // with adaptive skew-join on, a sort-merge join against a key whose
