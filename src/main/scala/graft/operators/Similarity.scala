@@ -864,6 +864,180 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------
+  // IVF-PQ with exact re-rank (the full two-stage retrieval stack)
+  // ----------------------------------------------------------------
+
+  /** ADC shortlist size the exact re-rank refines. */
+  private val RerankPool = 30
+
+  /** The production retrieval stack in one query (FAISS
+    * IVFPQ + refine): the coarse quantizer prunes the corpus to
+    * `NProbe` cells, PQ ADC ranks the surviving candidates with M
+    * table lookups each and keeps a `RerankPool` shortlist, and ONLY
+    * those rows pay a full-dimension exact cosine for the final
+    * top-K. Each stage cuts the work the next stage sees: cells prune
+    * the scan, codes make the shortlist scoring O(M) per candidate,
+    * and the expensive exact distance touches `RerankPool` rows
+    * regardless of corpus size.
+    *
+    * Codebooks here are ONE deterministic Lloyd iteration per
+    * subspace (the [[ivfAssignment]] discipline — seeds = k lowest
+    * ids, exact float-mean M-step), so unlike [[sPqAdc]]'s eager
+    * multi-round training the whole query stays ONE lazy plan; in
+    * production both quantizers are trained offline ([[kmeansFit]])
+    * and the codes live in the index. Candidate encode happens only
+    * INSIDE the probed cells — the in-query stand-in for reading
+    * precomputed codes from the index. All arithmetic follows the
+    * established exactness disciplines (shared left-fold dots, argmin
+    * ties → lowest cell, decimal-summed ADC), so the three-stage
+    * composition is oracle-exact end to end. */
+  private def sIvfpqRerank: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val (assigned, cent) = ivfAssignment(s, dir)
+    val q = withNorm(Tables.embeddings(s, dir)).filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probes = cent.crossJoin(broadcast(q))
+      .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
+      .orderBy(col("pscore").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell"))
+    val cands = assigned.filter(col("vec_id") =!= QueryVec)
+      .join(broadcast(probes), "cell")
+    // one-iteration PQ codebook per subspace, lazily composed
+    val models = (0 until PqM).map { m =>
+      val sub = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
+      val seeds = sub.filter(col("vec_id") < PqK)
+        .select(col("vec_id").cast("int").as("cell"), col("sv").as("se"))
+        .withColumn("sn", expr(foldDot("se", "se")))
+      sub.crossJoin(broadcast(seeds))
+        .withColumn("score", col("sn") - lit(2.0) * expr(foldDot("sv", "se")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("score"), col("cell"))).as("best"),
+          first(col("sv")).as("sv"))
+        .select(col("best.cell").as("cell"), col("sv"))
+        .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "cv")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("cv")).as("mn"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), x -> cast(x.mn as float))").as("ce"))
+        .withColumn("cn", expr(foldDot("ce", "ce")))
+        .select(lit(m).as("mm"), col("cell"), col("ce"), col("cn"))
+    }.reduce(_ unionByName _)
+    val subs = (0 until PqM)
+      .map(m => s"struct($m as m, slice(embedding, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
+      .mkString("array(", ", ", ")")
+    // encode ONLY the probed-cell candidates
+    val codes = cands
+      .select(col("vec_id"), explode(expr(subs)).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+      .join(broadcast(models), col("m") === col("mm"))
+      .select(col("vec_id"), col("m"), col("cell"),
+        (col("cn") - lit(2.0) * expr(foldDot("sv", "ce"))).as("score"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cell").as("code"))
+    // the query's M×K ADC table
+    val dt = q.select(explode(expr(subs.replace("embedding", "qe"))).as("p"))
+      .select(col("p.m").as("dm"), col("p.sv").as("qsv"))
+      .join(broadcast(models), col("dm") === col("mm"))
+      .select(col("dm"), col("cell").as("dcell"),
+        (col("cn") - lit(2.0) * expr(foldDot("qsv", "ce"))).as("dscore"))
+    val shortlist = codes
+      .join(broadcast(dt), col("m") === col("dm") && col("code") === col("dcell"))
+      .groupBy(col("vec_id"))
+      .agg(sum(round(col("dscore"), 9).cast("decimal(28,9)")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(RerankPool)
+      .select(col("vec_id"))
+    cands.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("cell"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  private lazy val sIvfpqRerankSql = {
+    val subCtes = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"rsub$m AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
+    }.mkString(",\n")
+    val trainCtes = (0 until PqM)
+      .map(m => duckKmeansCtesFor(PqK, 1, s"rsub$m", s"r$m"))
+      .mkString(",\n")
+    val modelSelects = (0 until PqM)
+      .map(m => s"SELECT $m AS m, cell, ce, ${duckFoldDot("ce", "ce")} AS cn FROM r${m}cent1")
+      .mkString("\nUNION ALL\n")
+    val candSubSelects = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"SELECT vec_id, $m AS m, embedding[$lo:$hi] AS sv FROM cands"
+    }.mkString("\nUNION ALL\n")
+    val qSubSelects = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"SELECT $m AS m, qe[$lo:$hi] AS qsv FROM q"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell, embedding AS se,
+       |                 ${duckFoldDot("embedding", "embedding")} AS sn
+       |          FROM embeddings WHERE vec_id < $IvfCells),
+       |scoredi AS (SELECT v.vec_id, v.label, v.embedding, v.nrm, s.cell,
+       |                   s.sn - 2 * ${duckFoldDot("v.embedding", "s.se")} AS score
+       |            FROM v CROSS JOIN seeds s),
+       |assigned AS (SELECT vec_id, label, embedding, nrm, cell
+       |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY score, cell) AS rn FROM scoredi)
+       |             WHERE rn = 1),
+       |cent AS (SELECT cell, list(mn ORDER BY dim)::FLOAT[] AS ce
+       |         FROM (SELECT cell, dim, avg(cv) AS mn
+       |               FROM (SELECT cell,
+       |                       unnest(range(1, len(embedding) + 1)) AS dim,
+       |                       unnest(embedding) AS cv
+       |                     FROM assigned)
+       |               GROUP BY cell, dim)
+       |         GROUP BY cell),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v WHERE vec_id = $QueryVec),
+       |probe AS (SELECT cell FROM cent CROSS JOIN q
+       |          ORDER BY ${duckFoldDot("ce", "ce")} - 2 * ${duckFoldDot("qe", "ce")}, cell
+       |          LIMIT $NProbe),
+       |cands AS MATERIALIZED (
+       |  SELECT a.vec_id, a.label, a.embedding, a.nrm, a.cell
+       |  FROM assigned a JOIN probe USING (cell)
+       |  WHERE a.vec_id <> $QueryVec),
+       |$subCtes,
+       |$trainCtes,
+       |rmodel AS MATERIALIZED ($modelSelects),
+       |csub AS ($candSubSelects),
+       |cscored AS (SELECT c.vec_id, c.m, s.cell,
+       |                   s.cn - 2 * ${duckFoldDot("c.sv", "s.ce")} AS score
+       |            FROM csub c JOIN rmodel s ON c.m = s.m),
+       |ccodes AS (SELECT vec_id, m, cell AS code FROM (
+       |             SELECT vec_id, m, cell,
+       |                    row_number() OVER (PARTITION BY vec_id, m
+       |                                       ORDER BY score, cell) AS rn
+       |             FROM cscored) rankedcc
+       |           WHERE rn = 1),
+       |qsub AS ($qSubSelects),
+       |dt AS (SELECT qs.m AS dm, s.cell AS dcell,
+       |              s.cn - 2 * ${duckFoldDot("qs.qsv", "s.ce")} AS dscore
+       |       FROM qsub qs JOIN rmodel s ON qs.m = s.m),
+       |short AS (SELECT c.vec_id,
+       |                 sum(round(dt.dscore, 9)::DECIMAL(28,9)) AS adc
+       |          FROM ccodes c JOIN dt ON c.m = dt.dm AND c.code = dt.dcell
+       |          GROUP BY c.vec_id
+       |          ORDER BY adc, c.vec_id LIMIT $RerankPool)
+       |SELECT c.vec_id, c.label, c.cell,
+       |       round(${duckCosExpr("c.embedding", "qe", "c.nrm", "qnrm")}, 6) AS cosine
+       |FROM cands c JOIN short USING (vec_id) CROSS JOIN q
+       |ORDER BY ${duckCosExpr("c.embedding", "qe", "c.nrm", "qnrm")} DESC, c.vec_id
+       |LIMIT $K""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Blocked kNN: top-3 neighbours per vector within its label cell
   // ----------------------------------------------------------------
 
@@ -1381,6 +1555,7 @@ object Similarity {
     "s_topk_agg" -> sTopkAgg,
     "s_hard_negatives" -> sHardNegatives,
     "s_pq_adc" -> sPqAdc,
+    "s_ivfpq_rerank" -> sIvfpqRerank,
     "s_kmeans" -> sKmeans,
     "s_ivf_trained" -> sIvfTrained,
     "s_centroids" -> sCentroids)
@@ -1398,6 +1573,7 @@ object Similarity {
     "s_topk_agg" -> sTopkAggSql,
     "s_hard_negatives" -> sHardNegativesSql,
     "s_pq_adc" -> sPqAdcSql,
+    "s_ivfpq_rerank" -> sIvfpqRerankSql,
     "s_kmeans" -> sKmeansSql,
     "s_ivf_trained" -> sIvfTrainedSql,
     "s_centroids" -> sCentroidsSql,

@@ -125,6 +125,26 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.queries("s_pq_adc")(spark, sf).collect().toSeq == again.toSeq)
   }
 
+  test("s_ivfpq_rerank: stays inside probed cells, exact cosines, shortlist holds recall vs full-cell exact") {
+    val rr = Similarity.queries("s_ivfpq_rerank")(spark, sf).collect()
+    assert(rr.nonEmpty && rr.length <= 10)
+    assert(rr.map(_.getAs[Long]("cell")).toSet.size <= 2, "more than nprobe cells")
+    // the final stage is EXACT cosine — any hit shared with the
+    // same-cells exact ranking (s_ivf_ann) must carry the identical score
+    val exact = Similarity.queries("s_ivf_ann")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cosine")).toMap
+    rr.foreach { r =>
+      exact.get(r.getLong(0)).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+    // the ADC-30 shortlist keeps most of what exact full-cell ranking
+    // finds (measured 8/10 on the near-random fixture — the hard case;
+    // pinned with margin so a codebook regression trips it)
+    val overlap = (rr.map(_.getLong(0)).toSet &
+      exact.keySet).size
+    assert(overlap >= 6, s"shortlist recall collapsed: $overlap/10 vs same-cells exact")
+  }
+
   test("LSH probe radius trades scan fraction for recall (the multi-probe knob)") {
     val brute = Similarity.queries("s_cosine_topk")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
