@@ -20,6 +20,10 @@ object BenchKit {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC everywhere: the events loader's TIMESTAMP_NTZ branch casts
+      // through the session zone, so a non-UTC host would shift
+      // instants relative to the (UTC-pinned) Verify/oracle sessions
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

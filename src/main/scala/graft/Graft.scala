@@ -308,7 +308,8 @@ object Graft {
       Dedup.semDeDupOf(
         vectors.select(col(idCol).cast("long").as("vec_id"),
           col(vecCol).as("embedding")),
-        k, rounds, threshold, cellCap)
+        k, rounds, threshold, cellCap,
+        org.apache.spark.storage.StorageLevel.NONE)
 
     /** Hard-negative mining for contrastive training: for each anchor
       * row, the top-`k` most-similar vectors with a DIFFERENT label —

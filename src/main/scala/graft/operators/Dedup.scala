@@ -494,7 +494,7 @@ object Dedup {
   private val dLshRecallSql = {
     // both composite chains embed the shingle CTEs verbatim at their
     // head; splice them into ONE WITH by dropping the duplicate prefix
-    require(duckMinhashCandCte.startsWith(duckShingleCte + ","),
+    require(duckMinhashCandCte.startsWith(duckShingleCte + ",\n"),
       "CTE prefix drifted; d_lsh_recall splice is stale")
     val candTail = duckMinhashCandCte.substring(duckShingleCte.length + 2)
     s"""WITH $duckPairStatsCte,
@@ -974,17 +974,29 @@ object Dedup {
     * Production dimensions k ≈ n / target_cell_size (the paper uses
     * 50k cells for 5B embeddings) — cells are the parallelism unit. */
   private[graft] def semDeDupOf(vectors: DataFrame, k: Int, rounds: Int,
-      threshold: Double, cellCap: Int = MaxBucketOccupancy): DataFrame = {
+      threshold: Double, cellCap: Int = MaxBucketOccupancy,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
     val v = vectors.select(col("vec_id"), col("embedding"))
     val model = Similarity.kmeansFit(v, k, rounds)
-    val assigned = v.crossJoin(broadcast(model.select(col("cell"), col("ce"), col("cn"))))
+    val assigned0 = v.crossJoin(broadcast(model.select(col("cell"), col("ce"), col("cn"))))
       .withColumn("score", col("cn") - lit(2.0) * expr(foldDot("embedding", "ce")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("score"), col("cell"))).as("best"),
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("best.cell").as("cell"), col("embedding"))
       .withColumn("nrm", expr(s"sqrt(${foldDot("embedding", "embedding")})"))
+    // persist: the corpus-scale assignment (a corpus×model broadcast
+    // join + groupBy) feeds THREE consumers — the capped rep panel,
+    // the pair join's probe side, and the final verdict join; without
+    // it Spark re-derives the assignment per consumer. `storage`
+    // follows the one-shot-façade contract: the harness passes the
+    // default MEMORY_AND_DISK (and clears its cache per query), façade
+    // calls pass StorageLevel.NONE so nothing leaks into a long-lived
+    // session.
+    val assigned = if (storage == org.apache.spark.storage.StorageLevel.NONE)
+      assigned0 else assigned0.persist(storage)
     val wc = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
     val reps = assigned.withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= cellCap).drop("rn")

@@ -759,6 +759,14 @@ object Similarity {
   private val PqK = 8
   private val PqRounds = 2
 
+  /** `array(struct(m, slice(<col>, …)))` splitting a vector column
+    * into its M PQ subvectors — parameterized by column name so query
+    * and corpus sides build from the same template instead of a
+    * fragile post-hoc string replace. */
+  private def pqSubsExpr(colName: String): String = (0 until PqM)
+    .map(m => s"struct($m as m, slice($colName, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
+    .mkString("array(", ", ", ")")
+
   /** Product-quantization ADC top-K: train an independent k-means
     * codebook per subspace (the full [[kmeansFit]] loop on each slice),
     * ENCODE every vector as its per-subspace nearest-centroid ids, and
@@ -792,9 +800,7 @@ object Similarity {
         PqK, PqRounds)
         .select(lit(m).as("mm"), col("cell"), col("ce"), col("cn"))
     }.reduce(_ unionByName _)
-    val subs = (0 until PqM)
-      .map(m => s"struct($m as m, slice(embedding, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
-      .mkString("array(", ", ", ")")
+    val subs = pqSubsExpr("embedding")
     val scored = v
       .select(col("vec_id"), col("label"), explode(expr(subs)).as("p"))
       .select(col("vec_id"), col("label"), col("p.m").as("m"), col("p.sv").as("sv"))
@@ -923,12 +929,9 @@ object Similarity {
         .withColumn("cn", expr(foldDot("ce", "ce")))
         .select(lit(m).as("mm"), col("cell"), col("ce"), col("cn"))
     }.reduce(_ unionByName _)
-    val subs = (0 until PqM)
-      .map(m => s"struct($m as m, slice(embedding, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
-      .mkString("array(", ", ", ")")
     // encode ONLY the probed-cell candidates
     val codes = cands
-      .select(col("vec_id"), explode(expr(subs)).as("p"))
+      .select(col("vec_id"), explode(expr(pqSubsExpr("embedding"))).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
       .join(broadcast(models), col("m") === col("mm"))
       .select(col("vec_id"), col("m"), col("cell"),
@@ -937,7 +940,7 @@ object Similarity {
       .agg(min(struct(col("score"), col("cell"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cell").as("code"))
     // the query's M×K ADC table
-    val dt = q.select(explode(expr(subs.replace("embedding", "qe"))).as("p"))
+    val dt = q.select(explode(expr(pqSubsExpr("qe"))).as("p"))
       .select(col("p.m").as("dm"), col("p.sv").as("qsv"))
       .join(broadcast(models), col("dm") === col("mm"))
       .select(col("dm"), col("cell").as("dcell"),

@@ -71,7 +71,19 @@ object HiCsa {
     * document order for keep-first dedup (U4) and the positional
     * repair (W3). This is the single-document parity operator — the
     * generalized, per-document-partitioned form is
-    * [[graft.operators.Scrape]]. */
+    * [[graft.operators.Scrape]].
+    *
+    * SCALE BOUNDARY — read before reusing this at volume: the window
+    * below is deliberately GLOBAL (`Window.orderBy` without
+    * partitionBy ⇒ one partition), because its input is ONE document's
+    * elements (308 rows in the reference parity fixture) and parity
+    * demands a single total order. Spark will print a "No Partition
+    * Defined for Window" warning here — expected and benign at this
+    * size. A corpus-scale caller must NOT feed many documents through
+    * this operator; use the [[graft.operators.Scrape]] variants
+    * (`w1_scrape_fill`, `x1_nested_links`), which run the same
+    * fill-forward semantics under `Window.partitionBy(doc_id)` so each
+    * document orders independently and the work distributes. */
   def scrapeElements(elements: DataFrame): DataFrame = {
     val w = Window.orderBy(col("doc_pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -126,6 +126,17 @@ class GraftApiSpec extends SparkSpec {
       harness.orderBy("vec_id").collect().toSeq)
   }
 
+  test("similarity.semDeDup façade cache lifecycle: one-shot call leaves nothing cached") {
+    spark.catalog.clearCache()
+    def storedIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val before = storedIds
+    val vectors = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    Graft.similarity.semDeDup(vectors, "vid", "emb", 8, 3, 0.35).count()
+    assert((storedIds -- before).isEmpty,
+      "one-shot semDeDup leaked a cached frame")
+  }
+
   test("similarity.kmeans equals the harness s_kmeans on a renamed schema") {
     val vectors = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("vid"), col("embedding").as("emb"))
