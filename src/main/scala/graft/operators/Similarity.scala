@@ -897,20 +897,13 @@ object Similarity {
     * established exactness disciplines (shared left-fold dots, argmin
     * ties → lowest cell, decimal-summed ADC), so the three-stage
     * composition is oracle-exact end to end. */
-  private def sIvfpqRerank: Q = (s, dir) => {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val (assigned, cent) = ivfAssignment(s, dir)
-    val q = withNorm(Tables.embeddings(s, dir)).filter(col("vec_id") === QueryVec)
-      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
-    val probes = cent.crossJoin(broadcast(q))
-      .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
-      .orderBy(col("pscore").asc, col("cell").asc)
-      .limit(NProbe)
-      .select(col("cell"))
-    val cands = assigned.filter(col("vec_id") =!= QueryVec)
-      .join(broadcast(probes), "cell")
-    // one-iteration PQ codebook per subspace, lazily composed
-    val models = (0 until PqM).map { m =>
+  /** One-deterministic-Lloyd-iteration PQ codebook per subspace
+    * (seeds = the PqK lowest-id subvectors, exact float-mean M-step) —
+    * `(mm, cell, ce, cn)`, M·K rows. THE shared build used by the
+    * in-query [[sIvfpqRerank]] and the persisted [[ivfpqIndex]], so
+    * the two paths cannot diverge (the [[ivfAssignment]] discipline). */
+  private def pqOneIterCodebooks(s: SparkSession, dir: String): DataFrame =
+    (0 until PqM).map { m =>
       val sub = Tables.embeddings(s, dir).select(col("vec_id"),
         expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
       val seeds = sub.filter(col("vec_id") < PqK)
@@ -929,6 +922,21 @@ object Similarity {
         .withColumn("cn", expr(foldDot("ce", "ce")))
         .select(lit(m).as("mm"), col("cell"), col("ce"), col("cn"))
     }.reduce(_ unionByName _)
+
+  private def sIvfpqRerank: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val (assigned, cent) = ivfAssignment(s, dir)
+    val q = withNorm(Tables.embeddings(s, dir)).filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probes = cent.crossJoin(broadcast(q))
+      .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
+      .orderBy(col("pscore").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell"))
+    val cands = assigned.filter(col("vec_id") =!= QueryVec)
+      .join(broadcast(probes), "cell")
+    // one-iteration PQ codebook per subspace, lazily composed
+    val models = pqOneIterCodebooks(s, dir)
     // encode ONLY the probed-cell candidates
     val codes = cands
       .select(col("vec_id"), explode(expr(pqSubsExpr("embedding"))).as("p"))
@@ -1038,6 +1046,120 @@ object Similarity {
        |FROM cands c JOIN short USING (vec_id) CROSS JOIN q
        |ORDER BY ${duckCosExpr("c.embedding", "qe", "c.nrm", "qnrm")} DESC, c.vec_id
        |LIMIT $K""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // Persisted IVF-PQ index: codebooks trained offline, codes stored
+  // ----------------------------------------------------------------
+
+  private val IvfPqIndexVersion = 1
+
+  /** Cell-partitioned IVF-PQ index — the FAISS serving layout
+    * [[sIvfpqRerank]]'s scaladoc promises, now persisted (same
+    * versioned/atomic [[cachedIndex]] machinery as [[ivfIndex]]):
+    *
+    *  - `/data`      full vectors `(vec_id, label, embedding, nrm)`,
+    *                 partitioned by coarse `cell` — the re-rank side,
+    *                 read ONLY for the shortlist;
+    *  - `/codes`     per-vector PQ codes `(vec_id, codes array<int>)`,
+    *                 partitioned by `cell` — the ADC side: M small ints
+    *                 per vector (64× smaller than the embeddings here),
+    *                 the ONLY corpus-width frame the probe scans;
+    *  - `/centroids` the coarse quantizer `(cell, ce)`;
+    *  - `/codebooks` the per-subspace PQ codebooks `(mm, cell, ce, cn)`.
+    *
+    * Build runs the shared [[ivfAssignment]] + [[pqOneIterCodebooks]]
+    * and encodes EVERY vector once (per-row argmin against the M·K-row
+    * broadcast codebook union) — the corpus-scale training/encode cost
+    * [[sIvfpqRerank]] pays per query is paid once here. */
+  private[graft] def ivfpqIndex(s: SparkSession, dir: String): String =
+    cachedIndex(s, dir, "ivfpq", IvfPqIndexVersion) { path =>
+      val (assigned, cent) = ivfAssignment(s, dir)
+      // codes derive FROM the assignment (coarse cell routes the code
+      // rows into the same partitions as the vectors) — persist it so
+      // the Lloyd pass runs once across the data + codes writes
+      val a = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val books = pqOneIterCodebooks(s, dir)
+        val codes = a
+          .select(col("vec_id"), col("cell"),
+            explode(expr(pqSubsExpr("embedding"))).as("p"))
+          .select(col("vec_id"), col("cell"), col("p.m").as("m"), col("p.sv").as("sv"))
+          .join(broadcast(books.withColumnRenamed("cell", "bcell")),
+            col("m") === col("mm"))
+          .withColumn("score", col("cn") - lit(2.0) * expr(foldDot("sv", "ce")))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(first(col("cell")).as("cell"),
+            min(struct(col("score"), col("bcell"))).as("best"))
+          .select(col("vec_id"), col("cell"), col("m"), col("best.bcell").as("code"))
+          .groupBy(col("vec_id"))
+          .agg(first(col("cell")).as("cell"),
+            expr("transform(array_sort(collect_list(struct(m, code))), x -> x.code)")
+              .as("codes"))
+        a.write.partitionBy("cell").parquet(s"$path/data")
+        codes.write.partitionBy("cell").parquet(s"$path/codes")
+        cent.write.parquet(s"$path/centroids")
+        books.write.parquet(s"$path/codebooks")
+      } finally a.unpersist()
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_SUCCESS"))
+      ()
+    }
+
+  /** IVF-PQ probe against the PERSISTED [[ivfpqIndex]] — the serving
+    * path: nearest `NProbe` cells from the stored centroids (the
+    * collect is quantizer-sized), the query's M×K ADC table from the
+    * stored codebooks, then the ADC stage scans ONLY the stored codes
+    * of the probed cells (PartitionFilters prune the scan; raw
+    * embeddings are never read at this stage), and the `RerankPool`
+    * shortlist alone pays a full-dimension exact cosine from `/data`
+    * (same cell-pruned scan + broadcast semi-join). Results are
+    * pinned identical to [[sIvfpqRerank]] (SimilaritySpec) — same
+    * quantizers, same decimal-summed ADC, same re-rank — the only
+    * difference is WHERE the training/encode cost is paid. */
+  private def sIvfpqIndexed: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val root = ivfpqIndex(s, dir)
+    val q = withNorm(Tables.embeddings(s, dir)).filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val probeCells = s.read.parquet(s"$root/centroids")
+      .crossJoin(broadcast(q))
+      .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
+      .orderBy(col("pscore").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell")).collect().map(_.getLong(0))
+    if (probeCells.isEmpty) {
+      // no query vector in this corpus → empty top-K, query's schema
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), lit(0L).as("cell"), lit(0.0).as("cosine"))
+        .limit(0)
+    } else {
+      val books = s.read.parquet(s"$root/codebooks")
+      val dt = q.select(explode(expr(pqSubsExpr("qe"))).as("p"))
+        .select(col("p.m").as("dm"), col("p.sv").as("qsv"))
+        .join(broadcast(books), col("dm") === col("mm"))
+        .select(col("dm"), col("cell").as("dcell"),
+          (col("cn") - lit(2.0) * expr(foldDot("qsv", "ce"))).as("dscore"))
+      val shortlist = s.read.parquet(s"$root/codes")
+        .filter(col("cell").isin(probeCells.map(Long.box): _*))
+        .filter(col("vec_id") =!= QueryVec)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+        .join(broadcast(dt), col("m") === col("dm") && col("code") === col("dcell"))
+        .groupBy(col("vec_id"))
+        .agg(sum(round(col("dscore"), 9).cast("decimal(28,9)")).as("adc"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+        .limit(RerankPool)
+        .select(col("vec_id"))
+      s.read.parquet(s"$root/data")
+        .filter(col("cell").isin(probeCells.map(Long.box): _*))
+        .join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+          expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(K)
+        .select(col("vec_id"), col("label"), col("cell"),
+          round(col("cos"), 6).as("cosine"))
+    }
   }
 
   // ----------------------------------------------------------------
@@ -1559,6 +1681,7 @@ object Similarity {
     "s_hard_negatives" -> sHardNegatives,
     "s_pq_adc" -> sPqAdc,
     "s_ivfpq_rerank" -> sIvfpqRerank,
+    "s_ivfpq_indexed" -> sIvfpqIndexed,
     "s_kmeans" -> sKmeans,
     "s_ivf_trained" -> sIvfTrained,
     "s_centroids" -> sCentroids)
@@ -1577,6 +1700,10 @@ object Similarity {
     "s_hard_negatives" -> sHardNegativesSql,
     "s_pq_adc" -> sPqAdcSql,
     "s_ivfpq_rerank" -> sIvfpqRerankSql,
+    // the persisted index holds exactly the in-query quantizers/codes
+    // (shared ivfAssignment + pqOneIterCodebooks), so the serving path
+    // answers against the SAME oracle as the in-query composition
+    "s_ivfpq_indexed" -> sIvfpqRerankSql,
     "s_kmeans" -> sKmeansSql,
     "s_ivf_trained" -> sIvfTrainedSql,
     "s_centroids" -> sCentroidsSql,

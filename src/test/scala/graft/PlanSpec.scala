@@ -101,6 +101,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains(" IN ("), p)
   }
 
+  test("s_ivfpq_indexed: ADC scans stored codes, both index scans prune to probed cells") {
+    val q = SparkEntry.queries("s_ivfpq_indexed")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // codes scan (ADC stage) AND data scan (re-rank stage) each prune
+    // to the NProbe cell partitions
+    assert("PartitionFilters: \\[cell".r.findAllIn(p).length >= 2, p)
+    // the ADC stage reads the stored M-int codes, never raw embeddings
+    assert(p.contains("codes:array<int>"), p)
+  }
+
   test("s_centroids: exactly one hash-shuffle (partial agg carries (sum,count) pairs)") {
     val p = plan("s_centroids")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

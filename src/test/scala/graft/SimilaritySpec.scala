@@ -201,6 +201,16 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed == inline)
   }
 
+  test("s_ivfpq_indexed equals the in-query IVF-PQ rerank exactly") {
+    // same quantizers + codes (shared ivfAssignment/pqOneIterCodebooks),
+    // persisted vs inline — only WHERE the train/encode cost is paid
+    val inline = Similarity.queries("s_ivfpq_rerank")(spark, sf)
+      .orderBy("vec_id").collect().toSeq
+    val indexed = Similarity.queries("s_ivfpq_indexed")(spark, sf)
+      .orderBy("vec_id").collect().toSeq
+    assert(indexed == inline)
+  }
+
   test("s_blocked_knn: <=3 neighbours per vector, all same-label") {
     val df = Similarity.queries("s_blocked_knn")(spark, sf)
     assert(df.groupBy("a_id").count().filter(col("count") > 3).count() == 0)
