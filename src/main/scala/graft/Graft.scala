@@ -338,6 +338,40 @@ object Graft {
     }
   }
 
+  /** Persisted, incrementally-maintained ANN index (IVF over cosine) —
+    * the serving-side companion to [[similarity]]'s in-query
+    * operators. `build` founds the index at a path (freezing the
+    * coarse quantizer), `upsert` appends a batch as a new generation
+    * without touching published files, `probe` answers top-k against
+    * the live manifest. See [[operators.AnnIndex]] for the layout and
+    * the exactness contract (probe(upserted) == probe(rebuilt) under
+    * pure appends, spec-pinned). */
+  object ann {
+    private def asVectors(df: DataFrame, idCol: String, vecCol: String,
+        labelCol: String): DataFrame =
+      df.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).as("label"), col(vecCol).as("embedding"))
+
+    /** Found the index at `root` from a non-empty corpus containing
+      * the seed ids `0 until cells`. */
+    def build(vectors: DataFrame, idCol: String, vecCol: String,
+        labelCol: String, root: String, cells: Int = 8): Unit =
+      operators.AnnIndex.build(asVectors(vectors, idCol, vecCol, labelCol),
+        root, cells)
+
+    /** Append a batch as the next generation; returns the per-cell
+      * `(cell, n_before, n_added, n_after)` accounting frame. */
+    def upsert(batch: DataFrame, idCol: String, vecCol: String,
+        labelCol: String, root: String): DataFrame =
+      operators.AnnIndex.upsert(asVectors(batch, idCol, vecCol, labelCol), root)
+
+    /** Top-`k` cosine neighbours of `queryVec` from the live index;
+      * empty frame when no index is published at `root`. */
+    def probe(spark: SparkSession, root: String, queryVec: Array[Float],
+        nprobe: Int = 2, k: Int = 10): DataFrame =
+      operators.AnnIndex.probe(spark, root, queryVec, nprobe, k)
+  }
+
   object text {
 
     /** The reference tokenizer (punctuation-normalized, lower-cased). */

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained IVF index — the production twin of the
+  * fingerprint-cached [[Similarity.ivfIndex]] for a corpus that GROWS
+  * (a daily-append training pipeline cannot re-publish the whole index
+  * per batch, [[Dedup]]'s `d_incremental` argument applied to ANN).
+  *
+  * Layout under one `root`:
+  *  - `seeds/`        the frozen coarse quantizer: the `cells`
+  *                    lowest-id vectors of the FOUNDING build
+  *                    `(cell, se, sn)`. Upserts assign against these
+  *                    STORED seeds — cell membership of a vector never
+  *                    changes after it is written, which is what makes
+  *                    append-only cell partitions possible. Production
+  *                    retrains by rebuilding at a new root (quantizer
+  *                    drift is a rebuild, not an upsert).
+  *  - `data-<gen>/`   vectors `(vec_id, label, embedding, nrm, gen)`
+  *                    partitioned by `cell`; gen 0 is the base build,
+  *                    each upsert appends the next generation. Files
+  *                    are never rewritten — an upsert only ADDS a
+  *                    directory.
+  *  - `stats-<gen>/`  per-(cell, dim) running `(sm, cnt)` — double
+  *                    sums of float32 components are EXACT at this
+  *                    scale (the [[Similarity]] centroid discipline),
+  *                    so `sm/cnt` after N upserts is bit-identical to
+  *                    the mean a full rebuild would compute. Probes
+  *                    derive centroids from the LATEST stats, so cell
+  *                    selection matches a rebuilt index exactly
+  *                    (spec-pinned).
+  *  - `_GRAFT_IVF_MANIFEST`  `gen` + the ordered data-dir list,
+  *                    published with an ATOMIC temp-file move (the
+  *                    [[Similarity.cachedIndex]] discipline): readers
+  *                    resolve the index through it and never observe a
+  *                    half-written generation. Concurrent upserters
+  *                    race at the manifest (last move wins whole);
+  *                    serialize upserts externally.
+  *
+  * Centroid exactness holds under pure APPENDS (all-new vec_ids — the
+  * spec-pinned case). A re-sent vec_id is still served correctly
+  * (latest generation wins at probe time) but its superseded row keeps
+  * contributing to the running stats until a rebuild — centroids drift
+  * from the rebuild means by the overwritten mass, the standard
+  * LSM-index tradeoff.
+  *
+  * Probe cost is independent of upsert count in the variable term: the
+  * scan prunes every data generation to the `nprobe` probed cells
+  * (PartitionFilters), and the latest-generation-wins dedup (a true
+  * UPSERT: a re-sent vec_id shadows its older row) is a window over
+  * probed-cell rows only. The fixed term grows with generations (one
+  * directory listing each) — compact by rebuilding when deltas
+  * accumulate, exactly like any LSM-shaped store. */
+object AnnIndex {
+
+  private val ManifestName = "_GRAFT_IVF_MANIFEST"
+
+  private def dot(a: String, b: String): String = Similarity.foldDot(a, b)
+
+  /** `(gen, ordered data dir names)` through the manifest; None when
+    * the root holds no published index. */
+  private def readManifest(root: String): Option[(Long, Seq[String])] = {
+    val f = new java.io.File(root, ManifestName)
+    if (!f.isFile) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+      lines.headOption.flatMap(h => scala.util.Try(h.toLong).toOption)
+        .map(gen => (gen, lines.drop(1)))
+    }
+  }
+
+  private def writeManifest(root: String, gen: Long, dataDirs: Seq[String]): Unit = {
+    val rootDir = new java.io.File(root)
+    rootDir.mkdirs()
+    val tmp = new java.io.File(rootDir, s".manifest-${System.nanoTime()}")
+    java.nio.file.Files.write(tmp.toPath,
+      (gen.toString +: dataDirs).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(rootDir, ManifestName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** `(vec_id, label, embedding)` → `(vec_id, label, embedding, nrm)`
+    * with the shared norm fold. */
+  private def withNorm(v: DataFrame): DataFrame =
+    v.withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+
+  /** Assign every vector to its nearest stored seed — the one
+    * deterministic step both build and upsert share (argmin of
+    * ‖s‖² − 2·x·s, ties → lowest cell). */
+  private def assign(v: DataFrame, seeds: DataFrame): DataFrame =
+    v.crossJoin(broadcast(seeds))
+      .withColumn("score", col("sn") - lit(2.0) * expr(dot("embedding", "se")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"))).as("best"),
+        first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("best.cell").as("cell"))
+
+  /** Per-(cell, dim) running sums feeding the exact incremental
+    * centroid: `(cell, pos, sm, cnt)`. */
+  private def statsOf(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("cv").cast("double")).as("sm"), count(lit(1)).as("cnt"))
+
+  /** Found the index: freeze the coarse quantizer (the `cells`
+    * lowest-id vectors as seeds), write generation 0 of the data
+    * cell-partitioned, the running centroid stats, and publish the
+    * manifest. `vectors` must be non-empty and contain the seed ids
+    * `0 until cells`. */
+  def build(vectors: DataFrame, root: String, cells: Int = 8): Unit = {
+    org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
+    val v = withNorm(vectors.select(col("vec_id").cast("long").as("vec_id"),
+      col("label"), col("embedding")))
+    val seeds = v.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("embedding").as("se"))
+      .withColumn("sn", expr(dot("se", "se")))
+    seeds.write.mode("overwrite").parquet(s"$root/seeds")
+    val storedSeeds = vectors.sparkSession.read.parquet(s"$root/seeds")
+    val a = assign(v, storedSeeds)
+      .withColumn("gen", lit(0L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      a.write.partitionBy("cell").parquet(s"$root/data-0")
+      statsOf(a).write.parquet(s"$root/stats-0")
+    } finally a.unpersist()
+    writeManifest(root, 0L, Seq("data-0"))
+  }
+
+  /** Append a batch: assign against the STORED seeds, write the next
+    * data generation (cell partitions — files of older generations are
+    * untouched), merge the batch's component sums into the running
+    * stats (exact, see class doc), and atomically publish the new
+    * manifest. Returns the per-cell accounting row the caller audits —
+    * `(cell, n_before, n_added, n_after)` — the
+    * `d_lsh_bucket_stats` discipline for index growth. */
+  def upsert(batch: DataFrame, root: String): DataFrame = {
+    val s = batch.sparkSession
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val (gen, dataDirs) = readManifest(root).getOrElse(
+      throw new IllegalStateException(s"no ANN index published at $root — build() first"))
+    val newGen = gen + 1
+    val seeds = s.read.parquet(s"$root/seeds")
+    val b = assign(withNorm(batch.select(col("vec_id").cast("long").as("vec_id"),
+        col("label"), col("embedding"))), seeds)
+      .withColumn("gen", lit(newGen))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      b.write.partitionBy("cell").parquet(s"$root/data-$newGen")
+      val old = s.read.parquet(s"$root/stats-$gen")
+      statsOf(b).unionByName(old)
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("sm")).as("sm"), sum(col("cnt")).as("cnt"))
+        .write.parquet(s"$root/stats-$newGen")
+      writeManifest(root, newGen, dataDirs :+ s"data-$newGen")
+      // accounting from the dim-0 stats rows (one per cell): vector
+      // counts before/added/after — collected AFTER publish so the
+      // numbers describe the live index
+      val before = old.filter(col("pos") === 0)
+        .select(col("cell"), col("cnt").as("n_before"))
+      val added = s.read.parquet(s"$root/stats-$newGen").filter(col("pos") === 0)
+        .select(col("cell"), col("cnt").as("n_after"))
+      added.join(before, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          (col("n_after") - coalesce(col("n_before"), lit(0L))).as("n_added"),
+          col("n_after"))
+        .orderBy(col("cell"))
+    } finally b.unpersist()
+  }
+
+  /** Top-`k` cosine probe: centroids derive from the LATEST running
+    * stats (bit-identical to a full rebuild's means), the data scan
+    * reads every generation pruned to the `nprobe` probed cells, and a
+    * latest-generation-wins window (probed rows only) makes re-sent
+    * vec_ids true upserts. An unbuilt root yields an empty frame. */
+  def probe(s: SparkSession, root: String, queryVec: Array[Float],
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    readManifest(root) match {
+      case None => empty
+      case Some((gen, dataDirs)) =>
+        // driver-side left fold — the same index-order accumulation as
+        // graft_dot, so qnrm matches an engine-computed norm bit-for-bit
+        val qnrm = math.sqrt(
+          queryVec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        val cent = s.read.parquet(s"$root/stats-$gen")
+          .select(col("cell"), col("pos"), (col("sm") / col("cnt")).as("m"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))")
+            .as("ce"))
+        val probeCells = cent.withColumn("qe", typedLit(queryVec))
+          .withColumn("pscore", expr(s"${dot("ce", "ce")} - 2 * ${dot("qe", "ce")}"))
+          .orderBy(col("pscore").asc, col("cell").asc)
+          .limit(nprobe)
+          .select(col("cell")).collect().map(_.getLong(0))
+        if (probeCells.isEmpty) empty
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("gen").desc)
+          // one read per generation (each dir is its own partitioned
+          // table), unioned — Catalyst pushes the cell filter through
+          // the union into every generation's PartitionFilters
+          dataDirs.map(d => s.read.parquet(s"$root/$d")
+              .select(col("vec_id"), col("label"), col("embedding"),
+                col("nrm"), col("gen"), col("cell")))
+            .reduce(_ unionByName _)
+            .filter(col("cell").isin(probeCells.map(Long.box): _*))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .withColumn("qe", typedLit(queryVec))
+            .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+              (expr(dot("embedding", "qe")) / (col("nrm") * lit(qnrm))).as("cos"))
+            .orderBy(col("cos").desc, col("vec_id").asc)
+            .limit(k)
+            .select(col("vec_id"), col("label"), col("cell"),
+              round(col("cos"), 6).as("cosine"))
+        }
+    }
+  }
+}

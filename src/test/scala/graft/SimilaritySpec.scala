@@ -211,6 +211,51 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed == inline)
   }
 
+  test("ann index upsert: probe(base+upserts) == probe(full rebuild); accounting adds up") {
+    val v = Tables.embeddings(spark, sf)
+    val maxId = v.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId * 7 / 10
+    val base = v.filter(col("vec_id") <= cut)       // holds the seed ids < 8
+    val batch1 = v.filter(col("vec_id") > cut && col("vec_id") <= maxId * 85 / 100)
+    val batch2 = v.filter(col("vec_id") > maxId * 85 / 100)
+    val up = java.nio.file.Files.createTempDirectory("graft-ann-up").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-ann-full").toString
+    Graft.ann.build(base, "vec_id", "embedding", "label", up)
+    val acc1 = Graft.ann.upsert(batch1, "vec_id", "embedding", "label", up)
+    assert(acc1.agg(sum("n_added")).collect()(0).getLong(0) == batch1.count())
+    // accounting is consistent per cell, not just in total
+    assert(acc1.filter(col("n_before") + col("n_added") =!= col("n_after")).count() == 0)
+    val acc2 = Graft.ann.upsert(batch2, "vec_id", "embedding", "label", up)
+    assert(acc2.agg(sum("n_after")).collect()(0).getLong(0) == v.count())
+    Graft.ann.build(v, "vec_id", "embedding", "label", full)
+    val q = v.filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val probed = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10)
+      .collect().toSeq
+    val rebuilt = Graft.ann.probe(spark, full, q, nprobe = 2, k = 10)
+      .collect().toSeq
+    assert(probed == rebuilt,
+      s"upserted index diverged from full rebuild:\n$probed\nvs\n$rebuilt")
+    // true upsert: re-sending an existing id with a new payload shadows
+    // the old row at probe time
+    val moved = v.filter(col("vec_id") === 0L)
+      .withColumn("label", lit(99))
+    Graft.ann.upsert(moved, "vec_id", "embedding", "label", up)
+    val hit = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10)
+      .filter(col("vec_id") === 0L).collect()
+    assert(hit.length == 1 && hit(0).getInt(1) == 99,
+      "latest generation did not shadow the re-sent vec_id")
+    // every generation's scan prunes to the probed cells
+    val plan = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell".r.findAllIn(plan).length >= 3, plan)
+  }
+
+  test("ann index probe on an unbuilt root: empty frame, no exception") {
+    val none = java.nio.file.Files.createTempDirectory("graft-ann-none").toString
+    assert(Graft.ann.probe(spark, none, Array.fill(64)(0.1f)).count() == 0)
+  }
+
   test("s_blocked_knn: <=3 neighbours per vector, all same-label") {
     val df = Similarity.queries("s_blocked_knn")(spark, sf)
     assert(df.groupBy("a_id").count().filter(col("count") > 3).count() == 0)
