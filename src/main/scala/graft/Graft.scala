@@ -548,22 +548,36 @@ object Graft {
     def hits(links: DataFrame, nodes: DataFrame, iters: Int = 2): DataFrame =
       Graph.hits(links, nodes, iters)
 
+    /** PRODUCTION-depth HITS: double accumulators, unit-max
+      * normalization every round (no magnitude growth at any depth),
+      * fingerprint convergence with a throwing `maxIters` safety
+      * valve — see [[operators.Graph.hitsConverged]]. Pass a real
+      * `storage` level to cache the link frame across rounds (caller
+      * owns release); the default NONE leaks nothing into a long-lived
+      * session. */
+    def hitsConverged(links: DataFrame, nodes: DataFrame, maxIters: Int = 50,
+        storage: org.apache.spark.storage.StorageLevel =
+          org.apache.spark.storage.StorageLevel.NONE): DataFrame =
+      Graph.hitsConverged(links, nodes, maxIters, storage = storage)
+
     /** [[hits]] rescaled to unit max (auth_n = auth/max(auth), hub_n =
       * hub/max(hub)) — the comparable-across-graphs view. An edgeless
-      * graph (max 0) yields 0 scores, not a division error. The HITS
-      * subtree is localCheckpoint'd: two consumers read it (the max
-      * aggregate and the projection), and without the cut the whole
-      * iterative chain would execute twice. */
+      * graph (max 0) yields 0 scores, not a division error. The maxima
+      * are collected eagerly (one 1-row driver aggregate — the model-
+      * sized-collect discipline) and injected as literals, so nothing
+      * stays cached or checkpointed after the call; the HITS chain
+      * executes once for the maxima and once when the caller consumes
+      * the result — persist `hits(...)` yourself and normalize from it
+      * if that second execution matters at your scale. */
     def hitsNormalized(links: DataFrame, nodes: DataFrame, iters: Int = 2): DataFrame = {
-      import org.apache.spark.sql.functions.{col, lit, max => fmax, round => fround, when}
-      val h = Graph.hits(links, nodes, iters).localCheckpoint()
-      val m = h.agg(fmax(col("auth")).as("ma"), fmax(col("hub")).as("mh"))
-      h.crossJoin(org.apache.spark.sql.functions.broadcast(m))
-        .select(col("node"),
-          when(col("ma") === 0L, lit(0.0))
-            .otherwise(fround(col("auth") / col("ma"), 6)).as("auth_n"),
-          when(col("mh") === 0L, lit(0.0))
-            .otherwise(fround(col("hub") / col("mh"), 6)).as("hub_n"))
+      import org.apache.spark.sql.functions.{col, lit, max => fmax, round => fround}
+      val h = Graph.hits(links, nodes, iters)
+      val m = h.agg(fmax(col("auth")).as("ma"), fmax(col("hub")).as("mh")).collect()(0)
+      val ma = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val mh = if (m.isNullAt(1)) 0L else m.getLong(1)
+      h.select(col("node"),
+        (if (ma == 0L) lit(0.0) else fround(col("auth") / ma, 6)).as("auth_n"),
+        (if (mh == 0L) lit(0.0) else fround(col("hub") / mh, 6)).as("hub_n"))
     }
   }
 

@@ -480,22 +480,102 @@ object Graph {
     * map-side partial sums — the shuffle carries (id, long) pairs;
     * the link list is persisted by the caller and reused by all
     * rounds. */
-  def hits(links: DataFrame, nodes: DataFrame, iters: Int = HitsIters): DataFrame = {
+  def hits(links: DataFrame, nodes: DataFrame, iters: Int = HitsIters,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
+    // every half-round re-reads the link frame; `storage` follows the
+    // façade cache contract — one-shot callers keep the default NONE
+    // (nothing leaks into a long-lived session), the harness binding
+    // passes MEMORY_AND_DISK and clears per query
+    val l = if (storage == org.apache.spark.storage.StorageLevel.NONE) links
+      else links.persist(storage)
     var hub = nodes.withColumn("hub", lit(1L))
     var auth = nodes.withColumn("auth", lit(1L))
     for (_ <- 1 to iters) {
       auth = nodes
-        .join(links.join(hub.select(col("node").as("src"), col("hub")), "src")
+        .join(l.join(hub.select(col("node").as("src"), col("hub")), "src")
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("s")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("auth"))
       hub = nodes
-        .join(links.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+        .join(l.join(auth.select(col("node").as("dst"), col("auth")), "dst")
           .groupBy(col("src").as("node")).agg(sum(col("auth")).as("s")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("hub"))
     }
     auth.join(hub, Seq("node"))
+  }
+
+  /** PRODUCTION-depth HITS: double accumulators (no 2⁶³ growth bound),
+    * unit-max normalization after every full round (scores stay in
+    * [0, 1] at ANY depth — the standard power-iteration discipline, so
+    * magnitudes cannot overflow where [[hits]]'s exact-integer form
+    * eventually would), and FINGERPRINT convergence instead of a fixed
+    * round count: the loop stops when the `roundTo`-dp-rounded score
+    * set repeats (count + two independent hash-xor set invariants
+    * riding one aggregate job — the star-CC discipline at
+    * [[connectedComponentsStar]]). Each round is lineage-cut
+    * ([[materializeLazy]]) so depth-k plans stay O(1), and exceeding
+    * `maxIters` THROWS rather than returning silently unconverged
+    * scores (the [[sssp]] safety-valve contract). Returns
+    * `(node, auth, hub)` with unit max.
+    *
+    * [[hits]] remains the oracle-exact fixed-depth form (its integer
+    * arithmetic is bit-checkable cross-engine); this is the form a
+    * 100 TB crawl graph actually runs to a fixpoint. */
+  def hitsConverged(links: DataFrame, nodes: DataFrame, maxIters: Int = 50,
+      roundTo: Int = 9,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.NONE,
+      reliable: Boolean = false): DataFrame = {
+    val l = if (storage == org.apache.spark.storage.StorageLevel.NONE) links
+      else links.persist(storage)
+    def fp(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr(s"bit_xor(xxhash64(node, round(auth, $roundTo), round(hub, $roundTo)))"),
+          lit(0L)).as("fp1"),
+        coalesce(expr(s"bit_xor(cast(hash(node, round(auth, $roundTo), round(hub, $roundTo)) as bigint))"),
+          lit(0L)).as("fp2"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var scores = materializeLazy(
+      nodes.select(col("node")).withColumn("auth", lit(1.0)).withColumn("hub", lit(1.0)),
+      reliable)
+    var prev = fp(scores)
+    var done = false
+    var round = 0
+    while (!done && round < maxIters) {
+      val authRaw = nodes
+        .join(l.join(scores.select(col("node").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth"))
+      val hubRaw = nodes
+        .join(l.join(authRaw.select(col("node").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub"))
+      val joined = materializeLazy(authRaw.join(hubRaw, Seq("node")), reliable)
+      // per-round maxima: a 1-row collect (materializes the checkpoint)
+      val m = joined.agg(max(col("auth")).as("ma"), max(col("hub")).as("mh")).collect()(0)
+      val ma = if (m.isNullAt(0)) 0.0 else m.getDouble(0)
+      val mh = if (m.isNullAt(1)) 0.0 else m.getDouble(1)
+      val norm = materializeLazy(joined.select(col("node"),
+        (if (ma == 0.0) lit(0.0) else col("auth") / ma).as("auth"),
+        (if (mh == 0.0) lit(0.0) else col("hub") / mh).as("hub")), reliable)
+      val cur = fp(norm)
+      done = cur == prev
+      prev = cur
+      scores = norm
+      round += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"hitsConverged did not reach a ${roundTo}-dp fixpoint within $maxIters " +
+          "rounds — raise maxIters or loosen roundTo")
+    scores
   }
 
   /** HITS over the crawler's internal page-link graph — the other
@@ -504,9 +584,9 @@ object Graph {
   private def gHits: Q = (s, dir) => {
     val links = pageLinks(s, dir).filter(col("is_internal"))
       .select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"))
-    hits(links, nodes)
+    hits(links, nodes, HitsIters,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("node").as("page_id"), col("auth").as("authority"), col("hub"))
   }
 

@@ -329,6 +329,47 @@ class GraftApiSpec extends SparkSpec {
     assert(norm("x") == ((1.0, 0.111111)))   // 3/3, 1/9
   }
 
+  test("graphs.hitsConverged: fixpoint at depth >=20, unit-max, stable under more iterations") {
+    // star + back-edge (same fixture as the exact-integer test) plus a
+    // chain tail — converges fast, exercises the normalized loop
+    val links = Seq(("h", "x"), ("h", "y"), ("h", "z"), ("x", "h"),
+      ("z", "t"), ("t", "u")).toDF("src", "dst")
+    val nodes = Seq("h", "x", "y", "z", "t", "u").toDF("node")
+    val out = Graft.graphs.hitsConverged(links, nodes, maxIters = 50)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.size == 6)
+    // unit max on both scores, everything in [0, 1]
+    assert(math.abs(out.values.map(_._1).max - 1.0) < 1e-12)
+    assert(math.abs(out.values.map(_._2).max - 1.0) < 1e-12)
+    assert(out.values.forall { case (a, h) => a >= 0 && a <= 1 && h >= 0 && h <= 1 })
+    // the hub that points at three authorities dominates the hub axis
+    assert(out("h")._2 == 1.0)
+    // a fixpoint is a fixpoint: doubling the iteration budget changes nothing
+    val more = Graft.graphs.hitsConverged(links, nodes, maxIters = 100)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(more == out)
+    // edgeless graph: all-zero scores, no division error, still converges
+    val lonely = Graft.graphs.hitsConverged(
+      Seq.empty[(String, String)].toDF("src", "dst"), nodes, maxIters = 5)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(lonely.length == 6 && lonely.forall(_ == ((0.0, 0.0))))
+  }
+
+  test("graphs hits family cache lifecycle: one-shot calls leave nothing cached") {
+    spark.catalog.clearCache()
+    def storedIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val before = storedIds
+    val links = Seq(("h", "x"), ("h", "y"), ("x", "h")).toDF("src", "dst")
+    val nodes = Seq("h", "x", "y").toDF("node")
+    Graft.graphs.hits(links, nodes).count()
+    Graft.graphs.hitsNormalized(links, nodes).count()
+    // (hitsConverged is excluded: like the other iterative fixpoint
+    // ops it lineage-cuts via localCheckpoint, whose blocks drain
+    // through the ContextCleaner rather than clearCache)
+    assert((storedIds -- before).isEmpty,
+      "a one-shot hits-family call leaked a cached frame")
+  }
+
   test("dedup.containmentPairs matches d_containment on a renamed schema") {
     val api = Graft.dedup.containmentPairs(corpus, "my_id", "body", 0.5)
     val harness = SparkEntry.queries("d_containment")(spark, sf)
