@@ -600,8 +600,15 @@ object Graft {
       * (keyCol, hour, n_events, filled_avg); grid rows ∝ key-hours,
       * generated after aggregation (never amplifies raw volume). */
     def resampleHourly(df: DataFrame, keyCol: String, tsCol: String,
-        valueCol: String): DataFrame =
-      operators.TimeSeries.resampleHourly(df, keyCol, tsCol, valueCol)
+        valueCol: String,
+        maxCells: Int = operators.TimeSeries.MaxGridCells): DataFrame =
+      operators.TimeSeries.resampleHourly(df, keyCol, tsCol, valueCol, maxCells)
+
+    /** Truncation audit for [[resampleHourly]]'s per-key grid cap:
+      * `(key, span_hours, emitted_hours, truncated)`. */
+    def resampleStats(df: DataFrame, keyCol: String, tsCol: String,
+        maxCells: Int = operators.TimeSeries.MaxGridCells): DataFrame =
+      operators.TimeSeries.resampleTruncationStats(df, keyCol, tsCol, maxCells)
 
     /** Weekly cohort retention matrix: (cohort, week_k, retained,
       * cohort_users, retention) — users cohort by the week of their

@@ -117,23 +117,40 @@ object TimeSeries {
   // Resample to an hourly grid + forward fill
   // ----------------------------------------------------------------
 
-  /** Gap-fill resampling: per key, generate the full hourly grid from
-    * first to last observed hour, attach per-hour aggregates, and
+  /** Per-key grid guard for [[resampleHourly]]: the hourly grid a key
+    * may emit is capped at one year of hours. Without a cap, grid rows
+    * per key are (last − first observed hour) — ONE never-purging key
+    * observed once in 2010 and once today would emit ~140k rows at
+    * 100 TB regardless of how few events it has (the
+    * [[Dedup.MaxBucketOccupancy]] argument applied to grid
+    * densification). The cap keeps the MOST RECENT `maxCells` hours —
+    * for time series the recent window is the one downstream feeds
+    * join against; [[resampleTruncationStats]] is the audit. */
+  val MaxGridCells: Int = 8784
+
+  /** Gap-fill resampling: per key, generate the hourly grid from
+    * first to last observed hour — clamped to the LAST `maxCells`
+    * hours (see [[MaxGridCells]]) — attach per-hour aggregates, and
     * forward-fill the mean over gap hours (n_events stays 0 there) —
     * the standard time-series densification before joining feeds with
-    * different cadences. The first grid hour always has an observation
-    * (it IS the min hour), so the fill never emits null. Output:
+    * different cadences. When the cap does not bind, the first grid
+    * hour always has an observation (it IS the min hour) so the fill
+    * never emits null; on a TRUNCATED key, leading grid hours before
+    * the first surviving observation fill with null — "unknown", not
+    * a fabricated carry-over from evicted history. Output:
     * (keyCol, hour, n_events, filled_avg). Generic entry — the
     * `Graft.timeseries` façade. */
   def resampleHourly(df: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxCells: Int = MaxGridCells): DataFrame = {
     val hourly = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n_events"), avg(col(valueCol)).as("__hour_avg"))
     val grid = df.groupBy(col(keyCol))
       .agg(min(date_trunc("hour", col(tsCol))).as("h0"),
         max(date_trunc("hour", col(tsCol))).as("h1"))
       .select(col(keyCol),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+        explode(sequence(
+          greatest(col("h0"), col("h1") - expr(s"interval ${maxCells - 1} hours")),
+          col("h1"), expr("interval 1 hour"))).as("hour"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq(keyCol, "hour"), "left")
@@ -142,8 +159,62 @@ object TimeSeries {
         round(last(col("__hour_avg"), ignoreNulls = true).over(w), 6).as("filled_avg"))
   }
 
+  /** Truncation accounting for [[resampleHourly]] — one row per key:
+    * `(keyCol, span_hours, emitted_hours, truncated)`. The
+    * `d_lsh_bucket_stats` discipline: a capped operator ships with the
+    * query that audits what the cap dropped. */
+  def resampleTruncationStats(df: DataFrame, keyCol: String, tsCol: String,
+      maxCells: Int = MaxGridCells): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(date_trunc("hour", col(tsCol))).as("h0"),
+        max(date_trunc("hour", col(tsCol))).as("h1"))
+      .select(col(keyCol),
+        ((unix_timestamp(col("h1")) - unix_timestamp(col("h0"))) / 3600 + 1)
+          .cast("long").as("span_hours"))
+      .select(col(keyCol), col("span_hours"),
+        least(col("span_hours"), lit(maxCells.toLong)).as("emitted_hours"),
+        (col("span_hours") > maxCells).as("truncated"))
+
   private def tsResample: Q = (s, dir) =>
     resampleHourly(Tables.events(s, dir), "user_id", "ts", "value")
+
+  /** Cap chosen to BIND on the fixture (per-key spans are 636-720 h at
+    * sf0.01): the guard's end-to-end proof, not just a spec. */
+  private val DemoGridCap = 168
+
+  private def tsResampleCapped: Q = (s, dir) =>
+    resampleHourly(Tables.events(s, dir), "user_id", "ts", "value", DemoGridCap)
+
+  private def tsResampleStats: Q = (s, dir) =>
+    resampleTruncationStats(Tables.events(s, dir), "user_id", "ts", DemoGridCap)
+
+  private val tsResampleCappedSql =
+    s"""WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |         count(*) AS n_events, avg(value) AS hour_avg
+      |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+      |bounds AS (
+      |  SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+      |         max(date_trunc('hour', ts)) AS h1
+      |  FROM events GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(
+      |           greatest(h0, h1 - INTERVAL ${DemoGridCap - 1} HOUR),
+      |           h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds)
+      |SELECT g.user_id AS user_id, g.hour AS hour,
+      |  coalesce(h.n_events, 0)::BIGINT AS n_events,
+      |  round(last_value(h.hour_avg IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_avg
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin
+
+  private val tsResampleStatsSql =
+    s"""SELECT user_id,
+      |  ((epoch(max(date_trunc('hour', ts))) - epoch(min(date_trunc('hour', ts)))) // 3600 + 1)::BIGINT AS span_hours,
+      |  least(((epoch(max(date_trunc('hour', ts))) - epoch(min(date_trunc('hour', ts)))) // 3600 + 1)::BIGINT, $DemoGridCap) AS emitted_hours,
+      |  ((epoch(max(date_trunc('hour', ts))) - epoch(min(date_trunc('hour', ts)))) // 3600 + 1)::BIGINT > $DemoGridCap AS truncated
+      |FROM events GROUP BY user_id""".stripMargin
 
   private val tsResampleSql =
     """WITH hourly AS (
@@ -271,6 +342,8 @@ object TimeSeries {
     "ts_sessionize" -> tsSessionize,
     "ts_rolling" -> tsRolling,
     "ts_resample" -> tsResample,
+    "ts_resample_capped" -> tsResampleCapped,
+    "ts_resample_stats" -> tsResampleStats,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention)
 
@@ -278,6 +351,8 @@ object TimeSeries {
     "ts_sessionize" -> tsSessionizeSql,
     "ts_rolling" -> tsRollingSql,
     "ts_resample" -> tsResampleSql,
+    "ts_resample_capped" -> tsResampleCappedSql,
+    "ts_resample_stats" -> tsResampleStatsSql,
     "ts_funnel" -> tsFunnelSql,
     "ts_retention" -> tsRetentionSql)
 }

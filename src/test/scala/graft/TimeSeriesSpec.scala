@@ -59,6 +59,38 @@ class TimeSeriesSpec extends SparkSpec {
     rs.unpersist()
   }
 
+  test("resample grid cap: a pathological-gap key emits only the last maxCells hours, accounting audits it") {
+    import spark.implicits._
+    // key "sparse": two observations three years apart — uncapped this
+    // is a ~26k-row grid from 3 events; key "dense": a normal short key
+    val rows = Seq(
+      ("sparse", "2020-01-01 00:30:00", 1.0),
+      ("sparse", "2023-01-01 10:30:00", 5.0),
+      ("dense", "2023-01-01 08:15:00", 2.0),
+      ("dense", "2023-01-01 10:45:00", 4.0))
+      .toDF("k", "tss", "value")
+      .select(col("k"), col("tss").cast("timestamp").as("ts"), col("value"))
+    val out = Graft.timeseries.resampleHourly(rows, "k", "ts", "value", maxCells = 5)
+      .cache()
+    // capped key: exactly 5 grid hours, ending at its last observed hour
+    val sparse = out.filter(col("k") === "sparse").orderBy("hour").collect()
+    assert(sparse.length == 5, s"expected 5 capped rows, got ${sparse.length}")
+    assert(sparse.last.getAs[java.sql.Timestamp]("hour").toString.startsWith("2023-01-01 10"))
+    // leading truncated hours are UNKNOWN (null), not a 2020 carry-over;
+    // the hour with the surviving observation fills normally
+    assert(sparse.init.forall(_.isNullAt(3)))
+    assert(sparse.last.getDouble(3) == 5.0)
+    // uncapped key unaffected: 3 contiguous hours, no nulls
+    val dense = out.filter(col("k") === "dense").collect()
+    assert(dense.length == 3 && dense.forall(!_.isNullAt(3)))
+    out.unpersist()
+    val stats = Graft.timeseries.resampleStats(rows, "k", "ts", maxCells = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(stats("sparse")._3 && stats("sparse")._2 == 5L)
+    assert(!stats("dense")._3 && stats("dense") == ((3L, 3L, false)))
+  }
+
   test("ts_funnel: stage timestamps strictly ordered, stage label consistent") {
     val f = operators.TimeSeries.queries("ts_funnel")(spark, sf).cache()
     // one row per user who ever viewed
