@@ -38,15 +38,28 @@ object TextAnalysis {
 
   /** Whitespace token count, BPE-ish subword-boundary token count
     * (word chars runs + single non-space punctuation, the GPT-2-style
-    * pre-tokenizer shape), and chars-per-token ratio. */
-  private def tTokenCount: Q = (s, dir) =>
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
-        .cast("long").as("bpe_tokens"),
-      round(col("n_chars").cast("double") /
-        size(split(trim(col("text")), "\\s+")), 6).as("chars_per_token"))
+    * pre-tokenizer shape), and chars-per-token ratio.
+    *
+    * Counting runs on the native single-pass [[org.apache.spark.sql.graft.TokenCounts]]
+    * expression (PropertySpec pins it char-for-char equivalent to the
+    * regex formulation the oracle still uses): token counting is pure
+    * per-row compute with nothing to amortize at scale, so replacing
+    * two regex walks + token-array materialization per row with one
+    * compiled scan attacks the only cost the query has. Codegen
+    * subexpression elimination evaluates the struct once per row for
+    * both field reads. */
+  private def tTokenCount: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr("graft_token_counts(text)").as("tc"))
+      .select(
+        col("doc_id"),
+        col("tc.ws_tokens").as("ws_tokens"),
+        col("tc.bpe_tokens").as("bpe_tokens"),
+        round(col("n_chars").cast("double") / col("tc.ws_tokens"), 6)
+          .as("chars_per_token"))
+  }
 
   private val tTokenCountSql =
     """SELECT doc_id,

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression computing PortableHash's polynomial
@@ -350,6 +352,95 @@ object BoundedEditDist {
   }
 }
 
+/** Native single-pass token counter: `graft_token_counts(text)` =
+  * `struct<ws_tokens: bigint, bpe_tokens: bigint>` where
+  *
+  *  - `ws_tokens`  = `size(split(trim(text), '\s+'))` — whitespace
+  *    token count over the space-trimmed text, and
+  *  - `bpe_tokens` = `size(regexp_extract_all(text,
+  *    '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]'))` — the GPT-2-style
+  *    pre-tokenizer shape (word-char runs plus single non-space
+  *    symbols) over the ORIGINAL text,
+  *
+  * replicated exactly (PropertySpec-asserted against the regex forms)
+  * but computed in ONE compiled scan of the string with no regex
+  * engine, no intermediate token arrays, and no per-match object
+  * churn. Both regex formulations walk the text independently and
+  * allocate an array of token strings only to take its `size`; at
+  * 100 TB token counting is pure per-row compute amortizing nothing
+  * (sweep ratio 4.39× in round 8), so the constant factor IS the cost.
+  *
+  * Semantics notes pinned by the spec:
+  *  - `trim` strips 0x20 SPACES only (Spark/DuckDB `trim` semantics),
+  *    so a text starting with `\t` still yields a leading empty token —
+  *    `ws_tokens` counts maximal Java-`\s` runs + 1 on the trimmed
+  *    text, which reproduces `split(..., -1)` boundary-empty behavior.
+  *  - Word chars are ASCII `[a-zA-Z0-9_]` (the regex is explicit, not
+  *    `\w`); any other non-`\s` code point counts as one symbol token,
+  *    including non-ASCII letters and Unicode whitespace (U+00A0 is
+  *    NOT Java `\s`).
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("ws_tokens", LongType, nullable = false),
+    StructField("bpe_tokens", LongType, nullable = false)))
+  override def prettyName: String = "graft_token_counts"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TokenCounts.compute(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.TokenCounts.compute($c)")
+
+  protected override def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
+object TokenCounts {
+  /** Java regex `\s` — exactly `[ \t\n\x0B\f\r]`, NOT Unicode spaces. */
+  private def isJavaWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  private def isWordChar(cp: Int): Boolean =
+    (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+      (cp >= '0' && cp <= '9') || cp == '_'
+
+  def compute(s: UTF8String): InternalRow = {
+    val str = s.toString
+    // trim = strip leading/trailing 0x20 only (for the ws count)
+    var lo = 0
+    var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    var ws = 1L      // fields = whitespace runs + 1 (split keeps empties)
+    var inWsRun = false
+    var i = lo
+    while (i < hi) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if (isJavaWs(cp)) {
+        if (!inWsRun) { ws += 1; inWsRun = true }
+      } else inWsRun = false
+    }
+    // bpe pass over the ORIGINAL text (regexp_extract_all is untrimmed)
+    var bpe = 0L
+    var inWordRun = false
+    i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if (isWordChar(cp)) {
+        if (!inWordRun) { bpe += 1; inWordRun = true }
+      } else {
+        inWordRun = false
+        if (!isJavaWs(cp)) bpe += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](ws, bpe))
+  }
+}
+
 /** Registers graft's native Catalyst expressions in a session's
   * FunctionRegistry so they are usable from `expr(...)` strings
   * (including inside higher-order-function lambdas).
@@ -379,6 +470,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+      (children: Seq[Expression]) => TokenCounts(children.head)),
     (FunctionIdentifier("graft_bounded_editdist"),
       new ExpressionInfo(classOf[BoundedEditDist].getName, "graft_bounded_editdist"),
       (children: Seq[Expression]) => BoundedEditDist(children(0), children(1), children(2))),

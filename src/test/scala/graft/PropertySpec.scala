@@ -137,6 +137,31 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("token-counts law: native == regex split/extract forms on adversarial strings") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // chars chosen to exercise every boundary the expression hand-rolls:
+    // all five Java-\s whitespace chars, 0x20-only trim, ASCII word
+    // chars, punctuation, non-ASCII letters, Unicode NBSP (NOT \s),
+    // and an astral-plane code point (surrogate-pair iteration)
+    val charGen = Gen.frequency(
+      5 -> Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf('_', '.', ',', '!', '-'),
+      2 -> Gen.oneOf('é', 'ß', '中', '\u00A0'))
+    val strGen = Gen.frequency(
+      1 -> Gen.const(""), 1 -> Gen.const("  \t  "), 1 -> Gen.const("\ta b\t"),
+      1 -> Gen.const("a😀b 😀"),
+      10 -> Gen.listOf(charGen).map(_.mkString))
+    val strs = samples(strGen, 80)
+    assert(strs.exists(_.nonEmpty))
+    val df = strs.toDF("s").select(
+      expr("graft_token_counts(s)").as("tc"),
+      size(split(trim(col("s")), "\\s+")).cast("long").as("ws_re"),
+      size(regexp_extract_all(col("s"), lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
+        .cast("long").as("bpe_re"))
+    assert(df.filter(col("tc.ws_tokens") =!= col("ws_re") ||
+      col("tc.bpe_tokens") =!= col("bpe_re")).count() == 0)
+  }
+
   test("bounded-editdist law: native == builtin levenshtein(a,b,t) on arbitrary pairs") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     // small alphabet forces real edit structure (shared chars, runs);
