@@ -16,8 +16,11 @@ import graft.Tables
   * stats from the decoded raster. Oracle strategy: the synthetic image's
   * pixels are a closed-form function of (x, y, doc_id), so DuckDB
   * verifies the DECODED stats arithmetically without needing a codec —
-  * a wrong decode (stride, band order, bit depth) breaks parity. Only
-  * audio/video stay stubbed (the JDK genuinely has no codecs for them;
+  * a wrong decode (stride, band order, bit depth) breaks parity. The
+  * AUDIO decode is REAL too: payloads are genuine WAVs (RIFF + 16-bit
+  * PCM via `javax.sound.sampled`, also in every JDK) and features come
+  * from decoded frames, oracle-checked the same closed-form way. Only
+  * video stays stubbed (the JDK genuinely has no video codec;
   * documented at the site). Frame/meta queries keep UTF-8 text payloads
   * so their digests stay VARCHAR-computable in DuckDB 1.0 (no md5 over
   * BLOB).
@@ -89,6 +92,86 @@ object Multimodal {
   /** The opaque payload column (stub: UTF-8 bytes of the text). */
   private def withPayload(df: DataFrame): DataFrame =
     df.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  // ----------------------------------------------------------------
+  // Real WAV/PCM codec path (javax.sound.sampled — in every JDK)
+  // ----------------------------------------------------------------
+
+  private val AudioRate = 8000
+
+  /** Deterministic 16-bit PCM test-tone sample: the closed form both
+    * the Spark encoder and the DuckDB oracle share (multipliers are
+    * primes so consecutive samples sweep the full signed-16 range —
+    * a decode that drops sign, byte order, or bit depth cannot
+    * reproduce the stats). */
+  private def ampAt(i: Int, docId: Long): Int =
+    ((i.toLong * 7919 + docId * 104729) % 65536).toInt - 32768
+
+  /** Per-doc sample count: 256..767 so WAVs differ in duration. */
+  private def samplesOf(docId: Long): Int = (256 + docId % 512).toInt
+
+  /** A REAL WAV file (RIFF container, 16-bit signed little-endian
+    * mono PCM at 8 kHz) of the deterministic test tone, encoded with
+    * `javax.sound.sampled.AudioSystem` — the write half of the audio
+    * codec plumbing, same contract as [[synthPng]]. */
+  private[graft] def synthWav(docId: Long, nSamples: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioRate.toFloat, 16, 1, true, false) // signed, little-endian
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = ampAt(i, docId)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private[graft] case class AudioStats(nSamples: Long, sampleRate: Long,
+      channels: Long, min: Long, max: Long, sum: Long, sumSquare: Long) {
+    def mean: Double = sum.toDouble / nSamples
+    def meanSquare: Double = sumSquare.toDouble / nSamples
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
+    * RIFF/fmt headers (rate, channels, bit depth, endianness come from
+    * the DECODED format, not assumptions), then amplitude stats are
+    * folded over the decoded PCM frames. Integer sums with exact
+    * double division at the end, so a correct decode reproduces the
+    * oracle's closed-form stats bit-identically; a stride/sign/byte-
+    * order bug breaks parity. Handles both endiannesses so it decodes
+    * any 16-bit PCM WAV, not just [[synthWav]]'s output. */
+  private[graft] def decodeWavStats(wav: Array[Byte]): AudioStats = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16, s"not 16-bit PCM: $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val big = fmt.isBigEndian
+    val n = bytes.length / 2
+    var sum = 0L; var sumSq = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+      val hi = bytes(2 * i + (if (big) 0 else 1)).toInt
+      val s = (hi << 8) | lo
+      sum += s; sumSq += s.toLong * s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      i += 1
+    }
+    val frames = n / fmt.getChannels
+    AudioStats(frames.toLong, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+      mn, mx, sum, sumSq)
+  }
 
   // ----------------------------------------------------------------
   // Binary column + typed metadata
@@ -201,6 +284,57 @@ object Multimodal {
       |       CAST(max((x * 7 + y * 13 + doc_id * 31) % 256) AS BIGINT) AS max_pixel
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** Audio decode + featurize with a REAL codec: every document's
+    * audio is a genuine WAV ([[synthWav]] — `javax.sound.sampled`
+    * encode, RIFF container + 16-bit LE PCM) and the features come
+    * from frames DECODED back out of it inside a mapPartitions batch.
+    * Format facts (sample_rate, channels) are read from the DECODED
+    * headers; amplitude stats fold over the decoded samples. The
+    * oracle knows the test tone's closed-form sample function, so
+    * DuckDB verifies the decoded duration/min/max/mean/mean-square
+    * arithmetically without needing a codec — a sign, byte-order, or
+    * bit-depth bug in the decode path breaks parity. The amplitude
+    * moments ship as exact integer SUMS (sum_amp, sum_square =
+    * un-normalized mean and power) rather than rounded ratios: a
+    * sample count like 568 makes mean-square land exactly on a
+    * 6-decimal half-point, where the two engines' round() tie-break on
+    * the nearest DOUBLE diverges — integers cannot tie-break.
+    * duration_ms stays a ratio because n·1000/8000 = n·0.125 is exact
+    * binary for any n. Map-side only, no shuffle; linear in input
+    * splits. */
+  private def mAudioFeatures: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val st = decodeWavStats(synthWav(id, samplesOf(id)))
+          (id, st.nSamples, st.sampleRate, st.channels,
+            st.nSamples * 1000.0 / st.sampleRate,
+            st.min, st.max, st.sum, st.sumSquare)
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_rate", "channels",
+        "duration_ms", "min_amp", "max_amp", "sum_amp", "sum_square")
+  }
+
+  private val mAudioFeaturesSql =
+    """WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents),
+      |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+      |v AS (SELECT doc_id, n,
+      |        ((i * 7919 + doc_id * 104729) % 65536) - 32768 AS amp
+      |      FROM s)
+      |SELECT doc_id, n AS n_samples,
+      |       CAST(8000 AS BIGINT) AS sample_rate,
+      |       CAST(1 AS BIGINT) AS channels,
+      |       n * 1000.0 / 8000 AS duration_ms,
+      |       CAST(min(amp) AS BIGINT) AS min_amp,
+      |       CAST(max(amp) AS BIGINT) AS max_amp,
+      |       CAST(sum(amp) AS BIGINT) AS sum_amp,
+      |       CAST(sum(amp * amp) AS BIGINT) AS sum_square
+      |FROM v GROUP BY doc_id, n""".stripMargin
+
   // ----------------------------------------------------------------
   // Patch-grid generator (ViT-style image tiling)
   // ----------------------------------------------------------------
@@ -268,9 +402,11 @@ object Multimodal {
     * per-partition iteration so decoder init amortizes across the
     * batch. IMAGE records get a REAL `javax.imageio` decode (payloads
     * are genuine PNGs — mean_byte is the decoded mean pixel, geometry
-    * from the raster). Audio/video stay STUBBED with byte-level stats:
-    * the JDK ships no audio/video codecs, so only for those the decode
-    * body is a placeholder. */
+    * from the raster). AUDIO records get a REAL `javax.sound.sampled`
+    * decode (payloads are genuine WAVs — mean_byte is the decoded
+    * mean amplitude, frames is the decoded frame count, channels from
+    * the format header). Only VIDEO stays STUBBED with byte-level
+    * stats: the JDK genuinely ships no video codec. */
   def decodePartitions(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
@@ -278,27 +414,33 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val bytes = r.payload
-        if (r.media_type == "image") {
-          val st = decodeStats(bytes)
-          MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
-            st.mean, 1, st.width.toLong, st.height.toLong, st.channels.toLong)
-        } else {
-          // STUB (audio/video only): byte stats in place of a codec
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-          MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
-            if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-            (bytes.length + FrameBytes - 1) / FrameBytes, -1L, -1L, -1L)
+        r.media_type match {
+          case "image" =>
+            val st = decodeStats(bytes)
+            MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
+              st.mean, 1, st.width.toLong, st.height.toLong, st.channels.toLong)
+          case "audio" =>
+            val st = decodeWavStats(bytes)
+            MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
+              st.mean, st.nSamples.toInt, -1L, -1L, st.channels)
+          case _ =>
+            // STUB (video only): byte stats in place of a codec
+            var sum = 0L
+            var i = 0
+            while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+            MediaFeatures(r.doc_id, r.media_type, bytes.length.toLong,
+              if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+              (bytes.length + FrameBytes - 1) / FrameBytes, -1L, -1L, -1L)
         }
       }
     }
   }
 
   /** Typed media table for [[decodePartitions]]: image docs carry a
-    * REAL PNG payload (the deterministic test card), audio/video carry
-    * the UTF-8 byte stub. PNG encoding happens map-side per partition —
-    * the write half of the codec plumbing. */
+    * REAL PNG payload (the deterministic test card), audio docs a REAL
+    * WAV (the deterministic test tone), video the UTF-8 byte stub.
+    * Encoding happens map-side per partition — the write half of the
+    * codec plumbing. */
   def mediaRecords(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     dims(withPayload(Tables.documents(s, dir)))
@@ -310,7 +452,12 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload, w, h, mt) =>
-          MediaRecord(id, if (mt == "image") synthPng(id, w, h) else payload, mt)
+          MediaRecord(id,
+            mt match {
+              case "image" => synthPng(id, w, h)
+              case "audio" => synthWav(id, samplesOf(id))
+              case _ => payload
+            }, mt)
         }
       }
   }
@@ -321,11 +468,13 @@ object Multimodal {
     "m_binary_meta" -> mBinaryMeta,
     "m_frame_sample" -> mFrameSample,
     "m_features" -> mFeatures,
+    "m_audio_features" -> mAudioFeatures,
     "m_patches" -> mPatches)
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
     "m_frame_sample" -> mFrameSampleSql,
     "m_features" -> mFeaturesSql,
+    "m_audio_features" -> mAudioFeaturesSql,
     "m_patches" -> mPatchesSql)
 }

@@ -78,7 +78,7 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(idx.filter(col("level") > 2).count() == 0)
   }
 
-  test("decodePartitions: real PNG decode for images, byte stub for audio/video") {
+  test("decodePartitions: real PNG/WAV decode for images+audio, byte stub for video") {
     val out = Multimodal.decodePartitions(Multimodal.mediaRecords(spark, sf))
     val df = out.toDF()
     assert(df.count() == Tables.documents(spark, sf).count())
@@ -90,12 +90,42 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(img.filter(col("height") =!= (lit(16) + (col("doc_id") * 7) % 64)).count() == 0)
     assert(img.filter(col("channels") =!= 1).count() == 0)
     assert(img.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
-    // audio/video stay stubbed: ASCII payloads, mean byte in (0, 127],
+    // audio rows went through a REAL javax.sound decode: frame count
+    // and channel count come from the DECODED stream, mean amplitude
+    // is a signed-16 value; no image geometry
+    val aud = df.filter(col("media_type") === "audio")
+    assert(aud.count() > 0)
+    assert(aud.filter(col("frames") =!= (lit(256) + col("doc_id") % 512).cast("int")).count() == 0)
+    assert(aud.filter(col("channels") =!= 1).count() == 0)
+    assert(aud.filter(col("mean_byte") < -32768 || col("mean_byte") > 32767).count() == 0)
+    assert(aud.filter(col("width") =!= -1 || col("height") =!= -1).count() == 0)
+    // video stays stubbed: ASCII payloads, mean byte in (0, 127],
     // frames consistent with size, no geometry
-    val av = df.filter(col("media_type") =!= "image")
-    assert(av.filter(col("mean_byte") <= 0 || col("mean_byte") > 127).count() == 0)
-    assert(av.filter(col("frames") =!= ((col("n_bytes") + 63) / 64).cast("int")).count() == 0)
-    assert(av.filter(col("width") =!= -1 || col("channels") =!= -1).count() == 0)
+    val vid = df.filter(col("media_type") === "video")
+    assert(vid.filter(col("mean_byte") <= 0 || col("mean_byte") > 127).count() == 0)
+    assert(vid.filter(col("frames") =!= ((col("n_bytes") + 63) / 64).cast("int")).count() == 0)
+    assert(vid.filter(col("width") =!= -1 || col("channels") =!= -1).count() == 0)
+  }
+
+  test("WAV codec roundtrip: decoded stats equal the closed form, headers decoded") {
+    // the encode..decode loop must reproduce the generator's samples
+    // EXACTLY — a sign, byte-order, or bit-depth bug shifts every stat
+    Seq(0L, 1L, 17L, 509L).foreach { id =>
+      val n = (256 + id % 512).toInt
+      val st = Multimodal.decodeWavStats(Multimodal.synthWav(id, n))
+      def amp(i: Int): Long = ((i.toLong * 7919 + id * 104729) % 65536) - 32768
+      val amps = (0 until n).map(amp)
+      assert(st.nSamples == n.toLong, s"doc $id")
+      assert(st.sampleRate == 8000L && st.channels == 1L, s"doc $id")
+      assert(st.min == amps.min && st.max == amps.max, s"doc $id")
+      assert(st.mean == amps.sum.toDouble / n, s"doc $id")
+      assert(st.meanSquare == amps.map(a => a * a).sum.toDouble / n, s"doc $id")
+    }
+    // pinned literal stats for doc 0, n=4 (hand-computed): catches a
+    // symmetric bug that the closed-form twin above would share
+    val st0 = Multimodal.decodeWavStats(Multimodal.synthWav(0L, 4))
+    assert(st0.min == -32768L && st0.max == -9011L)
+    assert(st0.mean == -20889.5 && st0.meanSquare == 5.147594115e8)
   }
 
   test("PNG codec round-trip pins known pixel stats") {
