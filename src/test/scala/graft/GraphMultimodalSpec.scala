@@ -99,12 +99,33 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(aud.filter(col("channels") =!= 1).count() == 0)
     assert(aud.filter(col("mean_byte") < -32768 || col("mean_byte") > 32767).count() == 0)
     assert(aud.filter(col("width") =!= -1 || col("height") =!= -1).count() == 0)
-    // video stays stubbed: ASCII payloads, mean byte in (0, 127],
-    // frames consistent with size, no geometry
+    // video rows went through a REAL MPNG demux + per-frame ImageIO
+    // decode: frame count from the container header, geometry from the
+    // decoded rasters, mean pixel in byte range
     val vid = df.filter(col("media_type") === "video")
-    assert(vid.filter(col("mean_byte") <= 0 || col("mean_byte") > 127).count() == 0)
-    assert(vid.filter(col("frames") =!= ((col("n_bytes") + 63) / 64).cast("int")).count() == 0)
-    assert(vid.filter(col("width") =!= -1 || col("channels") =!= -1).count() == 0)
+    assert(vid.count() > 0)
+    assert(vid.filter(col("frames") =!= (lit(2) + col("doc_id") % 4).cast("int")).count() == 0)
+    assert(vid.filter(col("width") =!= (lit(16) + col("doc_id") % 64)).count() == 0)
+    assert(vid.filter(col("height") =!= (lit(16) + (col("doc_id") * 7) % 64)).count() == 0)
+    assert(vid.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
+    assert(vid.filter(col("channels") =!= 1).count() == 0)
+  }
+
+  test("MPNG demux: per-frame decode stats equal the closed form; geometry enforced") {
+    Seq(0L, 5L, 42L).foreach { id =>
+      val (w, h, nf) = (8, 6, (2 + id % 4).toInt)
+      val st = Multimodal.demuxMpng(Multimodal.synthMpng(id, w, h, nf))
+      def px(x: Int, y: Int, f: Int): Long =
+        (x * 7L + y * 13L + (id + 1000003L * f) * 31L) % 256L
+      val all = for (f <- 0 until nf; x <- 0 until w; y <- 0 until h) yield px(x, y, f)
+      assert(st == Multimodal.VideoStats(nf.toLong, w.toLong, h.toLong,
+        all.sum, all.min, all.max), s"doc $id")
+    }
+    // a truncated container must fail loudly, not return partial stats
+    val good = Multimodal.synthMpng(1L, 4, 4, 2)
+    intercept[Exception] {
+      Multimodal.demuxMpng(java.util.Arrays.copyOf(good, good.length - 3))
+    }
   }
 
   test("WAV codec roundtrip: decoded stats equal the closed form, headers decoded") {
@@ -140,7 +161,8 @@ class GraphMultimodalSpec extends SparkSpec {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     val st = Multimodal.decodeStats(bos.toByteArray)
-    assert(st == Multimodal.PixelStats(2, 2, 1, (0 + 255 + 128 + 64) / 4.0, 0, 255))
+    assert(st == Multimodal.PixelStats(2, 2, 1, 0 + 255 + 128 + 64, 0, 255))
+    assert(st.mean == (0 + 255 + 128 + 64) / 4.0)
     // and the synthetic test card for doc 0 decodes to its closed form:
     // pixel(x, y, 0) = (7x + 13y) % 256 over 16x16
     val card = Multimodal.decodeStats(Multimodal.synthPng(0L, 16, 16))
