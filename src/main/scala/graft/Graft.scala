@@ -370,6 +370,14 @@ object Graft {
     def probe(spark: SparkSession, root: String, queryVec: Array[Float],
         nprobe: Int = 2, k: Int = 10): DataFrame =
       operators.AnnIndex.probe(spark, root, queryVec, nprobe, k)
+
+    /** Two-stage IVF-PQ probe of the live index: ADC over the stored
+      * per-generation PQ codes of the probed cells, exact re-rank of
+      * the `rerankPool` shortlist only. Same upsert-exactness contract
+      * as [[probe]] (spec-pinned). */
+    def probeAdc(spark: SparkSession, root: String, queryVec: Array[Float],
+        nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame =
+      operators.AnnIndex.probeAdc(spark, root, queryVec, nprobe, k, rerankPool)
   }
 
   object text {

@@ -17,11 +17,22 @@ import org.apache.spark.sql.functions._
   *                    append-only cell partitions possible. Production
   *                    retrains by rebuilding at a new root (quantizer
   *                    drift is a rebuild, not an upsert).
+  *  - `codebooks/`    the frozen fine quantizer: per-subspace PQ
+  *                    codebooks `(mm, code, ce, cn)` trained once on
+  *                    the deterministic founding sample
+  *                    (`vec_id < PqTrainN`). Same freeze rationale as
+  *                    the seeds: a batch encoded today must mean the
+  *                    same thing as a batch encoded last month.
   *  - `data-<gen>/`   vectors `(vec_id, label, embedding, nrm, gen)`
   *                    partitioned by `cell`; gen 0 is the base build,
   *                    each upsert appends the next generation. Files
   *                    are never rewritten — an upsert only ADDS a
   *                    directory.
+  *  - `codes-<gen>/`  per-vector PQ codes `(vec_id, codes, gen)`
+  *                    partitioned by `cell`, one per data generation —
+  *                    the ADC serving side: [[probeAdc]] scans ONLY
+  *                    these (M small ints per vector) plus the
+  *                    shortlist's full vectors.
   *  - `stats-<gen>/`  per-(cell, dim) running `(sm, cnt)` — double
   *                    sums of float32 components are EXACT at this
   *                    scale (the [[Similarity]] centroid discipline),
@@ -57,6 +68,25 @@ object AnnIndex {
   private val ManifestName = "_GRAFT_IVF_MANIFEST"
 
   private def dot(a: String, b: String): String = Similarity.foldDot(a, b)
+
+  // PQ geometry (matches the in-query [[Similarity]] PQ shape): M
+  // subspaces of SubDim dims, K codes per subspace, codebooks trained
+  // once at build time on the deterministic founding sample and FROZEN
+  // (the seeds discipline applied to the fine quantizer — production
+  // retrains by rebuilding at a new root).
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+  /** Codebooks train on the vectors with `vec_id < PqTrainN` — a
+    * deterministic sample that any founding corpus contains, so a
+    * full rebuild over base+batches trains the IDENTICAL codebooks
+    * (what makes probeAdc(upserted) == probeAdc(rebuilt) exact,
+    * spec-pinned). */
+  private val PqTrainN = 64
+
+  private def pqSubs(colName: String): String = (0 until PqM)
+    .map(m => s"struct($m as m, slice($colName, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
+    .mkString("array(", ", ", ")")
 
   /** `(gen, ordered data dir names)` through the manifest; None when
     * the root holds no published index. */
@@ -109,11 +139,66 @@ object AnnIndex {
       .groupBy(col("cell"), col("pos"))
       .agg(sum(col("cv").cast("double")).as("sm"), count(lit(1)).as("cnt"))
 
+  /** Train the frozen per-subspace PQ codebooks from the
+    * deterministic founding sample (`vec_id < PqTrainN`): init
+    * centroids are the `PqK` lowest-id sample vectors' subvectors,
+    * refined by one Lloyd round over the sample (double-sum means —
+    * exact, so retraining on the same sample is bit-identical).
+    * Returns `(mm, code, ce, cn)`. */
+  private def trainCodebooks(v: DataFrame): DataFrame = {
+    val sample = v.filter(col("vec_id") < PqTrainN)
+      .select(col("vec_id"), explode(expr(pqSubs("embedding"))).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+    val init = sample.filter(col("vec_id") < PqK)
+      .select(col("m").as("mm"), col("vec_id").as("code"), col("sv").as("ce"))
+    val assignedSample = sample
+      .join(broadcast(init), col("m") === col("mm"))
+      .withColumn("score", expr(s"${dot("ce", "ce")} - 2.0 * ${dot("sv", "ce")}"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("code"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("m"), col("best.code").as("code"),
+        posexplode(col("sv")).as(Seq("pos", "cv")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("cv").cast("double")) / count(lit(1))).as("mv"))
+      .groupBy(col("m"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> cast(x.mv as float))")
+        .as("ce"))
+    // a code with no sample members keeps its init centroid
+    init.select(col("mm"), col("code"), col("ce").as("ice"))
+      .join(assignedSample.withColumnsRenamed(Map("m" -> "mm")),
+        Seq("mm", "code"), "left")
+      .select(col("mm"), col("code"), coalesce(col("ce"), col("ice")).as("ce"))
+      .withColumn("cn", expr(dot("ce", "ce")))
+  }
+
+  /** Encode assigned vectors against the stored codebooks: per-row
+    * argmin over the M·K broadcast codebook union (ties → lowest
+    * code) → `(vec_id, cell, codes array<int>)`. Deterministic given
+    * the codebooks, so incrementally-encoded batches match what a
+    * full rebuild with the same (frozen-sample) codebooks writes. */
+  private def encode(assigned: DataFrame, books: DataFrame): DataFrame =
+    assigned
+      .select(col("vec_id"), col("cell"),
+        explode(expr(pqSubs("embedding"))).as("p"))
+      .select(col("vec_id"), col("cell"), col("p.m").as("m"), col("p.sv").as("sv"))
+      .join(broadcast(books), col("m") === col("mm"))
+      .withColumn("score", col("cn") - lit(2.0) * expr(dot("sv", "ce")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(first(col("cell")).as("cell"),
+        min(struct(col("score"), col("code"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("m"), col("best.code").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        expr("transform(array_sort(collect_list(struct(m, code))), x -> cast(x.code as int))")
+          .as("codes"))
+
   /** Found the index: freeze the coarse quantizer (the `cells`
-    * lowest-id vectors as seeds), write generation 0 of the data
-    * cell-partitioned, the running centroid stats, and publish the
-    * manifest. `vectors` must be non-empty and contain the seed ids
-    * `0 until cells`. */
+    * lowest-id vectors as seeds) AND the fine quantizer (PQ codebooks
+    * from the founding sample), write generation 0 of the data and of
+    * the PQ codes cell-partitioned, the running centroid stats, and
+    * publish the manifest. `vectors` must be non-empty and contain
+    * the seed ids `0 until cells`. */
   def build(vectors: DataFrame, root: String, cells: Int = 8): Unit = {
     org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
     val v = withNorm(vectors.select(col("vec_id").cast("long").as("vec_id"),
@@ -122,12 +207,17 @@ object AnnIndex {
       .select(col("vec_id").as("cell"), col("embedding").as("se"))
       .withColumn("sn", expr(dot("se", "se")))
     seeds.write.mode("overwrite").parquet(s"$root/seeds")
-    val storedSeeds = vectors.sparkSession.read.parquet(s"$root/seeds")
+    trainCodebooks(v).write.mode("overwrite").parquet(s"$root/codebooks")
+    val s = vectors.sparkSession
+    val storedSeeds = s.read.parquet(s"$root/seeds")
     val a = assign(v, storedSeeds)
       .withColumn("gen", lit(0L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       a.write.partitionBy("cell").parquet(s"$root/data-0")
+      encode(a, s.read.parquet(s"$root/codebooks"))
+        .withColumn("gen", lit(0L))
+        .write.partitionBy("cell").parquet(s"$root/codes-0")
       statsOf(a).write.parquet(s"$root/stats-0")
     } finally a.unpersist()
     writeManifest(root, 0L, Seq("data-0"))
@@ -153,6 +243,11 @@ object AnnIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       b.write.partitionBy("cell").parquet(s"$root/data-$newGen")
+      // encode the batch against the FROZEN founding codebooks — the
+      // ADC side of the index stays append-only too
+      encode(b, s.read.parquet(s"$root/codebooks"))
+        .withColumn("gen", lit(newGen))
+        .write.partitionBy("cell").parquet(s"$root/codes-$newGen")
       val old = s.read.parquet(s"$root/stats-$gen")
       statsOf(b).unionByName(old)
         .groupBy(col("cell"), col("pos"))
@@ -219,6 +314,87 @@ object AnnIndex {
             .reduce(_ unionByName _)
             .filter(col("cell").isin(probeCells.map(Long.box): _*))
             .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .withColumn("qe", typedLit(queryVec))
+            .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+              (expr(dot("embedding", "qe")) / (col("nrm") * lit(qnrm))).as("cos"))
+            .orderBy(col("cos").desc, col("vec_id").asc)
+            .limit(k)
+            .select(col("vec_id"), col("label"), col("cell"),
+              round(col("cos"), 6).as("cosine"))
+        }
+    }
+  }
+
+  /** IVF-PQ serving probe over the incrementally-maintained index —
+    * the two-stage shape of [[Similarity]]'s `s_ivfpq_indexed` on top
+    * of the LSM generation layout: nearest `nprobe` cells from the
+    * LATEST running-stats centroids, the query's M×K ADC table from
+    * the FROZEN stored codebooks, then the ADC stage scans ONLY the
+    * stored codes of the probed cells across every generation (raw
+    * embeddings never read here; latest-generation-wins makes re-sent
+    * ids true upserts), and the `rerankPool` shortlist alone pays a
+    * full-dimension exact cosine from the data generations (same
+    * cell-pruned scan). ADC partial sums go through the
+    * round-to-9dp-decimal discipline so the sum is association-order
+    * independent, which makes probeAdc(upserted) == probeAdc(rebuilt)
+    * exact under pure appends (spec-pinned — the codebooks train on
+    * the deterministic founding sample both paths share). */
+  def probeAdc(s: SparkSession, root: String, queryVec: Array[Float],
+      nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    readManifest(root) match {
+      case None => empty
+      case Some((gen, dataDirs)) =>
+        val qnrm = math.sqrt(
+          queryVec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        val cent = s.read.parquet(s"$root/stats-$gen")
+          .select(col("cell"), col("pos"), (col("sm") / col("cnt")).as("m"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))")
+            .as("ce"))
+        val probeCells = cent.withColumn("qe", typedLit(queryVec))
+          .withColumn("pscore", expr(s"${dot("ce", "ce")} - 2 * ${dot("qe", "ce")}"))
+          .orderBy(col("pscore").asc, col("cell").asc)
+          .limit(nprobe)
+          .select(col("cell")).collect().map(_.getLong(0))
+        if (probeCells.isEmpty) empty
+        else {
+          val books = s.read.parquet(s"$root/codebooks")
+          // query-side ADC table: M×K subspace distances, one tiny frame
+          val dt = s.range(1).select(typedLit(queryVec).as("qe"))
+            .select(explode(expr(pqSubs("qe"))).as("p"))
+            .select(col("p.m").as("dm"), col("p.sv").as("qsv"))
+            .join(broadcast(books), col("dm") === col("mm"))
+            .select(col("dm"), col("code").as("dcode"),
+              (col("cn") - lit(2.0) * expr(dot("qsv", "ce"))).as("dscore"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("gen").desc)
+          val codeDirs = dataDirs.map(_.replaceFirst("^data-", "codes-"))
+          val shortlist = codeDirs.map(d => s.read.parquet(s"$root/$d")
+              .select(col("vec_id"), col("codes"), col("gen"), col("cell")))
+            .reduce(_ unionByName _)
+            .filter(col("cell").isin(probeCells.map(Long.box): _*))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+            .join(broadcast(dt), col("m") === col("dm") && col("code") === col("dcode"))
+            .groupBy(col("vec_id"))
+            .agg(sum(round(col("dscore"), 9).cast("decimal(28,9)")).as("adc"))
+            .orderBy(col("adc").asc, col("vec_id").asc)
+            .limit(rerankPool)
+            .select(col("vec_id"))
+          dataDirs.map(d => s.read.parquet(s"$root/$d")
+              .select(col("vec_id"), col("label"), col("embedding"),
+                col("nrm"), col("gen"), col("cell")))
+            .reduce(_ unionByName _)
+            .filter(col("cell").isin(probeCells.map(Long.box): _*))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .join(broadcast(shortlist), "vec_id")
             .withColumn("qe", typedLit(queryVec))
             .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
               (expr(dot("embedding", "qe")) / (col("nrm") * lit(qnrm))).as("cos"))

@@ -249,11 +249,34 @@ class SimilaritySpec extends SparkSpec {
     val plan = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10)
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[cell".r.findAllIn(plan).length >= 3, plan)
+
+    // IVF-PQ serving path over the same incremental index: batches
+    // were encoded with the FROZEN founding codebooks, so the
+    // upserted index's ADC probe equals the full rebuild's exactly
+    // (the rebuild trains on the identical vec_id < 64 sample).
+    // Mirror the vec-0 shadow into the rebuilt index first so both
+    // sides describe the same corpus state.
+    Graft.ann.upsert(moved, "vec_id", "embedding", "label", full)
+    val adcUp = Graft.ann.probeAdc(spark, up, q, nprobe = 2, k = 10)
+      .collect().toSeq
+    val adcFull = Graft.ann.probeAdc(spark, full, q, nprobe = 2, k = 10)
+      .collect().toSeq
+    assert(adcUp.nonEmpty)
+    assert(adcUp == adcFull,
+      s"upserted ADC probe diverged from full rebuild:\n$adcUp\nvs\n$adcFull")
+    // the shadowed vec 0 re-sent with label 99 above wins in ADC too
+    val adcHit = adcUp.filter(_.getLong(0) == 0L)
+    assert(adcHit.forall(_.getInt(1) == 99))
+    // ADC stage scans codes (and the rerank scans data) cell-pruned
+    val adcPlan = Graft.ann.probeAdc(spark, up, q, nprobe = 2, k = 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell".r.findAllIn(adcPlan).length >= 6, adcPlan)
   }
 
   test("ann index probe on an unbuilt root: empty frame, no exception") {
     val none = java.nio.file.Files.createTempDirectory("graft-ann-none").toString
     assert(Graft.ann.probe(spark, none, Array.fill(64)(0.1f)).count() == 0)
+    assert(Graft.ann.probeAdc(spark, none, Array.fill(64)(0.1f)).count() == 0)
   }
 
   test("s_blocked_knn: <=3 neighbours per vector, all same-label") {
