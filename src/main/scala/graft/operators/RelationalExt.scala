@@ -596,11 +596,132 @@ object RelationalExt {
       |JOIN orders ON o_orderkey = big.l_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  /** Q7 shape: bilateral volume by (supplier-nation, customer-nation,
+    * year) — the two-sided dimension join: the SAME broadcast dim
+    * joins twice under different roles, the cross-nation filter runs
+    * BEFORE the name joins (on the fact's int keys), and the year
+    * extraction feeds the grouping. All pairs kept (no literal nation
+    * constants): output is |nations|² × years, still tiny. */
+  private def q7VolumeShipping: Q = (s, dir) => {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q7VolumeShippingSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       year(l_shipdate) AS l_year,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE s_nationkey <> c_nationkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q10 shape: returned-item customer ranking — selective fact
+    * filter, join chain, DECIMAL-exact revenue (identical ordering in
+    * both engines, so the top-20 cut is deterministic), ordered
+    * limit. */
+  private def q10ReturnedItems: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
+          .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  private val q10ReturnedItemsSql =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Q21 shape: waiting-supplier count — the EXISTS + NOT EXISTS
+    * pattern as one semi-join and one anti-join against the SAME
+    * fact: a supplier's line qualifies when the finished order has
+    * another supplier (semi) but nobody shipped strictly later than
+    * this line (anti — this supplier was the last to ship). Both
+    * self-joins shuffle on l_orderkey, so the exchange is planned
+    * once and reused; per-order fan-out is bounded by
+    * lines-per-order, never corpus-wide. (The classic predicate uses
+    * receipt-vs-commit dates; this corpus carries only l_shipdate,
+    * so lateness = shipped last in the order.) */
+  private def q21WaitingSuppliers: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("l_shipdate").as("sd"))
+    val others = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val later = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"),
+        col("l_shipdate").as("sd3"))
+    l.join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("ok") === col("o_orderkey"), "left_semi")
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(later,
+        col("ok") === col("ok3") && col("sk") =!= col("sk3") && col("sd3") > col("sd"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)), col("sk") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  private val q21WaitingSuppliersSql =
+    """SELECT s_name, n_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q5_nation_revenue" -> q5NationRevenue,
     "q18_large_orders" -> q18LargeOrders,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "a8_approx_stats" -> a8ApproxStats,
     "w4_window_funcs" -> w4WindowFuncs,
     "f_dates" -> fDates,
@@ -624,6 +745,9 @@ object RelationalExt {
     "a8_approx_stats" -> a8ApproxStatsSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "a9_percentiles" -> a9PercentilesSql,
     "a10_histogram" -> a10HistogramSql,
     "a11_corr_regr" -> a11CorrRegrSql,
