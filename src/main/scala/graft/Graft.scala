@@ -378,6 +378,17 @@ object Graft {
     def probeAdc(spark: SparkSession, root: String, queryVec: Array[Float],
         nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame =
       operators.AnnIndex.probeAdc(spark, root, queryVec, nprobe, k, rerankPool)
+
+    /** Tombstone-delete ids from the live index (idempotent; bytes
+      * remain until [[compact]]). Returns `(cell, n_deleted)`. */
+    def delete(ids: DataFrame, root: String): DataFrame =
+      operators.AnnIndex.delete(ids, root)
+
+    /** Fold all generations + tombstones into one, rebuilding the
+      * running stats from the survivors. Returns
+      * `(cell, n_live, gens_folded)`. */
+    def compact(spark: SparkSession, root: String): DataFrame =
+      operators.AnnIndex.compact(spark, root)
   }
 
   object text {

@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   *                    the ADC serving side: [[probeAdc]] scans ONLY
   *                    these (M small ints per vector) plus the
   *                    shortlist's full vectors.
+  *  - `tombs-<gen>/`  tombstones `(vec_id, gen)` partitioned by
+  *                    `cell` — a [[delete]] appends one; probes treat
+  *                    data rows and tombstones as one event stream
+  *                    per vec_id where the LATEST generation wins, so
+  *                    a tombstone hides every earlier row and a later
+  *                    re-upsert revives the id. Files, again, are
+  *                    never rewritten.
   *  - `stats-<gen>/`  per-(cell, dim) running `(sm, cnt)` — double
   *                    sums of float32 components are EXACT at this
   *                    scale (the [[Similarity]] centroid discipline),
@@ -88,8 +95,13 @@ object AnnIndex {
     .map(m => s"struct($m as m, slice($colName, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
     .mkString("array(", ", ", ")")
 
-  /** `(gen, ordered data dir names)` through the manifest; None when
-    * the root holds no published index. */
+  private def dataDirsOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith("data-"))
+  private def tombDirsOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith("tombs-"))
+
+  /** `(gen, ordered data/tombstone dir names)` through the manifest;
+    * None when the root holds no published index. */
   private def readManifest(root: String): Option[(Long, Seq[String])] = {
     val f = new java.io.File(root, ManifestName)
     if (!f.isFile) None
@@ -135,7 +147,8 @@ object AnnIndex {
   /** Per-(cell, dim) running sums feeding the exact incremental
     * centroid: `(cell, pos, sm, cnt)`. */
   private def statsOf(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+    assigned.select(col("cell").cast("long").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "cv")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(col("cv").cast("double")).as("sm"), count(lit(1)).as("cnt"))
 
@@ -270,6 +283,42 @@ object AnnIndex {
     } finally b.unpersist()
   }
 
+  /** Latest-event-wins resolution over generation dirs plus
+    * tombstones, optionally restricted to `cells` (the probed-cell
+    * prune — pushed through the union into every generation's
+    * PartitionFilters). Data rows and tombstones form ONE event
+    * stream per vec_id ordered by generation: the newest event wins,
+    * and a winning tombstone removes the id (a later re-upsert
+    * revives it). `payload` names the value columns of `dirs`' rows;
+    * tombstones contribute nulls there and never survive the
+    * filter. */
+  private def liveIn(s: SparkSession, root: String, dirs: Seq[String],
+      tombDirs: Seq[String], cells: Option[Array[Long]],
+      payload: Seq[String]): DataFrame = {
+    val rows = dirs.map(d => s.read.parquet(s"$root/$d")
+        .select(col("vec_id") +: col("gen") +: col("cell") +:
+          lit(false).as("is_tomb") +: payload.map(col): _*))
+      .reduce(_ unionByName _)
+    val events = tombDirs
+      .map(d => s.read.parquet(s"$root/$d")
+        .select(col("vec_id"), col("gen"), col("cell"), lit(true).as("is_tomb")))
+      .foldLeft(rows)((acc, t) => acc.unionByName(t, allowMissingColumns = true))
+    // partition-column discovery types `cell` as INT when re-reading a
+    // dir written partitionBy("cell") — normalize so every consumer
+    // (stats rebuild, accounting, getLong collects) sees LONG
+    val typed = events.withColumn("cell", col("cell").cast("long"))
+    val pruned = cells match {
+      case Some(cs) => typed.filter(col("cell").isin(cs.map(Long.box): _*))
+      case None => typed
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("gen").desc)
+    pruned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("is_tomb"))
+      .drop("rn", "is_tomb")
+  }
+
   /** Top-`k` cosine probe: centroids derive from the LATEST running
     * stats (bit-identical to a full rebuild's means), the data scan
     * reads every generation pruned to the `nprobe` probed cells, and a
@@ -303,17 +352,11 @@ object AnnIndex {
           .select(col("cell")).collect().map(_.getLong(0))
         if (probeCells.isEmpty) empty
         else {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("vec_id")).orderBy(col("gen").desc)
           // one read per generation (each dir is its own partitioned
           // table), unioned — Catalyst pushes the cell filter through
           // the union into every generation's PartitionFilters
-          dataDirs.map(d => s.read.parquet(s"$root/$d")
-              .select(col("vec_id"), col("label"), col("embedding"),
-                col("nrm"), col("gen"), col("cell")))
-            .reduce(_ unionByName _)
-            .filter(col("cell").isin(probeCells.map(Long.box): _*))
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          liveIn(s, root, dataDirsOf(dataDirs), tombDirsOf(dataDirs),
+              Some(probeCells), Seq("label", "embedding", "nrm"))
             .withColumn("qe", typedLit(queryVec))
             .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
               (expr(dot("embedding", "qe")) / (col("nrm") * lit(qnrm))).as("cos"))
@@ -373,14 +416,9 @@ object AnnIndex {
             .join(broadcast(books), col("dm") === col("mm"))
             .select(col("dm"), col("code").as("dcode"),
               (col("cn") - lit(2.0) * expr(dot("qsv", "ce"))).as("dscore"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("vec_id")).orderBy(col("gen").desc)
-          val codeDirs = dataDirs.map(_.replaceFirst("^data-", "codes-"))
-          val shortlist = codeDirs.map(d => s.read.parquet(s"$root/$d")
-              .select(col("vec_id"), col("codes"), col("gen"), col("cell")))
-            .reduce(_ unionByName _)
-            .filter(col("cell").isin(probeCells.map(Long.box): _*))
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          val codeDirs = dataDirsOf(dataDirs).map(_.replaceFirst("^data-", "codes-"))
+          val shortlist = liveIn(s, root, codeDirs, tombDirsOf(dataDirs),
+              Some(probeCells), Seq("codes"))
             .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
             .join(broadcast(dt), col("m") === col("dm") && col("code") === col("dcode"))
             .groupBy(col("vec_id"))
@@ -388,12 +426,8 @@ object AnnIndex {
             .orderBy(col("adc").asc, col("vec_id").asc)
             .limit(rerankPool)
             .select(col("vec_id"))
-          dataDirs.map(d => s.read.parquet(s"$root/$d")
-              .select(col("vec_id"), col("label"), col("embedding"),
-                col("nrm"), col("gen"), col("cell")))
-            .reduce(_ unionByName _)
-            .filter(col("cell").isin(probeCells.map(Long.box): _*))
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          liveIn(s, root, dataDirsOf(dataDirs), tombDirsOf(dataDirs),
+              Some(probeCells), Seq("label", "embedding", "nrm"))
             .join(broadcast(shortlist), "vec_id")
             .withColumn("qe", typedLit(queryVec))
             .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
@@ -404,5 +438,83 @@ object AnnIndex {
               round(col("cos"), 6).as("cosine"))
         }
     }
+  }
+
+  /** Delete ids from the live index by appending a TOMBSTONE
+    * generation — no published file is touched (the GDPR-delete shape
+    * for an LSM store). Each id's tombstone lands in the id's CURRENT
+    * cell so cell-pruned probes see it; ids not live in the index
+    * (absent, or already deleted) produce no tombstone, making
+    * deletes idempotent. The physical bytes of deleted vectors remain
+    * until [[compact]] — which is the half of a real deletion
+    * pipeline that rewrites files. Running stats intentionally keep
+    * the deleted mass until compaction (same drift contract as
+    * re-sent upserts). Returns per-cell accounting
+    * `(cell, n_deleted)`. */
+  def delete(ids: DataFrame, root: String): DataFrame = {
+    val s = ids.sparkSession
+    val (gen, lines) = readManifest(root).getOrElse(
+      throw new IllegalStateException(s"no ANN index published at $root — build() first"))
+    val newGen = gen + 1
+    val del = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val tombs = liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
+        None, Seq("label"))
+      .join(broadcast(del), "vec_id")
+      .select(col("vec_id"), col("cell"))
+      .withColumn("gen", lit(newGen))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (tombs.isEmpty) {
+        // nothing live matched: a no-op delete publishes nothing (an
+        // empty partitioned parquet dir would not even re-read)
+        tombs.select(col("cell"), lit(0L).as("n_deleted")).limit(0)
+      } else {
+        // stats carry over unchanged (the documented drift): republish
+        // the previous generation's stats under the new gen so probes
+        // keep resolving stats-<gen>. Everything lands BEFORE the
+        // manifest move — the manifest is the only publish point.
+        s.read.parquet(s"$root/stats-$gen").write.parquet(s"$root/stats-$newGen")
+        tombs.write.partitionBy("cell").parquet(s"$root/tombs-$newGen")
+        writeManifest(root, newGen, lines :+ s"tombs-$newGen")
+        tombs.groupBy(col("cell")).agg(count(lit(1)).as("n_deleted"))
+          .orderBy(col("cell"))
+      }
+    } finally tombs.unpersist()
+  }
+
+  /** Fold every generation into ONE: resolve the live rows (latest
+    * event wins, tombstones applied), rewrite them as the single new
+    * data+codes generation, REBUILD the running stats from the
+    * survivors (this is where re-sent-upsert and tombstone drift gets
+    * purged — post-compact centroids equal a fresh rebuild of the
+    * live corpus), and publish a manifest referencing only the new
+    * generation. Old dirs become unreferenced (readers resolve
+    * through the manifest); deleting their bytes is the caller's GC
+    * decision since a concurrent reader may still hold the old
+    * manifest. Returns per-cell `(cell, n_live, gens_folded)`. */
+  def compact(s: SparkSession, root: String): DataFrame = {
+    val (gen, lines) = readManifest(root).getOrElse(
+      throw new IllegalStateException(s"no ANN index published at $root — build() first"))
+    val newGen = gen + 1
+    val dataDirs = dataDirsOf(lines)
+    val tombDirs = tombDirsOf(lines)
+    val codeDirs = dataDirs.map(_.replaceFirst("^data-", "codes-"))
+    val live = liveIn(s, root, dataDirs, tombDirs, None,
+        Seq("label", "embedding", "nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      live.withColumn("gen", lit(newGen))
+        .write.partitionBy("cell").parquet(s"$root/data-$newGen")
+      // codes are per-vector constants (frozen codebooks): carry the
+      // surviving rows, no re-encode
+      liveIn(s, root, codeDirs, tombDirs, None, Seq("codes"))
+        .withColumn("gen", lit(newGen))
+        .write.partitionBy("cell").parquet(s"$root/codes-$newGen")
+      statsOf(live).write.parquet(s"$root/stats-$newGen")
+      writeManifest(root, newGen, Seq(s"data-$newGen"))
+      live.groupBy(col("cell")).agg(count(lit(1)).as("n_live"))
+        .withColumn("gens_folded", lit(dataDirs.length.toLong + tombDirs.length))
+        .orderBy(col("cell"))
+    } finally live.unpersist()
   }
 }

@@ -271,6 +271,40 @@ class SimilaritySpec extends SparkSpec {
     val adcPlan = Graft.ann.probeAdc(spark, up, q, nprobe = 2, k = 10)
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[cell".r.findAllIn(adcPlan).length >= 6, adcPlan)
+
+    // tombstone delete: vec 0 disappears from BOTH probe paths without
+    // any published file being rewritten; deleting it again is a no-op
+    val pre = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10).collect()
+    assert(pre.exists(_.getLong(0) == 0L))
+    val delAcc = Graft.ann.delete(
+      spark.range(1).select(col("id").as("vec_id")), up)
+    assert(delAcc.agg(sum("n_deleted")).collect()(0).getLong(0) == 1L)
+    val afterDel = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10).collect()
+    assert(!afterDel.exists(_.getLong(0) == 0L))
+    assert(!Graft.ann.probeAdc(spark, up, q, nprobe = 2, k = 10)
+      .collect().exists(_.getLong(0) == 0L))
+    assert(Graft.ann.delete(
+      spark.range(1).select(col("id").as("vec_id")), up).count() == 0)
+    // re-upsert revives the id: latest event wins over the tombstone
+    Graft.ann.upsert(moved.withColumn("label", lit(7)),
+      "vec_id", "embedding", "label", up)
+    val revived = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10)
+      .filter(col("vec_id") === 0L).collect()
+    assert(revived.length == 1 && revived(0).getInt(1) == 7)
+
+    // compaction folds every generation into one; both probe paths
+    // answer identically before and after (pure-append + resolved
+    // tombstones — the live set is unchanged), and the new manifest
+    // references a single generation
+    val preC = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10).collect().toSeq
+    val preCAdc = Graft.ann.probeAdc(spark, up, q, nprobe = 2, k = 10).collect().toSeq
+    val compAcc = Graft.ann.compact(spark, up)
+    assert(compAcc.agg(sum("n_live")).collect()(0).getLong(0) == v.count())
+    assert(Graft.ann.probe(spark, up, q, nprobe = 2, k = 10).collect().toSeq == preC)
+    assert(Graft.ann.probeAdc(spark, up, q, nprobe = 2, k = 10).collect().toSeq == preCAdc)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(up, "_GRAFT_IVF_MANIFEST")), "UTF-8")
+    assert(manifest.split("\n").count(_.nonEmpty) == 2, manifest)
   }
 
   test("ann index probe on an unbuilt root: empty frame, no exception") {
