@@ -389,6 +389,15 @@ object Graft {
       * `(cell, n_live, gens_folded)`. */
     def compact(spark: SparkSession, root: String): DataFrame =
       operators.AnnIndex.compact(spark, root)
+
+    /** Continuous ingestion: every micro-batch of a streaming
+      * `(vec_id, label, embedding)` frame upserts as one index
+      * generation (idempotent under replay — see
+      * [[streaming.StreamingAnnIngest]]). The index must already be
+      * built. */
+    def ingestStream(vectors: DataFrame, root: String,
+        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      streaming.StreamingAnnIngest.ingest(vectors, root, checkpoint)
   }
 
   object text {

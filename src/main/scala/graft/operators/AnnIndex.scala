@@ -227,11 +227,11 @@ object AnnIndex {
       .withColumn("gen", lit(0L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      a.write.partitionBy("cell").parquet(s"$root/data-0")
+      a.write.mode("overwrite").partitionBy("cell").parquet(s"$root/data-0")
       encode(a, s.read.parquet(s"$root/codebooks"))
         .withColumn("gen", lit(0L))
-        .write.partitionBy("cell").parquet(s"$root/codes-0")
-      statsOf(a).write.parquet(s"$root/stats-0")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-0")
+      statsOf(a).write.mode("overwrite").parquet(s"$root/stats-0")
     } finally a.unpersist()
     writeManifest(root, 0L, Seq("data-0"))
   }
@@ -255,17 +255,17 @@ object AnnIndex {
       .withColumn("gen", lit(newGen))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      b.write.partitionBy("cell").parquet(s"$root/data-$newGen")
+      b.write.mode("overwrite").partitionBy("cell").parquet(s"$root/data-$newGen")
       // encode the batch against the FROZEN founding codebooks — the
       // ADC side of the index stays append-only too
       encode(b, s.read.parquet(s"$root/codebooks"))
         .withColumn("gen", lit(newGen))
-        .write.partitionBy("cell").parquet(s"$root/codes-$newGen")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
       val old = s.read.parquet(s"$root/stats-$gen")
       statsOf(b).unionByName(old)
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("sm")).as("sm"), sum(col("cnt")).as("cnt"))
-        .write.parquet(s"$root/stats-$newGen")
+        .write.mode("overwrite").parquet(s"$root/stats-$newGen")
       writeManifest(root, newGen, dataDirs :+ s"data-$newGen")
       // accounting from the dim-0 stats rows (one per cell): vector
       // counts before/added/after — collected AFTER publish so the
@@ -473,8 +473,8 @@ object AnnIndex {
         // the previous generation's stats under the new gen so probes
         // keep resolving stats-<gen>. Everything lands BEFORE the
         // manifest move — the manifest is the only publish point.
-        s.read.parquet(s"$root/stats-$gen").write.parquet(s"$root/stats-$newGen")
-        tombs.write.partitionBy("cell").parquet(s"$root/tombs-$newGen")
+        s.read.parquet(s"$root/stats-$gen").write.mode("overwrite").parquet(s"$root/stats-$newGen")
+        tombs.write.mode("overwrite").partitionBy("cell").parquet(s"$root/tombs-$newGen")
         writeManifest(root, newGen, lines :+ s"tombs-$newGen")
         tombs.groupBy(col("cell")).agg(count(lit(1)).as("n_deleted"))
           .orderBy(col("cell"))
@@ -504,13 +504,13 @@ object AnnIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       live.withColumn("gen", lit(newGen))
-        .write.partitionBy("cell").parquet(s"$root/data-$newGen")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/data-$newGen")
       // codes are per-vector constants (frozen codebooks): carry the
       // surviving rows, no re-encode
       liveIn(s, root, codeDirs, tombDirs, None, Seq("codes"))
         .withColumn("gen", lit(newGen))
-        .write.partitionBy("cell").parquet(s"$root/codes-$newGen")
-      statsOf(live).write.parquet(s"$root/stats-$newGen")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
+      statsOf(live).write.mode("overwrite").parquet(s"$root/stats-$newGen")
       writeManifest(root, newGen, Seq(s"data-$newGen"))
       live.groupBy(col("cell")).agg(count(lit(1)).as("n_live"))
         .withColumn("gens_folded", lit(dataDirs.length.toLong + tombDirs.length))

@@ -166,4 +166,44 @@ class StreamingSpec extends SparkSpec {
       assert(got == want && got.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming ANN ingest: each micro-batch is one generation; probe == full rebuild") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val maxId = v.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId * 7 / 10
+    val base = v.filter(col("vec_id") <= cut)
+    val rest = v.filter(col("vec_id") > cut)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect()
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-stream").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-ann-stream-full").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-stream-ck").toString
+    Graft.ann.build(base, "vec_id", "embedding", "label", root)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int, Array[Float])]
+    val q = streaming.StreamingAnnIngest.ingest(
+      input.toDF().toDF("vec_id", "label", "embedding"), root, ckpt)
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // two micro-batches → two new generations behind the base one
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_GRAFT_IVF_MANIFEST")), "UTF-8")
+    assert(manifest.split("\n").head == "2", manifest)
+    val qv = v.filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    Graft.ann.build(v, "vec_id", "embedding", "label", full)
+    val streamed = Graft.ann.probe(spark, root, qv, nprobe = 2, k = 10).collect().toSeq
+    val rebuilt = Graft.ann.probe(spark, full, qv, nprobe = 2, k = 10).collect().toSeq
+    assert(streamed.nonEmpty && streamed == rebuilt,
+      s"stream-ingested index diverged from rebuild:\n$streamed\nvs\n$rebuilt")
+    val adcStreamed = Graft.ann.probeAdc(spark, root, qv).collect().toSeq
+    val adcRebuilt = Graft.ann.probeAdc(spark, full, qv).collect().toSeq
+    assert(adcStreamed == adcRebuilt)
+  }
 }
