@@ -400,6 +400,13 @@ object Graft {
       streaming.StreamingAnnIngest.ingest(vectors, root, checkpoint)
   }
 
+  /** Ingest-gate data quality: one-pass column profiling (exact or
+    * HLL-approximate distincts) — see [[operators.Quality]]. */
+  object quality {
+    def profile(df: DataFrame, exact: Boolean = true): DataFrame =
+      operators.Quality.profile(df, exact)
+  }
+
   object text {
 
     /** The reference tokenizer (punctuation-normalized, lower-cased). */

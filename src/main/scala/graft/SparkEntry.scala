@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Graph, Multimodal, Relational, RelationalExt, Sampling, Scrape, Similarity, SqlSurface, Temporal, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Graph, Multimodal, Quality, Relational, RelationalExt, Sampling, Scrape, Similarity, SqlSurface, Temporal, TextAnalysis, TimeSeries}
 import graft.pipelines.{CleanCorpus, Flagship}
 import graft.streaming.EventStreams
 
@@ -19,6 +19,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (RelationalExt.queries, RelationalExt.oracles),
       (SqlSurface.queries, SqlSurface.oracles),
+      (Quality.queries, Quality.oracles),
       (Temporal.queries, Temporal.oracles),
       (TimeSeries.queries, TimeSeries.oracles),
       (Sampling.queries, Sampling.oracles),

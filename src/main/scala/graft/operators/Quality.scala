@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality operators for a production pipeline's ingest gate:
+  * one-pass column profiling and declarative expectation checks (the
+  * Great-Expectations / dbt-test shape, Spark-native). A 100 TB
+  * ingest runs exactly these two queries before anything else touches
+  * the data — both are single-scan shapes with tiny outputs.
+  *
+  * Scale notes: [[profile]] is ONE aggregate job; the exact distinct
+  * counts expand the input k-fold for k profiled columns (Spark's
+  * multi-distinct Expand), which is the honest price of exact
+  * profiles — the approx variant (`approx_count_distinct`, no
+  * expand) is the 100 TB default and both are exposed. Expectations
+  * are conditional aggregations over one scan per table plus one
+  * anti-join for referential integrity — no shuffle except the
+  * integrity join's, which AQE plans as broadcast when the key side
+  * is small.
+  */
+object Quality {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One-pass profile of `df`: per column `(column, n_rows, n_nulls,
+    * n_distinct, min_repr, max_repr)`. `exact` trades the Expand-based
+    * exact distinct for HLL estimates. Representations are string
+    * casts so one schema carries any column type. */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    def distinctOf(c: String): Column =
+      if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"), distinctOf(c).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // unpivot the single wide row into one row per column (explode of
+    // uniformly-named structs — stack() rejects rows whose struct
+    // field names differ)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_repr"), col(s"mx_$c").as("max_repr"))): _*))
+        .as("p"))
+      .select("p.*")
+  }
+
+  /** The profile query: exact per-column stats of `orders` (mixed
+    * long/string/double/timestamp columns — the representative
+    * dimension-table shape). */
+  private def xProfile: Q = (s, dir) => profile(Tables.orders(s, dir))
+
+  private val xProfileSql = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_repr,
+         |  CAST(max($c) AS VARCHAR) AS max_repr
+         |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
+  }
+
+  /** Declarative expectation report over the orders/lineitem pair:
+    * `(rule, n_checked, n_violations, pass)` — not-null, key
+    * uniqueness, accepted values, numeric range, and referential
+    * integrity. The report is what an ingest gate alerts on; row-level
+    * violation extraction is a filter with the same predicate. */
+  private def xExpectations: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val ordersChecks = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_keys"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"))
+    val lineChecks = l.agg(
+      count(lit(1)).as("ln"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .as("bad_qty"))
+    val orphans = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan"))
+    val report = ordersChecks
+      .crossJoin(broadcast(lineChecks))
+      .crossJoin(broadcast(orphans))
+      .select(expr(
+        """stack(5,
+          |  'orders.o_custkey not_null', n, null_cust,
+          |  'orders.o_orderkey unique', n, dup_keys,
+          |  'orders.o_orderstatus accepted_values', n, bad_status,
+          |  'lineitem.l_quantity in [1,50]', ln, bad_qty,
+          |  'lineitem.l_orderkey ref orders', ln, orphan
+          |) AS (rule, n_checked, n_violations)""".stripMargin))
+    report.withColumn("pass", col("n_violations") === 0L)
+      .select(col("rule"), col("n_checked").cast("long").as("n_checked"),
+        col("n_violations").cast("long").as("n_violations"), col("pass"))
+  }
+
+  private val xExpectationsSql =
+    """WITH oc AS (SELECT count(*) AS n,
+       |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+       |  count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+       |  sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
+       |FROM orders),
+       |lc AS (SELECT count(*) AS ln,
+       |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_qty
+       |FROM lineitem),
+       |oq AS (SELECT count(*) AS orphan FROM lineitem
+       |       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+       |SELECT r.rule, r.n_checked, r.n_violations, r.n_violations = 0 AS pass
+       |FROM oc, lc, oq, LATERAL (
+       |  SELECT * FROM (VALUES
+       |    ('orders.o_custkey not_null', CAST(n AS BIGINT), CAST(null_cust AS BIGINT)),
+       |    ('orders.o_orderkey unique', CAST(n AS BIGINT), CAST(dup_keys AS BIGINT)),
+       |    ('orders.o_orderstatus accepted_values', CAST(n AS BIGINT), CAST(bad_status AS BIGINT)),
+       |    ('lineitem.l_quantity in [1,50]', CAST(ln AS BIGINT), CAST(bad_qty AS BIGINT)),
+       |    ('lineitem.l_orderkey ref orders', CAST(ln AS BIGINT), CAST(orphan AS BIGINT))
+       |  ) AS t(rule, n_checked, n_violations)) r""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "x_profile" -> xProfile,
+    "x_expectations" -> xExpectations)
+
+  val oracles: Map[String, String] = Map(
+    "x_profile" -> xProfileSql,
+    "x_expectations" -> xExpectationsSql)
+}

@@ -36,6 +36,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.similarity.nearestInBucket(emptyVecs, "vid", "vec").count() == 0)
   }
 
+  test("profile on an empty frame: one row per column, zero counts, null reprs") {
+    Seq(true, false).foreach { exact =>
+      val rows = Graft.quality.profile(emptyDocs, exact).collect()
+      assert(rows.length == 2)
+      rows.foreach { r =>
+        assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+        assert(r.isNullAt(4) && r.isNullAt(5))
+      }
+    }
+  }
+
   test("similarity on an empty vector table: empty top-k") {
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("vid", LongType),
