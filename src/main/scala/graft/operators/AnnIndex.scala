@@ -76,14 +76,15 @@ object AnnIndex {
 
   private def dot(a: String, b: String): String = Similarity.foldDot(a, b)
 
-  // PQ geometry (matches the in-query [[Similarity]] PQ shape): M
-  // subspaces of SubDim dims, K codes per subspace, codebooks trained
-  // once at build time on the deterministic founding sample and FROZEN
-  // (the seeds discipline applied to the fine quantizer — production
-  // retrains by rebuilding at a new root).
-  private val PqM = 4
-  private val PqSubDim = 16
-  private val PqK = 8
+  // PQ geometry: SHARED with the in-query [[Similarity]] PQ stack —
+  // one definition of the subvector template and constants, so the
+  // persisted index and the inline queries cannot drift. Codebooks
+  // train once at build time on the deterministic founding sample and
+  // are FROZEN (the seeds discipline applied to the fine quantizer —
+  // production retrains by rebuilding at a new root).
+  private def PqM = Similarity.PqM
+  private def PqSubDim = Similarity.PqSubDim
+  private def PqK = Similarity.PqK
   /** Codebooks train on the vectors with `vec_id < PqTrainN` — a
     * deterministic sample that any founding corpus contains, so a
     * full rebuild over base+batches trains the IDENTICAL codebooks
@@ -91,38 +92,54 @@ object AnnIndex {
     * spec-pinned). */
   private val PqTrainN = 64
 
-  private def pqSubs(colName: String): String = (0 until PqM)
-    .map(m => s"struct($m as m, slice($colName, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
-    .mkString("array(", ", ", ")")
+  private def pqSubs(colName: String): String = Similarity.pqSubsExpr(colName)
 
+  // Manifest lines after the leading generation number, by prefix:
+  // `data-N` / `tombs-N` dirs (ordered), `dim:<n>` (embedding
+  // dimensionality, written at build), `batch:<tag>` (idempotence
+  // ledger for streaming ingest). Unknown prefixes are ignored, so
+  // the format is forward-extensible.
   private def dataDirsOf(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith("data-"))
   private def tombDirsOf(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith("tombs-"))
+  private def dimOf(lines: Seq[String]): Option[Int] =
+    lines.find(_.startsWith("dim:")).flatMap(l =>
+      scala.util.Try(l.stripPrefix("dim:").toInt).toOption)
 
-  /** `(gen, ordered data/tombstone dir names)` through the manifest;
-    * None when the root holds no published index. */
-  private def readManifest(root: String): Option[(Long, Seq[String])] = {
-    val f = new java.io.File(root, ManifestName)
-    if (!f.isFile) None
+  /** Manifest IO goes through Hadoop's FileSystem/FileContext layer so
+    * a non-local `root` (hdfs://…) works like the parquet generations
+    * do; FileContext rename with OVERWRITE is atomic on HDFS and
+    * local filesystems (object stores without atomic rename need an
+    * external publish lock, as the class doc's concurrency note
+    * already requires). */
+  private def readManifest(s: SparkSession, root: String): Option[(Long, Seq[String])] = {
+    val path = new org.apache.hadoop.fs.Path(root, ManifestName)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.isFile(path)) None
     else {
-      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .split("\n").toSeq.filter(_.nonEmpty)
+      val in = fs.open(path)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
       lines.headOption.flatMap(h => scala.util.Try(h.toLong).toOption)
         .map(gen => (gen, lines.drop(1)))
     }
   }
 
-  private def writeManifest(root: String, gen: Long, dataDirs: Seq[String]): Unit = {
-    val rootDir = new java.io.File(root)
-    rootDir.mkdirs()
-    val tmp = new java.io.File(rootDir, s".manifest-${System.nanoTime()}")
-    java.nio.file.Files.write(tmp.toPath,
-      (gen.toString +: dataDirs).mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(rootDir, ManifestName).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def writeManifest(s: SparkSession, root: String, gen: Long,
+      lines: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(rootPath)
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".manifest-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write((gen.toString +: lines).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, ManifestName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** `(vec_id, label, embedding)` → `(vec_id, label, embedding, nrm)`
@@ -213,15 +230,22 @@ object AnnIndex {
     * publish the manifest. `vectors` must be non-empty and contain
     * the seed ids `0 until cells`. */
   def build(vectors: DataFrame, root: String, cells: Int = 8): Unit = {
-    org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
+    val s = vectors.sparkSession
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     val v = withNorm(vectors.select(col("vec_id").cast("long").as("vec_id"),
       col("label"), col("embedding")))
+    // fail fast on a geometry the frozen PQ template cannot encode: a
+    // wrong-width corpus would slice empty subvectors and rank ADC
+    // shortlists on noise with no error
+    val dim = v.select(size(col("embedding"))).head.getInt(0)
+    require(dim == PqM * PqSubDim,
+      s"embedding dim $dim != ${PqM * PqSubDim} (the index's PQ geometry is " +
+        s"$PqM subspaces x $PqSubDim dims; adjust Similarity.PqM/PqSubDim for other widths)")
     val seeds = v.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("embedding").as("se"))
       .withColumn("sn", expr(dot("se", "se")))
     seeds.write.mode("overwrite").parquet(s"$root/seeds")
     trainCodebooks(v).write.mode("overwrite").parquet(s"$root/codebooks")
-    val s = vectors.sparkSession
     val storedSeeds = s.read.parquet(s"$root/seeds")
     val a = assign(v, storedSeeds)
       .withColumn("gen", lit(0L))
@@ -233,7 +257,7 @@ object AnnIndex {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-0")
       statsOf(a).write.mode("overwrite").parquet(s"$root/stats-0")
     } finally a.unpersist()
-    writeManifest(root, 0L, Seq("data-0"))
+    writeManifest(s, root, 0L, Seq(s"dim:$dim", "data-0"))
   }
 
   /** Append a batch: assign against the STORED seeds, write the next
@@ -242,11 +266,29 @@ object AnnIndex {
     * stats (exact, see class doc), and atomically publish the new
     * manifest. Returns the per-cell accounting row the caller audits —
     * `(cell, n_before, n_added, n_after)` — the
-    * `d_lsh_bucket_stats` discipline for index growth. */
-  def upsert(batch: DataFrame, root: String): DataFrame = {
+    * `d_lsh_bucket_stats` discipline for index growth.
+    *
+    * MOVED re-upserts: a re-sent vec_id whose changed embedding
+    * assigns to a DIFFERENT cell would leave its old row visible to
+    * probes of the old cell (cell pruning happens before the
+    * latest-event window). The guard writes a tombstone into each
+    * moved id's old cell in this same generation — data beats
+    * tombstone on the same-generation tie, so global resolution keeps
+    * the new row while the old cell's pruned view hides the old one.
+    * Finding the old cells reads the (vec_id, cell) PROJECTION of the
+    * index — column-pruned, no embedding bytes; a production system
+    * ingesting mostly-new ids can skip it by declaring the batch
+    * append-only, which is what `d_incremental`-style content hashing
+    * upstream guarantees.
+    *
+    * `batchTag` (streaming ingest) rides the atomic manifest move as
+    * a `batch:<tag>` line — the idempotence ledger
+    * [[graft.streaming.StreamingAnnIngest]] consults on replay. */
+  def upsert(batch: DataFrame, root: String,
+      batchTag: Option[String] = None): DataFrame = {
     val s = batch.sparkSession
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val (gen, dataDirs) = readManifest(root).getOrElse(
+    val (gen, lines) = readManifest(s, root).getOrElse(
       throw new IllegalStateException(s"no ANN index published at $root — build() first"))
     val newGen = gen + 1
     val seeds = s.read.parquet(s"$root/seeds")
@@ -261,12 +303,31 @@ object AnnIndex {
       encode(b, s.read.parquet(s"$root/codebooks"))
         .withColumn("gen", lit(newGen))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
+      // moved-cell guard: tombstone the old cell of every re-sent id
+      // that changed cells (narrow projection scan, see scaladoc)
+      val movedTombs = liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
+          None, Seq.empty)
+        .select(col("vec_id"), col("cell").as("old_cell"))
+        .join(broadcast(b.select(col("vec_id"), col("cell").as("new_cell"))), "vec_id")
+        .filter(col("old_cell") =!= col("new_cell"))
+        .select(col("vec_id"), col("old_cell").as("cell"))
+        .withColumn("gen", lit(newGen))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tombLines = try {
+        if (movedTombs.isEmpty) Seq.empty[String]
+        else {
+          movedTombs.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$root/tombs-$newGen")
+          Seq(s"tombs-$newGen")
+        }
+      } finally movedTombs.unpersist()
       val old = s.read.parquet(s"$root/stats-$gen")
       statsOf(b).unionByName(old)
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("sm")).as("sm"), sum(col("cnt")).as("cnt"))
         .write.mode("overwrite").parquet(s"$root/stats-$newGen")
-      writeManifest(root, newGen, dataDirs :+ s"data-$newGen")
+      writeManifest(s, root, newGen,
+        lines ++ Seq(s"data-$newGen") ++ tombLines ++ batchTag.map(t => s"batch:$t"))
       // accounting from the dim-0 stats rows (one per cell): vector
       // counts before/added/after — collected AFTER publish so the
       // numbers describe the live index
@@ -282,6 +343,16 @@ object AnnIndex {
         .orderBy(col("cell"))
     } finally b.unpersist()
   }
+
+  /** Has a batch with this tag already been applied at `root`? The
+    * streaming-replay idempotence check — tags live in the manifest,
+    * so the answer is consistent with whatever generation a reader
+    * resolves. (Compaction clears tags; `foreachBatch` only ever
+    * replays the most recent batch, and compacting concurrently with
+    * an active ingest stream is excluded by the class doc's
+    * serialize-writers rule.) */
+  private[graft] def batchApplied(s: SparkSession, root: String, tag: String): Boolean =
+    readManifest(s, root).exists(_._2.contains(s"batch:$tag"))
 
   /** Latest-event-wins resolution over generation dirs plus
     * tombstones, optionally restricted to `cells` (the probed-cell
@@ -311,51 +382,76 @@ object AnnIndex {
       case Some(cs) => typed.filter(col("cell").isin(cs.map(Long.box): _*))
       case None => typed
     }
+    // gen desc, data before tombstone on the tie: a moved re-upsert
+    // writes its new-cell row and its old-cell tombstone in the SAME
+    // generation — globally the data row must win (the id is alive in
+    // its new cell), while the old cell's pruned view only contains
+    // the tombstone and correctly hides the stale row
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("gen").desc)
+      .partitionBy(col("vec_id")).orderBy(col("gen").desc, col("is_tomb").asc)
     pruned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("is_tomb"))
       .drop("rn", "is_tomb")
   }
 
-  /** Top-`k` cosine probe: centroids derive from the LATEST running
-    * stats (bit-identical to a full rebuild's means), the data scan
-    * reads every generation pruned to the `nprobe` probed cells, and a
-    * latest-generation-wins window (probed rows only) makes re-sent
-    * vec_ids true upserts. An unbuilt root yields an empty frame. */
-  def probe(s: SparkSession, root: String, queryVec: Array[Float],
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+  /** The empty probe result. Label is pinned to the harness's INT —
+    * an unbuilt root has no schema to derive the real label type
+    * from, so callers unioning probe results across possibly-unbuilt
+    * roots should cast; a BUILT index always returns the stored
+    * type. */
+  private def emptyTopK(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
-    readManifest(root) match {
-      case None => empty
-      case Some((gen, dataDirs)) =>
+
+  /** The `nprobe` nearest cells to the query by the LATEST
+    * running-stats centroids — the one cell-selection rule both probe
+    * paths share (a tie-break fix applied here cannot leave one path
+    * stale). Also enforces the manifest's stored dimensionality
+    * against the query vector. */
+  private def probeCellsOf(s: SparkSession, root: String, gen: Long,
+      lines: Seq[String], queryVec: Array[Float], nprobe: Int): Array[Long] = {
+    dimOf(lines).foreach(d => require(queryVec.length == d,
+      s"query vector dim ${queryVec.length} != index dim $d"))
+    s.read.parquet(s"$root/stats-$gen")
+      .select(col("cell"), col("pos"), (col("sm") / col("cnt")).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))")
+        .as("ce"))
+      .withColumn("qe", typedLit(queryVec))
+      .withColumn("pscore", expr(s"${dot("ce", "ce")} - 2 * ${dot("qe", "ce")}"))
+      .orderBy(col("pscore").asc, col("cell").asc)
+      .limit(nprobe)
+      .select(col("cell")).collect().map(_.getLong(0))
+  }
+
+  /** Top-`k` cosine probe: centroids derive from the LATEST running
+    * stats (bit-identical to a full rebuild's means), the data scan
+    * reads every generation pruned to the `nprobe` probed cells, and a
+    * latest-event-wins window (probed rows only) makes re-sent
+    * vec_ids true upserts and applies tombstones. An unbuilt root
+    * yields an empty frame. */
+  def probe(s: SparkSession, root: String, queryVec: Array[Float],
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    readManifest(s, root) match {
+      case None => emptyTopK(s)
+      case Some((gen, lines)) =>
         // driver-side left fold — the same index-order accumulation as
         // graft_dot, so qnrm matches an engine-computed norm bit-for-bit
         val qnrm = math.sqrt(
           queryVec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-        val cent = s.read.parquet(s"$root/stats-$gen")
-          .select(col("cell"), col("pos"), (col("sm") / col("cnt")).as("m"))
-          .groupBy(col("cell"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))")
-            .as("ce"))
-        val probeCells = cent.withColumn("qe", typedLit(queryVec))
-          .withColumn("pscore", expr(s"${dot("ce", "ce")} - 2 * ${dot("qe", "ce")}"))
-          .orderBy(col("pscore").asc, col("cell").asc)
-          .limit(nprobe)
-          .select(col("cell")).collect().map(_.getLong(0))
-        if (probeCells.isEmpty) empty
+        val probeCells = probeCellsOf(s, root, gen, lines, queryVec, nprobe)
+        if (probeCells.isEmpty) emptyTopK(s)
         else {
           // one read per generation (each dir is its own partitioned
           // table), unioned — Catalyst pushes the cell filter through
           // the union into every generation's PartitionFilters
-          liveIn(s, root, dataDirsOf(dataDirs), tombDirsOf(dataDirs),
+          liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
               Some(probeCells), Seq("label", "embedding", "nrm"))
             .withColumn("qe", typedLit(queryVec))
             .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
@@ -385,28 +481,13 @@ object AnnIndex {
   def probeAdc(s: SparkSession, root: String, queryVec: Array[Float],
       nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
-    readManifest(root) match {
-      case None => empty
-      case Some((gen, dataDirs)) =>
+    readManifest(s, root) match {
+      case None => emptyTopK(s)
+      case Some((gen, lines)) =>
         val qnrm = math.sqrt(
           queryVec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-        val cent = s.read.parquet(s"$root/stats-$gen")
-          .select(col("cell"), col("pos"), (col("sm") / col("cnt")).as("m"))
-          .groupBy(col("cell"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))")
-            .as("ce"))
-        val probeCells = cent.withColumn("qe", typedLit(queryVec))
-          .withColumn("pscore", expr(s"${dot("ce", "ce")} - 2 * ${dot("qe", "ce")}"))
-          .orderBy(col("pscore").asc, col("cell").asc)
-          .limit(nprobe)
-          .select(col("cell")).collect().map(_.getLong(0))
-        if (probeCells.isEmpty) empty
+        val probeCells = probeCellsOf(s, root, gen, lines, queryVec, nprobe)
+        if (probeCells.isEmpty) emptyTopK(s)
         else {
           val books = s.read.parquet(s"$root/codebooks")
           // query-side ADC table: M×K subspace distances, one tiny frame
@@ -416,8 +497,8 @@ object AnnIndex {
             .join(broadcast(books), col("dm") === col("mm"))
             .select(col("dm"), col("code").as("dcode"),
               (col("cn") - lit(2.0) * expr(dot("qsv", "ce"))).as("dscore"))
-          val codeDirs = dataDirsOf(dataDirs).map(_.replaceFirst("^data-", "codes-"))
-          val shortlist = liveIn(s, root, codeDirs, tombDirsOf(dataDirs),
+          val codeDirs = dataDirsOf(lines).map(_.replaceFirst("^data-", "codes-"))
+          val shortlist = liveIn(s, root, codeDirs, tombDirsOf(lines),
               Some(probeCells), Seq("codes"))
             .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
             .join(broadcast(dt), col("m") === col("dm") && col("code") === col("dcode"))
@@ -426,7 +507,7 @@ object AnnIndex {
             .orderBy(col("adc").asc, col("vec_id").asc)
             .limit(rerankPool)
             .select(col("vec_id"))
-          liveIn(s, root, dataDirsOf(dataDirs), tombDirsOf(dataDirs),
+          liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
               Some(probeCells), Seq("label", "embedding", "nrm"))
             .join(broadcast(shortlist), "vec_id")
             .withColumn("qe", typedLit(queryVec))
@@ -453,12 +534,13 @@ object AnnIndex {
     * `(cell, n_deleted)`. */
   def delete(ids: DataFrame, root: String): DataFrame = {
     val s = ids.sparkSession
-    val (gen, lines) = readManifest(root).getOrElse(
+    import s.implicits._
+    val (gen, lines) = readManifest(s, root).getOrElse(
       throw new IllegalStateException(s"no ANN index published at $root — build() first"))
     val newGen = gen + 1
     val del = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
     val tombs = liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
-        None, Seq("label"))
+        None, Seq.empty)
       .join(broadcast(del), "vec_id")
       .select(col("vec_id"), col("cell"))
       .withColumn("gen", lit(newGen))
@@ -467,7 +549,7 @@ object AnnIndex {
       if (tombs.isEmpty) {
         // nothing live matched: a no-op delete publishes nothing (an
         // empty partitioned parquet dir would not even re-read)
-        tombs.select(col("cell"), lit(0L).as("n_deleted")).limit(0)
+        Seq.empty[(Long, Long)].toDF("cell", "n_deleted")
       } else {
         // stats carry over unchanged (the documented drift): republish
         // the previous generation's stats under the new gen so probes
@@ -475,9 +557,14 @@ object AnnIndex {
         // manifest move — the manifest is the only publish point.
         s.read.parquet(s"$root/stats-$gen").write.mode("overwrite").parquet(s"$root/stats-$newGen")
         tombs.write.mode("overwrite").partitionBy("cell").parquet(s"$root/tombs-$newGen")
-        writeManifest(root, newGen, lines :+ s"tombs-$newGen")
+        writeManifest(s, root, newGen, lines :+ s"tombs-$newGen")
+        // materialize the tiny per-cell accounting from the persisted
+        // frame BEFORE the finally-unpersist — a lazily-returned frame
+        // would recompute the whole multi-generation resolution
         tombs.groupBy(col("cell")).agg(count(lit(1)).as("n_deleted"))
-          .orderBy(col("cell"))
+          .orderBy(col("cell")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .toDF("cell", "n_deleted")
       }
     } finally tombs.unpersist()
   }
@@ -493,7 +580,8 @@ object AnnIndex {
     * decision since a concurrent reader may still hold the old
     * manifest. Returns per-cell `(cell, n_live, gens_folded)`. */
   def compact(s: SparkSession, root: String): DataFrame = {
-    val (gen, lines) = readManifest(root).getOrElse(
+    import s.implicits._
+    val (gen, lines) = readManifest(s, root).getOrElse(
       throw new IllegalStateException(s"no ANN index published at $root — build() first"))
     val newGen = gen + 1
     val dataDirs = dataDirsOf(lines)
@@ -511,10 +599,17 @@ object AnnIndex {
         .withColumn("gen", lit(newGen))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
       statsOf(live).write.mode("overwrite").parquet(s"$root/stats-$newGen")
-      writeManifest(root, newGen, Seq(s"data-$newGen"))
+      // the dim metadata survives compaction; batch tags are
+      // deliberately dropped (see batchApplied)
+      writeManifest(s, root, newGen,
+        lines.filter(_.startsWith("dim:")) :+ s"data-$newGen")
+      // materialized accounting (see delete) — the returned frame must
+      // not re-run the full resolution after the unpersist below
       live.groupBy(col("cell")).agg(count(lit(1)).as("n_live"))
-        .withColumn("gens_folded", lit(dataDirs.length.toLong + tombDirs.length))
-        .orderBy(col("cell"))
+        .orderBy(col("cell")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          dataDirs.length.toLong + tombDirs.length)).toSeq
+        .toDF("cell", "n_live", "gens_folded")
     } finally live.unpersist()
   }
 }

@@ -30,12 +30,17 @@ object Quality {
     * casts so one schema carries any column type. */
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val cols = df.columns.toSeq
+    // backtick every name reference: a column like "user.id" (common
+    // in flattened/imported schemas) would otherwise parse as a
+    // struct-field path — both at the source read and at the
+    // generated cnt_/nd_ alias reads below
+    def bt(c: String): Column = col(s"`$c`")
     def distinctOf(c: String): Column =
-      if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
+      if (exact) count_distinct(bt(c)) else approx_count_distinct(bt(c))
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"), distinctOf(c).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+      Seq(count(bt(c)).as(s"cnt_$c"), distinctOf(c).as(s"nd_$c"),
+        min(bt(c)).cast("string").as(s"mn_$c"),
+        max(bt(c)).cast("string").as(s"mx_$c"))
     }
     val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     // unpivot the single wide row into one row per column (explode of
@@ -43,9 +48,9 @@ object Quality {
     // field names differ)
     wide.select(explode(array(cols.map(c => struct(
         lit(c).as("column"), col("n_rows").as("n_rows"),
-        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
-        col(s"nd_$c").as("n_distinct"),
-        col(s"mn_$c").as("min_repr"), col(s"mx_$c").as("max_repr"))): _*))
+        (col("n_rows") - bt(s"cnt_$c")).as("n_nulls"),
+        bt(s"nd_$c").as("n_distinct"),
+        bt(s"mn_$c").as("min_repr"), bt(s"mx_$c").as("max_repr"))): _*))
         .as("p"))
       .select("p.*")
   }

@@ -754,16 +754,16 @@ object Similarity {
     * per vector — 64 float32 dims (256 B) compress to 4 codes (4 B at
     * k ≤ 256), the memory ratio that makes billion-vector serving
     * feasible (Jégou et al. 2011, the FAISS IndexPQ design). */
-  private val PqM = 4
-  private val PqSubDim = 16
-  private val PqK = 8
+  private[operators] val PqM = 4
+  private[operators] val PqSubDim = 16
+  private[operators] val PqK = 8
   private val PqRounds = 2
 
   /** `array(struct(m, slice(<col>, …)))` splitting a vector column
     * into its M PQ subvectors — parameterized by column name so query
     * and corpus sides build from the same template instead of a
     * fragile post-hoc string replace. */
-  private def pqSubsExpr(colName: String): String = (0 until PqM)
+  private[operators] def pqSubsExpr(colName: String): String = (0 until PqM)
     .map(m => s"struct($m as m, slice($colName, ${m * PqSubDim + 1}, $PqSubDim) as sv)")
     .mkString("array(", ", ", ")")
 

@@ -24,11 +24,14 @@ import graft.operators.AnnIndex
   * move: the half-written generation directory is unreferenced, and
   * the replay overwrites it with identical rows (upsert writes
   * mode-overwrite; assignment and encode are deterministic functions
-  * of the frozen quantizers) before publishing. Crash AFTER the move:
-  * the replay appends a NEW generation carrying the same rows, and
-  * latest-generation-wins resolution makes the duplicates invisible.
-  * Exactly-once EFFECT from at-least-once delivery, the standard
-  * idempotent-sink argument.
+  * of the frozen quantizers) before publishing. Crash AFTER the
+  * move: the batch's `batch:stream-<id>` tag rode the ATOMIC manifest
+  * publish, so the replay sees it via `batchApplied` and skips —
+  * which matters beyond row duplication: a blind re-upsert would
+  * merge the batch's component sums into the running centroid stats
+  * a second time, silently drifting probe cell selection from the
+  * full-rebuild means. Exactly-once EFFECT from at-least-once
+  * delivery, the ledger riding the same atomic move as the data.
   *
   * Scale: per-batch work is `O(|batch| · cells)` for assignment plus
   * one write — independent of index size; probes stay pruned to
@@ -51,11 +54,16 @@ object StreamingAnnIngest {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         // an empty batch must not burn a generation (triggers can fire
-        // with nothing to do); upsert on a non-empty batch is the
-        // whole effect
-        if (!batch.isEmpty) { AnnIndex.upsert(batch, root); () }
+        // with nothing to do), and a replayed batch whose tag already
+        // rode a published manifest must not re-apply (stats would
+        // double-merge)
+        val tag = s"stream-$id"
+        if (!batch.isEmpty &&
+            !AnnIndex.batchApplied(batch.sparkSession, root, tag)) {
+          AnnIndex.upsert(batch, root, Some(tag)); ()
+        }
       }
       .start()
 }

@@ -413,4 +413,17 @@ class GraftApiSpec extends SparkSpec {
     assert(core == Set(("1", 2L), ("2", 2L), ("3", 2L)))
   }
 
+  test("quality.profile handles dotted column names") {
+    import spark.implicits._
+    // "user.id" must profile as a COLUMN, not parse as a struct path
+    val df = Seq((1L, "a"), (2L, null)).toDF("user.id", "body")
+    Seq(true, false).foreach { exact =>
+      val p = Graft.quality.profile(df, exact).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(p.keySet == Set("user.id", "body"))
+      assert(p("user.id").getLong(2) == 0L && p("user.id").getLong(3) == 2L)
+      assert(p("body").getLong(2) == 1L && p("body").getLong(3) == 1L)
+    }
+  }
+
 }

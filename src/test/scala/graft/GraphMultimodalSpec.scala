@@ -78,7 +78,7 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(idx.filter(col("level") > 2).count() == 0)
   }
 
-  test("decodePartitions: real PNG/WAV decode for images+audio, byte stub for video") {
+  test("decodePartitions: real codecs for all three media types (PNG, WAV, MPNG)") {
     val out = Multimodal.decodePartitions(Multimodal.mediaRecords(spark, sf))
     val df = out.toDF()
     assert(df.count() == Tables.documents(spark, sf).count())

@@ -304,7 +304,48 @@ class SimilaritySpec extends SparkSpec {
     assert(Graft.ann.probeAdc(spark, up, q, nprobe = 2, k = 10).collect().toSeq == preCAdc)
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(up, "_GRAFT_IVF_MANIFEST")), "UTF-8")
-    assert(manifest.split("\n").count(_.nonEmpty) == 2, manifest)
+    // gen + preserved dim metadata + the single folded generation
+    val mLines = manifest.split("\n").filter(_.nonEmpty).toSeq
+    assert(mLines.length == 3 && mLines.exists(_.startsWith("dim:")), manifest)
+  }
+
+  test("ann index: a re-upsert that MOVES cells hides the stale row in the old cell") {
+    val v = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-move").toString
+    Graft.ann.build(v, "vec_id", "embedding", "label", root)
+    // pick a mover: give vec 100 the embedding of vec 1 (a seed), so
+    // reassignment lands it in cell 1 — almost surely different from
+    // its original cell; skip the test in the (unobserved) case the
+    // fixture assigns vec 100 to cell 1 already
+    val q100 = v.filter(col("vec_id") === 100L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val oldCell = Graft.ann.probe(spark, root, q100, nprobe = 8, k = 1)
+      .collect()(0).getLong(2)
+    val seed1 = v.filter(col("vec_id") === 1L)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val moved100 = seed1.select(lit(100L).as("vec_id"), col("embedding"),
+      lit(55).as("label"))
+    Graft.ann.upsert(moved100, "vec_id", "embedding", "label", root)
+    val q1 = seed1.select("embedding").collect()(0).getSeq[Float](0).toArray
+    // the id serves from its NEW cell with the new label...
+    val now = Graft.ann.probe(spark, root, q1, nprobe = 1, k = 10)
+      .filter(col("vec_id") === 100L).collect()
+    assert(now.length == 1 && now(0).getInt(1) == 55 && now(0).getLong(2) != oldCell,
+      s"moved row not served from its new cell: ${now.toSeq} (old cell $oldCell)")
+    // ...and a probe pruned to the OLD cell must NOT see the stale row.
+    // Non-vacuity guard: the old embedding's nearest cell must still
+    // BE the old cell, so the prune genuinely isolates it.
+    val oldCellRows = Graft.ann.probe(spark, root, q100, nprobe = 1, k = 500)
+      .collect()
+    assert(oldCellRows.nonEmpty && oldCellRows.head.getLong(2) == oldCell,
+      s"fixture drift: nprobe=1 for the old embedding no longer probes " +
+        s"cell $oldCell — got ${oldCellRows.headOption.map(_.getLong(2))}")
+    assert(!oldCellRows.exists(_.getLong(0) == 100L),
+      "stale row still visible in the old cell after a moved re-upsert")
+    // ADC path agrees
+    val adcOldCell = Graft.ann.probeAdc(spark, root, q100, nprobe = 1, k = 500,
+      rerankPool = 500).collect()
+    assert(!adcOldCell.exists(_.getLong(0) == 100L))
   }
 
   test("ann index probe on an unbuilt root: empty frame, no exception") {

@@ -205,5 +205,12 @@ class StreamingSpec extends SparkSpec {
     val adcStreamed = Graft.ann.probeAdc(spark, root, qv).collect().toSeq
     val adcRebuilt = Graft.ann.probeAdc(spark, full, qv).collect().toSeq
     assert(adcStreamed == adcRebuilt)
+    // the idempotence ledger rode the atomic manifest publish: the two
+    // applied batch ids answer true, an unseen one false — this is
+    // what makes a foreachBatch replay skip instead of double-merging
+    // the batch's sums into the running centroid stats
+    assert(graft.operators.AnnIndex.batchApplied(spark, root, "stream-0"))
+    assert(graft.operators.AnnIndex.batchApplied(spark, root, "stream-1"))
+    assert(!graft.operators.AnnIndex.batchApplied(spark, root, "stream-99"))
   }
 }
