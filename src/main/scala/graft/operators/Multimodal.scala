@@ -192,27 +192,81 @@ object Multimodal {
   private def samplesOf(docId: Long): Int = (256 + docId % 512).toInt
 
   /** A REAL WAV file (RIFF container, 16-bit signed little-endian
-    * mono PCM at 8 kHz) of the deterministic test tone, encoded with
-    * `javax.sound.sampled.AudioSystem` — the write half of the audio
-    * codec plumbing, same contract as [[synthPng]]. */
+    * mono PCM at 8 kHz) of the deterministic test tone. The container
+    * is written directly from the public RIFF/WAVE layout (the
+    * standard 44-byte PCM header) rather than through
+    * `AudioSystem.write`: the AudioSystem entry points take a global
+    * provider-registry lock PER CALL, which measured as the scale
+    * bottleneck of the whole audio path (30 threads delivered only
+    * ~2x one thread's throughput). The spec still pins this writer to
+    * the REAL codec — [[decodeWavStats]] decodes with the JDK's
+    * WaveFileReader, so a malformed header here breaks the round-trip
+    * law and the oracle row. */
   private[graft] def synthWav(docId: Long, nSamples: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      AudioRate.toFloat, 16, 1, true, false) // signed, little-endian
-    val data = new Array[Byte](nSamples * 2)
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def w16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, t: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = t.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); w32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16)
+    w16(20, 1) // PCM
+    w16(22, 1) // mono
+    w32(24, AudioRate) // sample rate
+    w32(28, AudioRate * 2) // byte rate
+    w16(32, 2) // block align
+    w16(34, 16) // bits per sample
+    tag(36, "data"); w32(40, dataLen)
     var i = 0
     while (i < nSamples) {
       val s = ampAt(i, docId)
-      data(2 * i) = (s & 0xff).toByte
-      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
+
+  /** The JDK's WAV codec, resolved through the `AudioFileReader` SPI
+    * ONCE per JVM: `AudioSystem.getAudioInputStream` re-scans the
+    * provider registry under a global lock on every call, which
+    * serializes a 30-thread decode stage (measured ~2x one thread's
+    * throughput). The cached reader instance is the same
+    * `WaveFileReader` AudioSystem would dispatch to — stateless, so
+    * sharing it across tasks is safe. */
+  private lazy val wavReader: Array[Byte] => javax.sound.sampled.AudioInputStream = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val probe = synthWavProbe
+    var found: Option[javax.sound.sampled.spi.AudioFileReader] = None
+    while (found.isEmpty && it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+        found = Some(r)
+      } catch { case _: Exception => () }
+    }
+    found match {
+      case Some(r) =>
+        bytes => r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      case None => // no WAV provider on this JVM: AudioSystem fallback
+        bytes => javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+    }
+  }
+
+  private def synthWavProbe: Array[Byte] = synthWav(0L, 4)
 
   private[graft] case class AudioStats(nSamples: Long, sampleRate: Long,
       channels: Long, min: Long, max: Long, sum: Long, sumSquare: Long) {
@@ -229,8 +283,7 @@ object Multimodal {
     * order bug breaks parity. Handles both endiannesses so it decodes
     * any 16-bit PCM WAV, not just [[synthWav]]'s output. */
   private[graft] def decodeWavStats(wav: Array[Byte]): AudioStats = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(wav))
+    val ais = wavReader(wav)
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16, s"not 16-bit PCM: $fmt")
     val bytes = ais.readAllBytes()
@@ -366,9 +419,10 @@ object Multimodal {
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
   /** Audio decode + featurize with a REAL codec: every document's
-    * audio is a genuine WAV ([[synthWav]] — `javax.sound.sampled`
-    * encode, RIFF container + 16-bit LE PCM) and the features come
-    * from frames DECODED back out of it inside a mapPartitions batch.
+    * audio is a genuine WAV ([[synthWav]] — standard RIFF container
+    * + 16-bit LE PCM) and the features come from frames DECODED back
+    * out of it by the JDK's WaveFileReader inside a mapPartitions
+    * batch.
     * Format facts (sample_rate, channels) are read from the DECODED
     * headers; amplitude stats fold over the decoded samples. The
     * oracle knows the test tone's closed-form sample function, so
