@@ -425,6 +425,15 @@ object Graft {
     def fingerprint(c: Column): Column =
       call_function("graft_polyhash", concat_ws(" ", tokens(c)))
 
+    /** BM25 ranked retrieval (k1 = 1.2, b = 0.75): top-k documents for
+      * a term query. The postings shuffle is restricted to the query's
+      * terms before the exchange; doc-frequency and corpus stats
+      * broadcast; the cut is TakeOrderedAndProject — no global sort at
+      * any corpus size. */
+    def bm25Topk(df: DataFrame, idCol: String, textCol: String,
+        terms: Seq[String], k: Int = 20): DataFrame =
+      operators.TextAnalysis.bm25TopkOf(asDocs(df, idCol, textCol), terms, k)
+
     /** BPE merge induction (tokenizer vocabulary training): the corpus
       * collapses once to a (word, freq) vocab, then `rounds` greedy
       * merge rounds over the vocab-sized symbol table → the learned

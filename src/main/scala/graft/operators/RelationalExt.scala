@@ -714,6 +714,106 @@ object RelationalExt {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  /** Q13 shape: customer order-count distribution — the LEFT-join-
+    * then-double-aggregate pattern. Planned scale-first: the order
+    * counts come from a partial-aggregated groupBy over orders ALONE
+    * (shuffling o_custkey counts, never the joined width), and only
+    * then LEFT-join customer so zero-order customers surface as
+    * coalesce(0) — the naive left-join-then-count shuffles the full
+    * customer×orders join instead. The second aggregate (distribution
+    * over counts) is over |customers| rows and collapses to at most
+    * max-orders-per-customer groups. */
+  private def q13CustomerDistribution: Q = (s, dir) => {
+    val oc = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(s, dir)
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13CustomerDistributionSql =
+    """WITH oc AS (SELECT o_custkey, count(*) AS n FROM orders
+      |            WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM (SELECT coalesce(n, 0) AS c_count
+      |      FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q17 shape: small-quantity revenue — the correlated-average
+    * subquery (`l_quantity < 0.2 * avg over the same part`)
+    * decorrelated into one per-part aggregate joined back to the
+    * facts. The brand dim filter broadcasts FIRST so both the
+    * threshold aggregate and the probe side scan only the brand's
+    * lines; the per-part avg is DECIMAL-sum-exact then divided (double
+    * division is deterministic, double SUM order is not), so the
+    * strict `<` threshold cut lands identically in both engines. */
+  private def q17SmallQtyRevenue: Q = (s, dir) => {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val pl = Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thr = pl.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double")
+        / count(lit(1)))).as("thr"))
+    pl.join(thr, "l_partkey")
+      .filter(col("l_quantity") < col("thr"))
+      .agg(
+        round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double") / 7.0, 6)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q17SmallQtyRevenueSql =
+    """WITH pl AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |            FROM lineitem JOIN part ON p_partkey = l_partkey
+      |            WHERE p_brand = 'Brand#1'),
+      |thr AS (SELECT l_partkey,
+      |               0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS thr
+      |        FROM pl GROUP BY l_partkey)
+      |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+      |       count(*) AS n_lines
+      |FROM pl JOIN thr USING (l_partkey)
+      |WHERE l_quantity < thr""".stripMargin
+
+  /** Q22 shape: idle rich customers — scalar subquery (global average
+    * balance over positive accounts, DECIMAL-exact for the same
+    * engine-determinism reason as Q17) broadcast as a 1-row frame,
+    * then an anti-join against orders. The classic predicate is "no
+    * orders at all"; this corpus's every customer has orders, so the
+    * anti side is the urgent-priority slice — same plan shape
+    * (broadcast-able filtered key set), non-degenerate result. */
+  private def q22IdleCustomers: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double")
+        / count(lit(1))).as("avg_bal"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey").asc)
+  }
+
+  private val q22IdleCustomersSql =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -722,6 +822,9 @@ object RelationalExt {
     "q7_volume_shipping" -> q7VolumeShipping,
     "q10_returned_items" -> q10ReturnedItems,
     "q21_waiting_suppliers" -> q21WaitingSuppliers,
+    "q13_customer_distribution" -> q13CustomerDistribution,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
+    "q22_idle_customers" -> q22IdleCustomers,
     "a8_approx_stats" -> a8ApproxStats,
     "w4_window_funcs" -> w4WindowFuncs,
     "f_dates" -> fDates,
@@ -748,6 +851,9 @@ object RelationalExt {
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q10_returned_items" -> q10ReturnedItemsSql,
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
+    "q13_customer_distribution" -> q13CustomerDistributionSql,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
+    "q22_idle_customers" -> q22IdleCustomersSql,
     "a9_percentiles" -> a9PercentilesSql,
     "a10_histogram" -> a10HistogramSql,
     "a11_corr_regr" -> a11CorrRegrSql,

@@ -744,6 +744,132 @@ object TextAnalysis {
   }
 
   // ----------------------------------------------------------------
+  // BM25 ranked retrieval (Robertson-Spärck Jones probabilistic IR)
+  // ----------------------------------------------------------------
+
+  /** The fixed retrieval query for the oracle fixture. The façade form
+    * ([[graft.Graft]] binds `text.bm25Topk`) takes arbitrary terms. */
+  private[graft] val Bm25Terms = Seq("vector", "hash", "stream")
+
+  /** Shared BM25 scoring arithmetic, rendered identically for Spark's
+    * `expr` and the DuckDB oracle. A naive float rendering of the
+    * formula diverged in the last ulp between engines (different
+    * intermediate op sequences), flipping 6-dp roundings — so the
+    * whole score is algebraized into ONE exact integer numerator and
+    * denominator (k1 = 6/5, b = 3/4, idf in the ratio form
+    * (N − df + ½)/(df + ½), avgdl = S/N with S = Σdl; all the ½s and
+    * 5ths clear):
+    *
+    *   sc = 44·tf·S·(2N − 2df + 1) / [(2df + 1)·(20·S·tf + 6·S + 18·dl·N)]
+    *
+    * and evaluated as a SINGLE double division — IEEE division of
+    * identical operands is bit-identical everywhere. Both factors fit
+    * long comfortably (≲10¹³ at the fixture scales; at true corpus
+    * scale the façade path doesn't need oracle-exactness). */
+  private def bm25Sc(tf: String, df: String, dl: String, nDocs: String, sumDl: String): String =
+    s"CAST(44 * $tf * $sumDl * (2 * $nDocs - 2 * $df + 1) AS DOUBLE) / " +
+      s"CAST((2 * $df + 1) * (20 * $sumDl * $tf + 6 * $sumDl + 18 * $dl * $nDocs) AS DOUBLE)"
+
+  /** Engine-portable 6-dp rounding: fixed-point via floor on the SAME
+    * double ops in both engines. `round(x, 6)` is NOT portable —
+    * Spark rounds the exact binary value HALF_UP via BigDecimal while
+    * DuckDB scales-and-rints the double, and near-half-point inputs
+    * round differently. floor(x·10⁶ + 0.5)/10⁶ runs the identical op
+    * sequence on the identical double in both engines, so whatever it
+    * picks at a boundary, it picks in both. Positive inputs only. */
+  private def r6(x: String): String =
+    s"floor(($x) * 1e6 + 0.5) / 1e6"  // 1e6 not 1000000.0: Spark parses the
+                                      // latter as DECIMAL and the division
+                                      // would yield DECIMAL(·,9) output
+
+  /** BM25 top-20 ranked retrieval for a 3-term query — the classic IR
+    * scorer a RAG / retrieval-eval pipeline runs beside the ANN path.
+    *
+    * Scale shape: the corpus is touched twice, both narrow-in, both
+    * partial-aggregated — once for per-doc lengths (zero shuffle past
+    * the tiny agg), once for postings RESTRICTED to the query terms
+    * before the shuffle (the `isin` filter runs inside the scan's
+    * codegen stage, so the (doc, term) exchange carries only matching
+    * postings — at 100 TB that is |terms| postings lists, not the
+    * corpus). df (≤ |terms| rows) and the corpus stats (1 row)
+    * broadcast; the final cut is TakeOrderedAndProject (per-partition
+    * top-k + driver merge, no global sort). Per-term scores pivot into
+    * fixed columns so the total sums in a deterministic order — float
+    * addition is not associative, and a groupBy-sum would let partial-
+    * agg order pick the result's last ulp. */
+  /** Per-(doc, query-term) BM25 partial scores over a (doc_id, text)
+    * frame — the shared core of the oracle query and the façade
+    * ([[graft.Graft]] binds `text.bm25Topk`). */
+  private[graft] def bm25ScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(filter(tokens(col("text")), t => t =!= "")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"),
+        expr(bm25Sc("tf", "df", "dl", "n_docs", "s_dl")).as("sc"))
+  }
+
+  /** Façade form: BM25 top-k for an arbitrary term set — (doc_id,
+    * bm25) rows, k-bounded via TakeOrderedAndProject. The total sums
+    * per-term partials with a groupBy (at arbitrary |terms| a pivot
+    * is impossible); the last ulp of a float sum depends on partial-
+    * agg order, which is why the ORACLE query pivots fixed columns
+    * instead. */
+  def bm25TopkOf(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25ScoredOf(docs, terms)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+
+  private def tBm25: Q = (s, dir) => {
+    val sc = bm25ScoredOf(Tables.documents(s, dir), Bm25Terms)
+    sc.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("token") === Bm25Terms(0), col("sc"))).as("sv"),
+        max(when(col("token") === Bm25Terms(1), col("sc"))).as("sh"),
+        max(when(col("token") === Bm25Terms(2), col("sc"))).as("ss"))
+      .select(col("doc_id"),
+        expr(r6("coalesce(sv, 0.0)")).as("s_vector"),
+        expr(r6("coalesce(sh, 0.0)")).as("s_hash"),
+        expr(r6("coalesce(ss, 0.0)")).as("s_stream"),
+        expr(r6("coalesce(sv, 0.0) + coalesce(sh, 0.0) + coalesce(ss, 0.0)")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val tBm25Sql = {
+    val toks = duckTokens("text")
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (SELECT doc_id, CAST(len(list_filter($toks, t -> t <> '')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS s_dl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+       |       WHERE token IN ($terms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (SELECT doc_id, token, ${bm25Sc("tf", "df", "dl", "n_docs", "s_dl")} AS sc
+       |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |wide AS (SELECT doc_id,
+       |   max(CASE WHEN token = '${Bm25Terms(0)}' THEN sc END) AS sv,
+       |   max(CASE WHEN token = '${Bm25Terms(1)}' THEN sc END) AS sh,
+       |   max(CASE WHEN token = '${Bm25Terms(2)}' THEN sc END) AS ss
+       | FROM sc GROUP BY doc_id)
+       |SELECT doc_id,
+       |       ${r6("coalesce(sv, 0.0)")} AS s_vector,
+       |       ${r6("coalesce(sh, 0.0)")} AS s_hash,
+       |       ${r6("coalesce(ss, 0.0)")} AS s_stream,
+       |       ${r6("coalesce(sv, 0.0) + coalesce(sh, 0.0) + coalesce(ss, 0.0)")} AS bm25
+       |FROM wide ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Corpus-level token frequencies (vocabulary head)
   // ----------------------------------------------------------------
 
@@ -1256,7 +1382,8 @@ object TextAnalysis {
     "t_ccnet_buckets" -> tCcnetBuckets,
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
-    "t_tfidf" -> tTfidf)
+    "t_tfidf" -> tTfidf,
+    "t_bm25" -> tBm25)
 
   val oracles: Map[String, String] = Map(
     "t_bpe_merges" -> tBpeMergesSql,
@@ -1277,5 +1404,6 @@ object TextAnalysis {
     "t_ccnet_buckets" -> tCcnetBucketsSql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
-    "t_tfidf" -> tTfidfSql)
+    "t_tfidf" -> tTfidfSql,
+    "t_bm25" -> tBm25Sql)
 }

@@ -36,6 +36,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.similarity.nearestInBucket(emptyVecs, "vid", "vec").count() == 0)
   }
 
+  test("bm25 on an empty corpus: empty top-k, no exceptions") {
+    assert(Graft.text.bm25Topk(emptyDocs, "id", "body", Seq("a", "b"), 5).count() == 0)
+  }
+
   test("profile on an empty frame: one row per column, zero counts, null reprs") {
     Seq(true, false).foreach { exact =>
       val rows = Graft.quality.profile(emptyDocs, exact).collect()

@@ -93,6 +93,32 @@ class TemporalSamplingSpec extends SparkSpec {
     }
   }
 
+  test("bm25: hand-computed scores on a 3-doc fixture; non-matching docs absent") {
+    // N=3, avgdl=3, df(a)=2 → idf = 1.5/2.5 = 0.6
+    // doc 1 (tf=1): 0.6 * 2.2/(1 + 1.2) = 0.6 ; doc 2 (tf=2): 0.6 * 4.4/3.2 = 0.825
+    import spark.implicits._
+    val docs = Seq((1L, "x x a"), (2L, "a a x"), (3L, "x y z")).toDF("id", "body")
+    val out = Graft.text.bm25Topk(docs, "id", "body", Seq("a"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((2L, 0.825), (1L, 0.6)))
+  }
+
+  test("bm25 oracle query: 20 ranked rows, totals = sum of per-term parts, scores positive") {
+    val out = TextAnalysis.queries("t_bm25")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (sv, sh, ss, tot) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(sv + sh + ss - tot) < 2e-6 && tot > 0.0)
+    }
+    // ranked: descending totals with doc_id tiebreak
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(4) > b.getDouble(4) ||
+          (a.getDouble(4) == b.getDouble(4) && a.getLong(0) < b.getLong(0)))
+      case _ => ()
+    }
+  }
+
   test("centroids: one row per (label, dim); counts consistent; centroids inside value range") {
     val out = Similarity.queries("s_centroids")(spark, sf)
     val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
