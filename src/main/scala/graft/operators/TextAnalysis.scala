@@ -782,8 +782,9 @@ object TextAnalysis {
                                       // latter as DECIMAL and the division
                                       // would yield DECIMAL(·,9) output
 
-  /** BM25 top-20 ranked retrieval for a 3-term query — the classic IR
-    * scorer a RAG / retrieval-eval pipeline runs beside the ANN path.
+  /** Per-(doc, query-term) BM25 partial scores over a (doc_id, text)
+    * frame — the shared core of the oracle query and the façade
+    * ([[graft.Graft]] binds `text.bm25Topk`).
     *
     * Scale shape: the corpus is touched twice, both narrow-in, both
     * partial-aggregated — once for per-doc lengths (zero shuffle past
@@ -792,14 +793,7 @@ object TextAnalysis {
     * codegen stage, so the (doc, term) exchange carries only matching
     * postings — at 100 TB that is |terms| postings lists, not the
     * corpus). df (≤ |terms| rows) and the corpus stats (1 row)
-    * broadcast; the final cut is TakeOrderedAndProject (per-partition
-    * top-k + driver merge, no global sort). Per-term scores pivot into
-    * fixed columns so the total sums in a deterministic order — float
-    * addition is not associative, and a groupBy-sum would let partial-
-    * agg order pick the result's last ulp. */
-  /** Per-(doc, query-term) BM25 partial scores over a (doc_id, text)
-    * frame — the shared core of the oracle query and the façade
-    * ([[graft.Graft]] binds `text.bm25Topk`). */
+    * broadcast. */
   private[graft] def bm25ScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val dl = docs.select(col("doc_id"),
       size(filter(tokens(col("text")), t => t =!= "")).cast("long").as("dl"))
@@ -829,6 +823,12 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
 
+  /** BM25 top-20 for the fixed 3-term fixture query — the oracle form.
+    * The cut is TakeOrderedAndProject (per-partition top-k + driver
+    * merge, no global sort). Per-term scores pivot into fixed columns
+    * so the total sums in a deterministic order — float addition is
+    * not associative, and a groupBy-sum would let partial-agg order
+    * pick the result's last ulp. */
   private def tBm25: Q = (s, dir) => {
     val sc = bm25ScoredOf(Tables.documents(s, dir), Bm25Terms)
     sc.groupBy(col("doc_id"))
