@@ -434,6 +434,21 @@ object Graft {
         terms: Seq[String], k: Int = 20): DataFrame =
       operators.TextAnalysis.bm25TopkOf(asDocs(df, idCol, textCol), terms, k)
 
+    /** UniMax language-budget waterfilling (Chung et al. 2023): given
+      * per-language token counts from `df`, allocate each language
+      * min(epochCap·cᵢ, t) tokens with the water level t exhausting the
+      * budget B = (bNum·total) div bDen. One corpus scan; every
+      * comparison past the count aggregate is exact-integer on a
+      * |languages|-sized frame. */
+    def unimaxBudgets(df: DataFrame, langCol: String, textCol: String,
+        epochCap: Long = 2L, bNum: Long = 8L, bDen: Long = 5L): DataFrame =
+      operators.TextAnalysis.unimaxOf(
+        df.select(col(langCol).as("lang"), col(textCol).as("text"))
+          .groupBy(col("lang"))
+          .agg(sum(size(filter(tokens(col("text")), t => t =!= ""))
+            .cast("long")).as("c")),
+        epochCap, bNum, bDen)
+
     /** BPE merge induction (tokenizer vocabulary training): the corpus
       * collapses once to a (word, freq) vocab, then `rounds` greedy
       * merge rounds over the vocab-sized symbol table → the learned

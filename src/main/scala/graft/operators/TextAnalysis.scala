@@ -870,6 +870,81 @@ object TextAnalysis {
   }
 
   // ----------------------------------------------------------------
+  // UniMax language-budget allocation (waterfilling)
+  // ----------------------------------------------------------------
+
+  /** UniMax-style language sampling budgets (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling"): given a
+    * token budget B and a per-language epoch cap E, allocate each
+    * language min(E·cᵢ, t) tokens where the water level t is chosen so
+    * the allocations exhaust B — low-resource languages are fully
+    * capped at E epochs, high-resource languages split the remainder
+    * evenly. Here E = 2 and B = ⌊8·S/5⌋ (S = corpus tokens), which
+    * makes the partition non-trivial on the fixture's skew.
+    *
+    * The waterfill is the classic sorted closed form, not a loop: with
+    * caps ascending, k* = max{k : cap_k·(n−k) ≤ B − Σ_{i≤k}cap_i}
+    * (languages 1..k* fully capped) and t = (B − Σ_{i≤k*}cap_i)/(n−k*).
+    * Every comparison is INTEGER (cross-multiplied — no float
+    * boundaries to disagree on between engines); the only float ops
+    * are the final t and epochs divisions, identical text in both
+    * renderings. One corpus scan → |languages| rows; everything past
+    * the first aggregate is model-sized, so the op is a single
+    * partial-agg pass at any corpus size. */
+  /** Waterfill core over a (lang, c) token-count frame: epoch cap `e`,
+    * budget B = (bNum·S) div bDen with S = Σc. All tiny frames past
+    * the input aggregate. */
+  private[graft] def unimaxOf(counts: DataFrame, e: Long, bNum: Long, bDen: Long): DataFrame = {
+    val w = Window.orderBy(col("c").asc, col("lang").asc)
+    val ranked = counts.select(col("lang"), col("c"),
+        row_number().over(w).cast("long").as("k"),
+        sum(col("c")).over(w).as("p"))
+      .crossJoin(broadcast(counts.agg(count(lit(1)).as("n"),
+        expr(s"($bNum * sum(c)) div $bDen").as("b"))))
+    val kstar = ranked
+      .agg(max(when(expr(s"$e * c * (n - k) <= b - $e * p"), col("k")).otherwise(lit(0L)))
+        .as("kstar"),
+        max(when(expr(s"$e * c * (n - k) <= b - $e * p"), col("p")).otherwise(lit(0L)))
+        .as("pstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("lang"), col("c").as("tokens"), expr(s"$e * c").as("cap"),
+        expr(r6(s"CASE WHEN k <= kstar THEN CAST($e * c AS DOUBLE) " +
+          s"ELSE CAST(b - $e * pstar AS DOUBLE) / (n - kstar) END")).as("allocated"),
+        expr(r6(s"CASE WHEN k <= kstar THEN CAST($e AS DOUBLE) " +
+          s"ELSE CAST(b - $e * pstar AS DOUBLE) / (n - kstar) / c END")).as("epochs"))
+      .orderBy(col("lang").asc)
+  }
+
+  private def tUnimax: Q = (s, dir) => {
+    val c = Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(sum(size(filter(tokens(col("text")), t => t =!= "")).cast("long")).as("c"))
+    unimaxOf(c, e = 2L, bNum = 8L, bDen = 5L)
+  }
+
+  private val tUnimaxSql = {
+    val toks = duckTokens("text")
+    s"""WITH c AS (SELECT lang, CAST(sum(len(list_filter($toks, t -> t <> ''))) AS BIGINT) AS c
+       |           FROM documents GROUP BY lang),
+       |ranked AS (SELECT lang, c,
+       |    CAST(row_number() OVER (ORDER BY c, lang) AS BIGINT) AS k,
+       |    sum(c) OVER (ORDER BY c, lang ROWS UNBOUNDED PRECEDING) AS p
+       |  FROM c),
+       |stats AS (SELECT count(*) AS n, (8 * sum(c)) // 5 AS b FROM c),
+       |flags AS (SELECT k, p FROM ranked CROSS JOIN stats
+       |          WHERE 2 * c * (n - k) <= b - 2 * p),
+       |kstar AS (SELECT coalesce(max(k), 0) AS kstar,
+       |                 coalesce(max(p), 0) AS pstar FROM flags)
+       |SELECT lang, c AS tokens, 2 * c AS cap,
+       |  ${r6("CASE WHEN k <= kstar THEN CAST(2 * c AS DOUBLE) " +
+            "ELSE CAST(b - 2 * pstar AS DOUBLE) / (n - kstar) END")} AS allocated,
+       |  ${r6("CASE WHEN k <= kstar THEN 2.0 " +
+            "ELSE CAST(b - 2 * pstar AS DOUBLE) / (n - kstar) / c END")} AS epochs
+       |FROM ranked CROSS JOIN stats CROSS JOIN kstar
+       |ORDER BY lang""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Corpus-level token frequencies (vocabulary head)
   // ----------------------------------------------------------------
 
@@ -1383,7 +1458,8 @@ object TextAnalysis {
     "t_lang_id" -> tLangId,
     "t_fingerprint" -> tFingerprint,
     "t_tfidf" -> tTfidf,
-    "t_bm25" -> tBm25)
+    "t_bm25" -> tBm25,
+    "t_unimax" -> tUnimax)
 
   val oracles: Map[String, String] = Map(
     "t_bpe_merges" -> tBpeMergesSql,
@@ -1405,5 +1481,6 @@ object TextAnalysis {
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_tfidf" -> tTfidfSql,
-    "t_bm25" -> tBm25Sql)
+    "t_bm25" -> tBm25Sql,
+    "t_unimax" -> tUnimaxSql)
 }

@@ -103,6 +103,35 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 0.825), (1L, 0.6)))
   }
 
+  test("unimax waterfill: small languages cap at E epochs, the rest split the remainder exactly") {
+    // counts a=10 b=20 c=100, E=2, B=(8·130)//5=208; caps 20/40/200 (Σ=260>208)
+    // k*=2 (a,b fully capped), t=(208−60)/1=148 → c gets 148 = 1.48 epochs; Σalloc=B
+    import spark.implicits._
+    val docs = Seq(
+      ("a", Seq.fill(10)("t").mkString(" ")),
+      ("b", Seq.fill(20)("t").mkString(" ")),
+      ("c", Seq.fill(100)("t").mkString(" "))).toDF("lang", "body")
+    val out = Graft.text.unimaxBudgets(docs, "lang", "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("a", 10L, 20L, 20.0, 2.0),
+      ("b", 20L, 40L, 40.0, 2.0),
+      ("c", 100L, 200L, 148.0, 1.48)))
+  }
+
+  test("unimax: budget covering all caps fully allocates every language at E epochs") {
+    import spark.implicits._
+    val docs = Seq(("a", "t t"), ("b", "t t t t")).toDF("lang", "body")
+    // S=6, B=(8·6)//5=9 ≥ Σcaps... caps are 4 and 8 (Σ=12>9): k*=1, t=(9−4)/1=5
+    val out = Graft.text.unimaxBudgets(docs, "lang", "body")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 4.0), ("b", 5.0)))
+    // and with a generous budget (bNum/bDen = 3/1 → B=18 ≥ 12) everyone caps
+    val full = Graft.text.unimaxBudgets(docs, "lang", "body", bNum = 3L, bDen = 1L)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(full.toSeq == Seq(("a", 4.0, 2.0), ("b", 8.0, 2.0)))
+  }
+
   test("bm25 oracle query: 20 ranked rows, totals = sum of per-term parts, scores positive") {
     val out = TextAnalysis.queries("t_bm25")(spark, sf).collect()
     assert(out.length == 20)
