@@ -434,6 +434,15 @@ object Graft {
         terms: Seq[String], k: Int = 20): DataFrame =
       operators.TextAnalysis.bm25TopkOf(asDocs(df, idCol, textCol), terms, k)
 
+    /** BM25 top-k served from the persisted inverted index (built
+      * on first use, fingerprint-memoized, atomically published —
+      * the [[ann]] discipline applied to text): probes scan only the
+      * query terms' bucket partitions, never the corpus. Same scores
+      * as [[bm25Topk]], spec-pinned. */
+    def bm25TopkIndexed(spark: SparkSession, dir: String,
+        terms: Seq[String], k: Int = 20): DataFrame =
+      operators.TextIndex.bm25TopkIndexed(spark, dir, terms, k)
+
     /** UniMax language-budget waterfilling (Chung et al. 2023): given
       * per-language token counts from `df`, allocate each language
       * min(epochCap·cᵢ, t) tokens with the water level t exhausting the

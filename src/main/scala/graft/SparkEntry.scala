@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Graph, Multimodal, Quality, Relational, RelationalExt, Sampling, Scrape, Similarity, SqlSurface, Temporal, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Graph, Multimodal, Quality, Relational, RelationalExt, Sampling, Scrape, Similarity, SqlSurface, Temporal, TextAnalysis, TextIndex, TimeSeries}
 import graft.pipelines.{CleanCorpus, Flagship}
 import graft.streaming.EventStreams
 
@@ -24,6 +24,7 @@ object SparkEntry {
       (TimeSeries.queries, TimeSeries.oracles),
       (Sampling.queries, Sampling.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
+      (TextIndex.queries, TextIndex.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (Graph.queries, Graph.oracles),

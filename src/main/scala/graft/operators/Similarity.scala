@@ -136,10 +136,10 @@ object Similarity {
     * (the sweep's completion signal; Spark's own parquet commit writes
     * it for single-write builds). At 100 TB this is the one-off index
     * build every ANN system amortizes across queries. */
-  private def cachedIndex(s: SparkSession, dir: String, kind: String,
-      version: Int)(build: String => Unit): String = {
+  private[operators] def cachedIndex(s: SparkSession, dir: String, kind: String,
+      version: Int, srcTable: String = "embeddings.parquet")(build: String => Unit): String = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val src = new java.io.File(dir, "embeddings.parquet")
+    val src = new java.io.File(dir, srcTable)
     val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
     val fp = s"v$version|" + files.filter(_.isFile).sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")

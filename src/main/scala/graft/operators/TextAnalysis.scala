@@ -26,7 +26,7 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   /** Shared tokenizer — the reference's normalize+split (Rmd:77-79). */
-  private def tokens(c: Column): Column =
+  private[operators] def tokens(c: Column): Column =
     split(regexp_replace(lower(c), "[\\p{Punct} ]+", " "), " ")
 
   private def duckTokens(inner: String): String =
@@ -766,7 +766,7 @@ object TextAnalysis {
     * identical operands is bit-identical everywhere. Both factors fit
     * long comfortably (≲10¹³ at the fixture scales; at true corpus
     * scale the façade path doesn't need oracle-exactness). */
-  private def bm25Sc(tf: String, df: String, dl: String, nDocs: String, sumDl: String): String =
+  private[operators] def bm25Sc(tf: String, df: String, dl: String, nDocs: String, sumDl: String): String =
     s"CAST(44 * $tf * $sumDl * (2 * $nDocs - 2 * $df + 1) AS DOUBLE) / " +
       s"CAST((2 * $df + 1) * (20 * $sumDl * $tf + 6 * $sumDl + 18 * $dl * $nDocs) AS DOUBLE)"
 
@@ -777,7 +777,7 @@ object TextAnalysis {
     * round differently. floor(x·10⁶ + 0.5)/10⁶ runs the identical op
     * sequence on the identical double in both engines, so whatever it
     * picks at a boundary, it picks in both. Positive inputs only. */
-  private def r6(x: String): String =
+  private[operators] def r6(x: String): String =
     s"floor(($x) * 1e6 + 0.5) / 1e6"  // 1e6 not 1000000.0: Spark parses the
                                       // latter as DECIMAL and the division
                                       // would yield DECIMAL(·,9) output
@@ -829,8 +829,14 @@ object TextAnalysis {
     * so the total sums in a deterministic order — float addition is
     * not associative, and a groupBy-sum would let partial-agg order
     * pick the result's last ulp. */
-  private def tBm25: Q = (s, dir) => {
-    val sc = bm25ScoredOf(Tables.documents(s, dir), Bm25Terms)
+  /** Shared fixed-term pivot over a (doc_id, token, sc) frame: the
+    * per-term scores land in fixed columns so the total sums in a
+    * deterministic order (float addition is not associative — a
+    * groupBy-sum would let partial-agg order pick the last ulp), then
+    * the portable rounding and the top-20 cut. Used by both the
+    * in-query `t_bm25` and the index-served `t_bm25_indexed`, which is
+    * what lets them share one oracle. */
+  private[operators] def bm25FixedPivot(sc: DataFrame): DataFrame =
     sc.groupBy(col("doc_id"))
       .agg(
         max(when(col("token") === Bm25Terms(0), col("sc"))).as("sv"),
@@ -843,7 +849,9 @@ object TextAnalysis {
         expr(r6("coalesce(sv, 0.0) + coalesce(sh, 0.0) + coalesce(ss, 0.0)")).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
-  }
+
+  private def tBm25: Q = (s, dir) =>
+    bm25FixedPivot(bm25ScoredOf(Tables.documents(s, dir), Bm25Terms))
 
   private val tBm25Sql = {
     val toks = duckTokens("text")

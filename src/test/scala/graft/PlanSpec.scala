@@ -94,6 +94,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("bit_count"), p)
   }
 
+  test("t_bm25_indexed: postings scan prunes to the query terms' bucket partitions") {
+    val q = SparkEntry.queries("t_bm25_indexed")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // driver-computed term buckets land as literal IN PartitionFilters
+    // on the postings (and df) scans — the corpus itself is untouched
+    assert(p.contains("PartitionFilters: [bucket"), p)
+    assert(p.contains(" IN ("), p)
+    assert(!p.toLowerCase.contains("documents.parquet"), p)
+  }
+
   test("s_ivf_ann_indexed: data scan prunes to the NProbe cell partitions") {
     val q = SparkEntry.queries("s_ivf_ann_indexed")(spark, sf)
     val p = q.queryExecution.executedPlan.toString

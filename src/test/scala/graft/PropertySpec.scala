@@ -137,6 +137,17 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("polyhash JVM-twin law: TextIndex.polyHashJvm == graft_polyhash on arbitrary ascii strings") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val strs = samples(asciiGen, 60)
+    val native = strs.toDF("s").select(col("s"), expr("graft_polyhash(s)").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      assert(operators.TextIndex.polyHashJvm(s) == native(s), s"mismatch on '$s'")
+    }
+  }
+
   test("token-counts law: native == regex split/extract forms on adversarial strings") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     // chars chosen to exercise every boundary the expression hand-rolls:

@@ -103,6 +103,12 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 0.825), (1L, 0.6)))
   }
 
+  test("bm25 index-serving parity: t_bm25_indexed returns exactly t_bm25's rows") {
+    val inQuery = TextAnalysis.queries("t_bm25")(spark, sf).collect().toSeq
+    val indexed = operators.TextIndex.queries("t_bm25_indexed")(spark, sf).collect().toSeq
+    assert(indexed == inQuery)
+  }
+
   test("unimax waterfill: small languages cap at E epochs, the rest split the remainder exactly") {
     // counts a=10 b=20 c=100, E=2, B=(8·130)//5=208; caps 20/40/200 (Σ=260>208)
     // k*=2 (a,b fully capped), t=(208−60)/1=148 → c gets 148 = 1.48 epochs; Σalloc=B
