@@ -814,6 +814,58 @@ object RelationalExt {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** A14: winsorized per-group aggregates — outlier-robust means via
+    * exact order-statistic clipping at p05/p95. The cut ranks are pure
+    * integer arithmetic (⌈n/20⌉ = (n+19) div 20 — no float percentile
+    * definition to disagree on between engines), the clamp keeps the
+    * raw column values, and the clipped mean is DECIMAL-sum-exact
+    * before one double division.
+    *
+    * Scale note: exact per-group selection needs a per-group sort
+    * (one shuffle on the group key; the sort is per-partition after
+    * it). That is the honest price of EXACT order statistics and is
+    * fine while groups fit a partition; the 100 TB default for
+    * percentile CUTS is approx_percentile (a9_percentiles) feeding the
+    * same clamp — this operator is the exact, oracle-verifiable form. */
+  private def a14Winsorize: Q = (s, dir) => {
+    val byFlag = Window.partitionBy(col("flag"))
+    val r = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .withColumn("rn", row_number().over(byFlag.orderBy(col("v").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(byFlag).cast("long"))
+    val bounds = r.groupBy(col("flag")).agg(
+      max(when(expr("rn = (n + 19) div 20"), col("v"))).as("lo"),
+      max(when(expr("rn = (19 * n + 19) div 20"), col("v"))).as("hi"))
+    r.join(broadcast(bounds), "flag")
+      .groupBy(col("flag"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        expr(TextAnalysis.r6(
+          "CAST(sum(CAST((CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END)" +
+            " AS DECIMAL(18,2))) AS DOUBLE) / count(*)")).as("wmean"))
+      .select(col("flag"), col("n"), col("n_clipped"), col("lo"), col("hi"), col("wmean"))
+      .orderBy(col("flag").asc)
+  }
+
+  private val a14WinsorizeSql =
+    s"""WITH r AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM lineitem),
+      |b AS (SELECT flag,
+      |    max(CASE WHEN rn = (n + 19) // 20 THEN v END) AS lo,
+      |    max(CASE WHEN rn = (19 * n + 19) // 20 THEN v END) AS hi
+      |  FROM r GROUP BY flag)
+      |SELECT flag, count(*) AS n,
+      |  CAST(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |  lo, hi,
+      |  ${TextAnalysis.r6("CAST(sum(CAST((CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END)" +
+            " AS DECIMAL(18,2))) AS DOUBLE) / count(*)")} AS wmean
+      |FROM r JOIN b USING (flag)
+      |GROUP BY flag, lo, hi
+      |ORDER BY flag""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -825,6 +877,7 @@ object RelationalExt {
     "q13_customer_distribution" -> q13CustomerDistribution,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q22_idle_customers" -> q22IdleCustomers,
+    "a14_winsorize" -> a14Winsorize,
     "a8_approx_stats" -> a8ApproxStats,
     "w4_window_funcs" -> w4WindowFuncs,
     "f_dates" -> fDates,
@@ -854,6 +907,7 @@ object RelationalExt {
     "q13_customer_distribution" -> q13CustomerDistributionSql,
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q22_idle_customers" -> q22IdleCustomersSql,
+    "a14_winsorize" -> a14WinsorizeSql,
     "a9_percentiles" -> a9PercentilesSql,
     "a10_histogram" -> a10HistogramSql,
     "a11_corr_regr" -> a11CorrRegrSql,
