@@ -443,6 +443,33 @@ object Graft {
         terms: Seq[String], k: Int = 20): DataFrame =
       operators.TextIndex.bm25TopkIndexed(spark, dir, terms, k)
 
+    /** Found an incrementally-maintained BM25 index at an explicit
+      * `root` (generation 0). BM25's inputs are integer-additive
+      * across generations, so probes over an upserted index equal a
+      * full rebuild EXACTLY (spec-pinned). */
+    def bm25IndexBuild(docs: DataFrame, idCol: String, textCol: String,
+        root: String): Unit =
+      operators.TextIndex.build(asDocs(docs, idCol, textCol), root)
+
+    /** Append a batch of NEW documents as the next index generation —
+      * work ∝ batch, nothing rewritten, atomic manifest publish. */
+    def bm25IndexUpsert(batch: DataFrame, idCol: String, textCol: String,
+        root: String): Unit =
+      operators.TextIndex.upsert(asDocs(batch, idCol, textCol), root)
+
+    /** BM25 top-k from an explicit-root incremental index. */
+    def bm25TopkAt(spark: SparkSession, root: String, terms: Seq[String],
+        k: Int = 20): DataFrame =
+      operators.TextIndex.bm25TopkAtRoot(spark, root, terms, k)
+
+    /** Continuous document ingestion into the incremental BM25 index:
+      * each micro-batch upserts as one generation (idempotent under
+      * replay — see [[streaming.StreamingTextIngest]]). The index must
+      * already be built. */
+    def ingestStream(docs: DataFrame, root: String,
+        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      streaming.StreamingTextIngest.ingest(docs, root, checkpoint)
+
     /** UniMax language-budget waterfilling (Chung et al. 2023): given
       * per-language token counts from `df`, allocate each language
       * min(epochCap·cᵢ, t) tokens with the water level t exhausting the

@@ -821,21 +821,25 @@ object RelationalExt {
     * raw column values, and the clipped mean is DECIMAL-sum-exact
     * before one double division.
     *
-    * Scale note: exact per-group selection needs a per-group sort
-    * (one shuffle on the group key; the sort is per-partition after
-    * it). That is the honest price of EXACT order statistics and is
-    * fine while groups fit a partition; the 100 TB default for
-    * percentile CUTS is approx_percentile (a9_percentiles) feeding the
-    * same clamp — this operator is the exact, oracle-verifiable form. */
+    * Scale note: exact selection does NOT need a full per-group sort.
+    * The k-th order statistic equals the least DISTINCT value whose
+    * cumulative count reaches k, so selection runs as a counting sort:
+    * partial-aggregated (group, value) counts, then a window over the
+    * distinct-value frame only. The sorted frame scales with value
+    * CARDINALITY, not row count — the 10× sweep dropped 3.7× → flat
+    * when the full-row row_number() sort was replaced by this. */
   private def a14Winsorize: Q = (s, dir) => {
-    val byFlag = Window.partitionBy(col("flag"))
     val r = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
-      .withColumn("rn", row_number().over(byFlag.orderBy(col("v").asc)).cast("long"))
-      .withColumn("n", count(lit(1)).over(byFlag).cast("long"))
-    val bounds = r.groupBy(col("flag")).agg(
-      max(when(expr("rn = (n + 19) div 20"), col("v"))).as("lo"),
-      max(when(expr("rn = (19 * n + 19) div 20"), col("v"))).as("hi"))
+    val counts = r.groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("flag")).orderBy(col("v").asc)))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("flag"))))
+    val bounds = cum.groupBy(col("flag")).agg(
+      min(when(expr("cum >= (n + 19) div 20"), col("v"))).as("lo"),
+      min(when(expr("cum >= (19 * n + 19) div 20"), col("v"))).as("hi"))
     r.join(broadcast(bounds), "flag")
       .groupBy(col("flag"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n"),

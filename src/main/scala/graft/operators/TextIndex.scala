@@ -63,22 +63,7 @@ object TextIndex {
     * live index root. */
   private[graft] def textIndex(s: SparkSession, dir: String): String =
     Similarity.cachedIndex(s, dir, "text", TextIndexVersion, "documents.parquet") { path =>
-      val docs = Tables.documents(s, dir)
-      val dl = docs.select(col("doc_id"),
-        size(filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
-          .cast("long").as("dl"))
-      val tf = docs
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      tf.join(dl, "doc_id")
-        .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
-        .write.partitionBy("bucket").parquet(s"$path/postings")
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
-        .write.partitionBy("bucket").parquet(s"$path/df")
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
-        .write.parquet(s"$path/stats")
+      writeGen(Tables.documents(s, dir), path)
       // one _SUCCESS at the top of the build dir — the cachedIndex
       // sweep's completion signal (Spark wrote one per sub-dir only)
       java.nio.file.Files.createFile(
@@ -113,6 +98,147 @@ object TextIndex {
   def bm25TopkIndexed(s: SparkSession, dir: String, terms: Seq[String],
       k: Int): DataFrame =
     bm25ScoredIndexed(s, dir, terms)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+
+  // ----------------------------------------------------------------
+  // Incrementally-maintained index at an explicit root (the AnnIndex
+  // generation discipline applied to text)
+  // ----------------------------------------------------------------
+
+  private val ManifestName = "_GRAFT_TEXT_MANIFEST"
+
+  // Explicit read schemas: an empty generation (e.g. an empty upsert
+  // batch, or a bucket no query term hashes to) writes no part files,
+  // and schema INFERENCE over a file-less dir throws — pinned schemas
+  // make every generation readable regardless of its row count, and
+  // skip the inference listing besides.
+  private val PostingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+  private val DfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+  private val StatsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("s_dl", org.apache.spark.sql.types.LongType)))
+
+  /** Write one generation dir (postings/df/stats for `docs` alone)
+    * under `root/gen-<n>/`. Everything BM25 needs is integer-ADDITIVE
+    * across generations — tf and dl are per-doc, df per-gen counts sum
+    * to the corpus df, (n_docs, s_dl) sum — so a probe over merged
+    * generations equals a full rebuild EXACTLY (spec-pinned; stronger
+    * than the ANN side, whose running-stats centroids are exact only
+    * under pure appends). Assumes append-only doc_ids: a re-sent
+    * doc_id would double-count its postings — deletes/re-sends go
+    * through a rebuild (or an AnnIndex-style tombstone extension). */
+  private def writeGen(docs: DataFrame, genDir: String): Unit = {
+    val dl = docs.select(col("doc_id"),
+      size(filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
+        .cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.join(dl, "doc_id")
+      .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
+      .write.partitionBy("bucket").parquet(s"$genDir/postings")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
+      .write.partitionBy("bucket").parquet(s"$genDir/df")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
+      .write.parquet(s"$genDir/stats")
+  }
+
+  // Manifest lines by prefix: `gen-N` directories (ordered) and
+  // `batch:<tag>` idempotence-ledger entries for streaming ingest.
+  // Unknown prefixes are ignored — forward-extensible, like the
+  // AnnIndex manifest.
+  private def manifestLines(root: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(root, ManifestName)
+    if (!java.nio.file.Files.isRegularFile(p)) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def readManifest(root: String): Seq[String] =
+    manifestLines(root).filter(_.startsWith("gen-"))
+
+  /** Has a streaming batch with this tag already ridden a published
+    * manifest? The ledger rides the SAME atomic move as the data, so
+    * a replayed batch can never re-apply (its postings would count
+    * twice). */
+  private[graft] def batchApplied(root: String, tag: String): Boolean =
+    manifestLines(root).contains(s"batch:$tag")
+
+  /** Publish `gens` with an atomic temp-file move — readers resolve
+    * through the manifest and never see a half-written generation
+    * (the [[Similarity.cachedIndex]] marker discipline; on an object
+    * store without atomic rename, front this with a publish lock). */
+  private def publish(root: String, gens: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(root, s".manifest-${System.nanoTime()}")
+    java.nio.file.Files.write(tmp, gens.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, ManifestName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Found a new index at `root` from `docs` (generation 0). */
+  def build(docs: DataFrame, root: String): Unit = {
+    new java.io.File(root).mkdirs()
+    writeGen(docs, s"$root/gen-0")
+    publish(root, Seq("gen-0"))
+  }
+
+  /** Append a batch of NEW documents as the next generation — work is
+    * proportional to the batch, nothing existing is rewritten. `tag`
+    * (streaming ingest) rides the same atomic manifest publish as the
+    * generation, forming the replay-idempotence ledger. */
+  def upsert(batch: DataFrame, root: String, tag: Option[String] = None): Unit = {
+    val lines = manifestLines(root)
+    val gens = lines.filter(_.startsWith("gen-"))
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    val next = s"gen-${gens.map(_.stripPrefix("gen-").toLong).max + 1}"
+    writeGen(batch, s"$root/$next")
+    publish(root, lines ++ (next +: tag.map(t => s"batch:$t").toSeq))
+  }
+
+  /** BM25 partials over every published generation: postings union
+    * bucket-pruned per gen, per-gen dfs SUMMED per term, stats summed
+    * — all exact integer merges, so scores equal a from-scratch index
+    * bit for bit. */
+  private def scoredAtRoot(s: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
+    val gens = readManifest(root)
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    val buckets = terms.map(bucketOf).distinct
+    def pruned(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      gens.map(g =>
+        s.read.schema(schema).parquet(s"$root/$g/$sub")
+          .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)))
+      .reduce(_ unionByName _)
+    val post = pruned("postings", PostingsSchema)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfT = pruned("df", DfSchema).groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = gens.map(g => s.read.schema(StatsSchema).parquet(s"$root/$g/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_dl")).as("s_dl"))
+    post.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term").as("token"),
+        expr(TextAnalysis.bm25Sc("tf", "df", "dl", "n_docs", "s_dl")).as("sc"))
+  }
+
+  /** Arbitrary-term top-k from an explicit-root incremental index. */
+  def bm25TopkAtRoot(s: SparkSession, root: String, terms: Seq[String],
+      k: Int): DataFrame =
+    scoredAtRoot(s, root, terms)
       .groupBy(col("doc_id"))
       .agg(round(sum(col("sc")), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.TextIndex
+
+/** Continuous ingestion into the persisted BM25 text index — the
+  * [[StreamingAnnIngest]] discipline applied to documents: a corpus
+  * pipeline lands new documents on a stream, and the retrieval index
+  * must absorb them without a rebuild.
+  *
+  * Each micro-batch maps one-to-one onto an index generation (append
+  * postings/df/stats files, atomic manifest move), so a probe sees a
+  * batch entirely or not at all. Replay safety is the same two-case
+  * argument: a crash BEFORE the manifest move leaves an unreferenced
+  * generation dir that the replay overwrites deterministically; a
+  * crash AFTER the move left the batch's `batch:stream-<id>` tag on
+  * the published manifest, so the replay skips via
+  * [[TextIndex.batchApplied]] — a blind re-apply would count the
+  * batch's postings twice and shift every BM25 df/stats input.
+  * Exactly-once effect from at-least-once delivery, the ledger riding
+  * the same atomic move as the data.
+  *
+  * Per-batch work is one tokenize + aggregate over the batch —
+  * independent of index size; probes stay pruned to the query terms'
+  * buckets regardless of how many generations streaming has appended.
+  */
+object StreamingTextIngest {
+
+  /** Attach a streaming `(doc_id, text)` frame to the index founded at
+    * `root`; every micro-batch upserts as one new generation. The
+    * index must already be [[TextIndex.build]]t. */
+  def ingest(docs: DataFrame, root: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // an empty batch must not burn a generation; a replayed batch
+        // whose tag already rode a published manifest must not
+        // re-apply (postings would double-count)
+        val tag = s"stream-$id"
+        if (!batch.isEmpty && !TextIndex.batchApplied(root, tag)) {
+          TextIndex.upsert(batch, root, Some(tag)); ()
+        }
+      }
+      .start()
+}

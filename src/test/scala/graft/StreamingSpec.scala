@@ -213,4 +213,36 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.AnnIndex.batchApplied(spark, root, "stream-1"))
     assert(!graft.operators.AnnIndex.batchApplied(spark, root, "stream-99"))
   }
+
+  test("streaming text ingest: micro-batches become generations; BM25 == in-query exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-text-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-text-stream-ck").toString
+    graft.operators.TextIndex.build(base, root)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = streaming.StreamingTextIngest.ingest(
+      input.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = Graft.text.bm25TopkAt(spark, root, Seq("vector", "hash"), 15)
+      .collect().toSeq
+    val inQuery = graft.operators.TextAnalysis
+      .bm25TopkOf(docs, Seq("vector", "hash"), 15).collect().toSeq
+    assert(served.nonEmpty && served == inQuery,
+      s"stream-ingested text index diverged from in-query BM25:\n$served\nvs\n$inQuery")
+    // the idempotence ledger rode the atomic manifest publish
+    assert(graft.operators.TextIndex.batchApplied(root, "stream-0"))
+    assert(graft.operators.TextIndex.batchApplied(root, "stream-1"))
+    assert(!graft.operators.TextIndex.batchApplied(root, "stream-99"))
+  }
 }

@@ -109,6 +109,24 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(indexed == inQuery)
   }
 
+  test("text index incremental: build + upsert probes equal the in-query BM25 exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
+    val docs = Tables.documents(spark, sf)
+    operators.TextIndex.build(docs.filter(col("doc_id") % 2 === 0), root)
+    operators.TextIndex.upsert(docs.filter(col("doc_id") % 2 =!= 0), root)
+    val served = Graft.text.bm25TopkAt(spark, root, Seq("vector", "hash"), 15)
+      .collect().toSeq
+    val inQuery = operators.TextAnalysis
+      .bm25TopkOf(docs, Seq("vector", "hash"), 15).collect().toSeq
+    assert(served == inQuery)
+    // second upsert on top must refuse nothing and stay consistent:
+    // appending an empty batch changes no score
+    operators.TextIndex.upsert(docs.limit(0), root)
+    val again = Graft.text.bm25TopkAt(spark, root, Seq("vector", "hash"), 15)
+      .collect().toSeq
+    assert(again == inQuery)
+  }
+
   test("unimax waterfill: small languages cap at E epochs, the rest split the remainder exactly") {
     // counts a=10 b=20 c=100, E=2, B=(8·130)//5=208; caps 20/40/200 (Σ=260>208)
     // k*=2 (a,b fully capped), t=(208−60)/1=148 → c gets 148 = 1.48 epochs; Σalloc=B
