@@ -770,6 +770,30 @@ object TextAnalysis {
     s"CAST(44 * $tf * $sumDl * (2 * $nDocs - 2 * $df + 1) AS DOUBLE) / " +
       s"CAST((2 * $df + 1) * (20 * $sumDl * $tf + 6 * $sumDl + 18 * $dl * $nDocs) AS DOUBLE)"
 
+  /** The same ratio with every factor lifted to DOUBLE BEFORE the
+    * multiplications — the FAÇADE form. The exact-integer rendering
+    * above is what the oracle needs (bit-parity with DuckDB) but its
+    * long products overflow once S = Σdl reaches true corpus scale
+    * (S ≈ 10¹² tokens × tf already exceeds 2⁶³ — wrapped garbage with
+    * ANSI off, ArithmeticException with ANSI on). Double products
+    * lose only last-ulp exactness, which serving paths don't sell. */
+  private[operators] def bm25ScDouble(tf: String, df: String, dl: String,
+      nDocs: String, sumDl: String): String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    s"44 * ${d(tf)} * ${d(sumDl)} * (2 * ${d(nDocs)} - 2 * ${d(df)} + 1) / " +
+      s"((2 * ${d(df)} + 1) * (20 * ${d(sumDl)} * ${d(tf)} + 6 * ${d(sumDl)} + 18 * ${d(dl)} * ${d(nDocs)}))"
+  }
+
+  /** Shared arbitrary-term top-k cut over a (doc_id, token, sc) frame
+    * — ONE definition for the in-query, memo-indexed, and incremental
+    * serving paths, so a change to the rounding or tie-break policy
+    * cannot silently diverge the three (their parity is spec-pinned). */
+  private[operators] def bm25TopkCut(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("sc")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+
   /** Engine-portable 6-dp rounding: fixed-point via floor on the SAME
     * double ops in both engines. `round(x, 6)` is NOT portable —
     * Spark rounds the exact binary value HALF_UP via BigDecimal while
@@ -794,7 +818,8 @@ object TextAnalysis {
     * postings — at 100 TB that is |terms| postings lists, not the
     * corpus). df (≤ |terms| rows) and the corpus stats (1 row)
     * broadcast. */
-  private[graft] def bm25ScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  private[graft] def bm25ScoredOf(docs: DataFrame, terms: Seq[String],
+      exactInt: Boolean = false): DataFrame = {
     val dl = docs.select(col("doc_id"),
       size(filter(tokens(col("text")), t => t =!= "")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
@@ -803,11 +828,12 @@ object TextAnalysis {
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val sc = if (exactInt) bm25Sc("tf", "df", "dl", "n_docs", "s_dl")
+             else bm25ScDouble("tf", "df", "dl", "n_docs", "s_dl")
     tf.join(broadcast(df), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("token"),
-        expr(bm25Sc("tf", "df", "dl", "n_docs", "s_dl")).as("sc"))
+      .select(col("doc_id"), col("token"), expr(sc).as("sc"))
   }
 
   /** Façade form: BM25 top-k for an arbitrary term set — (doc_id,
@@ -817,18 +843,8 @@ object TextAnalysis {
     * agg order, which is why the ORACLE query pivots fixed columns
     * instead. */
   def bm25TopkOf(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
-    bm25ScoredOf(docs, terms)
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("sc")), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(k)
+    bm25TopkCut(bm25ScoredOf(docs, terms), k)
 
-  /** BM25 top-20 for the fixed 3-term fixture query — the oracle form.
-    * The cut is TakeOrderedAndProject (per-partition top-k + driver
-    * merge, no global sort). Per-term scores pivot into fixed columns
-    * so the total sums in a deterministic order — float addition is
-    * not associative, and a groupBy-sum would let partial-agg order
-    * pick the result's last ulp. */
   /** Shared fixed-term pivot over a (doc_id, token, sc) frame: the
     * per-term scores land in fixed columns so the total sums in a
     * deterministic order (float addition is not associative — a
@@ -851,7 +867,7 @@ object TextAnalysis {
       .limit(20)
 
   private def tBm25: Q = (s, dir) =>
-    bm25FixedPivot(bm25ScoredOf(Tables.documents(s, dir), Bm25Terms))
+    bm25FixedPivot(bm25ScoredOf(Tables.documents(s, dir), Bm25Terms, exactInt = true))
 
   private val tBm25Sql = {
     val toks = duckTokens("text")

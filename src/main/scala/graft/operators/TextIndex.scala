@@ -51,11 +51,23 @@ object TextIndex {
   private val TextIndexVersion = 1
 
   /** Exact JVM twin of `graft_polyhash` ([[PortableHash.polyHash]]):
-    * fold (acc·31 + codepoint) mod P. Lets the probe compute its
-    * terms' partitions without running a job. Equivalence is
-    * spec-pinned (PropertySpec). */
-  def polyHashJvm(s: String): Long =
-    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % PortableHash.P)
+    * fold (acc·31 + codePOINT) mod P — code points, not UTF-16 units,
+    * because the native expression iterates codePointAt (a
+    * supplementary-plane character is ONE fold step there; folding its
+    * surrogate pair as two would route the term to the wrong bucket
+    * and silently drop its postings from every probe). Lets the probe
+    * compute its terms' partitions without running a job. Equivalence
+    * is spec-pinned including non-BMP input (PropertySpec). */
+  def polyHashJvm(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % PortableHash.P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 
   private def bucketOf(term: String): Int = (polyHashJvm(term) % Buckets).toInt
 
@@ -76,32 +88,30 @@ object TextIndex {
     * integer-ratio division), different cost: the postings/df scans
     * prune to the query terms' buckets, the corpus is never touched. */
   private[graft] def bm25ScoredIndexed(s: SparkSession, dir: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String], exactInt: Boolean = false): DataFrame = {
     val root = textIndex(s, dir)
     val buckets = terms.map(bucketOf).distinct
-    // partition-value inference types `bucket` INT on re-read — match
-    // the literal type so PartitionFilters prune (the skill-noted
-    // partitionBy gotcha)
-    val post = s.read.parquet(s"$root/postings")
+    // pinned schemas: an index over an empty corpus has no part files
+    // and inference would throw; and the literal bucket type matches
+    // the partition column (INT by partition-value inference — the
+    // skill-noted partitionBy gotcha) so PartitionFilters prune
+    val post = s.read.schema(PostingsSchema).parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-    val dfT = s.read.parquet(s"$root/df")
+    val dfT = s.read.schema(DfSchema).parquet(s"$root/df")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(col("term"), col("df"))
-    val stats = s.read.parquet(s"$root/stats")
+    val stats = s.read.schema(StatsSchema).parquet(s"$root/stats")
+    val sc = if (exactInt) TextAnalysis.bm25Sc("tf", "df", "dl", "n_docs", "s_dl")
+             else TextAnalysis.bm25ScDouble("tf", "df", "dl", "n_docs", "s_dl")
     post.join(broadcast(dfT), "term")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term").as("token"),
-        expr(TextAnalysis.bm25Sc("tf", "df", "dl", "n_docs", "s_dl")).as("sc"))
+      .select(col("doc_id"), col("term").as("token"), expr(sc).as("sc"))
   }
 
   /** Façade form: arbitrary-term top-k from the persisted index. */
   def bm25TopkIndexed(s: SparkSession, dir: String, terms: Seq[String],
       k: Int): DataFrame =
-    bm25ScoredIndexed(s, dir, terms)
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("sc")), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(k)
+    TextAnalysis.bm25TopkCut(bm25ScoredIndexed(s, dir, terms), k)
 
   // ----------------------------------------------------------------
   // Incrementally-maintained index at an explicit root (the AnnIndex
@@ -137,23 +147,37 @@ object TextIndex {
     * than the ANN side, whose running-stats centroids are exact only
     * under pure appends). Assumes append-only doc_ids: a re-sent
     * doc_id would double-count its postings — deletes/re-sends go
-    * through a rebuild (or an AnnIndex-style tombstone extension). */
+    * through a rebuild (or an AnnIndex-style tombstone extension).
+    *
+    * Writes are mode-overwrite: a crash between writing this dir and
+    * the manifest move leaves an UNREFERENCED dir, and the replay
+    * (streaming foreachBatch, or a retried build/upsert) must be able
+    * to overwrite it deterministically rather than die on
+    * path-already-exists — the [[AnnIndex]] generation discipline.
+    * tf/dl persist across the three writes so the batch is tokenized
+    * and aggregated once, not three times. */
   private def writeGen(docs: DataFrame, genDir: String): Unit = {
     val dl = docs.select(col("doc_id"),
       size(filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
         .cast("long").as("dl"))
+      .persist()
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    tf.join(dl, "doc_id")
-      .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
-      .write.partitionBy("bucket").parquet(s"$genDir/postings")
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
-      .write.partitionBy("bucket").parquet(s"$genDir/df")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
-      .write.parquet(s"$genDir/stats")
+      .persist()
+    try {
+      tf.join(dl, "doc_id")
+        .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/postings")
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/df")
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
+        .write.mode("overwrite").parquet(s"$genDir/stats")
+    } finally {
+      tf.unpersist(); dl.unpersist(); ()
+    }
   }
 
   // Manifest lines by prefix: `gen-N` directories (ordered) and
@@ -199,7 +223,14 @@ object TextIndex {
   /** Append a batch of NEW documents as the next generation — work is
     * proportional to the batch, nothing existing is rewritten. `tag`
     * (streaming ingest) rides the same atomic manifest publish as the
-    * generation, forming the replay-idempotence ledger. */
+    * generation, forming the replay-idempotence ledger.
+    *
+    * Concurrency: the manifest read-modify-write is last-publish-wins
+    * — two CONCURRENT upserts would pick the same generation number
+    * and the later publish would drop the earlier's manifest line.
+    * Serialize upserts externally (one writer per root), exactly the
+    * [[AnnIndex]] manifest contract; streaming ingest satisfies this
+    * by construction (one foreachBatch at a time). */
   def upsert(batch: DataFrame, root: String, tag: Option[String] = None): Unit = {
     val lines = manifestLines(root)
     val gens = lines.filter(_.startsWith("gen-"))
@@ -232,24 +263,21 @@ object TextIndex {
     post.join(broadcast(dfT), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term").as("token"),
-        expr(TextAnalysis.bm25Sc("tf", "df", "dl", "n_docs", "s_dl")).as("sc"))
+        expr(TextAnalysis.bm25ScDouble("tf", "df", "dl", "n_docs", "s_dl")).as("sc"))
   }
 
   /** Arbitrary-term top-k from an explicit-root incremental index. */
   def bm25TopkAtRoot(s: SparkSession, root: String, terms: Seq[String],
       k: Int): DataFrame =
-    scoredAtRoot(s, root, terms)
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("sc")), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(k)
+    TextAnalysis.bm25TopkCut(scoredAtRoot(s, root, terms), k)
 
   /** The oracle query: identical output contract to `t_bm25` (same
     * fixed terms, same pivot, same rounding), served from the index —
     * so it shares `t_bm25`'s DuckDB oracle verbatim, which IS the
     * spec that index-serving loses nothing. */
   private def tBm25Indexed: Q = (s, dir) =>
-    TextAnalysis.bm25FixedPivot(bm25ScoredIndexed(s, dir, TextAnalysis.Bm25Terms))
+    TextAnalysis.bm25FixedPivot(
+      bm25ScoredIndexed(s, dir, TextAnalysis.Bm25Terms, exactInt = true))
 
   // ----------------------------------------------------------------
 

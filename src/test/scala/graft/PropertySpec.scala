@@ -137,10 +137,17 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
 
-  test("polyhash JVM-twin law: TextIndex.polyHashJvm == graft_polyhash on arbitrary ascii strings") {
+  test("polyhash JVM-twin law: TextIndex.polyHashJvm == graft_polyhash incl. non-BMP strings") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
-    val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
-    val strs = samples(asciiGen, 60)
+    // mix ascii with supplementary-plane code points (surrogate pairs):
+    // the native expression folds CODE POINTS, and a twin folding UTF-16
+    // units would route such terms to the wrong index bucket
+    val cpGen = Gen.oneOf(
+      Gen.choose(32, 126),
+      Gen.oneOf(0x1F600, 0x20021, 0x1D49C, 0x10348))
+    val strGen = Gen.listOf(cpGen).map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    val strs = samples(strGen, 60)
+    assert(strs.exists(_.exists(Character.isSurrogate)))
     val native = strs.toDF("s").select(col("s"), expr("graft_polyhash(s)").as("h"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     strs.foreach { s =>
