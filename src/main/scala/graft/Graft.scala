@@ -176,6 +176,15 @@ object Graft {
     def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String): DataFrame =
       Dedup.stripRepeatedSpansOf(asDocs(df, idCol, textCol))
 
+    /** Content-defined chunking stats (Rabin/FastCDC on token
+      * streams): boundaries wherever the rolling 5-token shingle hash
+      * ≡ 0 (mod 16), so an edit shifts at most its own chunk — the
+      * chunk-stable dedup granularity for edited re-crawls. One row
+      * per doc — (doc_id, n_tokens, n_boundaries, n_chunks,
+      * boundary_hash_sum, avg_chunk_len). */
+    def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      Dedup.cdcChunksOf(asDocs(df, idCol, textCol))
+
     /** Confirm-stage near-dup verification: MinHash-LSH candidate pairs
       * with est. Jaccard ≥ `minEstJaccard` joined back to their texts
       * for an EXACT levenshtein — (a_id, b_id, est_jaccard,

@@ -1223,6 +1223,62 @@ object Dedup {
   private def dStripSpans: Q = (s, dir) =>
     stripRepeatedSpansOf(Tables.documents(s, dir))
 
+  /** Content-defined chunking stats (the Rabin/FastCDC idea on token
+    * streams): a chunk boundary wherever the rolling W-shingle hash ≡
+    * 0 (mod 16) — boundaries depend only on LOCAL content, so an
+    * insertion shifts at most the chunk it lands in, while fixed-size
+    * chunking shifts every later chunk (why CDC chunk hashes stay
+    * stable for dedup across edited re-crawls; avg chunk ≈ 16 tokens
+    * at this divisor). Rides the same single-scan positional shingle
+    * index as [[passageCoverageOf]]; one partial-agg'd doc_id shuffle,
+    * boundary SET verified against the oracle via the exact integer
+    * hash sum. */
+  private[graft] def cdcChunksOf(docs0: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs0.sparkSession)
+    val docs = docs0.select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+    val pe = docs.select(col("doc_id"),
+      posexplode_outer(expr("graft_shingle_hashes_pos(text)")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+    val b = pe.groupBy(col("doc_id")).agg(
+      sum(when(expr("h % 16 = 0"), 1L).otherwise(0L)).as("n_boundaries"),
+      sum(when(expr("h % 16 = 0"), col("h")).otherwise(0L)).as("boundary_hash_sum"))
+    docs.select(col("doc_id"), expr(s"size($toksExpr)").cast("long").as("n_tokens"))
+      .join(b, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_boundaries"), lit(0L)).as("n_boundaries"),
+        (coalesce(col("n_boundaries"), lit(0L)) + 1L).as("n_chunks"),
+        coalesce(col("boundary_hash_sum"), lit(0L)).as("boundary_hash_sum"),
+        expr(TextAnalysis.r6(
+          "CAST(n_tokens AS DOUBLE) / (coalesce(n_boundaries, 0) + 1)"))
+          .as("avg_chunk_len"))
+  }
+
+  private def dCdcChunks: Q = (s, dir) => cdcChunksOf(Tables.documents(s, dir))
+
+  private val dCdcChunksSql = {
+    val hashWin = PortableHash.duckPolyHash(s"array_to_string(toks[i:i+${W - 1}], ' ')")
+    val hashAll = PortableHash.duckPolyHash("array_to_string(toks, ' ')")
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+       |ph AS (SELECT doc_id,
+       |         CASE WHEN nt >= $W
+       |           THEN list_transform(range(1, nt - ${W - 2}), i -> $hashWin)
+       |           ELSE [$hashAll] END AS hs
+       |       FROM n),
+       |pe AS (SELECT doc_id, unnest(hs) AS h FROM ph),
+       |b AS (SELECT doc_id,
+       |        CAST(sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+       |        CAST(sum(CASE WHEN h % 16 = 0 THEN h ELSE 0 END) AS BIGINT) AS boundary_hash_sum
+       |      FROM pe GROUP BY doc_id)
+       |SELECT n.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       |  coalesce(n_boundaries, 0) AS n_boundaries,
+       |  coalesce(n_boundaries, 0) + 1 AS n_chunks,
+       |  coalesce(boundary_hash_sum, 0) AS boundary_hash_sum,
+       |  ${TextAnalysis.r6("CAST(nt AS DOUBLE) / (coalesce(n_boundaries, 0) + 1)")} AS avg_chunk_len
+       |FROM n LEFT JOIN b ON n.doc_id = b.doc_id""".stripMargin
+  }
+
   private val dStripSpansSql = {
     val hashWin = PortableHash.duckPolyHash(s"array_to_string(toks[i:i+${W - 1}], ' ')")
     val hashAll = PortableHash.duckPolyHash("array_to_string(toks, ' ')")
@@ -1348,6 +1404,7 @@ object Dedup {
     "d_dataset_diff" -> dDatasetDiff,
     "d_passage_coverage" -> dPassageCoverage,
     "d_strip_spans" -> dStripSpans,
+    "d_cdc_chunks" -> dCdcChunks,
     "d_contamination" -> dContamination,
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
@@ -1366,6 +1423,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d_passage_coverage" -> dPassageCoverageSql,
     "d_strip_spans" -> dStripSpansSql,
+    "d_cdc_chunks" -> dCdcChunksSql,
     "d_contamination" -> dContaminationSql,
     "d_cluster_canonical" -> dClusterCanonicalSql,
     "d_exact" -> dExactSql,

@@ -511,6 +511,28 @@ class DedupSpec extends SparkSpec {
     assert(!rules.filter(col("doc_id") === 1L).head().getAs[Boolean]("passes"))
   }
 
+  test("cdc chunks: prefix insertion only ADDS boundaries; counts and sums are consistent") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val base = Dedup.cdcChunksOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val prefixed = Dedup.cdcChunksOf(
+      docs.select(col("doc_id"), concat(lit("zq1 zq2 zq3 "), col("text")).as("text")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(base.keySet == prefixed.keySet)
+    base.foreach { case (id, (nt, nb, nc, bsum)) =>
+      val (nt2, nb2, nc2, bsum2) = prefixed(id)
+      // 3 new tokens; every ORIGINAL window survives a prefix insertion,
+      // so its boundaries (content-local) all persist — the CDC property
+      // fixed-size chunking lacks
+      assert(nt2 == nt + 3, s"doc $id token count")
+      assert(nb2 >= nb && bsum2 >= bsum, s"doc $id lost a boundary: $nb->$nb2")
+      assert(nc == nb + 1 && nc2 == nb2 + 1)
+    }
+    // at divisor 16 the corpus must actually chunk (avg ~16 tokens/chunk)
+    assert(base.values.map(_._2).sum > 0)
+  }
+
   test("lm score: hand-computed micro corpus, add-k arithmetic exact") {
     import spark.implicits._
     // one doc "a b a b": c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2

@@ -40,6 +40,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.text.bm25Topk(emptyDocs, "id", "body", Seq("a", "b"), 5).count() == 0)
   }
 
+  test("cdc chunks on an empty corpus: empty stats, no exceptions") {
+    assert(Graft.dedup.cdcChunks(emptyDocs, "id", "body").count() == 0)
+  }
+
   test("profile on an empty frame: one row per column, zero counts, null reprs") {
     Seq(true, false).foreach { exact =>
       val rows = Graft.quality.profile(emptyDocs, exact).collect()
