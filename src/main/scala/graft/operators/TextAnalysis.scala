@@ -919,7 +919,10 @@ object TextAnalysis {
     * budget B = (bNum·S) div bDen with S = Σc. All tiny frames past
     * the input aggregate. */
   private[graft] def unimaxOf(counts: DataFrame, e: Long, bNum: Long, bDen: Long): DataFrame = {
-    val w = Window.orderBy(col("c").asc, col("lang").asc)
+    // constant partition key: the frame is |languages|-sized (post-agg),
+    // so one partition is correct — the explicit key just keeps the
+    // benign single-partition WindowExec warning out of the driver log
+    val w = Window.partitionBy(lit(0)).orderBy(col("c").asc, col("lang").asc)
     val ranked = counts.select(col("lang"), col("c"),
         row_number().over(w).cast("long").as("k"),
         sum(col("c")).over(w).as("p"))
