@@ -455,16 +455,39 @@ object Graft {
     /** Found an incrementally-maintained BM25 index at an explicit
       * `root` (generation 0). BM25's inputs are integer-additive
       * across generations, so probes over an upserted index equal a
-      * full rebuild EXACTLY (spec-pinned). */
+      * from-scratch index of the surviving corpus EXACTLY — including
+      * under re-sends and deletes (spec-pinned; signed-delta
+      * generations, see [[operators.TextIndex]]). */
     def bm25IndexBuild(docs: DataFrame, idCol: String, textCol: String,
         root: String): Unit =
       operators.TextIndex.build(asDocs(docs, idCol, textCol), root)
 
-    /** Append a batch of NEW documents as the next index generation —
-      * work ∝ batch, nothing rewritten, atomic manifest publish. */
+    /** Upsert a batch as the next index generation — new ids append,
+      * re-sent ids SUPERSEDE their old version exactly (old postings
+      * negated in the same generation); atomic manifest publish.
+      * Returns the (generation, n_batch, n_new, n_resent) accounting
+      * row. `assumeAppendOnly` skips the re-send resolution scan when
+      * upstream guarantees all-new ids. */
     def bm25IndexUpsert(batch: DataFrame, idCol: String, textCol: String,
-        root: String): Unit =
-      operators.TextIndex.upsert(asDocs(batch, idCol, textCol), root)
+        root: String, assumeAppendOnly: Boolean = false): DataFrame =
+      operators.TextIndex.upsert(asDocs(batch, idCol, textCol), root,
+        assumeAppendOnly = assumeAppendOnly)
+
+    /** Delete doc ids from the live index (appends a generation of
+      * exact negations — idempotent, GDPR-delete shape; a later
+      * re-upsert revives the id). Returns (generation, n_deleted). */
+    def bm25IndexDelete(ids: DataFrame, idCol: String, root: String): DataFrame =
+      operators.TextIndex.delete(ids.select(col(idCol).as("doc_id")), root)
+
+    /** Fold all generations into one (purges superseded/deleted mass);
+      * returns (n_live, gens_folded). */
+    def bm25IndexCompact(spark: SparkSession, root: String): DataFrame =
+      operators.TextIndex.compact(spark, root)
+
+    /** GC unreferenced generation dirs past a grace window; returns
+      * the deleted names. */
+    def bm25IndexSweep(root: String, graceMs: Long = 30L * 60 * 1000): Seq[String] =
+      operators.TextIndex.sweepUnreferenced(root, graceMs)
 
     /** BM25 top-k from an explicit-root incremental index. */
     def bm25TopkAt(spark: SparkSession, root: String, terms: Seq[String],
@@ -488,7 +511,8 @@ object Graft {
     def unimaxBudgets(df: DataFrame, langCol: String, textCol: String,
         epochCap: Long = 2L, bNum: Long = 8L, bDen: Long = 5L): DataFrame =
       operators.TextAnalysis.unimaxOf(
-        df.select(col(langCol).as("lang"), col(textCol).as("text"))
+        df.select(col(langCol).as("lang"),
+            coalesce(col(textCol), lit("")).as("text"))
           .groupBy(col("lang"))
           .agg(sum(size(filter(tokens(col("text")), t => t =!= ""))
             .cast("long")).as("c")),

@@ -763,9 +763,12 @@ object RelationalExt {
     pl.join(thr, "l_partkey")
       .filter(col("l_quantity") < col("thr"))
       .agg(
-        round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double") / 7.0, 6)
-          .as("avg_yearly"),
+        (sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double") / 7.0)
+          .as("ay_raw"),
         count(lit(1)).as("n_lines"))
+      // portable 6-dp rounding (TextAnalysis.r6): round(x,6) is Spark
+      // BigDecimal HALF_UP vs DuckDB rint — a near-half sum/7.0 flips
+      .select(expr(TextAnalysis.r6("ay_raw")).as("avg_yearly"), col("n_lines"))
   }
 
   private val q17SmallQtyRevenueSql =
@@ -775,7 +778,7 @@ object RelationalExt {
       |thr AS (SELECT l_partkey,
       |               0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS thr
       |        FROM pl GROUP BY l_partkey)
-      |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+      |SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 1e6 + 0.5) / 1e6 AS avg_yearly,
       |       count(*) AS n_lines
       |FROM pl JOIN thr USING (l_partkey)
       |WHERE l_quantity < thr""".stripMargin

@@ -787,10 +787,20 @@ object TextAnalysis {
   /** Shared arbitrary-term top-k cut over a (doc_id, token, sc) frame
     * — ONE definition for the in-query, memo-indexed, and incremental
     * serving paths, so a change to the rounding or tie-break policy
-    * cannot silently diverge the three (their parity is spec-pinned). */
+    * cannot silently diverge the three (their parity is spec-pinned).
+    *
+    * Partials sum as exact INTEGERS in nano-units (floor(sc·10⁹ + ½))
+    * rather than doubles: with 3+ query terms a double groupBy-sum
+    * lets partial-agg order pick the last ulp across runs and
+    * partitionings, which would break the spec-pinned cross-path
+    * parity (2-operand float addition is commutative, so 2-term tests
+    * could never catch it). Integer addition is order-free, and the
+    * nano quantization (well past the 6-dp output rounding) is the
+    * same discipline [[AnnIndex.probeAdc]]'s ADC sums use. */
   private[operators] def bm25TopkCut(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("doc_id"))
-      .agg(round(sum(col("sc")), 6).as("bm25"))
+      .agg(round(sum(floor(col("sc") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
 
@@ -820,11 +830,16 @@ object TextAnalysis {
     * broadcast. */
   private[graft] def bm25ScoredOf(docs: DataFrame, terms: Seq[String],
       exactInt: Boolean = false): DataFrame = {
+    // null text ≡ empty text (dl = 0, no postings): without the
+    // coalesce, ANSI-off size(filter(tokens(null))) = -1 would feed
+    // dl = -1 into s_dl/avgdl — the TextAnalysis-wide convention
+    // (cdcChunksOf etc.) applied here too
+    val txt = coalesce(col("text"), lit(""))
     val dl = docs.select(col("doc_id"),
-      size(filter(tokens(col("text")), t => t =!= "")).cast("long").as("dl"))
+      size(filter(tokens(txt), t => t =!= "")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
     val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), explode(tokens(txt)).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -870,7 +885,7 @@ object TextAnalysis {
     bm25FixedPivot(bm25ScoredOf(Tables.documents(s, dir), Bm25Terms, exactInt = true))
 
   private val tBm25Sql = {
-    val toks = duckTokens("text")
+    val toks = duckTokens("coalesce(text, '')")
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (SELECT doc_id, CAST(len(list_filter($toks, t -> t <> '')) AS BIGINT) AS dl FROM documents),
        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS s_dl FROM dl),
@@ -945,12 +960,13 @@ object TextAnalysis {
   private def tUnimax: Q = (s, dir) => {
     val c = Tables.documents(s, dir)
       .groupBy(col("lang"))
-      .agg(sum(size(filter(tokens(col("text")), t => t =!= "")).cast("long")).as("c"))
+      .agg(sum(size(filter(tokens(coalesce(col("text"), lit(""))), t => t =!= ""))
+        .cast("long")).as("c"))
     unimaxOf(c, e = 2L, bNum = 8L, bDen = 5L)
   }
 
   private val tUnimaxSql = {
-    val toks = duckTokens("text")
+    val toks = duckTokens("coalesce(text, '')")
     s"""WITH c AS (SELECT lang, CAST(sum(len(list_filter($toks, t -> t <> ''))) AS BIGINT) AS c
        |           FROM documents GROUP BY lang),
        |ranked AS (SELECT lang, c,

@@ -29,14 +29,48 @@ import graft.functions.PortableHash
   *    sized; the probe reads only the query buckets and broadcasts).
   *  - `stats/` — one row `(n_docs, s_dl)`; broadcast into the scoring
   *    expression.
+  *  - `docs/` — the per-doc registry `(doc_id, dl, d)` the MAINTENANCE
+  *    ops (upsert/delete/compact) resolve liveness through; probes
+  *    never read it, so probe cost stays bucket-bounded.
   *
-  * Build/publish/rebuild semantics are [[Similarity.cachedIndex]]'s:
-  * fingerprint memo over the source files + format version, built
-  * under the JVM tmpdir, atomically published, stale builds swept. A
-  * production deployment points the same layout at a durable root and
-  * rebuilds on corpus change — or extends it with the
-  * [[AnnIndex]]-style append generations; the probe path is identical
-  * either way.
+  * Build/publish/rebuild semantics of the memo-cached form are
+  * [[Similarity.cachedIndex]]'s: fingerprint memo over the source
+  * files + format version, built under the JVM tmpdir, atomically
+  * published, stale builds swept. The EXPLICIT-ROOT form below is the
+  * production lifecycle: append generations, tombstone-style upserts
+  * and deletes, compaction, streaming ingest — the [[AnnIndex]] LSM
+  * discipline applied to text.
+  *
+  * == Signed delta generations (latest-wins without tombstone files) ==
+  *
+  * Every BM25 input is integer-ADDITIVE: tf and dl are per-doc, df is
+  * a per-term doc count, (n_docs, s_dl) are corpus sums. So instead of
+  * [[AnnIndex]]'s latest-generation-wins window, each generation here
+  * writes SIGNED delta rows and a probe simply SUMS across
+  * generations:
+  *
+  *  - re-sending doc d writes d's new postings (+tf, +dl) AND exact
+  *    negations of d's previously-live net postings (−tf, −dl) into
+  *    their terms' buckets — per (doc, term) the sum nets to the
+  *    latest version (an old-only term nets to 0 and drops, which is
+  *    what [[AnnIndex]] needed the moved-cell tombstone guard for);
+  *  - deleting doc d writes only the negations;
+  *  - df deltas are the row signs (+1 per new (doc, term), −1 per
+  *    cancelled one) and stats deltas are (new docs − superseded docs,
+  *    Σ new dl − Σ old dl) — all exact integers.
+  *
+  * A probe over any generation history therefore equals a from-scratch
+  * index of the surviving corpus BIT FOR BIT (spec-pinned including
+  * re-sends and deletes — stronger than the ANN side, whose running
+  * centroids drift under re-sends until compaction).
+  *
+  * Finding the rows to negate reads the doc registry plus the
+  * (broadcast-semi-joined, column-pruned) postings of the re-sent ids
+  * across published generations — work ∝ index postings volume per
+  * maintenance batch, the analogue of [[AnnIndex.upsert]]'s moved-cell
+  * projection scan. A pipeline whose upstream guarantees all-new ids
+  * (content-hash keyed ingest, the `d_incremental` discipline) passes
+  * `assumeAppendOnly = true` and skips that scan entirely.
   */
 object TextIndex {
   type Q = (SparkSession, String) => DataFrame
@@ -48,7 +82,7 @@ object TextIndex {
     * handle that within a partition. */
   val Buckets = 64
 
-  private val TextIndexVersion = 1
+  private val TextIndexVersion = 2 // v2: signed-delta gens + docs registry
 
   /** Exact JVM twin of `graft_polyhash` ([[PortableHash.polyHash]]):
     * fold (acc·31 + codePOINT) mod P — code points, not UTF-16 units,
@@ -115,7 +149,7 @@ object TextIndex {
 
   // ----------------------------------------------------------------
   // Incrementally-maintained index at an explicit root (the AnnIndex
-  // generation discipline applied to text)
+  // generation discipline applied to text, via signed deltas)
   // ----------------------------------------------------------------
 
   private val ManifestName = "_GRAFT_TEXT_MANIFEST"
@@ -138,43 +172,71 @@ object TextIndex {
   private val StatsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("s_dl", org.apache.spark.sql.types.LongType)))
+  private val DocsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.IntegerType)))
 
-  /** Write one generation dir (postings/df/stats for `docs` alone)
-    * under `root/gen-<n>/`. Everything BM25 needs is integer-ADDITIVE
-    * across generations — tf and dl are per-doc, df per-gen counts sum
-    * to the corpus df, (n_docs, s_dl) sum — so a probe over merged
-    * generations equals a full rebuild EXACTLY (spec-pinned; stronger
-    * than the ANN side, whose running-stats centroids are exact only
-    * under pure appends). Assumes append-only doc_ids: a re-sent
-    * doc_id would double-count its postings — deletes/re-sends go
-    * through a rebuild (or an AnnIndex-style tombstone extension).
-    *
-    * Writes are mode-overwrite: a crash between writing this dir and
-    * the manifest move leaves an UNREFERENCED dir, and the replay
-    * (streaming foreachBatch, or a retried build/upsert) must be able
-    * to overwrite it deterministically rather than die on
-    * path-already-exists — the [[AnnIndex]] generation discipline.
-    * tf/dl persist across the three writes so the batch is tokenized
-    * and aggregated once, not three times. */
-  private def writeGen(docs: DataFrame, genDir: String): Unit = {
-    val dl = docs.select(col("doc_id"),
+  /** Normalize a (doc_id, text) batch: long ids, null text ≡ '' (the
+    * ANSI-off size(tokens(null)) = −1 hazard — the TextAnalysis-wide
+    * coalesce convention). */
+  private def normalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+
+  /** (doc_id, dl) and (doc_id, term, tf, bucket) for a batch — the
+    * one tokenization pass everything in a generation derives from. */
+  private def dlOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       size(filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
         .cast("long").as("dl"))
-      .persist()
-    val tf = docs
+
+  private def tfOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+      .withColumn("bucket",
+        pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)).cast("int"))
+
+  /** Write the four index parts of one generation. `postings` rows are
+    * SIGNED (see class doc); df deltas are the row signs; docs is the
+    * signed registry. Writes are mode-overwrite: a crash between
+    * writing this dir and the manifest move leaves an UNREFERENCED
+    * dir, and the replay (streaming foreachBatch, or a retried
+    * build/upsert) must be able to overwrite it deterministically
+    * rather than die on path-already-exists — the [[AnnIndex]]
+    * generation discipline. */
+  private def writeParts(postings: DataFrame, statsDelta: DataFrame,
+      docsDelta: DataFrame, genDir: String): Unit = {
+    postings
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/postings")
+    // df delta per term = Σ row signs: +1 for each live (doc, term)
+    // added, −1 for each cancelled — summed over generations this IS
+    // the per-term live-doc count, exactly
+    postings.groupBy(col("term"), col("bucket"))
+      .agg(sum(when(col("tf") > 0, 1L).otherwise(-1L)).as("df"))
+      .select(col("term"), col("df"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/df")
+    statsDelta.select(col("n_docs"), col("s_dl"))
+      .write.mode("overwrite").parquet(s"$genDir/stats")
+    docsDelta.select(col("doc_id"), col("dl"), col("d"))
+      .write.mode("overwrite").parquet(s"$genDir/docs")
+  }
+
+  /** One full-corpus generation (the memo-cached build and `build`'s
+    * gen-0 share this): all-positive postings, +1 registry rows. */
+  private def writeGen(docs0: DataFrame, genDir: String): Unit = {
+    val docs = normalized(docs0)
+    val dl = dlOf(docs).persist()
+    val tf = tfOf(docs).persist()
     try {
-      tf.join(dl, "doc_id")
-        .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/postings")
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .withColumn("bucket", pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/df")
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
-        .write.mode("overwrite").parquet(s"$genDir/stats")
+      writeParts(
+        tf.join(dl, "doc_id"),
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl")),
+        dl.select(col("doc_id"), col("dl"), lit(1).as("d")),
+        genDir)
     } finally {
       tf.unpersist(); dl.unpersist(); ()
     }
@@ -204,13 +266,25 @@ object TextIndex {
   /** Publish `gens` with an atomic temp-file move — readers resolve
     * through the manifest and never see a half-written generation
     * (the [[Similarity.cachedIndex]] marker discipline; on an object
-    * store without atomic rename, front this with a publish lock). */
+    * store without atomic rename, front this with a publish lock).
+    *
+    * The writer contract is one-writer-per-root (serialize upserts
+    * externally); as a cheap safety net against a violated contract,
+    * the manifest is RE-READ after the move and must equal what this
+    * publish wrote — a concurrent publisher whose move landed after
+    * ours silently dropped our generation line (lost documents), and
+    * this check turns that silence into an error naming the race. */
   private def publish(root: String, gens: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(root, s".manifest-${System.nanoTime()}")
     java.nio.file.Files.write(tmp, gens.mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, ManifestName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val seen = manifestLines(root)
+    if (seen != gens)
+      throw new IllegalStateException(
+        s"concurrent manifest publish detected at $root: wrote ${gens.mkString(",")} " +
+          s"but read back ${seen.mkString(",")} — serialize index writers (one per root)")
   }
 
   /** Found a new index at `root` from `docs` (generation 0). */
@@ -220,30 +294,202 @@ object TextIndex {
     publish(root, Seq("gen-0"))
   }
 
-  /** Append a batch of NEW documents as the next generation — work is
-    * proportional to the batch, nothing existing is rewritten. `tag`
-    * (streaming ingest) rides the same atomic manifest publish as the
-    * generation, forming the replay-idempotence ledger.
+  /** The live doc registry over `gens`: `(doc_id, dl)` of every doc
+    * whose signed events sum to present. Maintenance-only read (see
+    * class doc) — probes never touch it. */
+  private def liveDocs(s: SparkSession, root: String, gens: Seq[String]): DataFrame =
+    gens.map(g => s.read.schema(DocsSchema).parquet(s"$root/$g/docs"))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("d")).as("alive"), sum(col("d") * col("dl")).as("dl"))
+      .filter(col("alive") === 1)
+      .select(col("doc_id"), col("dl"))
+
+  /** The currently-live net postings of the given doc_ids: all
+    * generations' postings semi-joined to the ids (column-pruned,
+    * broadcast — the ids frame is a maintenance batch, model-sized),
+    * netted per (doc, term). These are the exact rows a re-send or
+    * delete must negate. */
+  private def livePostingsOf(s: SparkSession, root: String, gens: Seq[String],
+      ids: DataFrame): DataFrame =
+    gens.map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings"))
+      .reduce(_ unionByName _)
+      .join(broadcast(ids.select(col("doc_id"))), "doc_id")
+      .groupBy(col("doc_id"), col("term"), col("bucket"))
+      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+      .filter(col("tf") > 0)
+
+  private def nextGenOf(gens: Seq[String]): String =
+    s"gen-${gens.map(_.stripPrefix("gen-").toLong).max + 1}"
+
+  /** Upsert a batch — new doc_ids append, RE-SENT doc_ids supersede
+    * their old version exactly (the old postings are negated in the
+    * same generation, see class doc), so probes always score the
+    * latest version and never double-count. `tag` (streaming ingest)
+    * rides the same atomic manifest publish as the generation, forming
+    * the replay-idempotence ledger. `assumeAppendOnly = true` skips
+    * the re-send resolution scan for upstream-guaranteed-new ids.
     *
-    * Concurrency: the manifest read-modify-write is last-publish-wins
-    * — two CONCURRENT upserts would pick the same generation number
-    * and the later publish would drop the earlier's manifest line.
-    * Serialize upserts externally (one writer per root), exactly the
-    * [[AnnIndex]] manifest contract; streaming ingest satisfies this
-    * by construction (one foreachBatch at a time). */
-  def upsert(batch: DataFrame, root: String, tag: Option[String] = None): Unit = {
+    * Returns the one-row accounting frame `(generation, n_batch,
+    * n_new, n_resent)` — the [[AnnIndex.upsert]] audit discipline.
+    *
+    * Concurrency: one writer per root (see [[publish]]'s safety net);
+    * streaming ingest satisfies this by construction (one foreachBatch
+    * at a time). Batch doc_ids must be distinct — a doubled id inside
+    * ONE batch is two conflicting "latest" versions, which no
+    * latest-wins rule can order. */
+  def upsert(batch: DataFrame, root: String, tag: Option[String] = None,
+      assumeAppendOnly: Boolean = false): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
     val lines = manifestLines(root)
     val gens = lines.filter(_.startsWith("gen-"))
     require(gens.nonEmpty, s"no text index at $root — build() first")
-    val next = s"gen-${gens.map(_.stripPrefix("gen-").toLong).max + 1}"
-    writeGen(batch, s"$root/$next")
-    publish(root, lines ++ (next +: tag.map(t => s"batch:$t").toSeq))
+    val next = nextGenOf(gens)
+    val docs = normalized(batch)
+    val dl = dlOf(docs).persist()
+    val resent =
+      (if (assumeAppendOnly) dl.limit(0).select(col("doc_id"), col("dl"))
+       else liveDocs(s, root, gens)
+         .join(broadcast(dl.select(col("doc_id"))), "doc_id"))
+        .persist()
+    try {
+      val nBatch = dl.count()
+      val nResent = resent.count()
+      // no re-sent ids → nothing to negate; skip the resolution scan
+      // (the common append-mostly ingest pays only the registry read)
+      val anti =
+        if (nResent == 0) s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], PostingsSchema)
+        else livePostingsOf(s, root, gens, resent)
+          .select(col("doc_id"), col("term"), (-col("tf")).as("tf"),
+            (-col("dl")).as("dl"), col("bucket"))
+      val batchStats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
+      val resentStats = resent.agg(count(lit(1)).as("rn"),
+        coalesce(sum(col("dl")), lit(0L)).as("rs"))
+      writeParts(
+        tfOf(docs).join(dl, "doc_id")
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("bucket"))
+          .unionByName(anti),
+        batchStats.crossJoin(resentStats)
+          .select((col("n_docs") - col("rn")).as("n_docs"),
+            (coalesce(col("s_dl"), lit(0L)) - col("rs")).as("s_dl")),
+        dl.select(col("doc_id"), col("dl"), lit(1).as("d"))
+          .unionByName(resent.select(col("doc_id"), col("dl"), lit(-1).as("d"))),
+        s"$root/$next")
+      publish(root, lines ++ (next +: tag.map(t => s"batch:$t").toSeq))
+      Seq((next.stripPrefix("gen-").toLong, nBatch, nBatch - nResent, nResent))
+        .toDF("generation", "n_batch", "n_new", "n_resent")
+    } finally {
+      resent.unpersist(); dl.unpersist()
+    }
+  }
+
+  /** Delete doc_ids from the live index by appending a generation of
+    * pure negations — no published file is touched (the GDPR-delete
+    * shape). Ids not live (absent, or already deleted) produce no
+    * events, making deletes idempotent; a later re-upsert revives the
+    * id. Returns `(generation, n_deleted)` accounting (generation −1
+    * for an all-no-op delete, which publishes nothing). */
+  def delete(ids: DataFrame, root: String): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val lines = manifestLines(root)
+    val gens = lines.filter(_.startsWith("gen-"))
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    val next = nextGenOf(gens)
+    val victims = liveDocs(s, root, gens)
+      .join(broadcast(ids.select(col("doc_id").cast("long").as("doc_id")).distinct()),
+        "doc_id")
+      .persist()
+    try {
+      val n = victims.count()
+      if (n == 0) Seq((-1L, 0L)).toDF("generation", "n_deleted")
+      else {
+        val anti = livePostingsOf(s, root, gens, victims)
+          .select(col("doc_id"), col("term"), (-col("tf")).as("tf"),
+            (-col("dl")).as("dl"), col("bucket"))
+        writeParts(
+          anti,
+          victims.agg((-count(lit(1))).as("n_docs"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("s_dl")),
+          victims.select(col("doc_id"), col("dl"), lit(-1).as("d")),
+          s"$root/$next")
+        publish(root, lines :+ next)
+        Seq((next.stripPrefix("gen-").toLong, n)).toDF("generation", "n_deleted")
+      }
+    } finally victims.unpersist()
+  }
+
+  /** Fold every generation into ONE by netting the signed deltas:
+    * surviving postings (net tf > 0), df/docs/stats recomputed from
+    * the survivors, manifest re-published referencing only the new
+    * generation (batch tags deliberately dropped — the [[AnnIndex]]
+    * compaction contract; don't compact under an active ingest
+    * stream). Old dirs become unreferenced; [[sweepUnreferenced]] is
+    * their GC. Returns `(n_live, gens_folded)`. */
+  def compact(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val lines = manifestLines(root)
+    val gens = lines.filter(_.startsWith("gen-"))
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    val next = nextGenOf(gens)
+    val live = liveDocs(s, root, gens).persist()
+    try {
+      val n = live.count()
+      val postings = gens
+        .map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings"))
+        .reduce(_ unionByName _)
+        .groupBy(col("doc_id"), col("term"), col("bucket"))
+        .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+        .filter(col("tf") > 0)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("bucket"))
+      writeParts(
+        postings,
+        live.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("s_dl")),
+        live.select(col("doc_id"), col("dl"), lit(1).as("d")),
+        s"$root/$next")
+      publish(root, Seq(next))
+      Seq((n, gens.length.toLong)).toDF("n_live", "gens_folded")
+    } finally live.unpersist()
+  }
+
+  /** GC for unreferenced generation dirs (compaction and crashed
+    * writes leave them behind by design — readers resolve through the
+    * manifest): delete every `gen-N` dir absent from the LIVE manifest
+    * and untouched for longer than `graceMs` (a concurrent reader that
+    * resolved an older manifest gets the grace window to finish — the
+    * [[Similarity.cachedIndex]] 30-minute discipline). Also sweeps
+    * orphaned `.manifest-*` temp files from crashed publishes. Returns
+    * the deleted names (for audit/spec). */
+  def sweepUnreferenced(root: String,
+      graceMs: Long = 30L * 60 * 1000): Seq[String] = {
+    val live = readManifest(root).toSet
+    val now = System.currentTimeMillis()
+    val rootF = new java.io.File(root)
+    Option(rootF.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter { f =>
+        val stale = now - f.lastModified > graceMs
+        (f.isDirectory && f.getName.matches("gen-\\d+") && !live(f.getName) && stale) ||
+          (f.isFile && f.getName.startsWith(".manifest-") && stale)
+      }
+      .map { f => deleteRecursively(f); f.getName }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** BM25 partials over every published generation: postings union
-    * bucket-pruned per gen, per-gen dfs SUMMED per term, stats summed
-    * — all exact integer merges, so scores equal a from-scratch index
-    * bit for bit. */
+    * bucket-pruned per gen and NETTED per (doc, term) (signed deltas —
+    * net tf ≤ 0 rows are superseded/deleted and drop), per-gen df
+    * deltas SUMMED per term, stats summed — all exact integer merges,
+    * so scores equal a from-scratch index of the surviving corpus bit
+    * for bit. */
   private def scoredAtRoot(s: SparkSession, root: String,
       terms: Seq[String]): DataFrame = {
     val gens = readManifest(root)
@@ -255,6 +501,9 @@ object TextIndex {
           .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)))
       .reduce(_ unionByName _)
     val post = pruned("postings", PostingsSchema)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+      .filter(col("tf") > 0)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val dfT = pruned("df", DfSchema).groupBy(col("term")).agg(sum(col("df")).as("df"))
     val stats = gens.map(g => s.read.schema(StatsSchema).parquet(s"$root/$g/stats"))

@@ -127,6 +127,78 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(again == inQuery)
   }
 
+  test("text index: re-sends, deletes, revival, compaction — probes equal the in-query scorer on the surviving corpus at every step") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_text_lsm").toString
+    val terms = Seq("vector", "hash", "stream")
+    def topkAt() = Graft.text.bm25TopkAt(spark, root, terms, 10).collect().toSeq
+    def topkOf(docs: org.apache.spark.sql.DataFrame) =
+      operators.TextAnalysis.bm25TopkOf(docs, terms, 10).collect().toSeq
+
+    val v1 = Seq(
+      (1L, Option("vector hash stream alpha")),
+      (2L, Option("vector vector beta")),
+      (3L, Option("hash gamma gamma hash")),
+      (4L, Option("stream delta")),
+      (5L, Option("epsilon zeta")),
+      (6L, Option("vector stream stream eta")),
+      (8L, Option.empty[String])).toDF("doc_id", "text")
+    operators.TextIndex.build(v1, root)
+
+    // re-send 2 (loses "vector") and 4 (gains it), add brand-new 7
+    val batch = Seq(
+      (2L, "beta beta hash"),
+      (4L, "stream stream vector"),
+      (7L, "vector theta")).toDF("doc_id", "text")
+    val acct = operators.TextIndex.upsert(batch, root).collect()(0)
+    assert((acct.getLong(1), acct.getLong(2), acct.getLong(3)) == (3L, 1L, 2L))
+    val afterUpsert = Seq(
+      (1L, Option("vector hash stream alpha")),
+      (2L, Option("beta beta hash")),
+      (3L, Option("hash gamma gamma hash")),
+      (4L, Option("stream stream vector")),
+      (5L, Option("epsilon zeta")),
+      (6L, Option("vector stream stream eta")),
+      (7L, Option("vector theta")),
+      (8L, Option.empty[String])).toDF("doc_id", "text")
+    assert(topkAt() == topkOf(afterUpsert))
+
+    // delete 3 (live) and 99 (absent): only the live one tombstones
+    val del = operators.TextIndex.delete(Seq(3L, 99L).toDF("doc_id"), root).collect()(0)
+    assert(del.getLong(1) == 1L)
+    val afterDelete = afterUpsert.filter(col("doc_id") =!= 3L)
+    assert(topkAt() == topkOf(afterDelete))
+    // idempotent: deleting 3 again publishes nothing
+    val del2 = operators.TextIndex.delete(Seq(3L).toDF("doc_id"), root).collect()(0)
+    assert(del2.getLong(0) == -1L && del2.getLong(1) == 0L)
+    assert(topkAt() == topkOf(afterDelete))
+
+    // revival: re-upserting 3 with NEW text makes it a fresh doc again
+    val rev = operators.TextIndex
+      .upsert(Seq((3L, "hash hash vector iota")).toDF("doc_id", "text"), root)
+      .collect()(0)
+    assert((rev.getLong(2), rev.getLong(3)) == (1L, 0L)) // dead id counts as new
+    val afterRevive = afterDelete.unionByName(
+      Seq((3L, Option("hash hash vector iota"))).toDF("doc_id", "text"))
+    assert(topkAt() == topkOf(afterRevive))
+
+    // compaction folds the whole history into one generation, same scores
+    val preCompact = topkAt()
+    val comp = operators.TextIndex.compact(spark, root).collect()(0)
+    assert(comp.getLong(0) == 8L) // 1..8 minus deleted-then-revived net
+    assert(comp.getLong(1) >= 4L) // build + 2 upserts + delete folded
+    assert(topkAt() == preCompact)
+
+    // GC: old generation dirs are unreferenced now. A real grace window
+    // protects a concurrent old-manifest reader; grace -1 forces.
+    assert(Graft.text.bm25IndexSweep(root, graceMs = 60L * 60 * 1000).isEmpty)
+    val swept = Graft.text.bm25IndexSweep(root, graceMs = -1L)
+    assert(swept.count(_.startsWith("gen-")) == comp.getLong(1))
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left.count(_.startsWith("gen-")) == 1)
+    assert(topkAt() == preCompact)
+  }
+
   test("unimax waterfill: small languages cap at E epochs, the rest split the remainder exactly") {
     // counts a=10 b=20 c=100, E=2, B=(8·130)//5=208; caps 20/40/200 (Σ=260>208)
     // k*=2 (a,b fully capped), t=(208−60)/1=148 → c gets 148 = 1.48 epochs; Σalloc=B
