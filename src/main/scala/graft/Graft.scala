@@ -399,6 +399,19 @@ object Graft {
     def compact(spark: SparkSession, root: String): DataFrame =
       operators.AnnIndex.compact(spark, root)
 
+    /** Per-cell drift accounting — live vs running-stats mass and the
+      * centroid displacement re-sends/deletes have accumulated; the
+      * "when to compact" signal. Returns `(cell, n_live, n_stats,
+      * n_superseded, centroid_shift)`. */
+    def driftStats(spark: SparkSession, root: String): DataFrame =
+      operators.AnnIndex.driftStats(spark, root)
+
+    /** GC generation dirs no longer referenced by the live manifest,
+      * past a grace window; returns the deleted names. */
+    def sweep(spark: SparkSession, root: String,
+        graceMs: Long = 30L * 60 * 1000): Seq[String] =
+      operators.AnnIndex.sweepUnreferenced(spark, root, graceMs)
+
     /** Continuous ingestion: every micro-batch of a streaming
       * `(vec_id, label, embedding)` frame upserts as one index
       * generation (idempotent under replay — see
@@ -451,6 +464,15 @@ object Graft {
     def bm25TopkIndexed(spark: SparkSession, dir: String,
         terms: Seq[String], k: Int = 20): DataFrame =
       operators.TextIndex.bm25TopkIndexed(spark, dir, terms, k)
+
+    /** BATCH retrieval serving: a whole `(query_id, term)` frame
+      * probes the index in ONE join (dynamic partition pruning from
+      * the join on the bucket column); per-query top-k. Each query's
+      * slice equals its single-query [[bm25TopkIndexed]] exactly
+      * (spec-pinned). Returns (query_id, rank, doc_id, bm25). */
+    def bm25TopkBatch(spark: SparkSession, dir: String, queries: DataFrame,
+        k: Int = 20): DataFrame =
+      operators.TextIndex.bm25TopkBatchIndexed(spark, dir, queries, k)
 
     /** Found an incrementally-maintained BM25 index at an explicit
       * `root` (generation 0). BM25's inputs are integer-additive

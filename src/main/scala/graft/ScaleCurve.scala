@@ -126,7 +126,11 @@ object ScaleCurve {
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(if (full) SparkEntry.queries.keys.toSeq.sorted else Queries)
-    val outFile = if (full) "scale_curve_full.json" else "scale_curve.json"
+    // SPARK_GRAFT_SCALE_OUT_FILE names the artifact (e.g. the 100x
+    // probe-family sweep writes scale_curve_probe.json so the full-
+    // suite and heavy-list artifacts stay intact)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT_FILE",
+      if (full) "scale_curve_full.json" else "scale_curve.json")
     val spark = BenchKit.session(cpus)
     BenchKit.warmup(spark, src)
 

@@ -38,13 +38,27 @@ object Tables {
   }
 
   /** The ts-normalizing column for a given physical type — shared with
-    * the streaming source so batch and stream agree byte-for-byte. */
+    * the streaming source so batch and stream agree byte-for-byte.
+    *
+    * Every branch is SESSION-TIMEZONE-INDEPENDENT: the nanos-long
+    * branch is epoch arithmetic, the instant branch is already
+    * absolute, and the NTZ branch pins its wall-clock interpretation
+    * to UTC explicitly via make_timestamp(..., 'UTC') — a plain
+    * `cast(ts as timestamp)` would read the wall clock in whatever
+    * spark.sql.session.timeZone the calling session happens to run
+    * (the entry points all pin UTC, but correctness must not depend
+    * on which session builder ran first). extract(SECOND) carries the
+    * fractional micros (DECIMAL(8,6)), so sub-second precision
+    * survives. */
   def normalizedEventTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     dt match {
       case LongType         => expr("timestamp_micros(ts div 1000)")
-      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampNTZType => expr(
+        "make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts), " +
+          "extract(SECOND FROM ts), 'UTC')")
       case _                => col("ts")
     }
   }

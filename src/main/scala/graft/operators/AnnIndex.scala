@@ -140,6 +140,15 @@ object AnnIndex {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, ManifestName),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // one-writer-per-root safety net (the TextIndex.publish discipline):
+    // re-read after the atomic move — a concurrent publisher landing
+    // after ours silently dropped this generation's line; surface the
+    // violated contract instead of losing data quietly
+    val seen = readManifest(s, root)
+    if (!seen.contains((gen, lines)))
+      throw new IllegalStateException(
+        s"concurrent manifest publish detected at $root (wrote gen $gen, read back " +
+          s"${seen.map(_._1)}) — serialize index writers (one per root)")
   }
 
   /** `(vec_id, label, embedding)` → `(vec_id, label, embedding, nrm)`
@@ -567,6 +576,93 @@ object AnnIndex {
           .toDF("cell", "n_deleted")
       }
     } finally tombs.unpersist()
+  }
+
+  /** Per-cell drift accounting — the "when to compact" signal the
+    * class doc's drift contract ([[upsert]] re-sends and [[delete]]
+    * tombstones leave superseded mass in the running stats until
+    * [[compact]]) otherwise leaves to intuition:
+    *
+    *  - `n_live`      rows a probe of the cell would see
+    *  - `n_stats`     mass inside the running centroid (every row ever
+    *                  assigned to the cell, superseded or not)
+    *  - `n_superseded` = n_stats − n_live — the drift mass; 0 means
+    *                  the running centroid IS the live mean
+    *  - `centroid_shift` ‖running centroid − live mean‖₂ (0.0 for an
+    *                  all-live cell, and for an emptied cell where no
+    *                  live mean exists)
+    *
+    * Cost: one cell-pruned-less (full) scan of the live rows to
+    * recompute the exact live means — an ACCOUNTING query an operator
+    * runs occasionally, not a serving path; everything past the scan
+    * is (cells × dims)-sized. After [[compact]], every row reads
+    * (n_superseded = 0, centroid_shift = 0.0) — spec-pinned. */
+  def driftStats(s: SparkSession, root: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    import s.implicits._
+    val (gen, lines) = readManifest(s, root).getOrElse(
+      throw new IllegalStateException(s"no ANN index published at $root — build() first"))
+    val live = liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
+        None, Seq("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val running = s.read.parquet(s"$root/stats-$gen")
+        .select(col("cell"), col("pos"), col("sm").as("r_sm"), col("cnt").as("r_cnt"))
+      // per (cell, pos): squared diff of the two means; live-empty cells
+      // (all rows superseded/tombstoned) report shift 0.0 with their
+      // superseded mass — the mass number is the actionable signal there
+      running.join(
+          statsOf(live).select(col("cell"), col("pos"),
+            col("sm").as("l_sm"), col("cnt").as("l_cnt")),
+          Seq("cell", "pos"), "left")
+        .select(col("cell"),
+          col("r_cnt"), coalesce(col("l_cnt"), lit(0L)).as("lc"),
+          when(col("l_cnt").isNull, lit(0.0))
+            .otherwise(pow(col("r_sm") / col("r_cnt") - col("l_sm") / col("l_cnt"), 2))
+            .as("sq"))
+        .groupBy(col("cell"))
+        .agg(first(col("r_cnt")).as("n_stats"), first(col("lc")).as("n_live"),
+          sqrt(sum(col("sq"))).as("shift"))
+        .orderBy(col("cell"))
+        // materialized (cells-sized) so the returned frame doesn't
+        // re-run the live resolution after the unpersist below
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(1),
+          r.getLong(1) - r.getLong(2),
+          math.floor(r.getDouble(3) * 1e6 + 0.5) / 1e6))
+        .toDF("cell", "n_live", "n_stats", "n_superseded", "centroid_shift")
+    } finally live.unpersist()
+  }
+
+  /** GC for unreferenced generation dirs at `root` (compaction leaves
+    * the folded `data-/codes-/tombs-/stats-` dirs behind by design —
+    * readers resolve through the manifest): delete every generation
+    * dir absent from the LIVE manifest's reference set and untouched
+    * past `graceMs` (a concurrent reader holding an older manifest
+    * gets the grace window — the [[Similarity.cachedIndex]] 30-minute
+    * discipline). Referenced set: the manifest's `data-N`/`tombs-N`
+    * lines, their `codes-N` twins, and the current generation's
+    * `stats-N`. Uses the Hadoop FS layer like the manifest IO, so a
+    * non-local root sweeps too. Returns deleted dir names. */
+  def sweepUnreferenced(s: SparkSession, root: String,
+      graceMs: Long = 30L * 60 * 1000): Seq[String] = {
+    readManifest(s, root) match {
+      case None => Seq.empty
+      case Some((gen, lines)) =>
+        val keep = dataDirsOf(lines).toSet ++
+          dataDirsOf(lines).map(_.replaceFirst("^data-", "codes-")) ++
+          tombDirsOf(lines) + s"stats-$gen"
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val now = System.currentTimeMillis()
+        fs.listStatus(rootPath).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isDirectory && n.matches("(data|codes|tombs|stats)-\\d+") &&
+              !keep(n) && now - st.getModificationTime > graceMs
+          }
+          .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+    }
   }
 
   /** Fold every generation into ONE: resolve the live rows (latest

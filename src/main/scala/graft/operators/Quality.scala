@@ -72,6 +72,38 @@ object Quality {
          |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
   }
 
+  /** The approx-profile query — the 100 TB default the class doc
+    * names: HLL distinct counts, NO multi-distinct Expand (the plan is
+    * PlanSpec-pinned to a single pass). Counts/min/max are exact
+    * either way; the HLL estimate is contracted to ±10% of the exact
+    * count (floor 8 for tiny cardinalities, where HLL is exact
+    * anyway) — the `a8_approx_stats` within-bounds oracle
+    * discipline. The exact twin runs here only to judge the bound;
+    * production runs `profile(df, exact = false)` alone. */
+  private def xProfileApprox: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val ex = profile(o).select(col("column"), col("n_distinct").as("nd_exact"))
+    profile(o, exact = false)
+      .join(broadcast(ex), "column")
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("min_repr"), col("max_repr"),
+        (abs(col("n_distinct") - col("nd_exact"))
+          <= greatest((col("nd_exact") * lit(0.10)).cast("long"), lit(8L)))
+          .as("nd_within_bounds"))
+  }
+
+  private val xProfileApproxSql = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  CAST(min($c) AS VARCHAR) AS min_repr,
+         |  CAST(max($c) AS VARCHAR) AS max_repr,
+         |  TRUE AS nd_within_bounds
+         |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
+  }
+
   /** Declarative expectation report over the orders/lineitem pair:
     * `(rule, n_checked, n_violations, pass)` — not-null, key
     * uniqueness, accepted values, numeric range, and referential
@@ -133,9 +165,11 @@ object Quality {
 
   val queries: Map[String, Q] = Map(
     "x_profile" -> xProfile,
+    "x_profile_approx" -> xProfileApprox,
     "x_expectations" -> xExpectations)
 
   val oracles: Map[String, String] = Map(
     "x_profile" -> xProfileSql,
+    "x_profile_approx" -> xProfileApproxSql,
     "x_expectations" -> xExpectationsSql)
 }

@@ -817,6 +817,178 @@ object RelationalExt {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // ---- r10 TPC-H widening: scan-only, disjunctive-pushdown, promo
+  // ratio, top-by-max, EXISTS-with-date-arithmetic, distinct-count ----
+
+  /** Q6 shape: forecast revenue change — no join at all; the entire
+    * predicate (date window + discount band + quantity cap) must reach
+    * the parquet scan as PushedFilters, the canonical selective-scan
+    * query. Revenue is the DECIMAL-exact Σ price·discount (double
+    * per-row products would sum in partition order) with one final
+    * double cast + portable rounding. */
+  private def q6ForecastRevenue: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))"))
+          .cast("double").as("rev_raw"),
+        count(lit(1)).as("n_lines"))
+      .select(expr(TextAnalysis.r6("rev_raw")).as("revenue"), col("n_lines"))
+
+  private val q6ForecastRevenueSql =
+    """SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Q14 shape: promo revenue share — broadcast dim join + ONE
+    * conditional aggregate; the ratio is two DECIMAL-exact sums and a
+    * single double division (the only float op). */
+  private def q14PromoEffect: Q = (s, dir) => {
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(expr(s"CASE WHEN p_type = 'PROMO' THEN $dp ELSE 0 END")).as("promo"),
+        sum(expr(dp)).as("total"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        expr(TextAnalysis.r6("100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)"))
+          .as("promo_pct"),
+        col("n_lines"))
+  }
+
+  private val q14PromoEffectSql = {
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    s"""SELECT floor((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $dp ELSE 0 END) AS DOUBLE)
+       |             / CAST(sum($dp) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS promo_pct,
+       |       count(*) AS n_lines
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'""".stripMargin
+  }
+
+  /** Q19 shape: disjunctive brand/size/quantity predicates — the OR of
+    * three conjunct bundles must still evaluate inside the joined
+    * codegen stage (no cartesian fallback), the classic
+    * pushdown-through-OR query. */
+  private def q19DisjunctivePred: Q = (s, dir) => {
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .agg(sum(expr(dp)).cast("double").as("rev_raw"), count(lit(1)).as("n_lines"))
+      .select(expr(TextAnalysis.r6("rev_raw")).as("revenue"), col("n_lines"))
+  }
+
+  private val q19DisjunctivePredSql = {
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    s"""SELECT floor(CAST(sum($dp) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS revenue,
+       |       count(*) AS n_lines
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+  }
+
+  /** Q15 shape: top supplier by quarterly revenue — the CREATE VIEW +
+    * max() self-reference decorrelated into one aggregate joined to
+    * its own 1-row max (broadcast); the winner test is an EXACT
+    * DECIMAL equality, not a float one. */
+  private def q15TopSupplier: Q = (s, dir) => {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"))
+        .as("tr"))
+    rev.join(broadcast(rev.agg(max(col("tr")).as("mr"))), col("tr") === col("mr"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        expr(TextAnalysis.r6("CAST(tr AS DOUBLE)")).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q15TopSupplierSql =
+    """WITH rev AS (SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS tr
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |       floor(CAST(tr AS DOUBLE) * 1e6 + 0.5) / 1e6 AS total_revenue
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE tr = (SELECT max(tr) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q4 shape: order-priority counts gated by a correlated EXISTS with
+    * DATE ARITHMETIC — orders having at least one line shipped more
+    * than 60 days after the order date, planned as a semi-join (one
+    * pass over each side, never a per-order subquery). */
+  private def q4OrderPriority: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4OrderPrioritySql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Q16 shape: how many distinct suppliers stock each surviving part
+    * profile — NOT-IN/≠ attribute exclusions on the dim, then a
+    * distinct count of the fact side's suppliers per (brand, type,
+    * size); the dim broadcasts, the only exchange carries (profile,
+    * suppkey) pairs. */
+  private def q16PartsSupplier: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#15"
+            && !col("p_type").isin("PROMO")
+            && col("p_size").isin(1, 5, 9, 14, 20, 28, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(20)
+
+  private val q16PartsSupplierSql =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#15' AND p_type NOT IN ('PROMO')
+      |  AND p_size IN (1, 5, 9, 14, 20, 28, 36, 45)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 20""".stripMargin
+
   /** A14: winsorized per-group aggregates — outlier-robust means via
     * exact order-statistic clipping at p05/p95. The cut ranks are pure
     * integer arithmetic (⌈n/20⌉ = (n+19) div 20 — no float percentile
@@ -884,6 +1056,12 @@ object RelationalExt {
     "q13_customer_distribution" -> q13CustomerDistribution,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q22_idle_customers" -> q22IdleCustomers,
+    "q4_order_priority" -> q4OrderPriority,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q14_promo_effect" -> q14PromoEffect,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_parts_supplier" -> q16PartsSupplier,
+    "q19_disjunctive_pred" -> q19DisjunctivePred,
     "a14_winsorize" -> a14Winsorize,
     "a8_approx_stats" -> a8ApproxStats,
     "w4_window_funcs" -> w4WindowFuncs,
@@ -914,6 +1092,12 @@ object RelationalExt {
     "q13_customer_distribution" -> q13CustomerDistributionSql,
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q22_idle_customers" -> q22IdleCustomersSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q14_promo_effect" -> q14PromoEffectSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q16_parts_supplier" -> q16PartsSupplierSql,
+    "q19_disjunctive_pred" -> q19DisjunctivePredSql,
     "a14_winsorize" -> a14WinsorizeSql,
     "a9_percentiles" -> a9PercentilesSql,
     "a10_histogram" -> a10HistogramSql,

@@ -1163,6 +1163,85 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------
+  // LSM-index drift accounting (the "when to compact" signal)
+  // ----------------------------------------------------------------
+
+  /** Drift fixture: ids < this are re-sent with +0.25-perturbed
+    * embeddings over the founding build, so superseded mass and a
+    * measurable centroid displacement exist by construction. */
+  private val DriftResend = 100L
+
+  /** `s_ann_drift`: [[AnnIndex.driftStats]] over a build + perturbed
+    * re-send LSM index (fingerprint-memoized under the tmpdir like
+    * every persisted-index query). Emits per cell the live vs
+    * running-stats mass and whether the running centroid has drifted
+    * from the live mean — the accounting an operator reads to decide
+    * when to [[AnnIndex.compact]].
+    *
+    * The oracle recomputes the event semantics RELATIONALLY:
+    * assignment of both event generations against the frozen seeds,
+    * latest-event-wins liveness, running mean = all-events mean vs
+    * live mean. Counts are exact integers; the drift flag thresholds
+    * at 1e-6, decisive because true drift here is O(10⁻²) (a 0.25
+    * perturbation across ≤100 of a cell's rows) while cross-engine
+    * float-sum noise is O(10⁻¹⁵). */
+  private def sAnnDrift: Q = (s, dir) => {
+    val root = cachedIndex(s, dir, "annlsm", IndexFormatVersion) { path =>
+      AnnIndex.build(Tables.embeddings(s, dir), path, cells = IvfCells)
+      AnnIndex.upsert(
+        Tables.embeddings(s, dir).filter(col("vec_id") < DriftResend)
+          .withColumn("embedding",
+            expr("transform(embedding, x -> cast(x + 0.25 as float))")),
+        path)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_SUCCESS"))
+      ()
+    }
+    AnnIndex.driftStats(s, root)
+      .select(col("cell"), col("n_live"), col("n_stats"), col("n_superseded"),
+        (col("centroid_shift") > 1e-6).as("drifted"))
+  }
+
+  private val sAnnDriftSql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell, embedding AS se,
+       |                 ${duckFoldDot("embedding", "embedding")} AS sn
+       |          FROM embeddings WHERE vec_id < $IvfCells),
+       |ev AS (SELECT vec_id, embedding, 0 AS gen FROM v
+       |       UNION ALL
+       |       SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x + 0.25 AS FLOAT)), 1
+       |       FROM v WHERE vec_id < $DriftResend),
+       |assigned AS (SELECT vec_id, embedding, gen, cell
+       |             FROM (SELECT e.vec_id, e.embedding, e.gen, s.cell,
+       |                     row_number() OVER (PARTITION BY e.vec_id, e.gen
+       |                       ORDER BY s.sn - 2 * ${duckFoldDot("e.embedding", "s.se")}, s.cell) AS rn
+       |                   FROM ev e CROSS JOIN seeds s)
+       |             WHERE rn = 1),
+       |live AS (SELECT vec_id, embedding, cell
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                 ORDER BY gen DESC) AS rn FROM assigned)
+       |         WHERE rn = 1),
+       |nstats AS (SELECT cell, count(*) AS n_stats FROM assigned GROUP BY cell),
+       |nlive AS (SELECT cell, count(*) AS n_live FROM live GROUP BY cell),
+       |rmean AS (SELECT cell, dim, sum(cv) / count(*) AS rm
+       |          FROM (SELECT cell, unnest(range(1, len(embedding) + 1)) AS dim,
+       |                  unnest(embedding) AS cv FROM assigned)
+       |          GROUP BY cell, dim),
+       |lmean AS (SELECT cell, dim, sum(cv) / count(*) AS lm
+       |          FROM (SELECT cell, unnest(range(1, len(embedding) + 1)) AS dim,
+       |                  unnest(embedding) AS cv FROM live)
+       |          GROUP BY cell, dim),
+       |shift AS (SELECT r.cell, sqrt(sum((rm - lm) * (rm - lm))) AS sh
+       |          FROM rmean r JOIN lmean l ON r.cell = l.cell AND r.dim = l.dim
+       |          GROUP BY r.cell)
+       |SELECT n.cell, coalesce(l.n_live, 0) AS n_live, n.n_stats,
+       |       n.n_stats - coalesce(l.n_live, 0) AS n_superseded,
+       |       coalesce(s.sh, 0) > 1e-6 AS drifted
+       |FROM nstats n LEFT JOIN nlive l ON n.cell = l.cell
+       |LEFT JOIN shift s ON n.cell = s.cell
+       |ORDER BY n.cell""".stripMargin
+
+  // ----------------------------------------------------------------
   // Blocked kNN: top-3 neighbours per vector within its label cell
   // ----------------------------------------------------------------
 
@@ -1684,7 +1763,8 @@ object Similarity {
     "s_ivfpq_indexed" -> sIvfpqIndexed,
     "s_kmeans" -> sKmeans,
     "s_ivf_trained" -> sIvfTrained,
-    "s_centroids" -> sCentroids)
+    "s_centroids" -> sCentroids,
+    "s_ann_drift" -> sAnnDrift)
 
   val oracles: Map[String, String] = Map(
     "s_quantized_topk" -> sQuantizedTopkSql,
@@ -1708,5 +1788,6 @@ object Similarity {
     "s_ivf_trained" -> sIvfTrainedSql,
     "s_centroids" -> sCentroidsSql,
     "s_dim_reduce" -> sDimReduceSql,
-    "s_mmr_rerank" -> sMmrRerankSql)
+    "s_mmr_rerank" -> sMmrRerankSql,
+    "s_ann_drift" -> sAnnDriftSql)
 }

@@ -29,7 +29,7 @@ object TextAnalysis {
   private[operators] def tokens(c: Column): Column =
     split(regexp_replace(lower(c), "[\\p{Punct} ]+", " "), " ")
 
-  private def duckTokens(inner: String): String =
+  private[operators] def duckTokens(inner: String): String =
     s"string_split(regexp_replace(lower($inner), '[[:punct:] ]+', ' ', 'g'), ' ')"
 
   // ----------------------------------------------------------------
@@ -799,8 +799,8 @@ object TextAnalysis {
     * same discipline [[AnnIndex.probeAdc]]'s ADC sums use. */
   private[operators] def bm25TopkCut(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("doc_id"))
-      .agg(round(sum(floor(col("sc") * lit(1e9) + lit(0.5)).cast("long"))
-        .cast("double") / lit(1e9), 6).as("bm25"))
+      .agg(sum(floor(col("sc") * lit(1e9) + lit(0.5)).cast("long")).as("nanos"))
+      .select(col("doc_id"), expr(r6("cast(nanos as double) / 1e9")).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
 

@@ -104,6 +104,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("documents.parquet"), p)
   }
 
+  test("t_bm25_batch: postings partitions pruned DYNAMICALLY by the query-frame join") {
+    val q = SparkEntry.queries("t_bm25_batch")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the (query_id, term, bucket) probe frame is broadcast and the
+    // postings scan's PartitionFilters carry a dynamic-pruning
+    // subquery on the bucket partition column — pruning comes from
+    // the JOIN, the s_ann_lsh_batch shape for text
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("PartitionFilters: [isnotnull(bucket"), p)
+    // served from the index: the corpus itself is never read
+    assert(!p.toLowerCase.contains("documents.parquet"), p)
+  }
+
+  test("profile approx: single-pass plan, no multi-distinct Expand (the exact variant's price)") {
+    val o = Tables.orders(spark, sf)
+    val approx = operators.Quality.profile(o, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"), approx)
+    // ...and the contrast that justifies exposing both: the exact
+    // profile pays the k-fold Expand for its exact distincts
+    val exact = operators.Quality.profile(o, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"), exact)
+  }
+
   test("s_ivf_ann_indexed: data scan prunes to the NProbe cell partitions") {
     val q = SparkEntry.queries("s_ivf_ann_indexed")(spark, sf)
     val p = q.queryExecution.executedPlan.toString

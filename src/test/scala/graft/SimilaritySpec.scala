@@ -307,6 +307,46 @@ class SimilaritySpec extends SparkSpec {
     // gen + preserved dim metadata + the single folded generation
     val mLines = manifest.split("\n").filter(_.nonEmpty).toSeq
     assert(mLines.length == 3 && mLines.exists(_.startsWith("dim:")), manifest)
+
+    // drift accounting: compaction purged the superseded mass (vec 0
+    // was written three times — build, label re-send, revival — so two
+    // superseded rows sat in the running stats), and the recomputed
+    // centroids now equal the live means exactly
+    val postDrift = Graft.ann.driftStats(spark, up).collect()
+    assert(postDrift.forall(r => r.getLong(3) == 0L && r.getDouble(4) == 0.0),
+      postDrift.mkString("\n"))
+    assert(postDrift.map(_.getLong(1)).sum == v.count())
+    // ...and re-sending ids with PERTURBED embeddings makes the drift
+    // measurable again: superseded mass reappears and the affected
+    // cells' running centroids displace from the live means
+    val perturbed = v.filter(col("vec_id") < 50)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(x + 0.25 as float))"))
+    Graft.ann.upsert(perturbed, "vec_id", "embedding", "label", up)
+    val drift = Graft.ann.driftStats(spark, up).collect()
+    assert(drift.map(_.getLong(3)).sum == 50L, drift.mkString("\n"))
+    assert(drift.exists(r => r.getLong(3) > 0L && r.getDouble(4) > 0.0),
+      drift.mkString("\n"))
+
+    // GC sweep: the pre-compaction generation dirs are unreferenced
+    // now. A real grace window shields a concurrent old-manifest
+    // reader (nothing young is swept); grace -1 forces the sweep, the
+    // probes keep answering from the live generations
+    assert(Graft.ann.sweep(spark, up, graceMs = 60L * 60 * 1000).isEmpty)
+    val preSweep = Graft.ann.probe(spark, up, q, nprobe = 2, k = 10).collect().toSeq
+    val swept = Graft.ann.sweep(spark, up, graceMs = -1L)
+    assert(swept.nonEmpty, "expected unreferenced generation dirs after compact")
+    val leftDirs = new java.io.File(up).listFiles().map(_.getName)
+      .filter(_.matches("(data|codes|tombs|stats)-\\d+")).toSet
+    val manifest2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(up, "_GRAFT_IVF_MANIFEST")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    val liveGen = manifest2.head.toLong
+    val expectLeft = manifest2.filter(_.startsWith("data-")).toSet ++
+      manifest2.filter(_.startsWith("data-")).map(_.replaceFirst("^data-", "codes-")) ++
+      manifest2.filter(_.startsWith("tombs-")) + s"stats-$liveGen"
+    assert(leftDirs == expectLeft, s"$leftDirs vs $expectLeft")
+    assert(Graft.ann.probe(spark, up, q, nprobe = 2, k = 10).collect().toSeq == preSweep)
   }
 
   test("ann index: a re-upsert that MOVES cells hides the stale row in the old cell") {

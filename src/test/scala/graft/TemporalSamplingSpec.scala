@@ -127,6 +127,22 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(again == inQuery)
   }
 
+  test("bm25 batch probe: each query's slice equals its single-query indexed probe exactly") {
+    import spark.implicits._
+    val qs = operators.TextIndex.Bm25BatchQueries
+    val frame = qs.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "term")
+    val batch = Graft.text.bm25TopkBatch(spark, sf, frame, 5).collect()
+      .groupBy(_.getLong(0))
+    qs.foreach { case (id, terms) =>
+      val single = Graft.text.bm25TopkIndexed(spark, sf, terms, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val slice = batch.getOrElse(id, Array.empty).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(slice == single, s"query $id: $slice vs $single")
+    }
+  }
+
   test("text index: re-sends, deletes, revival, compaction — probes equal the in-query scorer on the surviving corpus at every step") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_text_lsm").toString

@@ -6,6 +6,31 @@ import graft.operators.{Graph, TimeSeries}
 
 class TimeSeriesSpec extends SparkSpec {
 
+  test("events ts normalization is session-timezone independent (NTZ, nanos-long, and the live table)") {
+    import spark.implicits._
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = df
+      .withColumn("ts", Tables.normalizedEventTs(df.schema("ts").dataType))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .sortBy(_._1).toSeq
+    // synthetic frames of the two reinterpreted physical types
+    val ntz = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS event_id, TIMESTAMP_NTZ'2024-03-10 07:30:15.123456' AS ts")
+    val nanos = Seq((2L, 1710055815123456789L)).toDF("event_id", "ts")
+    val utcNtz = norm(ntz); val utcNanos = norm(nanos)
+    // the NTZ wall clock must read as a UTC instant
+    assert(utcNtz == Seq((1L, java.time.Instant.parse("2024-03-10T07:30:15.123Z").toEpochMilli)))
+    val utcTable = norm(Tables.events(spark, sf).select(col("event_id"), col("ts")))
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a session on a US-eastern host (DST boundary date, the worst
+      // case for wall-clock reinterpretation) must see the SAME instants
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(norm(ntz) == utcNtz)
+      assert(norm(nanos) == utcNanos)
+      assert(norm(Tables.events(spark, sf).select(col("event_id"), col("ts"))) == utcTable)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
   test("ts_sessionize: sessions partition each user's events; adjacent sessions gap > 30 min") {
     val sess = TimeSeries.queries("ts_sessionize")(spark, sf).cache()
     val events = Tables.events(spark, sf)
