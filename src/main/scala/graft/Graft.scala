@@ -412,6 +412,13 @@ object Graft {
         graceMs: Long = 30L * 60 * 1000): Seq[String] =
       operators.AnnIndex.sweepUnreferenced(spark, root, graceMs)
 
+    /** The maintenance policy loop: compact iff the superseded
+      * fraction of the running stats exceeds the budget. Returns
+      * Some(compaction accounting) if it compacted. */
+    def compactIfDrifted(spark: SparkSession, root: String,
+        maxSupersededFraction: Double = 0.2): Option[DataFrame] =
+      operators.AnnIndex.compactIfDrifted(spark, root, maxSupersededFraction)
+
     /** Continuous ingestion: every micro-batch of a streaming
       * `(vec_id, label, embedding)` frame upserts as one index
       * generation (idempotent under replay — see
@@ -510,6 +517,17 @@ object Graft {
       * the deleted names. */
     def bm25IndexSweep(root: String, graceMs: Long = 30L * 60 * 1000): Seq[String] =
       operators.TextIndex.sweepUnreferenced(root, graceMs)
+
+    /** Per-bucket postings-bloat accounting (physical rows vs
+      * net-live postings — the text "when to compact" signal). */
+    def bm25IndexStats(spark: SparkSession, root: String): DataFrame =
+      operators.TextIndex.indexStats(spark, root)
+
+    /** Compact iff the dead fraction of posting rows exceeds the
+      * budget; Some(accounting) if it compacted. */
+    def bm25IndexCompactIfBloated(spark: SparkSession, root: String,
+        maxDeadFraction: Double = 0.2): Option[DataFrame] =
+      operators.TextIndex.compactIfBloated(spark, root, maxDeadFraction)
 
     /** BM25 top-k from an explicit-root incremental index. */
     def bm25TopkAt(spark: SparkSession, root: String, terms: Seq[String],

@@ -634,6 +634,25 @@ object AnnIndex {
     } finally live.unpersist()
   }
 
+  /** The drift accounting made ACTIONABLE: compact iff the superseded
+    * fraction of the running-stats mass exceeds `maxSupersededFraction`
+    * — the policy loop a production ingest runs after every N batches
+    * (measure → compare → fold), instead of eyeballing [[driftStats]].
+    * Returns Some(compaction accounting) when it compacted, None when
+    * the index is still within budget. The drift read is the same
+    * full live-resolution scan as [[driftStats]]; run this at
+    * maintenance cadence, not per-batch. */
+  def compactIfDrifted(s: SparkSession, root: String,
+      maxSupersededFraction: Double = 0.2): Option[DataFrame] = {
+    val d = driftStats(s, root)
+      .agg(sum(col("n_superseded")).cast("double").as("sup"),
+        sum(col("n_stats")).cast("double").as("tot"))
+      .collect()(0)
+    val (sup, tot) = (d.getDouble(0), d.getDouble(1))
+    if (tot > 0 && sup / tot > maxSupersededFraction) Some(compact(s, root))
+    else None
+  }
+
   /** GC for unreferenced generation dirs at `root` (compaction leaves
     * the folded `data-/codes-/tombs-/stats-` dirs behind by design —
     * readers resolve through the manifest): delete every generation

@@ -566,6 +566,46 @@ object TextIndex {
     } finally live.unpersist()
   }
 
+  /** Per-bucket postings-bloat accounting — the text twin of
+    * [[AnnIndex.driftStats]], the "when to compact" signal: `n_rows`
+    * physical posting rows across generations, `n_live` net-positive
+    * (doc, term) postings a probe would keep after netting, `n_dead`
+    * their difference — the cancelled/superseded mass every probe of
+    * the bucket reads and then nets away. Append-only histories read
+    * n_dead = 0; re-sends and deletes grow it (a re-send leaves old
+    * row + negation + new row = 3 rows, 1 live); [[compact]] returns
+    * it to 0 (spec-pinned). Full postings scan (narrow projection) —
+    * a maintenance query, not a serving path. */
+  def indexStats(s: SparkSession, root: String): DataFrame = {
+    val gens = readManifest(root)
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    val post = gens.map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings"))
+      .reduce(_ unionByName _)
+    post.groupBy(col("bucket"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("rows"), sum(col("tf")).as("net_tf"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("rows")).as("n_rows"),
+        sum(when(col("net_tf") > 0, 1L).otherwise(0L)).as("n_live"))
+      .select(col("bucket"), col("n_rows"), col("n_live"),
+        (col("n_rows") - col("n_live")).as("n_dead"))
+      .orderBy(col("bucket"))
+  }
+
+  /** [[indexStats]] made ACTIONABLE (the [[AnnIndex.compactIfDrifted]]
+    * policy for text): compact iff the dead fraction of physical
+    * posting rows exceeds `maxDeadFraction`. Returns Some(compaction
+    * accounting) when it compacted, None when within budget. */
+  def compactIfBloated(s: SparkSession, root: String,
+      maxDeadFraction: Double = 0.2): Option[DataFrame] = {
+    val d = indexStats(s, root)
+      .agg(coalesce(sum(col("n_dead")), lit(0L)).cast("double").as("dead"),
+        coalesce(sum(col("n_rows")), lit(0L)).cast("double").as("tot"))
+      .collect()(0)
+    val (dead, tot) = (d.getDouble(0), d.getDouble(1))
+    if (tot > 0 && dead / tot > maxDeadFraction) Some(compact(s, root))
+    else None
+  }
+
   /** GC for unreferenced generation dirs (compaction and crashed
     * writes leave them behind by design — readers resolve through the
     * manifest): delete every `gen-N` dir absent from the LIVE manifest

@@ -327,6 +327,13 @@ class SimilaritySpec extends SparkSpec {
     assert(drift.map(_.getLong(3)).sum == 50L, drift.mkString("\n"))
     assert(drift.exists(r => r.getLong(3) > 0L && r.getDouble(4) > 0.0),
       drift.mkString("\n"))
+    // the policy loop: within budget → no-op; over budget → compacts
+    // and the drift zeroes again (50 superseded of ~550 ≈ 9%)
+    assert(Graft.ann.compactIfDrifted(spark, up, maxSupersededFraction = 0.5).isEmpty)
+    assert(Graft.ann.compactIfDrifted(spark, up, maxSupersededFraction = 0.05).nonEmpty)
+    val drift2 = Graft.ann.driftStats(spark, up).collect()
+    assert(drift2.forall(r => r.getLong(3) == 0L && r.getDouble(4) == 0.0),
+      drift2.mkString("\n"))
 
     // GC sweep: the pre-compaction generation dirs are unreferenced
     // now. A real grace window shields a concurrent old-manifest

@@ -198,12 +198,25 @@ class TemporalSamplingSpec extends SparkSpec {
       Seq((3L, Option("hash hash vector iota"))).toDF("doc_id", "text"))
     assert(topkAt() == topkOf(afterRevive))
 
+    // postings-bloat accounting: the re-send/delete history left dead
+    // physical rows behind (old + negation pairs); the policy loop
+    // no-ops within budget
+    val bloat = operators.TextIndex.indexStats(spark, root).collect()
+    assert(bloat.map(_.getLong(3)).sum > 0L, bloat.mkString("\n"))
+    assert(bloat.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    assert(Graft.text.bm25IndexCompactIfBloated(spark, root,
+      maxDeadFraction = 0.99).isEmpty)
+
     // compaction folds the whole history into one generation, same scores
     val preCompact = topkAt()
     val comp = operators.TextIndex.compact(spark, root).collect()(0)
     assert(comp.getLong(0) == 8L) // 1..8 minus deleted-then-revived net
     assert(comp.getLong(1) >= 4L) // build + 2 upserts + delete folded
     assert(topkAt() == preCompact)
+    // post-compact: no dead rows anywhere, policy loop stays a no-op
+    val clean = operators.TextIndex.indexStats(spark, root).collect()
+    assert(clean.forall(_.getLong(3) == 0L), clean.mkString("\n"))
+    assert(Graft.text.bm25IndexCompactIfBloated(spark, root).isEmpty)
 
     // GC: old generation dirs are unreferenced now. A real grace window
     // protects a concurrent old-manifest reader; grace -1 forces.
