@@ -400,6 +400,7 @@ object TextIndex {
 
   /** Found a new index at `root` from `docs` (generation 0). */
   def build(docs: DataFrame, root: String): Unit = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
     new java.io.File(root).mkdirs()
     writeGen(docs, s"$root/gen-0")
     publish(root, Seq("gen-0"))
@@ -452,6 +453,7 @@ object TextIndex {
   def upsert(batch: DataFrame, root: String, tag: Option[String] = None,
       assumeAppendOnly: Boolean = false): DataFrame = {
     val s = batch.sparkSession
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     import s.implicits._
     val lines = manifestLines(root)
     val gens = lines.filter(_.startsWith("gen-"))
@@ -540,6 +542,7 @@ object TextIndex {
     * stream). Old dirs become unreferenced; [[sweepUnreferenced]] is
     * their GC. Returns `(n_live, gens_folded)`. */
   def compact(s: SparkSession, root: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     import s.implicits._
     val lines = manifestLines(root)
     val gens = lines.filter(_.startsWith("gen-"))

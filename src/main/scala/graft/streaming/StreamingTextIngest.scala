@@ -11,8 +11,10 @@ import graft.operators.TextIndex
   * must absorb them without a rebuild.
   *
   * Each micro-batch maps one-to-one onto an index generation (append
-  * postings/df/stats files, atomic manifest move), so a probe sees a
-  * batch entirely or not at all. Replay safety is the same two-case
+  * signed postings/df/stats/registry deltas, atomic manifest move —
+  * re-sent doc_ids in a batch supersede their old version exactly,
+  * see [[TextIndex]]), so a probe sees a batch entirely or not at
+  * all. Replay safety is the same two-case
   * argument: a crash BEFORE the manifest move leaves an unreferenced
   * generation dir that the replay overwrites deterministically; a
   * crash AFTER the move left the batch's `batch:stream-<id>` tag on

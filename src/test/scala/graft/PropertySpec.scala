@@ -224,6 +224,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text-index law: a RANDOM build/upsert/delete sequence serves exactly the surviving corpus at every step") {
+    // the signed-delta netting claim, exercised beyond the hand-built
+    // lifecycle fixture: after ANY interleaving of re-sends, fresh
+    // ids, and deletes, the probe equals the in-query scorer over
+    // exactly the documents that survive — bit for bit
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("vector", "hash", "stream", "join", "scan",
+      "merge", "alpha", "beta", "gamma")
+    def mkText(): String =
+      Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("graft_text_prop").toString
+    val terms = Seq("vector", "hash", "stream")
+    var corpus: Map[Long, String] =
+      (0L until 8L).map(id => id -> mkText()).toMap
+    graft.operators.TextIndex.build(corpus.toSeq.toDF("doc_id", "text"), root)
+    def checkParity(step: String): Unit = {
+      val served = graft.operators.TextIndex
+        .bm25TopkAtRoot(spark, root, terms, 10).collect().toSeq
+      val expect = graft.operators.TextAnalysis
+        .bm25TopkOf(corpus.toSeq.toDF("doc_id", "text"), terms, 10).collect().toSeq
+      assert(served == expect, s"$step: $served vs $expect")
+    }
+    for (step <- 1 to 6) {
+      if (rnd.nextBoolean() || corpus.isEmpty) {
+        // upsert: a mix of re-sends (ids already live) and fresh ids
+        val batch = (0 until 1 + rnd.nextInt(3))
+          .map(_ => rnd.nextInt(14).toLong -> mkText()).toMap
+        corpus = corpus ++ batch
+        graft.operators.TextIndex.upsert(batch.toSeq.toDF("doc_id", "text"), root)
+      } else {
+        // delete: some live, some absent (absent must no-op)
+        val ids = (0 until 1 + rnd.nextInt(3)).map(_ => rnd.nextInt(14).toLong).distinct
+        corpus = corpus -- ids
+        graft.operators.TextIndex.delete(ids.toDF("doc_id"), root)
+      }
+      checkParity(s"step $step")
+    }
+    graft.operators.TextIndex.compact(spark, root)
+    checkParity("post-compact")
+  }
+
   test("hash-sampling law: keep-sets are nested as pct grows; pct=100 keeps everything") {
     val corpus = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), col("text").as("body")).limit(200)
