@@ -427,6 +427,13 @@ object Graft {
     def ingestStream(vectors: DataFrame, root: String,
         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
       streaming.StreamingAnnIngest.ingest(vectors, root, checkpoint)
+
+    /** CDC ingestion: one stream of (op, vec_id, label, embedding)
+      * carrying upserts AND deletes — deletes apply first within a
+      * batch, exactly-once effect under replay. */
+    def cdcStream(changes: DataFrame, root: String,
+        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      streaming.StreamingAnnIngest.cdc(changes, root, checkpoint)
   }
 
   /** Ingest-gate data quality: one-pass column profiling (exact or
@@ -541,6 +548,14 @@ object Graft {
     def ingestStream(docs: DataFrame, root: String,
         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
       streaming.StreamingTextIngest.ingest(docs, root, checkpoint)
+
+    /** CDC ingestion: one stream of (op, doc_id, text) carrying
+      * document revisions AND deletions — re-sent doc_ids supersede
+      * exactly (signed deltas), deletes apply first within a batch,
+      * exactly-once effect under replay. */
+    def cdcStream(changes: DataFrame, root: String,
+        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      streaming.StreamingTextIngest.cdc(changes, root, checkpoint)
 
     /** UniMax language-budget waterfilling (Chung et al. 2023): given
       * per-language token counts from `df`, allocate each language

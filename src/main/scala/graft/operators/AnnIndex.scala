@@ -540,8 +540,12 @@ object AnnIndex {
     * pipeline that rewrites files. Running stats intentionally keep
     * the deleted mass until compaction (same drift contract as
     * re-sent upserts). Returns per-cell accounting
-    * `(cell, n_deleted)`. */
-  def delete(ids: DataFrame, root: String): DataFrame = {
+    * `(cell, n_deleted)`. `batchTag` (CDC streaming) rides the
+    * manifest publish exactly as in [[upsert]] — note an all-no-op
+    * delete publishes nothing, so its tag is not recorded (replaying
+    * it is another no-op, which is the point). */
+  def delete(ids: DataFrame, root: String,
+      batchTag: Option[String] = None): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
     val (gen, lines) = readManifest(s, root).getOrElse(
@@ -566,7 +570,8 @@ object AnnIndex {
         // manifest move — the manifest is the only publish point.
         s.read.parquet(s"$root/stats-$gen").write.mode("overwrite").parquet(s"$root/stats-$newGen")
         tombs.write.mode("overwrite").partitionBy("cell").parquet(s"$root/tombs-$newGen")
-        writeManifest(s, root, newGen, lines :+ s"tombs-$newGen")
+        writeManifest(s, root, newGen,
+          (lines :+ s"tombs-$newGen") ++ batchTag.map(t => s"batch:$t"))
         // materialize the tiny per-cell accounting from the persisted
         // frame BEFORE the finally-unpersist — a lazily-returned frame
         // would recompute the whole multi-generation resolution

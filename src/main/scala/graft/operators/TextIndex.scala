@@ -503,8 +503,11 @@ object TextIndex {
     * shape). Ids not live (absent, or already deleted) produce no
     * events, making deletes idempotent; a later re-upsert revives the
     * id. Returns `(generation, n_deleted)` accounting (generation −1
-    * for an all-no-op delete, which publishes nothing). */
-  def delete(ids: DataFrame, root: String): DataFrame = {
+    * for an all-no-op delete, which publishes nothing — so a CDC
+    * `tag` is only recorded when something published; replaying a
+    * no-op is another no-op). */
+  def delete(ids: DataFrame, root: String,
+      tag: Option[String] = None): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
     val lines = manifestLines(root)
@@ -528,7 +531,7 @@ object TextIndex {
             (-coalesce(sum(col("dl")), lit(0L))).as("s_dl")),
           victims.select(col("doc_id"), col("dl"), lit(-1).as("d")),
           s"$root/$next")
-        publish(root, lines :+ next)
+        publish(root, (lines :+ next) ++ tag.map(t => s"batch:$t"))
         Seq((next.stripPrefix("gen-").toLong, n)).toDF("generation", "n_deleted")
       }
     } finally victims.unpersist()

@@ -66,4 +66,46 @@ object StreamingAnnIngest {
         }
       }
       .start()
+
+  /** CDC ingestion — ONE stream carrying both upserts and deletes:
+    * `(op, vec_id, label, embedding)` with `op ∈ {upsert, delete}`
+    * (embedding/label null on deletes). Within a batch, deletes apply
+    * FIRST, then upserts — a vec deleted and re-sent in the same
+    * batch nets to the re-send, the CDC latest-wins convention.
+    *
+    * Replay safety extends the [[ingest]] argument: the batch tag
+    * rides the LAST publish of the batch (the upsert half when
+    * present, else the delete half). A crash between the two
+    * publishes replays the batch with no tag recorded — the delete
+    * half re-applies as a pure no-op (its victims are already dead,
+    * [[AnnIndex.delete]] is idempotent), then the upsert half applies
+    * once. A crash after the final publish replays into a
+    * `batchApplied` skip. Exactly-once EFFECT either way, and
+    * foreachBatch's serialized batches are what satisfies the
+    * one-writer-per-root manifest contract. */
+  def cdc(changes: DataFrame, root: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions.col
+        val tag = s"cdc-$id"
+        val s = batch.sparkSession
+        if (!batch.isEmpty && !AnnIndex.batchApplied(s, root, tag)) {
+          val b = batch.persist()
+          try {
+            val ups = b.filter(col("op") === "upsert")
+              .select(col("vec_id"), col("label"), col("embedding"))
+            val dels = b.filter(col("op") === "delete").select(col("vec_id"))
+            val hasUps = !ups.isEmpty
+            if (!dels.isEmpty)
+              AnnIndex.delete(dels, root, if (hasUps) None else Some(tag))
+            if (hasUps) AnnIndex.upsert(ups, root, Some(tag))
+            ()
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
 }

@@ -49,4 +49,39 @@ object StreamingTextIngest {
         }
       }
       .start()
+
+  /** CDC ingestion — one stream of `(op, doc_id, text)` with
+    * `op ∈ {upsert, delete}` (text null on deletes). Deletes apply
+    * first, then upserts (same-batch delete+re-send nets to the
+    * re-send); the batch tag rides the LAST publish, making the
+    * replay argument identical to [[StreamingAnnIngest.cdc]]'s:
+    * re-applied deletes are no-ops against already-dead ids, a
+    * tag-bearing publish makes the whole batch skip. The signed-delta
+    * upsert path handles re-sent doc_ids exactly (old postings
+    * negated), so a CDC stream of document REVISIONS is the intended
+    * workload, not just appends. */
+  def cdc(changes: DataFrame, root: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions.col
+        val tag = s"cdc-$id"
+        if (!batch.isEmpty && !TextIndex.batchApplied(root, tag)) {
+          val b = batch.persist()
+          try {
+            val ups = b.filter(col("op") === "upsert")
+              .select(col("doc_id"), col("text"))
+            val dels = b.filter(col("op") === "delete").select(col("doc_id"))
+            val hasUps = !ups.isEmpty
+            if (!dels.isEmpty)
+              TextIndex.delete(dels, root, if (hasUps) None else Some(tag))
+            if (hasUps) TextIndex.upsert(ups, root, Some(tag))
+            ()
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
 }

@@ -214,6 +214,99 @@ class StreamingSpec extends SparkSpec {
     assert(!graft.operators.AnnIndex.batchApplied(spark, root, "stream-99"))
   }
 
+  test("CDC ANN stream: mixed upserts+deletes per batch; probe == rebuild of the surviving corpus") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val base = v.filter(col("vec_id") <= 300)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-cdc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-ann-cdc-full").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-cdc-ck").toString
+    Graft.ann.build(base, "vec_id", "embedding", "label", root)
+    def ups(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Int, Array[Float])] =
+      df.select(col("vec_id"), col("label"), col("embedding"))
+        .as[(Long, Int, Array[Float])].collect().toSeq
+        .map { case (id, l, e) => ("upsert", id, l, e) }
+    def dels(ids: Long*): Seq[(String, Long, Int, Array[Float])] =
+      ids.map(id => ("delete", id, 0, Array.empty[Float]))
+    // batch 0: append 301..340, delete 100..104; batch 1: revive 102
+    // with a new label, delete 200 (deletes stay far above the frozen
+    // seed ids < 8 and the PQ training sample < 64, so the expected-
+    // corpus rebuild freezes IDENTICAL quantizers)
+    val newbies = v.filter(col("vec_id") > 300 && col("vec_id") <= 340)
+    val revived = v.filter(col("vec_id") === 102).withColumn("label", lit(99))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Int, Array[Float])]
+    val q = streaming.StreamingAnnIngest.cdc(
+      input.toDF().toDF("op", "vec_id", "label", "embedding"), root, ckpt)
+    try {
+      input.addData(ups(newbies) ++ dels(100L, 101L, 102L, 103L, 104L))
+      q.processAllAvailable()
+      input.addData(ups(revived) ++ dels(200L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = base
+      .filter(!col("vec_id").isin(100L, 101L, 102L, 103L, 104L, 200L))
+      .unionByName(newbies).unionByName(revived)
+    Graft.ann.build(expected, "vec_id", "embedding", "label", full)
+    // deleted ids are invisible, the revived one serves its new label
+    // (nprobe = all cells, so centroid drift can't hide the hit)
+    val hit102 = Graft.ann.probe(spark, root,
+      v.filter(col("vec_id") === 102L).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray, nprobe = 8, k = 3).collect()
+    assert(hit102.exists(r => r.getLong(0) == 102L && r.getInt(1) == 99))
+    // ledger checks BEFORE compaction (which deliberately drops tags)
+    assert(graft.operators.AnnIndex.batchApplied(spark, root, "cdc-0"))
+    assert(graft.operators.AnnIndex.batchApplied(spark, root, "cdc-1"))
+    assert(!graft.operators.AnnIndex.batchApplied(spark, root, "cdc-9"))
+    // compaction purges the deleted/superseded mass from the running
+    // stats; the CDC root's centroids then equal a fresh build of the
+    // surviving corpus EXACTLY (float32-in-double sums are exact, so
+    // order cannot perturb them) and the probes must match bit-for-bit
+    Graft.ann.compact(spark, root)
+    val qv = v.filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val streamed = Graft.ann.probe(spark, root, qv, nprobe = 2, k = 10).collect().toSeq
+    val rebuilt = Graft.ann.probe(spark, full, qv, nprobe = 2, k = 10).collect().toSeq
+    assert(streamed.nonEmpty && streamed == rebuilt,
+      s"CDC-ingested index diverged from surviving-corpus rebuild:\n$streamed\nvs\n$rebuilt")
+  }
+
+  test("CDC text stream: document revisions + deletions; BM25 == in-query on the surviving corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-text-cdc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-text-cdc-ck").toString
+    val v1 = Seq(
+      (1L, "vector hash stream alpha"), (2L, "vector vector beta"),
+      (3L, "hash gamma"), (4L, "stream delta"), (5L, "epsilon"),
+      (6L, "vector stream eta")).toDF("doc_id", "text")
+    graft.operators.TextIndex.build(v1, root)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val q = streaming.StreamingTextIngest.cdc(
+      input.toDF().toDF("op", "doc_id", "text"), root, ckpt)
+    try {
+      // batch 0: REVISE doc 2 (loses "vector"), add doc 7, delete doc 3
+      input.addData(Seq(("upsert", 2L, "beta beta hash"),
+        ("upsert", 7L, "vector theta"), ("delete", 3L, "")))
+      q.processAllAvailable()
+      // batch 1: delete doc 4, revive doc 3 with new text
+      input.addData(Seq(("delete", 4L, ""), ("upsert", 3L, "hash hash vector")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val surviving = Seq(
+      (1L, "vector hash stream alpha"), (2L, "beta beta hash"),
+      (3L, "hash hash vector"), (5L, "epsilon"), (6L, "vector stream eta"),
+      (7L, "vector theta")).toDF("doc_id", "text")
+    val served = Graft.text.bm25TopkAt(spark, root,
+      Seq("vector", "hash", "stream"), 10).collect().toSeq
+    val expected = graft.operators.TextAnalysis
+      .bm25TopkOf(surviving, Seq("vector", "hash", "stream"), 10).collect().toSeq
+    assert(served.nonEmpty && served == expected,
+      s"CDC text index diverged:\n$served\nvs\n$expected")
+    assert(graft.operators.TextIndex.batchApplied(root, "cdc-0"))
+    assert(graft.operators.TextIndex.batchApplied(root, "cdc-1"))
+  }
+
   test("streaming text ingest: micro-batches become generations; BM25 == in-query exactly") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
