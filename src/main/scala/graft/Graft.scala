@@ -253,6 +253,31 @@ object Graft {
 
   object similarity {
 
+    /** Reciprocal-rank fusion of N ranked candidate lists (the
+      * standard hybrid-retrieval merge — lexical + vector + whatever
+      * else): each input frame carries (idCol, rankCol) with rank
+      * starting at 1; the fused score is Σ 1/(k + rank) over the
+      * lists an id appears in, summed as exact nano-integers so 3+
+      * lists fuse partition-order-independently. Returns (id, rrf,
+      * n_lists), fused top-`topK`. Each input is typically already a
+      * serving top-k (bm25TopkIndexed / ann.probe), so the shuffle
+      * carries pool-sized frames only. */
+    def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String,
+        k: Int = 60, topK: Int = 20): DataFrame = {
+      require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+      ranked
+        .map(df => df.select(col(idCol).cast("long").as("id"),
+          col(rankCol).cast("long").as("r")))
+        .reduce(_ unionByName _)
+        .groupBy(col("id"))
+        .agg(sum(floor(lit(1e9) / (lit(k) + col("r"))).cast("long")).as("nanos"),
+          count(lit(1)).as("n_lists"))
+        .orderBy(col("nanos").desc, col("id").asc)
+        .limit(topK)
+        .select(col("id"), (col("nanos").cast("double") / lit(1e9)).as("rrf"),
+          col("n_lists"))
+    }
+
     /** Exact top-k by cosine to `query`: (id, cosine), executed as a
       * narrow scan + TakeOrderedAndProject. */
     def topK(vectors: DataFrame, idCol: String, vecCol: String,

@@ -570,6 +570,103 @@ object Multimodal {
        |        FROM documents))""".stripMargin
 
   // ----------------------------------------------------------------
+  // Decode → featurize → retrieve (the multimodal-RAG composite)
+  // ----------------------------------------------------------------
+
+  private val HistBuckets = 8
+  private val EmbedQueryDoc = 0L
+
+  /** Per-image intensity-histogram embedding from a REAL decode:
+    * every image round-trips through `ImageIO` (encode the test card,
+    * decode it back) and the 8-bucket pixel histogram comes from the
+    * DECODED raster — exact integer counts, so the embedding (and
+    * every dot product over it) is bit-reproducible and the oracle
+    * can recompute it from the closed-form pixel function. The input
+    * frame is filtered BEFORE this stage, so a 1-image query branch
+    * decodes 1 image. */
+  private def histograms(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    dims(df)
+      .select(col("doc_id"), col("width").cast("int"), col("height").cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, w, h) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(id, w, h)))
+          val r = img.getRaster
+          // float counts: ≤ 6400 pixels/image, exactly representable,
+          // and array<float> is what the native graft_dot fold takes
+          val counts = new Array[Float](HistBuckets)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              counts(r.getSample(x, y, 0) * HistBuckets / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          (id, counts)
+        }
+      }
+      .toDF("doc_id", "hist")
+  }
+
+  /** The image-retrieval composite — decode → embed → top-k, the
+    * multimodal half of a RAG pipeline wired into the similarity
+    * family: histogram embeddings from real decodes, cosine via the
+    * native `graft_dot` fold (all dot products are exact integers in
+    * double, so ordering is engine-identical), query side broadcast.
+    * At corpus scale the embedding pass is one map-side decode scan
+    * and the ranking is a broadcast join + TakeOrderedAndProject —
+    * the brute-force baseline whose scale path is the ANN index
+    * family ([[Similarity]]; feed these embeddings to
+    * [[AnnIndex.build]] for the bucketed serving form). */
+  private def mImageEmbedTopk: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val q = histograms(docs.filter(col("doc_id") === EmbedQueryDoc))
+      .select(col("hist").as("qh"),
+        expr(s"sqrt(${Similarity.foldDot("hist", "hist")})").as("qn"))
+    histograms(docs.filter(col("doc_id") =!= EmbedQueryDoc))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (expr(Similarity.foldDot("hist", "qh")) /
+          (expr(s"sqrt(${Similarity.foldDot("hist", "hist")})") * col("qn")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"),
+        expr(graft.operators.TextAnalysis.r6("cos")).as("cosine"))
+  }
+
+  private val mImageEmbedTopkSql =
+    s"""WITH d AS (SELECT doc_id, 16 + doc_id % 64 AS w,
+       |                  16 + (doc_id * 7) % 64 AS h FROM documents),
+       |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+       |px AS (SELECT doc_id, x, w, h, unnest(range(0, h)) AS y FROM xs),
+       |pv AS (SELECT doc_id,
+       |         ((x * 7 + y * 13 + doc_id * 31) % 256) * $HistBuckets // 256 AS b
+       |       FROM px),
+       |hist AS (SELECT doc_id, b, count(*) AS c FROM pv GROUP BY doc_id, b),
+       |vec AS (SELECT d.doc_id, bs.b, coalesce(h.c, 0) AS c
+       |        FROM d CROSS JOIN (SELECT unnest(range(0, $HistBuckets)) AS b) bs
+       |        LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.b = bs.b),
+       |q AS (SELECT b, c AS qc FROM vec WHERE doc_id = $EmbedQueryDoc),
+       |dots AS (SELECT v.doc_id,
+       |           sum(CAST(v.c AS DOUBLE) * qc) AS dq,
+       |           sum(CAST(v.c AS DOUBLE) * v.c) AS dd
+       |         FROM vec v JOIN q USING (b)
+       |         WHERE v.doc_id <> $EmbedQueryDoc GROUP BY v.doc_id),
+       |qn AS (SELECT sum(CAST(qc AS DOUBLE) * qc) AS qq FROM q),
+       |sc AS (SELECT doc_id, dq / (sqrt(dd) * sqrt(qq)) AS cos
+       |       FROM dots CROSS JOIN qn)
+       |SELECT doc_id, floor(cos * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM sc ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------
   // Per-partition batch decode plumbing (Dataset + mapPartitions)
   // ----------------------------------------------------------------
 
@@ -650,7 +747,8 @@ object Multimodal {
     "m_features" -> mFeatures,
     "m_audio_features" -> mAudioFeatures,
     "m_video_features" -> mVideoFeatures,
-    "m_patches" -> mPatches)
+    "m_patches" -> mPatches,
+    "m_image_embed_topk" -> mImageEmbedTopk)
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
@@ -658,5 +756,6 @@ object Multimodal {
     "m_features" -> mFeaturesSql,
     "m_audio_features" -> mAudioFeaturesSql,
     "m_video_features" -> mVideoFeaturesSql,
-    "m_patches" -> mPatchesSql)
+    "m_patches" -> mPatchesSql,
+    "m_image_embed_topk" -> mImageEmbedTopkSql)
 }

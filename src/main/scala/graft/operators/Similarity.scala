@@ -1163,6 +1163,91 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of BM25 + embeddings
+  // ----------------------------------------------------------------
+
+  private val RrfK = 60      // the standard RRF damping constant
+  private val RrfPool = 50   // per-modality candidate pool
+  private val RrfTopK = 20
+
+  /** `s_hybrid_rrf` — the production hybrid-search fusion (Cormack et
+    * al. reciprocal rank fusion, what Elasticsearch/Vespa/OpenSearch
+    * run to merge lexical and vector retrieval): rank a candidate pool
+    * per modality — BM25 over the fixed query terms (exact
+    * nano-integer totals, order-free) and cosine to the query
+    * embedding — then score every pooled doc
+    * `Σ 1/(RrfK + rank_modality)` and keep the fused top-20. Ranks
+    * come from TakeOrderedAndProject pools (the global sort never
+    * exceeds `RrfPool` rows — at corpus scale each modality's pool IS
+    * its serving top-k, e.g. [[TextIndex.bm25TopkIndexed]] and an
+    * [[AnnIndex.probe]]), and the fused score is two IEEE divisions
+    * and one fixed-order sum — engine-identical, so ordering agrees
+    * with the oracle exactly. */
+  private def sHybridRrf: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val one = Window.partitionBy(lit(0))
+    val bmTop = TextAnalysis
+      .bm25ScoredOf(Tables.documents(s, dir), TextAnalysis.Bm25Terms, exactInt = true)
+      .groupBy(col("doc_id"))
+      .agg(sum(floor(col("sc") * lit(1e9) + lit(0.5)).cast("long")).as("nanos"))
+      .orderBy(col("nanos").desc, col("doc_id").asc)
+      .limit(RrfPool)
+    val bmRank = bmTop
+      .withColumn("r_text", row_number()
+        .over(one.orderBy(col("nanos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_text"))
+    val v = withNorm(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val vecTop = v.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(RrfPool)
+    val vecRank = vecTop
+      .withColumn("r_vec", row_number()
+        .over(one.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_vec"))
+    bmRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_text"), col("r_vec"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("r_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0))).as("raw"))
+      .orderBy(col("raw").desc, col("doc_id").asc)
+      .limit(RrfTopK)
+      .select(col("doc_id"), col("r_text"), col("r_vec"),
+        expr(TextAnalysis.r6("raw")).as("rrf"))
+  }
+
+  private val sHybridRrfSql = {
+    val toks = TextAnalysis.duckTokens("coalesce(text, '')")
+    val terms = TextAnalysis.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (SELECT doc_id, CAST(len(list_filter($toks, t -> t <> '')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS s_dl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+       |       WHERE token IN ($terms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |nn AS (SELECT doc_id,
+       |         sum(CAST(floor((${TextAnalysis.bm25Sc("tf", "df", "dl", "n_docs", "s_dl")}) * 1e9 + 0.5) AS BIGINT)) AS nanos
+       |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+       |       GROUP BY doc_id),
+       |bt AS (SELECT doc_id, nanos FROM nn ORDER BY nanos DESC, doc_id LIMIT $RrfPool),
+       |br AS (SELECT doc_id, row_number() OVER (ORDER BY nanos DESC, doc_id) AS r_text FROM bt),
+       |v AS (SELECT vec_id, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v WHERE vec_id = $QueryVec),
+       |sc AS (SELECT vec_id AS doc_id, ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS cos
+       |       FROM v CROSS JOIN q WHERE vec_id <> $QueryVec),
+       |vt AS (SELECT doc_id, cos FROM sc ORDER BY cos DESC, doc_id LIMIT $RrfPool),
+       |vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec FROM vt),
+       |f AS (SELECT coalesce(br.doc_id, vr.doc_id) AS doc_id, r_text, r_vec,
+       |        coalesce(1.0 / ($RrfK + r_text), 0) + coalesce(1.0 / ($RrfK + r_vec), 0) AS raw
+       |      FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id)
+       |SELECT doc_id, r_text, r_vec, floor(raw * 1e6 + 0.5) / 1e6 AS rrf
+       |FROM f ORDER BY raw DESC, doc_id LIMIT $RrfTopK""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // LSM-index drift accounting (the "when to compact" signal)
   // ----------------------------------------------------------------
 
@@ -1764,7 +1849,8 @@ object Similarity {
     "s_kmeans" -> sKmeans,
     "s_ivf_trained" -> sIvfTrained,
     "s_centroids" -> sCentroids,
-    "s_ann_drift" -> sAnnDrift)
+    "s_ann_drift" -> sAnnDrift,
+    "s_hybrid_rrf" -> sHybridRrf)
 
   val oracles: Map[String, String] = Map(
     "s_quantized_topk" -> sQuantizedTopkSql,
@@ -1789,5 +1875,6 @@ object Similarity {
     "s_centroids" -> sCentroidsSql,
     "s_dim_reduce" -> sDimReduceSql,
     "s_mmr_rerank" -> sMmrRerankSql,
-    "s_ann_drift" -> sAnnDriftSql)
+    "s_ann_drift" -> sAnnDriftSql,
+    "s_hybrid_rrf" -> sHybridRrfSql)
 }

@@ -426,4 +426,20 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: hand-computed fusion of three ranked lists; both-list docs beat single-list ones") {
+    import spark.implicits._
+    val text = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc", "rank")
+    val vec = Seq((12L, 1L), (10L, 2L), (13L, 3L)).toDF("doc", "rank")
+    val img = Seq((10L, 1L), (13L, 2L)).toDF("doc", "rank")
+    val out = Graft.similarity.rrfFuse(Seq(text, vec, img), "doc", "rank", k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 10: ranks 1,2,1 → floor(1e9/61)+floor(1e9/62)+floor(1e9/61)
+    val s10 = (1e9 / 61).toLong * 2 + (1e9 / 62).toLong
+    assert(out.head == ((10L, s10 / 1e9, 3L)), out.mkString(","))
+    // every doc present, ordered by fused score desc then id
+    assert(out.map(_._1).toSeq == Seq(10L, 12L, 13L, 11L))
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+  }
+
 }
