@@ -466,6 +466,18 @@ object Graft {
   object quality {
     def profile(df: DataFrame, exact: Boolean = true): DataFrame =
       operators.Quality.profile(df, exact)
+
+    /** Population-stability-index drift report between two versions
+      * of a table: per column (column, n_base, n_cur, psi, drifted) —
+      * numeric columns bucket equal-width over the BASE extent,
+      * categoricals by value, PSI terms summed as exact
+      * nano-integers, alert at `alert` (0.2 = the standard
+      * significant-shift threshold). */
+    def driftPsi(base: DataFrame, cur: DataFrame, numericCols: Seq[String],
+        categoricalCols: Seq[String], buckets: Int = 10,
+        alert: Double = 0.2): DataFrame =
+      operators.Quality.driftPsi(base, cur, numericCols, categoricalCols,
+        buckets, alert)
   }
 
   object text {

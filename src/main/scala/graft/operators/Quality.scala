@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -162,14 +163,135 @@ object Quality {
        |  ) AS t(rule, n_checked, n_violations)) r""".stripMargin
 
   // ----------------------------------------------------------------
+  // Distribution drift between dataset versions (PSI)
+  // ----------------------------------------------------------------
+
+  private val DriftCutoff = "1998-01-01"
+  private val PsiBuckets = 10
+  /** The industry-standard PSI alert threshold (≥ 0.2 = significant
+    * shift), compared as exact nano-integers. */
+  private val PsiAlertNanos = 200000000L
+
+  /** `x_drift_psi` — population-stability-index drift report between
+    * two versions of a table (here: orders before/after a date cut,
+    * the daily-partition ingest shape): numeric columns bucket
+    * equal-width over the BASE extent (outside-range clamps to the
+    * edge buckets, so a shifted current version lands visibly in
+    * them), categoricals bucket by value, Laplace-smoothed
+    * frequencies, PSI = Σ (p−q)·ln(p/q).
+    *
+    * Determinism discipline: every per-bucket term is computed by the
+    * identical op sequence in both engines and summed as floored
+    * nano-integers (order-free); the alert flag compares the exact
+    * integer sum against 0.2·10⁹, so no float boundary decides it.
+    * One scan of each version fans out to the per-column bucket
+    * streams map-side; everything past the (column, bucket) count
+    * aggregate is bucket-count-sized. */
+  /** The reusable PSI core — per column `(column, n_base, n_cur, psi,
+    * drifted)` between two versions of a table. Numeric columns
+    * bucket equal-width over the BASE extent (one tiny agg per
+    * numeric column, broadcast); categoricals bucket by value. See
+    * [[xDriftPsi]] for the determinism discipline. */
+  def driftPsi(base: DataFrame, cur: DataFrame, numericCols: Seq[String],
+      categoricalCols: Seq[String], buckets: Int = PsiBuckets,
+      alert: Double = 0.2): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame = {
+      val nums = numericCols.map { c =>
+        val ext = base.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        df.crossJoin(broadcast(ext))
+          .select(lit(c).as("column"),
+            least(lit(buckets - 1), greatest(lit(0),
+              floor((col(c) - col("mn")) / (col("mx") - col("mn"))
+                * buckets).cast("int"))).cast("string").as("bucket"))
+      }
+      val cats = categoricalCols.map(c => df.select(lit(c).as("column"),
+        coalesce(col(c).cast("string"), lit("<null>")).as("bucket")))
+      (nums ++ cats).reduce(_ unionByName _)
+    }
+    val cb = bucketed(base).groupBy(col("column"), col("bucket"))
+      .agg(count(lit(1)).as("cb"))
+    val cc = bucketed(cur).groupBy(col("column"), col("bucket"))
+      .agg(count(lit(1)).as("cc"))
+    val nb = base.agg(count(lit(1)).as("nb"))
+    val nc = cur.agg(count(lit(1)).as("nc"))
+    val k = Window.partitionBy(col("column"))
+    val alertNanos = math.round(alert * 1e9)
+    cb.join(cc, Seq("column", "bucket"), "full_outer")
+      .select(col("column"), col("bucket"),
+        coalesce(col("cb"), lit(0L)).as("cb"), coalesce(col("cc"), lit(0L)).as("cc"))
+      .withColumn("kk", count(lit(1)).over(k))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nc))
+      .select(col("column"), col("nb"), col("nc"),
+        floor(((col("cb") + lit(1.0)) / (col("nb") + col("kk"))
+          - (col("cc") + lit(1.0)) / (col("nc") + col("kk")))
+          * expr("ln(((cb + 1.0) / (nb + kk)) / ((cc + 1.0) / (nc + kk)))")
+          * lit(1e9)).cast("long").as("nano"))
+      .groupBy(col("column"))
+      .agg(first(col("nb")).as("n_base"), first(col("nc")).as("n_cur"),
+        sum(col("nano")).as("nanos"))
+      .select(col("column"), col("n_base"), col("n_cur"),
+        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("psi"),
+        (col("nanos") > alertNanos).as("drifted"))
+      .orderBy(col("column"))
+  }
+
+  private def xDriftPsi: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    driftPsi(
+      o.filter(col("o_orderdate") < lit(DriftCutoff)),
+      o.filter(col("o_orderdate") >= lit(DriftCutoff)),
+      numericCols = Seq("o_totalprice"),
+      categoricalCols = Seq("o_orderstatus", "o_orderpriority"))
+  }
+
+  private val xDriftPsiSql =
+    s"""WITH base AS (SELECT * FROM orders WHERE o_orderdate < '$DriftCutoff'),
+       |cur AS (SELECT * FROM orders WHERE o_orderdate >= '$DriftCutoff'),
+       |ext AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM base),
+       |bb AS (
+       |  SELECT 'o_totalprice' AS "column",
+       |    CAST(least(${PsiBuckets - 1}, greatest(0,
+       |      CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) AS VARCHAR) AS bucket
+       |  FROM base CROSS JOIN ext
+       |  UNION ALL SELECT 'o_orderstatus', coalesce(o_orderstatus, '<null>') FROM base
+       |  UNION ALL SELECT 'o_orderpriority', coalesce(o_orderpriority, '<null>') FROM base),
+       |cb2 AS (
+       |  SELECT 'o_totalprice' AS "column",
+       |    CAST(least(${PsiBuckets - 1}, greatest(0,
+       |      CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) AS VARCHAR) AS bucket
+       |  FROM cur CROSS JOIN ext
+       |  UNION ALL SELECT 'o_orderstatus', coalesce(o_orderstatus, '<null>') FROM cur
+       |  UNION ALL SELECT 'o_orderpriority', coalesce(o_orderpriority, '<null>') FROM cur),
+       |bcnt AS (SELECT "column", bucket, count(*) AS cb FROM bb GROUP BY "column", bucket),
+       |ccnt AS (SELECT "column", bucket, count(*) AS cc FROM cb2 GROUP BY "column", bucket),
+       |j AS (SELECT coalesce(b."column", c."column") AS "column",
+       |        coalesce(b.bucket, c.bucket) AS bucket,
+       |        coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+       |      FROM bcnt b FULL OUTER JOIN ccnt c
+       |        ON b."column" = c."column" AND b.bucket = c.bucket),
+       |tot AS (SELECT (SELECT count(*) FROM base) AS nb, (SELECT count(*) FROM cur) AS nc),
+       |wk AS (SELECT *, count(*) OVER (PARTITION BY "column") AS kk FROM j),
+       |terms AS (SELECT "column", nb, nc,
+       |    CAST(floor(((cb + 1.0) / (nb + kk) - (cc + 1.0) / (nc + kk))
+       |      * ln(((cb + 1.0) / (nb + kk)) / ((cc + 1.0) / (nc + kk)))
+       |      * 1e9) AS BIGINT) AS nano
+       |  FROM wk CROSS JOIN tot)
+       |SELECT "column", nb AS n_base, nc AS n_cur,
+       |       floor((CAST(sum(nano) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS psi,
+       |       sum(nano) > $PsiAlertNanos AS drifted
+       |FROM terms GROUP BY "column", nb, nc ORDER BY "column"""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "x_profile" -> xProfile,
     "x_profile_approx" -> xProfileApprox,
-    "x_expectations" -> xExpectations)
+    "x_expectations" -> xExpectations,
+    "x_drift_psi" -> xDriftPsi)
 
   val oracles: Map[String, String] = Map(
     "x_profile" -> xProfileSql,
     "x_profile_approx" -> xProfileApproxSql,
-    "x_expectations" -> xExpectationsSql)
+    "x_expectations" -> xExpectationsSql,
+    "x_drift_psi" -> xDriftPsiSql)
 }

@@ -426,6 +426,25 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("driftPsi: identical versions read zero; planted numeric+categorical shifts trip the alert") {
+    import spark.implicits._
+    val base = (0 until 1000).map(i =>
+      (i.toLong, (i % 4).toDouble, if (i % 2 == 0) "a" else "b")).toDF("id", "x", "c")
+    val out0 = Graft.quality.driftPsi(base, base, Seq("x"), Seq("c")).collect()
+    assert(out0.length == 2)
+    assert(out0.forall(r => !r.getBoolean(4) && r.getDouble(3) == 0.0),
+      out0.mkString(","))
+    // shifted version: x moves up past the base extent (clamps into the
+    // top bucket), c collapses from 50/50 to 90/10
+    val shifted = (0 until 1000).map(i =>
+      (i.toLong, (i % 4).toDouble + 2.5, if (i % 10 == 0) "b" else "a"))
+      .toDF("id", "x", "c")
+    val out1 = Graft.quality.driftPsi(base, shifted, Seq("x"), Seq("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out1("x").getBoolean(4) && out1("x").getDouble(3) > 0.2)
+    assert(out1("c").getBoolean(4) && out1("c").getDouble(3) > 0.2)
+  }
+
   test("rrfFuse: hand-computed fusion of three ranked lists; both-list docs beat single-list ones") {
     import spark.implicits._
     val text = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc", "rank")
