@@ -989,6 +989,214 @@ object RelationalExt {
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
       |LIMIT 20""".stripMargin
 
+  /** Q2 shape: the minimum-cost supplier per part — TPC-H's correlated
+    * MIN subquery decorrelated into an aggregate joined back on an
+    * EXACT equality (min over identical per-row doubles, so the winner
+    * test has no float-boundary hazard). The schema has no partsupp
+    * table, so observed unit price (l_extendedprice / l_quantity)
+    * plays supply cost — same shape, same plan. */
+  private def q2MinCostSupplier: Q = (s, dir) => {
+    val parts = Tables.part(s, dir).filter(col("p_size") < 10).select(col("p_partkey"))
+    val pc = Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .groupBy(col("l_partkey"), col("l_suppkey")).agg(min(col("unit")).as("uc"))
+    val mn = pc.groupBy(col("l_partkey")).agg(min(col("uc")).as("mc"))
+    pc.join(mn, Seq("l_partkey")).filter(col("uc") === col("mc"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"), col("s_name"),
+        expr(TextAnalysis.r6("uc")).as("unit_cost"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+      .limit(25)
+  }
+
+  private val q2MinCostSupplierSql =
+    """WITH pc AS (SELECT l_partkey, l_suppkey,
+      |              min(l_extendedprice / l_quantity) AS uc
+      |            FROM lineitem JOIN part ON p_partkey = l_partkey
+      |            WHERE p_size < 10 GROUP BY l_partkey, l_suppkey),
+      |mn AS (SELECT l_partkey, min(uc) AS mc FROM pc GROUP BY l_partkey)
+      |SELECT pc.l_partkey AS p_partkey, s_suppkey, s_name,
+      |       floor(uc * 1e6 + 0.5) / 1e6 AS unit_cost
+      |FROM pc JOIN mn ON pc.l_partkey = mn.l_partkey AND uc = mc
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |ORDER BY p_partkey, s_suppkey LIMIT 25""".stripMargin
+
+  /** Q8 shape: a nation's market share inside one region's orders per
+    * year — the two-sided dim pattern (customer nation restricted to
+    * the region, supplier nation measured) with the share as two
+    * DECIMAL-exact sums and one double division. */
+  private def q8MarketShare: Q = (s, dir) => {
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    val asiaCust = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(expr(s"CASE WHEN supp_nation = 'NATION_2' THEN $dp ELSE 0 END")).as("nat"),
+        sum(expr(dp)).as("tot"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year").cast("long").as("o_year"),
+        expr(TextAnalysis.r6("CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE)")).as("mkt_share"),
+        col("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q8MarketShareSql = {
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  floor((CAST(sum(CASE WHEN sn.n_name = 'NATION_2' THEN $dp ELSE 0 END) AS DOUBLE)
+       |         / CAST(sum($dp) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mkt_share,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation cn ON cn.n_nationkey = c_nationkey
+       |JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation sn ON sn.n_nationkey = s_nationkey
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+  }
+
+  /** Q9 shape: product-line profit by supplier nation and year — the
+    * widest join tree in TPC-H (lineitem + orders + part + supplier +
+    * nation) with a LIKE filter on the part name. No partsupp table:
+    * cost is 0.1·p_retailprice per unit (a DECIMAL-exact proxy that
+    * keeps the revenue-minus-cost aggregate shape). */
+  private def q9ProductProfit: Q = (s, dir) => {
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    val cost = "CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1))"
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").like("%gear%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(expr(s"$dp - ($cost)")).as("profit_raw"), count(lit(1)).as("n_lines"))
+      .select(col("nation"), col("o_year").cast("long").as("o_year"),
+        expr(TextAnalysis.r6("CAST(profit_raw AS DOUBLE)")).as("profit"),
+        col("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9ProductProfitSql = {
+    val dp = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    val cost = "CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1))"
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  floor(CAST(sum($dp - ($cost)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS profit,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gear%'
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |GROUP BY n_name, o_year ORDER BY nation, o_year DESC""".stripMargin
+  }
+
+  /** Q11 shape: "important stock" — keep the parts whose flow value
+    * exceeds a fraction of the global total (the scalar-subquery
+    * HAVING). The threshold compares `value · 1000 > total` in exact
+    * DECIMAL — no float boundary anywhere in the cut. */
+  private def q11ImportantStock: Q = (s, dir) => {
+    val value = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("value"))
+    val total = value.agg(sum(col("value")).as("total"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value") * 1000 > col("total"))
+      .select(col("l_partkey"),
+        expr(TextAnalysis.r6("CAST(value AS DOUBLE)")).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+      .limit(25)
+  }
+
+  private val q11ImportantStockSql =
+    """WITH v AS (SELECT l_partkey,
+      |             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      |           FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT sum(value) AS total FROM v)
+      |SELECT l_partkey, floor(CAST(value AS DOUBLE) * 1e6 + 0.5) / 1e6 AS part_value
+      |FROM v CROSS JOIN t
+      |WHERE value * 1000 > total
+      |ORDER BY value DESC, l_partkey LIMIT 25""".stripMargin
+
+  /** Q12 shape: shipping-delay buckets vs order priority — the
+    * CASE-aggregation-over-join query. No l_shipmode column: the
+    * bucket is shipping LATENESS (ship > order + 60 days), which
+    * keeps the exact two-bucket × priority-split contract with pure
+    * integer-day arithmetic. */
+  private def q12ShipPriority: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "late")
+        .otherwise("ontime").as("ship_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("ship_bucket"))
+
+  private val q12ShipPrioritySql =
+    """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+      |            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY ship_bucket ORDER BY ship_bucket""".stripMargin
+
+  /** Q20 shape: dominant suppliers — suppliers who shipped more than
+    * a tenth of a part family's total flow (the nested partsupp
+    * excess-quantity predicate re-expressed over observed flow — in
+    * this corpus suppliers per part are ~27, so a 10% share is a
+    * strong concentration signal and the result is non-degenerate).
+    * The cut is `10·supplier_qty > part_total` in exact DECIMAL. */
+  private def q20ExcessSuppliers: Q = (s, dir) => {
+    val flow = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_size") <= 3).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).as("sqty"))
+    val totals = flow.groupBy(col("l_partkey")).agg(sum(col("sqty")).as("ptotal"))
+    flow.join(totals, Seq("l_partkey"))
+      .filter(col("sqty") * 10 > col("ptotal"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts_major"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts_major"))
+      .orderBy(col("n_parts_major").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  private val q20ExcessSuppliersSql =
+    """WITH flow AS (SELECT l_partkey, l_suppkey,
+      |                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sqty
+      |              FROM lineitem JOIN part ON p_partkey = l_partkey
+      |              WHERE p_size <= 3 GROUP BY l_partkey, l_suppkey),
+      |tot AS (SELECT l_partkey, sum(sqty) AS ptotal FROM flow GROUP BY l_partkey)
+      |SELECT s_suppkey, s_name, n_parts_major
+      |FROM (SELECT f.l_suppkey, count(*) AS n_parts_major
+      |      FROM flow f JOIN tot t ON f.l_partkey = t.l_partkey
+      |      WHERE sqty * 10 > ptotal GROUP BY f.l_suppkey)
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |ORDER BY n_parts_major DESC, s_suppkey LIMIT 25""".stripMargin
+
   /** A14: winsorized per-group aggregates — outlier-robust means via
     * exact order-statistic clipping at p05/p95. The cut ranks are pure
     * integer arithmetic (⌈n/20⌉ = (n+19) div 20 — no float percentile
@@ -1056,12 +1264,18 @@ object RelationalExt {
     "q13_customer_distribution" -> q13CustomerDistribution,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q22_idle_customers" -> q22IdleCustomers,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q4_order_priority" -> q4OrderPriority,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q14_promo_effect" -> q14PromoEffect,
     "q15_top_supplier" -> q15TopSupplier,
     "q16_parts_supplier" -> q16PartsSupplier,
     "q19_disjunctive_pred" -> q19DisjunctivePred,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_stock" -> q11ImportantStock,
+    "q12_ship_priority" -> q12ShipPriority,
+    "q20_excess_suppliers" -> q20ExcessSuppliers,
     "a14_winsorize" -> a14Winsorize,
     "a8_approx_stats" -> a8ApproxStats,
     "w4_window_funcs" -> w4WindowFuncs,
@@ -1092,12 +1306,18 @@ object RelationalExt {
     "q13_customer_distribution" -> q13CustomerDistributionSql,
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q22_idle_customers" -> q22IdleCustomersSql,
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q14_promo_effect" -> q14PromoEffectSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q16_parts_supplier" -> q16PartsSupplierSql,
     "q19_disjunctive_pred" -> q19DisjunctivePredSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_product_profit" -> q9ProductProfitSql,
+    "q11_important_stock" -> q11ImportantStockSql,
+    "q12_ship_priority" -> q12ShipPrioritySql,
+    "q20_excess_suppliers" -> q20ExcessSuppliersSql,
     "a14_winsorize" -> a14WinsorizeSql,
     "a9_percentiles" -> a9PercentilesSql,
     "a10_histogram" -> a10HistogramSql,
