@@ -234,6 +234,20 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(dup.count() == 3 && dup.select("node").distinct().count() == 3)
   }
 
+  test("m_image_embed_topk: 10 ranked neighbours, decoded-histogram cosines in (0,1], query absent") {
+    val out = Multimodal.queries("m_image_embed_topk")(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getDouble(1) > 0.0 && r.getDouble(1) <= 1.0),
+      out.mkString(","))
+    assert(!out.exists(_.getLong(0) == 0L))
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(1) > b.getDouble(1) ||
+          (a.getDouble(1) == b.getDouble(1) && a.getLong(0) < b.getLong(0)))
+      case _ => ()
+    }
+  }
+
   test("m_patches: grid size matches header dims; edge patches clipped, inner patches full") {
     val out = Multimodal.queries("m_patches")(spark, sf)
     val meta = Multimodal.queries("m_binary_meta")(spark, sf)
