@@ -104,6 +104,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("documents.parquet"), p)
   }
 
+  test("q6: the whole predicate reaches the lineitem scan; no join operator at all") {
+    val p = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the PushedFilters list is truncated in toString — assert its
+    // head plus the full predicate at the post-scan Filter (expr ids
+    // vary, hence the regexes)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert("l_discount#\\d+ >= 0\\.05".r.findFirstIn(p).isDefined, p)
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q8: the five-table market-share tree plans as broadcast joins only") {
+    val p = SparkEntry.queries("q8_market_share")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("t_bm25_batch: postings partitions pruned DYNAMICALLY by the query-frame join") {
     val q = SparkEntry.queries("t_bm25_batch")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
