@@ -1197,6 +1197,77 @@ object RelationalExt {
       |JOIN supplier ON s_suppkey = l_suppkey
       |ORDER BY n_parts_major DESC, s_suppkey LIMIT 25""".stripMargin
 
+  /** A15: explicit GROUPING SETS with a portable grouping id — the
+    * general form rollup/cube are sugar over: three chosen grains in
+    * ONE pass (Expand), the grain tagged by
+    * `2·grouping(status) + grouping(priority)` (computed the same way
+    * in both engines — DuckDB's GROUPING_ID bit order is not worth
+    * depending on). */
+  private def a15GroupingSets: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  private val a15GroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** W5: the full rank-function family over one partition-ordered
+    * window — rank/dense_rank (gaps vs no gaps under ties),
+    * percent_rank and cume_dist (exact small-integer ratios, floor-
+    * rounded portably), ntile (integer quartiles). Top-5 per
+    * priority by row_number keeps the output bounded; ONE shuffle on
+    * the partition key serves all six functions. */
+  private def w5RankFamily: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("rnk"), col("drnk"),
+        expr(TextAnalysis.r6("pr")).as("pct_rank"),
+        expr(TextAnalysis.r6("cd")).as("cume_dist"),
+        col("quartile"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private val w5RankFamilySql =
+    """SELECT o_orderpriority, rn, o_orderkey, rnk, drnk,
+      |  floor(pr * 1e6 + 0.5) / 1e6 AS pct_rank,
+      |  floor(cd * 1e6 + 0.5) / 1e6 AS cume_dist,
+      |  quartile
+      |FROM (SELECT o_orderpriority, o_orderkey,
+      |        CAST(row_number() OVER w AS BIGINT) AS rn,
+      |        CAST(rank() OVER w AS BIGINT) AS rnk,
+      |        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |        percent_rank() OVER w AS pr,
+      |        cume_dist() OVER w AS cd,
+      |        CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |      FROM orders
+      |      WINDOW w AS (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 5
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
   /** A14: winsorized per-group aggregates — outlier-robust means via
     * exact order-statistic clipping at p05/p95. The cut ranks are pure
     * integer arithmetic (⌈n/20⌉ = (n+19) div 20 — no float percentile
@@ -1277,6 +1348,8 @@ object RelationalExt {
     "q12_ship_priority" -> q12ShipPriority,
     "q20_excess_suppliers" -> q20ExcessSuppliers,
     "a14_winsorize" -> a14Winsorize,
+    "a15_grouping_sets" -> a15GroupingSets,
+    "w5_rank_family" -> w5RankFamily,
     "a8_approx_stats" -> a8ApproxStats,
     "w4_window_funcs" -> w4WindowFuncs,
     "f_dates" -> fDates,
@@ -1319,6 +1392,8 @@ object RelationalExt {
     "q12_ship_priority" -> q12ShipPrioritySql,
     "q20_excess_suppliers" -> q20ExcessSuppliersSql,
     "a14_winsorize" -> a14WinsorizeSql,
+    "a15_grouping_sets" -> a15GroupingSetsSql,
+    "w5_rank_family" -> w5RankFamilySql,
     "a9_percentiles" -> a9PercentilesSql,
     "a10_histogram" -> a10HistogramSql,
     "a11_corr_regr" -> a11CorrRegrSql,

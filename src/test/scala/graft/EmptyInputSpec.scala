@@ -36,6 +36,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(Graft.similarity.nearestInBucket(emptyVecs, "vid", "vec").count() == 0)
   }
 
+  test("r10 ops on empty inputs: batch probe, rrf fuse, drift-psi vs an empty version") {
+    import spark.implicits._
+    val emptyQ = Seq.empty[(Long, String)].toDF("query_id", "term")
+    assert(Graft.text.bm25TopkBatch(spark, sf, emptyQ, 5).count() == 0)
+    val emptyRank = Seq.empty[(Long, Long)].toDF("doc", "rank")
+    assert(Graft.similarity.rrfFuse(Seq(emptyRank), "doc", "rank").count() == 0)
+    // drift against an EMPTY current version must report, not crash
+    val base = Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("id", "x", "c")
+    val out = Graft.quality.driftPsi(base, base.limit(0), Seq("x"), Seq("c")).collect()
+    assert(out.length == 2 && out.forall(_.getLong(2) == 0L), out.mkString(","))
+  }
+
   test("bm25 on an empty corpus: empty top-k, no exceptions") {
     assert(Graft.text.bm25Topk(emptyDocs, "id", "body", Seq("a", "b"), 5).count() == 0)
   }
