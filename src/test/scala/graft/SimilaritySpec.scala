@@ -568,4 +568,57 @@ class SimilaritySpec extends SparkSpec {
     assert(dflt.exceptAll(harness).count() == 0 && harness.exceptAll(dflt).count() == 0)
   }
 
+  test("ann index law: a RANDOM upsert/delete sequence, compacted, probes equal a fresh build of the survivors") {
+    // the text index got this law in r10 (PropertySpec); the ANN twin:
+    // ANY interleaving of label re-sends, fresh appends, and deletes —
+    // once compacted (which purges the running-stats drift the re-sends
+    // and deletes accumulate) — must probe identically to an index
+    // built from scratch on exactly the surviving rows. Mutated ids
+    // stay >= 64 so the frozen seeds (< 8) and the PQ founding sample
+    // (< 64) are bit-identical on both sides, which is what makes the
+    // equality exact rather than approximate.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val v = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-rand").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-ann-rand-full").toString
+    Graft.ann.build(v.filter(col("vec_id") <= 200), "vec_id", "embedding", "label", root)
+    // expected state: id -> Some(labelOverride) (live) / absent (dead)
+    var state: Map[Long, Option[Int]] =
+      (0L to 200L).map(_ -> Option.empty[Int]).toMap
+    for (step <- 1 to 5) {
+      if (rnd.nextBoolean()) {
+        val ids = (0 until 2 + rnd.nextInt(3))
+          .map(_ => 64L + rnd.nextInt(237)).distinct // 64..300: re-sends + appends
+        val batch = v.filter(col("vec_id").isin(ids.map(Long.box): _*))
+          .withColumn("label", lit(1000 + step))
+        Graft.ann.upsert(batch, "vec_id", "embedding", "label", root)
+        state = state ++ ids.map(_ -> Some(1000 + step))
+      } else {
+        val ids = (0 until 1 + rnd.nextInt(3))
+          .map(_ => 64L + rnd.nextInt(187)).distinct // 64..250: live or absent
+        Graft.ann.delete(ids.toDF("vec_id"), root)
+        state = state -- ids
+      }
+    }
+    Graft.ann.compact(spark, root)
+    val overrides = state.collect { case (id, Some(l)) => (id, l) }.toSeq
+      .toDF("vec_id", "lbl")
+    val survivors = v.filter(col("vec_id").isin(state.keys.toSeq.map(Long.box): _*))
+      .join(overrides, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("label")).as("label"),
+        col("embedding"))
+    Graft.ann.build(survivors, "vec_id", "embedding", "label", full)
+    for (qid <- Seq(0L, 100L, 250L)) {
+      val q = v.filter(col("vec_id") === qid).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      val a = Graft.ann.probe(spark, root, q, nprobe = 2, k = 10).collect().toSeq
+      val b = Graft.ann.probe(spark, full, q, nprobe = 2, k = 10).collect().toSeq
+      assert(a == b, s"query $qid diverged:\n$a\nvs\n$b")
+      val aa = Graft.ann.probeAdc(spark, root, q, nprobe = 2, k = 10).collect().toSeq
+      val bb = Graft.ann.probeAdc(spark, full, q, nprobe = 2, k = 10).collect().toSeq
+      assert(aa == bb, s"ADC query $qid diverged:\n$aa\nvs\n$bb")
+    }
+  }
+
 }
