@@ -204,17 +204,90 @@ object Sampling {
        |        ${PortableHash.duckPolyHash("text")} % 100 AS split_band
        |      FROM documents)""".stripMargin
 
+  // ---- UniMax-ENFORCED sampling: the budgets drive the sampler ----
+
+  /** p13: UniMax budgets APPLIED — the waterfilled per-language token
+    * allocations (`t_unimax`) become the actual budgets of the
+    * hash-ordered token-prefix sampler (`p12`'s discipline), closing
+    * the loop from budget REPORT to enforced training MIXTURE. Per
+    * language the kept set is the deterministic hash-order prefix
+    * whose running token sum stays within ⌊allocated⌋; the output is
+    * the per-language accounting (docs kept, tokens kept, budget —
+    * tokens_kept ≤ budget_tokens by construction). One corpus scan
+    * plus one lang-key window; the budget frame is |languages|-sized
+    * and broadcast. Token counts use the SAME tokenizer as the
+    * allocation (unimax's), so budget and consumption measure one
+    * thing. */
+  private def p13UnimaxSample: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      .withColumn("ntok",
+        size(filter(TextAnalysis.tokens(col("text")), t => t =!= "")).cast("long"))
+    val budgets = TextAnalysis.unimaxOf(
+        docs.groupBy(col("lang")).agg(sum(col("ntok")).as("c")),
+        e = 2L, bNum = 8L, bDen = 5L)
+      .select(col("lang"), floor(col("allocated")).cast("long").as("budget_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(call_function("graft_polyhash", col("text")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("cum", sum(col("ntok")).over(w))
+      .join(broadcast(budgets), "lang")
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("ntok")).as("tokens_kept"),
+        first(col("budget_tokens")).as("budget_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val p13UnimaxSampleSql = {
+    val toks = TextAnalysis.duckTokens("coalesce(text, '')")
+    val alloc = TextAnalysis.r6("CASE WHEN k <= kstar THEN CAST(2 * c AS DOUBLE) " +
+      "ELSE CAST(b - 2 * pstar AS DOUBLE) / (n - kstar) END")
+    s"""WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text,
+       |             CAST(len(list_filter($toks, t -> t <> ''))
+       |               AS BIGINT) AS ntok
+       |           FROM documents),
+       |c AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS c FROM d GROUP BY lang),
+       |ranked AS (SELECT lang, c,
+       |    CAST(row_number() OVER (ORDER BY c, lang) AS BIGINT) AS k,
+       |    sum(c) OVER (ORDER BY c, lang ROWS UNBOUNDED PRECEDING) AS p
+       |  FROM c),
+       |stats AS (SELECT count(*) AS n, (8 * sum(c)) // 5 AS b FROM c),
+       |flags AS (SELECT k, p FROM ranked CROSS JOIN stats
+       |          WHERE 2 * c * (n - k) <= b - 2 * p),
+       |kstar AS (SELECT coalesce(max(k), 0) AS kstar,
+       |                 coalesce(max(p), 0) AS pstar FROM flags),
+       |alloc AS (SELECT lang, CAST(floor($alloc) AS BIGINT) AS budget_tokens
+       |          FROM ranked CROSS JOIN stats CROSS JOIN kstar),
+       |cum AS (SELECT doc_id, lang, ntok,
+       |          CAST(sum(ntok) OVER (PARTITION BY lang
+       |            ORDER BY ${PortableHash.duckPolyHash("text")}, doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |        FROM d)
+       |SELECT lang, count(*) AS n_docs_kept,
+       |       CAST(sum(ntok) AS BIGINT) AS tokens_kept,
+       |       CAST(max(budget_tokens) AS BIGINT) AS budget_tokens
+       |FROM cum JOIN alloc USING (lang)
+       |WHERE cum <= budget_tokens
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "p8_hash_sample" -> p8HashSample,
     "p9_stratified_sample" -> p9StratifiedSample,
     "p10_quota_sample" -> p10QuotaSample,
     "p11_split" -> p11Split,
-    "p12_token_budget" -> p12TokenBudget)
+    "p12_token_budget" -> p12TokenBudget,
+    "p13_unimax_sample" -> p13UnimaxSample)
 
   val oracles: Map[String, String] = Map(
     "p8_hash_sample" -> p8HashSampleSql,
     "p9_stratified_sample" -> p9StratifiedSampleSql,
     "p10_quota_sample" -> p10QuotaSampleSql,
     "p11_split" -> p11SplitSql,
-    "p12_token_budget" -> p12TokenBudgetSql)
+    "p12_token_budget" -> p12TokenBudgetSql,
+    "p13_unimax_sample" -> p13UnimaxSampleSql)
 }

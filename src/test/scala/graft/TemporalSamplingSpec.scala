@@ -257,6 +257,27 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(full.toSeq == Seq(("a", 4.0, 2.0), ("b", 8.0, 2.0)))
   }
 
+  test("p13: unimax-enforced sampler stays within every language budget; capped languages keep their whole corpus") {
+    val out = Sampling.queries("p13_unimax_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    // never over budget
+    out.values.foreach { case (_, kept, budget) => assert(kept <= budget) }
+    // a language whose budget covers its whole corpus (the E-epoch
+    // capped ones: budget = 2·c ≥ c) must keep every document
+    val totals = Tables.documents(spark, sf)
+      .select(col("lang"),
+        size(filter(split(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[\\p{Punct} ]+", " "), " "), t => t =!= "")).cast("long").as("ntok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd"), sum(col("ntok")).as("nt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    totals.foreach { case (lang, (nd, nt)) =>
+      val (kept, tokens, budget) = out(lang)
+      if (budget >= nt) assert(kept == nd && tokens == nt, s"$lang under-sampled")
+    }
+  }
+
   test("bm25 oracle query: 20 ranked rows, totals = sum of per-term parts, scores positive") {
     val out = TextAnalysis.queries("t_bm25")(spark, sf).collect()
     assert(out.length == 20)
