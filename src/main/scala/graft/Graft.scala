@@ -559,8 +559,9 @@ object Graft {
 
     /** GC unreferenced generation dirs past a grace window; returns
       * the deleted names. */
-    def bm25IndexSweep(root: String, graceMs: Long = 30L * 60 * 1000): Seq[String] =
-      operators.TextIndex.sweepUnreferenced(root, graceMs)
+    def bm25IndexSweep(spark: SparkSession, root: String,
+        graceMs: Long = 30L * 60 * 1000): Seq[String] =
+      operators.TextIndex.sweepUnreferenced(spark, root, graceMs)
 
     /** Per-bucket postings-bloat accounting (physical rows vs
       * net-live postings — the text "when to compact" signal). */

@@ -52,9 +52,12 @@ import org.apache.spark.sql.functions._
   *                    published with an ATOMIC temp-file move (the
   *                    [[Similarity.cachedIndex]] discipline): readers
   *                    resolve the index through it and never observe a
-  *                    half-written generation. Concurrent upserters
-  *                    race at the manifest (last move wins whole);
-  *                    serialize upserts externally.
+  *                    half-written generation. Writers serialize on
+  *                    the root's [[PublishLock]] (held across
+  *                    read-manifest → write-gen → publish, so
+  *                    interleaved upserts BOTH land); the post-publish
+  *                    read-back stays as the backstop against a
+  *                    lock-bypassing writer.
   *
   * Centroid exactness holds under pure APPENDS (all-new vec_ids — the
   * spec-pinned case). A re-sent vec_id is still served correctly
@@ -241,6 +244,7 @@ object AnnIndex {
   def build(vectors: DataFrame, root: String, cells: Int = 8): Unit = {
     val s = vectors.sparkSession
     org.apache.spark.sql.graft.GraftFunctions.register(s)
+    PublishLock.withLock(s, root) {
     val v = withNorm(vectors.select(col("vec_id").cast("long").as("vec_id"),
       col("label"), col("embedding")))
     // fail fast on a geometry the frozen PQ template cannot encode: a
@@ -267,6 +271,7 @@ object AnnIndex {
       statsOf(a).write.mode("overwrite").parquet(s"$root/stats-0")
     } finally a.unpersist()
     writeManifest(s, root, 0L, Seq(s"dim:$dim", "data-0"))
+    }
   }
 
   /** Append a batch: assign against the STORED seeds, write the next
@@ -297,6 +302,7 @@ object AnnIndex {
       batchTag: Option[String] = None): DataFrame = {
     val s = batch.sparkSession
     org.apache.spark.sql.graft.GraftFunctions.register(s)
+    PublishLock.withLock(s, root) {
     val (gen, lines) = readManifest(s, root).getOrElse(
       throw new IllegalStateException(s"no ANN index published at $root — build() first"))
     val newGen = gen + 1
@@ -351,15 +357,18 @@ object AnnIndex {
           col("n_after"))
         .orderBy(col("cell"))
     } finally b.unpersist()
+    }
   }
 
   /** Has a batch with this tag already been applied at `root`? The
     * streaming-replay idempotence check — tags live in the manifest,
     * so the answer is consistent with whatever generation a reader
-    * resolves. (Compaction clears tags; `foreachBatch` only ever
-    * replays the most recent batch, and compacting concurrently with
-    * an active ingest stream is excluded by the class doc's
-    * serialize-writers rule.) */
+    * resolves. Tags SURVIVE [[compact]] (they are tiny manifest
+    * lines): the policy loops ([[compactIfDrifted]]) are documented to
+    * run in-cadence with an ingest stream, and a compaction landing
+    * between a streamed batch's publish and its checkpoint commit
+    * must not erase the tag — a crash replay of that batch would
+    * re-apply it and double-merge its rows and stats. */
   private[graft] def batchApplied(s: SparkSession, root: String, tag: String): Boolean =
     readManifest(s, root).exists(_._2.contains(s"batch:$tag"))
 
@@ -548,6 +557,7 @@ object AnnIndex {
       batchTag: Option[String] = None): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
+    PublishLock.withLock(s, root) {
     val (gen, lines) = readManifest(s, root).getOrElse(
       throw new IllegalStateException(s"no ANN index published at $root — build() first"))
     val newGen = gen + 1
@@ -581,6 +591,7 @@ object AnnIndex {
           .toDF("cell", "n_deleted")
       }
     } finally tombs.unpersist()
+    }
   }
 
   /** Per-cell drift accounting — the "when to compact" signal the
@@ -701,6 +712,7 @@ object AnnIndex {
     * manifest. Returns per-cell `(cell, n_live, gens_folded)`. */
   def compact(s: SparkSession, root: String): DataFrame = {
     import s.implicits._
+    PublishLock.withLock(s, root) {
     val (gen, lines) = readManifest(s, root).getOrElse(
       throw new IllegalStateException(s"no ANN index published at $root — build() first"))
     val newGen = gen + 1
@@ -719,10 +731,12 @@ object AnnIndex {
         .withColumn("gen", lit(newGen))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
       statsOf(live).write.mode("overwrite").parquet(s"$root/stats-$newGen")
-      // the dim metadata survives compaction; batch tags are
-      // deliberately dropped (see batchApplied)
+      // the dim metadata AND the batch: idempotence-ledger lines
+      // survive compaction (see batchApplied — an in-cadence policy
+      // compaction must not let a replayed batch re-apply)
       writeManifest(s, root, newGen,
-        lines.filter(_.startsWith("dim:")) :+ s"data-$newGen")
+        lines.filter(l => l.startsWith("dim:") || l.startsWith("batch:"))
+          :+ s"data-$newGen")
       // materialized accounting (see delete) — the returned frame must
       // not re-run the full resolution after the unpersist below
       live.groupBy(col("cell")).agg(count(lit(1)).as("n_live"))
@@ -731,5 +745,6 @@ object AnnIndex {
           dataDirs.length.toLong + tombDirs.length)).toSeq
         .toDF("cell", "n_live", "gens_folded")
     } finally live.unpersist()
+    }
   }
 }

@@ -198,11 +198,17 @@ object Quality {
     def bucketed(df: DataFrame): DataFrame = {
       val nums = numericCols.map { c =>
         val ext = base.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        // degenerate-extent guard (null-safe): a constant base column
+        // (mx = mn) or an EMPTY base (both null) would divide by zero —
+        // 0/0 → null buckets, where Spark's null-skipping greatest and
+        // DuckDB's null-propagating one diverge. Everything lands in
+        // bucket 0 instead, mirrored verbatim in the oracle SQL.
         df.crossJoin(broadcast(ext))
           .select(lit(c).as("column"),
-            least(lit(buckets - 1), greatest(lit(0),
-              floor((col(c) - col("mn")) / (col("mx") - col("mn"))
-                * buckets).cast("int"))).cast("string").as("bucket"))
+            when(col("mx") <=> col("mn"), lit(0))
+              .otherwise(least(lit(buckets - 1), greatest(lit(0),
+                floor((col(c) - col("mn")) / (col("mx") - col("mn"))
+                  * buckets).cast("int")))).cast("string").as("bucket"))
       }
       val cats = categoricalCols.map(c => df.select(lit(c).as("column"),
         coalesce(col(c).cast("string"), lit("<null>")).as("bucket")))
@@ -250,15 +256,17 @@ object Quality {
        |ext AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM base),
        |bb AS (
        |  SELECT 'o_totalprice' AS "column",
-       |    CAST(least(${PsiBuckets - 1}, greatest(0,
-       |      CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) AS VARCHAR) AS bucket
+       |    CAST(CASE WHEN mx IS NOT DISTINCT FROM mn THEN 0
+       |      ELSE least(${PsiBuckets - 1}, greatest(0,
+       |        CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) END AS VARCHAR) AS bucket
        |  FROM base CROSS JOIN ext
        |  UNION ALL SELECT 'o_orderstatus', coalesce(o_orderstatus, '<null>') FROM base
        |  UNION ALL SELECT 'o_orderpriority', coalesce(o_orderpriority, '<null>') FROM base),
        |cb2 AS (
        |  SELECT 'o_totalprice' AS "column",
-       |    CAST(least(${PsiBuckets - 1}, greatest(0,
-       |      CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) AS VARCHAR) AS bucket
+       |    CAST(CASE WHEN mx IS NOT DISTINCT FROM mn THEN 0
+       |      ELSE least(${PsiBuckets - 1}, greatest(0,
+       |        CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) END AS VARCHAR) AS bucket
        |  FROM cur CROSS JOIN ext
        |  UNION ALL SELECT 'o_orderstatus', coalesce(o_orderstatus, '<null>') FROM cur
        |  UNION ALL SELECT 'o_orderpriority', coalesce(o_orderpriority, '<null>') FROM cur),

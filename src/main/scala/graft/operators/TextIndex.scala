@@ -111,10 +111,10 @@ object TextIndex {
     Similarity.cachedIndex(s, dir, "text", TextIndexVersion, "documents.parquet") { path =>
       writeGen(Tables.documents(s, dir), path)
       // one _SUCCESS at the top of the build dir — the cachedIndex
-      // sweep's completion signal (Spark wrote one per sub-dir only)
-      java.nio.file.Files.createFile(
-        new java.io.File(path, "_SUCCESS").toPath)
-      ()
+      // sweep's completion signal (Spark wrote one per sub-dir only);
+      // through the Hadoop FS layer like all other index IO
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
     }
 
   /** Per-(doc, query-term) BM25 partials served FROM THE INDEX —
@@ -356,42 +356,61 @@ object TextIndex {
   // Manifest lines by prefix: `gen-N` directories (ordered) and
   // `batch:<tag>` idempotence-ledger entries for streaming ingest.
   // Unknown prefixes are ignored — forward-extensible, like the
-  // AnnIndex manifest.
-  private def manifestLines(root: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(root, ManifestName)
-    if (!java.nio.file.Files.isRegularFile(p)) Seq.empty
-    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .split("\n").toSeq.filter(_.nonEmpty)
+  // AnnIndex manifest. All manifest/publish/sweep IO goes through the
+  // Hadoop FileSystem/FileContext layer (the [[AnnIndex]] discipline)
+  // so a non-local `root` (hdfs://…) works like the parquet
+  // generations already do; FileContext rename with OVERWRITE is
+  // atomic on HDFS and local filesystems, and [[PublishLock]]
+  // serializes writers on stores without atomic create/rename.
+  private def manifestLines(s: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, ManifestName)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.isFile(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    }
   }
 
-  private def readManifest(root: String): Seq[String] =
-    manifestLines(root).filter(_.startsWith("gen-"))
+  private def readManifest(s: SparkSession, root: String): Seq[String] =
+    manifestLines(s, root).filter(_.startsWith("gen-"))
 
   /** Has a streaming batch with this tag already ridden a published
     * manifest? The ledger rides the SAME atomic move as the data, so
     * a replayed batch can never re-apply (its postings would count
-    * twice). */
-  private[graft] def batchApplied(root: String, tag: String): Boolean =
-    manifestLines(root).contains(s"batch:$tag")
+    * twice). Tags SURVIVE [[compact]] — an in-cadence policy-loop
+    * compaction between a streamed batch's publish and its checkpoint
+    * commit must not make the replay re-apply the batch. */
+  private[graft] def batchApplied(s: SparkSession, root: String,
+      tag: String): Boolean =
+    manifestLines(s, root).contains(s"batch:$tag")
 
   /** Publish `gens` with an atomic temp-file move — readers resolve
     * through the manifest and never see a half-written generation
-    * (the [[Similarity.cachedIndex]] marker discipline; on an object
-    * store without atomic rename, front this with a publish lock).
+    * (the [[Similarity.cachedIndex]] marker discipline).
     *
-    * The writer contract is one-writer-per-root (serialize upserts
-    * externally); as a cheap safety net against a violated contract,
-    * the manifest is RE-READ after the move and must equal what this
-    * publish wrote — a concurrent publisher whose move landed after
-    * ours silently dropped our generation line (lost documents), and
-    * this check turns that silence into an error naming the race. */
-  private def publish(root: String, gens: Seq[String]): Unit = {
-    val tmp = java.nio.file.Paths.get(root, s".manifest-${System.nanoTime()}")
-    java.nio.file.Files.write(tmp, gens.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, ManifestName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val seen = manifestLines(root)
+    * Writers serialize on the root's [[PublishLock]] (every mutator
+    * below holds it across read-manifest → write-gen → publish); as a
+    * safety net against a writer that bypasses the lock, the manifest
+    * is RE-READ after the move and must equal what this publish wrote
+    * — a concurrent publisher whose move landed after ours silently
+    * dropped our generation line (lost documents), and this check
+    * turns that silence into an error naming the race. */
+  private def publish(s: SparkSession, root: String, gens: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(rootPath)
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".manifest-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(gens.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, ManifestName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val seen = manifestLines(s, root)
     if (seen != gens)
       throw new IllegalStateException(
         s"concurrent manifest publish detected at $root: wrote ${gens.mkString(",")} " +
@@ -400,10 +419,12 @@ object TextIndex {
 
   /** Found a new index at `root` from `docs` (generation 0). */
   def build(docs: DataFrame, root: String): Unit = {
-    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
-    new java.io.File(root).mkdirs()
-    writeGen(docs, s"$root/gen-0")
-    publish(root, Seq("gen-0"))
+    val s = docs.sparkSession
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    PublishLock.withLock(s, root) {
+      writeGen(docs, s"$root/gen-0")
+      publish(s, root, Seq("gen-0"))
+    }
   }
 
   /** The live doc registry over `gens`: `(doc_id, dl)` of every doc
@@ -445,17 +466,22 @@ object TextIndex {
     * Returns the one-row accounting frame `(generation, n_batch,
     * n_new, n_resent)` — the [[AnnIndex.upsert]] audit discipline.
     *
-    * Concurrency: one writer per root (see [[publish]]'s safety net);
-    * streaming ingest satisfies this by construction (one foreachBatch
-    * at a time). Batch doc_ids must be distinct — a doubled id inside
-    * ONE batch is two conflicting "latest" versions, which no
-    * latest-wins rule can order. */
+    * Concurrency: writers serialize on the root's [[PublishLock]]
+    * (held across read-manifest → write-gen → publish, so two
+    * interleaved upserts BOTH land; [[publish]]'s read-back stays as
+    * the backstop); streaming ingest additionally serializes by
+    * construction (one foreachBatch at a time). Batch doc_ids must be
+    * distinct — a doubled id inside ONE batch is two conflicting
+    * "latest" versions, which no latest-wins rule can order — and the
+    * precondition is ENFORCED (count vs distinct-count check) rather
+    * than silently corrupting the registry. */
   def upsert(batch: DataFrame, root: String, tag: Option[String] = None,
       assumeAppendOnly: Boolean = false): DataFrame = {
     val s = batch.sparkSession
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     import s.implicits._
-    val lines = manifestLines(root)
+    PublishLock.withLock(s, root) {
+    val lines = manifestLines(s, root)
     val gens = lines.filter(_.startsWith("gen-"))
     require(gens.nonEmpty, s"no text index at $root — build() first")
     val next = nextGenOf(gens)
@@ -468,6 +494,14 @@ object TextIndex {
         .persist()
     try {
       val nBatch = dl.count()
+      // enforce the distinct-ids precondition: a doubled id would make
+      // the registry sum to alive=2 (the doc silently vanishes from
+      // liveDocs and its postings double-count) — fail loudly instead
+      val nIds = dl.select(col("doc_id")).distinct().count()
+      require(nIds == nBatch,
+        s"upsert batch has ${nBatch - nIds} duplicated doc_id(s) — a batch is one " +
+          "version per doc; reduce upstream to the latest event per id (the CDC " +
+          "ingest does this per micro-batch)")
       val nResent = resent.count()
       // no re-sent ids → nothing to negate; skip the resolution scan
       // (the common append-mostly ingest pays only the registry read)
@@ -490,11 +524,12 @@ object TextIndex {
         dl.select(col("doc_id"), col("dl"), lit(1).as("d"))
           .unionByName(resent.select(col("doc_id"), col("dl"), lit(-1).as("d"))),
         s"$root/$next")
-      publish(root, lines ++ (next +: tag.map(t => s"batch:$t").toSeq))
+      publish(s, root, lines ++ (next +: tag.map(t => s"batch:$t").toSeq))
       Seq((next.stripPrefix("gen-").toLong, nBatch, nBatch - nResent, nResent))
         .toDF("generation", "n_batch", "n_new", "n_resent")
     } finally {
       resent.unpersist(); dl.unpersist()
+    }
     }
   }
 
@@ -510,7 +545,8 @@ object TextIndex {
       tag: Option[String] = None): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
-    val lines = manifestLines(root)
+    PublishLock.withLock(s, root) {
+    val lines = manifestLines(s, root)
     val gens = lines.filter(_.startsWith("gen-"))
     require(gens.nonEmpty, s"no text index at $root — build() first")
     val next = nextGenOf(gens)
@@ -531,23 +567,28 @@ object TextIndex {
             (-coalesce(sum(col("dl")), lit(0L))).as("s_dl")),
           victims.select(col("doc_id"), col("dl"), lit(-1).as("d")),
           s"$root/$next")
-        publish(root, (lines :+ next) ++ tag.map(t => s"batch:$t"))
+        publish(s, root, (lines :+ next) ++ tag.map(t => s"batch:$t"))
         Seq((next.stripPrefix("gen-").toLong, n)).toDF("generation", "n_deleted")
       }
     } finally victims.unpersist()
+    }
   }
 
   /** Fold every generation into ONE by netting the signed deltas:
     * surviving postings (net tf > 0), df/docs/stats recomputed from
     * the survivors, manifest re-published referencing only the new
-    * generation (batch tags deliberately dropped — the [[AnnIndex]]
-    * compaction contract; don't compact under an active ingest
-    * stream). Old dirs become unreferenced; [[sweepUnreferenced]] is
-    * their GC. Returns `(n_live, gens_folded)`. */
+    * generation. The `batch:` idempotence-ledger lines are CARRIED
+    * through the republish (they are tiny): a policy-loop compaction
+    * ([[compactIfBloated]]) that lands between a streamed batch's
+    * publish and its checkpoint commit must not erase the tag — a
+    * crash replay of that batch would re-apply it and double-count
+    * its postings. Old dirs become unreferenced; [[sweepUnreferenced]]
+    * is their GC. Returns `(n_live, gens_folded)`. */
   def compact(s: SparkSession, root: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     import s.implicits._
-    val lines = manifestLines(root)
+    PublishLock.withLock(s, root) {
+    val lines = manifestLines(s, root)
     val gens = lines.filter(_.startsWith("gen-"))
     require(gens.nonEmpty, s"no text index at $root — build() first")
     val next = nextGenOf(gens)
@@ -567,9 +608,10 @@ object TextIndex {
           coalesce(sum(col("dl")), lit(0L)).as("s_dl")),
         live.select(col("doc_id"), col("dl"), lit(1).as("d")),
         s"$root/$next")
-      publish(root, Seq(next))
+      publish(s, root, next +: lines.filter(_.startsWith("batch:")))
       Seq((n, gens.length.toLong)).toDF("n_live", "gens_folded")
     } finally live.unpersist()
+    }
   }
 
   /** Per-bucket postings-bloat accounting — the text twin of
@@ -583,7 +625,7 @@ object TextIndex {
     * it to 0 (spec-pinned). Full postings scan (narrow projection) —
     * a maintenance query, not a serving path. */
   def indexStats(s: SparkSession, root: String): DataFrame = {
-    val gens = readManifest(root)
+    val gens = readManifest(s, root)
     require(gens.nonEmpty, s"no text index at $root — build() first")
     val post = gens.map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings"))
       .reduce(_ unionByName _)
@@ -618,27 +660,26 @@ object TextIndex {
     * and untouched for longer than `graceMs` (a concurrent reader that
     * resolved an older manifest gets the grace window to finish — the
     * [[Similarity.cachedIndex]] 30-minute discipline). Also sweeps
-    * orphaned `.manifest-*` temp files from crashed publishes. Returns
+    * orphaned `.manifest-*` temp files from crashed publishes. Goes
+    * through the Hadoop FS layer like the manifest IO ([[AnnIndex
+    * .sweepUnreferenced]] twin — `java.io.File.listFiles` returns null
+    * on a non-local root and would silently no-op the GC). Returns
     * the deleted names (for audit/spec). */
-  def sweepUnreferenced(root: String,
+  def sweepUnreferenced(s: SparkSession, root: String,
       graceMs: Long = 30L * 60 * 1000): Seq[String] = {
-    val live = readManifest(root).toSet
+    val live = readManifest(s, root).toSet
     val now = System.currentTimeMillis()
-    val rootF = new java.io.File(root)
-    Option(rootF.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-      .filter { f =>
-        val stale = now - f.lastModified > graceMs
-        (f.isDirectory && f.getName.matches("gen-\\d+") && !live(f.getName) && stale) ||
-          (f.isFile && f.getName.startsWith(".manifest-") && stale)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        val stale = now - st.getModificationTime > graceMs
+        (st.isDirectory && n.matches("gen-\\d+") && !live(n) && stale) ||
+          (st.isFile && n.startsWith(".manifest-") && stale)
       }
-      .map { f => deleteRecursively(f); f.getName }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .foreach(deleteRecursively)
-    f.delete(); ()
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }
 
   /** BM25 partials over every published generation: postings union
@@ -649,7 +690,7 @@ object TextIndex {
     * for bit. */
   private def scoredAtRoot(s: SparkSession, root: String,
       terms: Seq[String]): DataFrame = {
-    val gens = readManifest(root)
+    val gens = readManifest(s, root)
     require(gens.nonEmpty, s"no text index at $root — build() first")
     val buckets = terms.map(bucketOf).distinct
     def pruned(sub: String, schema: org.apache.spark.sql.types.StructType) =

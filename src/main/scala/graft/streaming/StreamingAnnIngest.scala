@@ -68,8 +68,15 @@ object StreamingAnnIngest {
       .start()
 
   /** CDC ingestion — ONE stream carrying both upserts and deletes:
-    * `(op, vec_id, label, embedding)` with `op ∈ {upsert, delete}`
-    * (embedding/label null on deletes). Within a batch, deletes apply
+    * `(op, vec_id, label, embedding[, seq])` with
+    * `op ∈ {upsert, delete}` (embedding/label null on deletes). Each
+    * micro-batch is first REDUCED to the latest event per vec_id
+    * ([[CdcBatch.latestPerKey]]: `seq` orders events when present;
+    * without it an upsert beats a delete and doubled upserts are
+    * rejected loudly), so the delete and upsert halves are
+    * key-disjoint — two revisions of one vec in a batch can't land as
+    * two "latest" rows, and an upsert-then-delete can't resurrect
+    * through the deletes-first application order. Deletes then apply
     * FIRST, then upserts — a vec deleted and re-sent in the same
     * batch nets to the re-send, the CDC latest-wins convention.
     *
@@ -94,7 +101,7 @@ object StreamingAnnIngest {
         val tag = s"cdc-$id"
         val s = batch.sparkSession
         if (!batch.isEmpty && !AnnIndex.batchApplied(s, root, tag)) {
-          val b = batch.persist()
+          val b = CdcBatch.latestPerKey(batch, "vec_id").persist()
           try {
             val ups = b.filter(col("op") === "upsert")
               .select(col("vec_id"), col("label"), col("embedding"))

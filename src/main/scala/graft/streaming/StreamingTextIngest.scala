@@ -44,22 +44,31 @@ object StreamingTextIngest {
         // whose tag already rode a published manifest must not
         // re-apply (postings would double-count)
         val tag = s"stream-$id"
-        if (!batch.isEmpty && !TextIndex.batchApplied(root, tag)) {
+        if (!batch.isEmpty && !TextIndex.batchApplied(batch.sparkSession, root, tag)) {
           TextIndex.upsert(batch, root, Some(tag)); ()
         }
       }
       .start()
 
-  /** CDC ingestion — one stream of `(op, doc_id, text)` with
-    * `op ∈ {upsert, delete}` (text null on deletes). Deletes apply
-    * first, then upserts (same-batch delete+re-send nets to the
-    * re-send); the batch tag rides the LAST publish, making the
-    * replay argument identical to [[StreamingAnnIngest.cdc]]'s:
-    * re-applied deletes are no-ops against already-dead ids, a
-    * tag-bearing publish makes the whole batch skip. The signed-delta
-    * upsert path handles re-sent doc_ids exactly (old postings
-    * negated), so a CDC stream of document REVISIONS is the intended
-    * workload, not just appends. */
+  /** CDC ingestion — one stream of `(op, doc_id, text[, seq])` with
+    * `op ∈ {upsert, delete}` (text null on deletes). Each micro-batch
+    * is first REDUCED to the latest event per doc_id ([[CdcBatch
+    * .latestPerKey]]: `seq` orders events when present; without it an
+    * upsert beats a delete and doubled upserts are rejected) — so the
+    * delete and upsert halves are key-disjoint and two revisions of
+    * one doc in a batch can never violate [[TextIndex.upsert]]'s
+    * one-version-per-key contract, nor can an upsert-then-delete
+    * resurrect the row through the deletes-first application order.
+    * Deletes apply first, then upserts; the batch tag rides the LAST
+    * publish, making the replay argument identical to
+    * [[StreamingAnnIngest.cdc]]'s: re-applied deletes are no-ops
+    * against already-dead ids, a tag-bearing publish makes the whole
+    * batch skip — including a MIXED replay batch (the tag covers the
+    * batch as a unit, so its already-applied deletes and upserts skip
+    * together; spec-pinned). The signed-delta upsert path handles
+    * re-sent doc_ids exactly (old postings negated), so a CDC stream
+    * of document REVISIONS is the intended workload, not just
+    * appends. */
   def cdc(changes: DataFrame, root: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     changes.writeStream
@@ -69,8 +78,8 @@ object StreamingTextIngest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import org.apache.spark.sql.functions.col
         val tag = s"cdc-$id"
-        if (!batch.isEmpty && !TextIndex.batchApplied(root, tag)) {
-          val b = batch.persist()
+        if (!batch.isEmpty && !TextIndex.batchApplied(batch.sparkSession, root, tag)) {
+          val b = CdcBatch.latestPerKey(batch, "doc_id").persist()
           try {
             val ups = b.filter(col("op") === "upsert")
               .select(col("doc_id"), col("text"))

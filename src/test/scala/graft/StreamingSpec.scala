@@ -254,7 +254,6 @@ class StreamingSpec extends SparkSpec {
       v.filter(col("vec_id") === 102L).select("embedding")
         .collect()(0).getSeq[Float](0).toArray, nprobe = 8, k = 3).collect()
     assert(hit102.exists(r => r.getLong(0) == 102L && r.getInt(1) == 99))
-    // ledger checks BEFORE compaction (which deliberately drops tags)
     assert(graft.operators.AnnIndex.batchApplied(spark, root, "cdc-0"))
     assert(graft.operators.AnnIndex.batchApplied(spark, root, "cdc-1"))
     assert(!graft.operators.AnnIndex.batchApplied(spark, root, "cdc-9"))
@@ -269,6 +268,12 @@ class StreamingSpec extends SparkSpec {
     val rebuilt = Graft.ann.probe(spark, full, qv, nprobe = 2, k = 10).collect().toSeq
     assert(streamed.nonEmpty && streamed == rebuilt,
       s"CDC-ingested index diverged from surviving-corpus rebuild:\n$streamed\nvs\n$rebuilt")
+    // the idempotence ledger SURVIVES compaction: an in-cadence policy
+    // compaction between a streamed batch's publish and its checkpoint
+    // commit must not let a crash replay re-apply the batch
+    assert(graft.operators.AnnIndex.batchApplied(spark, root, "cdc-0"))
+    assert(graft.operators.AnnIndex.batchApplied(spark, root, "cdc-1"))
+    assert(!graft.operators.AnnIndex.batchApplied(spark, root, "cdc-9"))
   }
 
   test("CDC text stream: document revisions + deletions; BM25 == in-query on the surviving corpus") {
@@ -303,8 +308,115 @@ class StreamingSpec extends SparkSpec {
       .bm25TopkOf(surviving, Seq("vector", "hash", "stream"), 10).collect().toSeq
     assert(served.nonEmpty && served == expected,
       s"CDC text index diverged:\n$served\nvs\n$expected")
-    assert(graft.operators.TextIndex.batchApplied(root, "cdc-0"))
-    assert(graft.operators.TextIndex.batchApplied(root, "cdc-1"))
+    assert(graft.operators.TextIndex.batchApplied(spark, root, "cdc-0"))
+    assert(graft.operators.TextIndex.batchApplied(spark, root, "cdc-1"))
+    // MIXED-replay pin: the tag covers a delete+upsert batch as a
+    // unit — batchApplied answers true, so a full replay skips both
+    // halves together (no partial re-application of the already-seen
+    // ops). The OTHER crash point — between the two publishes, tag not
+    // yet recorded — replays the delete half as a pure no-op against
+    // already-dead ids:
+    val reDel = graft.operators.TextIndex
+      .delete(Seq(4L).toDF("doc_id"), root).collect()(0)
+    assert(reDel.getLong(0) == -1L && reDel.getLong(1) == 0L)
+    // the idempotence ledger SURVIVES compaction (an in-cadence policy
+    // compaction must not let a crash replay re-apply a batch), and
+    // serving is unchanged by it
+    Graft.text.bm25IndexCompact(spark, root)
+    assert(graft.operators.TextIndex.batchApplied(spark, root, "cdc-0"))
+    assert(graft.operators.TextIndex.batchApplied(spark, root, "cdc-1"))
+    val afterCompact = Graft.text.bm25TopkAt(spark, root,
+      Seq("vector", "hash", "stream"), 10).collect().toSeq
+    assert(afterCompact == expected)
+  }
+
+  test("CDC batch reduction: seq orders multiple events per key within one micro-batch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-text-cdc-seq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-text-cdc-seq-ck").toString
+    graft.operators.TextIndex.build(Seq(
+      (1L, "vector hash alpha"), (2L, "vector old"), (9L, "stream nine"))
+      .toDF("doc_id", "text"), root)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String, Long)]
+    val q = streaming.StreamingTextIngest.cdc(
+      input.toDF().toDF("op", "doc_id", "text", "seq"), root, ckpt)
+    try {
+      // one batch, three same-key conflicts, ordered by seq:
+      //  - doc 2: two revisions → the higher-seq one alone lands
+      //  - doc 8: upsert then delete → never becomes visible (the
+      //    un-reduced deletes-first order would have resurrected it)
+      //  - doc 9: delete then re-send → revived with the new text
+      input.addData(Seq(
+        ("upsert", 2L, "rev a", 1L), ("upsert", 2L, "rev b vector", 2L),
+        ("upsert", 8L, "hash eight", 1L), ("delete", 8L, "", 2L),
+        ("delete", 9L, "", 1L), ("upsert", 9L, "stream nine revived", 2L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val surviving = Seq(
+      (1L, "vector hash alpha"), (2L, "rev b vector"),
+      (9L, "stream nine revived")).toDF("doc_id", "text")
+    val served = Graft.text.bm25TopkAt(spark, root,
+      Seq("vector", "hash", "stream"), 10).collect().toSeq
+    val expected = graft.operators.TextAnalysis
+      .bm25TopkOf(surviving, Seq("vector", "hash", "stream"), 10).collect().toSeq
+    assert(served.nonEmpty && served == expected,
+      s"seq-reduced CDC batch diverged:\n$served\nvs\n$expected")
+  }
+
+  test("CDC without seq: two upserts of one key in a batch fail loudly instead of corrupting") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-text-cdc-dup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-text-cdc-dup-ck").toString
+    graft.operators.TextIndex.build(
+      Seq((1L, "vector alpha")).toDF("doc_id", "text"), root)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val q = streaming.StreamingTextIngest.cdc(
+      input.toDF().toDF("op", "doc_id", "text"), root, ckpt)
+    try {
+      input.addData(Seq(("upsert", 2L, "first"), ("upsert", 2L, "second")))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(ex).exists(t =>
+        t.getMessage != null && t.getMessage.contains("no latest-wins rule")), ex.toString)
+    } finally q.stop()
+    // the failed batch published nothing: the index still serves gen-0
+    val served = Graft.text.bm25TopkAt(spark, root, Seq("vector"), 5).collect().toSeq
+    val expected = graft.operators.TextAnalysis.bm25TopkOf(
+      Seq((1L, "vector alpha")).toDF("doc_id", "text"), Seq("vector"), 5)
+      .collect().toSeq
+    assert(served == expected)
+  }
+
+  test("CDC ANN: upsert-then-delete of one vec within a batch stays dead (seq-ordered reduction)") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val base = v.filter(col("vec_id") <= 100)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-cdc-seq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-cdc-seq-ck").toString
+    Graft.ann.build(base, "vec_id", "embedding", "label", root)
+    val e150 = v.filter(col("vec_id") === 150L)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])].collect()(0)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Int, Array[Float], Long)]
+    val q = streaming.StreamingAnnIngest.cdc(
+      input.toDF().toDF("op", "vec_id", "label", "embedding", "seq"), root, ckpt)
+    try {
+      // same batch: add vec 150, then delete it (higher seq) — the
+      // delete must win; un-reduced, deletes-first would resurrect it
+      input.addData(Seq(
+        ("upsert", 150L, e150._1, e150._2, 1L),
+        ("delete", 150L, 0, Array.empty[Float], 2L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = Graft.ann.probe(spark, root, e150._2, nprobe = 8, k = 10).collect()
+    assert(hits.nonEmpty && !hits.exists(_.getLong(0) == 150L),
+      s"vec 150 resurrected: ${hits.mkString(",")}")
   }
 
   test("streaming text ingest: micro-batches become generations; BM25 == in-query exactly") {
@@ -334,8 +446,8 @@ class StreamingSpec extends SparkSpec {
     assert(served.nonEmpty && served == inQuery,
       s"stream-ingested text index diverged from in-query BM25:\n$served\nvs\n$inQuery")
     // the idempotence ledger rode the atomic manifest publish
-    assert(graft.operators.TextIndex.batchApplied(root, "stream-0"))
-    assert(graft.operators.TextIndex.batchApplied(root, "stream-1"))
-    assert(!graft.operators.TextIndex.batchApplied(root, "stream-99"))
+    assert(graft.operators.TextIndex.batchApplied(spark, root, "stream-0"))
+    assert(graft.operators.TextIndex.batchApplied(spark, root, "stream-1"))
+    assert(!graft.operators.TextIndex.batchApplied(spark, root, "stream-99"))
   }
 }

@@ -220,12 +220,56 @@ class TemporalSamplingSpec extends SparkSpec {
 
     // GC: old generation dirs are unreferenced now. A real grace window
     // protects a concurrent old-manifest reader; grace -1 forces.
-    assert(Graft.text.bm25IndexSweep(root, graceMs = 60L * 60 * 1000).isEmpty)
-    val swept = Graft.text.bm25IndexSweep(root, graceMs = -1L)
+    assert(Graft.text.bm25IndexSweep(spark, root, graceMs = 60L * 60 * 1000).isEmpty)
+    val swept = Graft.text.bm25IndexSweep(spark, root, graceMs = -1L)
     assert(swept.count(_.startsWith("gen-")) == comp.getLong(1))
     val left = new java.io.File(root).listFiles().map(_.getName).toSet
     assert(left.count(_.startsWith("gen-")) == 1)
     assert(topkAt() == preCompact)
+  }
+
+  test("publish lock: two interleaved writers serialize — both upserts land (text + ann)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // text: two threads race read-manifest → write-gen → publish on one
+    // root; the lock serializes them, so neither generation is lost
+    // (pre-lock, the loser died at the post-publish read-back AFTER
+    // writing its generation bytes)
+    val root = java.nio.file.Files.createTempDirectory("graft_text_lock").toString
+    operators.TextIndex.build(Seq((1L, "vector alpha")).toDF("doc_id", "text"), root)
+    val batches = Seq(
+      Seq((2L, "vector beta")).toDF("doc_id", "text"),
+      Seq((3L, "hash gamma")).toDF("doc_id", "text"))
+    val gens = Await.result(
+      Future.sequence(batches.map(b => Future {
+        operators.TextIndex.upsert(b, root).collect()(0).getLong(0)
+      })), 180.seconds)
+    assert(gens.sorted == Seq(1L, 2L), s"lost generation: $gens")
+    val served = Graft.text.bm25TopkAt(spark, root, Seq("vector", "hash"), 10)
+      .collect().toSeq
+    val expected = operators.TextAnalysis.bm25TopkOf(
+      Seq((1L, "vector alpha"), (2L, "vector beta"), (3L, "hash gamma"))
+        .toDF("doc_id", "text"),
+      Seq("vector", "hash"), 10).collect().toSeq
+    assert(served == expected)
+
+    // ann: same race on the vector-index root; both disjoint batches
+    // must be live afterwards
+    val v = Tables.embeddings(spark, sf)
+    val annRoot = java.nio.file.Files.createTempDirectory("graft_ann_lock").toString
+    operators.AnnIndex.build(v.filter(col("vec_id") <= 100), annRoot)
+    val annBatches = Seq(
+      v.filter(col("vec_id") > 100 && col("vec_id") <= 110),
+      v.filter(col("vec_id") > 110 && col("vec_id") <= 120))
+    Await.result(
+      Future.sequence(annBatches.map(b => Future {
+        operators.AnnIndex.upsert(b, annRoot).collect()
+      })), 180.seconds)
+    val nLive = operators.AnnIndex.driftStats(spark, annRoot)
+      .agg(sum(col("n_live"))).collect()(0).getLong(0)
+    assert(nLive == 121L, s"expected 121 live vectors after racing upserts, got $nLive")
   }
 
   test("unimax waterfill: small languages cap at E epochs, the rest split the remainder exactly") {
