@@ -413,6 +413,16 @@ object Graft {
         nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame =
       operators.AnnIndex.probeAdc(spark, root, queryVec, nprobe, k, rerankPool)
 
+    /** BATCH IVF-PQ serving over `dir`'s memo-cached index: a whole
+      * `(query_id, embedding)` frame probes in ONE join — per-query
+      * probe cells as a broadcast column, DPP-pruned codes/data scans,
+      * per-qid ADC shortlist + exact re-rank. Each query's slice
+      * equals its single probe exactly (spec-pinned). Returns
+      * `(query_id, rank, vec_id, label, cell, cosine)`. */
+    def ivfpqBatchTopk(spark: SparkSession, dir: String, queries: DataFrame,
+        k: Int = 10, nprobe: Int = 2, rerankPool: Int = 30): DataFrame =
+      operators.Similarity.ivfpqBatchTopk(spark, dir, queries, k, nprobe, rerankPool)
+
     /** Tombstone-delete ids from the live index (idempotent; bytes
       * remain until [[compact]]). Returns `(cell, n_deleted)`. */
     def delete(ids: DataFrame, root: String): DataFrame =

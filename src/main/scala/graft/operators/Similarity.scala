@@ -1162,6 +1162,181 @@ object Similarity {
     }
   }
 
+  /** BATCH IVF-PQ serving — a whole `(query_id, embedding)` frame
+    * probes the persisted [[ivfpqIndex]] in ONE join, the production
+    * vector-serving shape ([[sAnnLshBatch]] / `t_bm25_batch` applied
+    * to the IVF-PQ family; closes the r10 verdict's "IVF probes are
+    * single-query with driver-side cell selection"). Per query the
+    * `nprobe` probe cells are computed AS A COLUMN — a qid window over
+    * the broadcast centroid table (the [[kmeansFit]] E-step shape,
+    * generalizing argmin to arg-top-n) — so NO driver collect selects
+    * cells. The codes scan then joins its PARTITION column `cell`
+    * against the broadcast (qid, cell) probe frame: partition pruning
+    * comes from the JOIN as a dynamic-partition-pruning subquery
+    * (PlanSpec-asserted), and one scan of the union of all queries'
+    * probe cells serves every query. Each query's M×K ADC table is a
+    * column-wise join of its subvectors with the broadcast codebooks;
+    * ADC partials ride the decimal(28,9) order-free discipline; the
+    * `rerankPool` shortlist per qid (window, candidate sets are
+    * cell-bounded) alone pays a full-dimension exact cosine against
+    * `/data` — cell-pruned the same DPP way via the shortlist's
+    * carried cell. Per-query results equal the single-query probe
+    * bit for bit (spec-pinned: a 1-row batch == `s_ivfpq_indexed`).
+    *
+    * Scale: probe rows = nprobe × |batch| and shortlist rows =
+    * rerankPool × |batch| (both broadcastable for any sane serving
+    * batch); the scanned index fraction is ≤ |∪ probe cells| / cells
+    * of the codes (M ints/vector) regardless of corpus size, and raw
+    * embeddings are read only for shortlisted rows. */
+  private[graft] def ivfpqBatchTopk(s: SparkSession, dir: String,
+      queries0: DataFrame, k: Int = K, nprobe: Int = NProbe,
+      rerankPool: Int = RerankPool): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val root = ivfpqIndex(s, dir)
+    val queries = queries0
+      .select(col("query_id").cast("long").as("qid"), col("embedding").as("qe"))
+      .withColumn("qnrm", expr(s"sqrt(${foldDot("qe", "qe")})"))
+    // per-qid probe cells as a column; cell cast INT to match the
+    // index's inferred partition type (a bigint probe side would push
+    // the cast onto the scan and defeat DPP — the sAnnLshBatch note)
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pscore").asc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(s.read.parquet(s"$root/centroids")))
+      .withColumn("pscore", expr(s"${foldDot("ce", "ce")} - 2 * ${foldDot("qe", "ce")}"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cell").cast("int").as("cell"))
+    // per-qid M×K ADC tables (nq·M·K rows, broadcast)
+    val books = s.read.parquet(s"$root/codebooks")
+    val dt = queries
+      .select(col("qid").as("dqid"), explode(expr(pqSubsExpr("qe"))).as("p"))
+      .select(col("dqid"), col("p.m").as("dm"), col("p.sv").as("qsv"))
+      .join(broadcast(books), col("dm") === col("mm"))
+      .select(col("dqid"), col("dm"), col("cell").as("dcell"),
+        (col("cn") - lit(2.0) * expr(foldDot("qsv", "ce"))).as("dscore"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)
+    val shortlist = s.read.parquet(s"$root/codes")
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(dt),
+        col("qid") === col("dqid") && col("m") === col("dm") && col("code") === col("dcell"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        sum(round(col("dscore"), 9).cast("decimal(28,9)")).as("adc"))
+      .withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= rerankPool)
+      .select(col("qid"), col("cell"), col("vec_id"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    s.read.parquet(s"$root/data")
+      .join(broadcast(shortlist), Seq("cell", "vec_id"))
+      .join(broadcast(queries.select(col("qid").as("jqid"), col("qe"), col("qnrm"))),
+        col("qid") === col("jqid"))
+      .select(col("qid"), col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("label"), col("cell"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The registered batch workload: every `BatchMod`-th vector queries
+    * the index (the [[sAnnLshBatch]] panel applied to IVF-PQ). */
+  private def sIvfpqBatch: Q = (s, dir) =>
+    ivfpqBatchTopk(s, dir,
+      Tables.embeddings(s, dir).filter(col("vec_id") % BatchMod === 0)
+        .select(col("vec_id").as("query_id"), col("embedding")))
+
+  private lazy val sIvfpqBatchSql = {
+    val subCtes = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"rsub$m AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
+    }.mkString(",\n")
+    val trainCtes = (0 until PqM)
+      .map(m => duckKmeansCtesFor(PqK, 1, s"rsub$m", s"r$m"))
+      .mkString(",\n")
+    val modelSelects = (0 until PqM)
+      .map(m => s"SELECT $m AS m, cell, ce, ${duckFoldDot("ce", "ce")} AS cn FROM r${m}cent1")
+      .mkString("\nUNION ALL\n")
+    val candSubSelects = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"SELECT vec_id, $m AS m, embedding[$lo:$hi] AS sv FROM cvec"
+    }.mkString("\nUNION ALL\n")
+    val qSubSelects = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"SELECT qid, $m AS m, qe[$lo:$hi] AS qsv FROM qset"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell, embedding AS se,
+       |                 ${duckFoldDot("embedding", "embedding")} AS sn
+       |          FROM embeddings WHERE vec_id < $IvfCells),
+       |scoredi AS (SELECT v.vec_id, v.label, v.embedding, v.nrm, s.cell,
+       |                   s.sn - 2 * ${duckFoldDot("v.embedding", "s.se")} AS score
+       |            FROM v CROSS JOIN seeds s),
+       |assigned AS MATERIALIZED (SELECT vec_id, label, embedding, nrm, cell
+       |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY score, cell) AS rn FROM scoredi)
+       |             WHERE rn = 1),
+       |cent AS (SELECT cell, list(mn ORDER BY dim)::FLOAT[] AS ce
+       |         FROM (SELECT cell, dim, avg(cv) AS mn
+       |               FROM (SELECT cell,
+       |                       unnest(range(1, len(embedding) + 1)) AS dim,
+       |                       unnest(embedding) AS cv
+       |                     FROM assigned)
+       |               GROUP BY cell, dim)
+       |         GROUP BY cell),
+       |qset AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
+       |         FROM v WHERE vec_id % $BatchMod = 0),
+       |qprobe AS (SELECT qid, cell FROM (
+       |             SELECT q.qid, c.cell,
+       |                    row_number() OVER (PARTITION BY q.qid
+       |                      ORDER BY ${duckFoldDot("c.ce", "c.ce")}
+       |                        - 2 * ${duckFoldDot("q.qe", "c.ce")}, c.cell) AS rn
+       |             FROM qset q CROSS JOIN cent c) WHERE rn <= $NProbe),
+       |cands AS MATERIALIZED (
+       |  SELECT p.qid, a.vec_id, a.label, a.embedding, a.nrm, a.cell
+       |  FROM assigned a JOIN qprobe p USING (cell)
+       |  WHERE a.vec_id <> p.qid),
+       |cvec AS MATERIALIZED (SELECT DISTINCT vec_id, embedding FROM cands),
+       |$subCtes,
+       |$trainCtes,
+       |rmodel AS MATERIALIZED ($modelSelects),
+       |csub AS ($candSubSelects),
+       |cscored AS (SELECT c.vec_id, c.m, s.cell,
+       |                   s.cn - 2 * ${duckFoldDot("c.sv", "s.ce")} AS score
+       |            FROM csub c JOIN rmodel s ON c.m = s.m),
+       |ccodes AS MATERIALIZED (SELECT vec_id, m, cell AS code FROM (
+       |             SELECT vec_id, m, cell,
+       |                    row_number() OVER (PARTITION BY vec_id, m
+       |                                       ORDER BY score, cell) AS rn
+       |             FROM cscored) rankedcc
+       |           WHERE rn = 1),
+       |qsub AS ($qSubSelects),
+       |dt AS (SELECT qs.qid, qs.m AS dm, s.cell AS dcell,
+       |              s.cn - 2 * ${duckFoldDot("qs.qsv", "s.ce")} AS dscore
+       |       FROM qsub qs JOIN rmodel s ON qs.m = s.m),
+       |short AS (SELECT c.qid, c.vec_id,
+       |                 sum(round(dt.dscore, 9)::DECIMAL(28,9)) AS adc
+       |          FROM (SELECT DISTINCT qid, vec_id FROM cands) c
+       |          JOIN ccodes cc ON cc.vec_id = c.vec_id
+       |          JOIN dt ON dt.qid = c.qid AND cc.m = dt.dm AND cc.code = dt.dcell
+       |          GROUP BY c.qid, c.vec_id),
+       |shortk AS (SELECT qid, vec_id FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY qid
+       |               ORDER BY adc, vec_id) AS rn FROM short) WHERE rn <= $RerankPool)
+       |SELECT qid AS query_id, rank, vec_id, label, cell, cosine FROM (
+       |  SELECT c.qid, c.vec_id, c.label, c.cell,
+       |         round(${duckCosExpr("c.embedding", "q.qe", "c.nrm", "q.qnrm")}, 6) AS cosine,
+       |         row_number() OVER (PARTITION BY c.qid
+       |           ORDER BY ${duckCosExpr("c.embedding", "q.qe", "c.nrm", "q.qnrm")} DESC,
+       |                    c.vec_id) AS rank
+       |  FROM cands c JOIN shortk USING (qid, vec_id) JOIN qset q ON q.qid = c.qid)
+       |WHERE rank <= $K""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // Hybrid retrieval: reciprocal-rank fusion of BM25 + embeddings
   // ----------------------------------------------------------------
@@ -1846,6 +2021,7 @@ object Similarity {
     "s_pq_adc" -> sPqAdc,
     "s_ivfpq_rerank" -> sIvfpqRerank,
     "s_ivfpq_indexed" -> sIvfpqIndexed,
+    "s_ivfpq_batch" -> sIvfpqBatch,
     "s_kmeans" -> sKmeans,
     "s_ivf_trained" -> sIvfTrained,
     "s_centroids" -> sCentroids,
@@ -1866,6 +2042,7 @@ object Similarity {
     "s_hard_negatives" -> sHardNegativesSql,
     "s_pq_adc" -> sPqAdcSql,
     "s_ivfpq_rerank" -> sIvfpqRerankSql,
+    "s_ivfpq_batch" -> sIvfpqBatchSql,
     // the persisted index holds exactly the in-query quantizers/codes
     // (shared ivfAssignment + pqOneIterCodebooks), so the serving path
     // answers against the SAME oracle as the in-query composition

@@ -165,6 +165,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("codes:array<int>"), p)
   }
 
+  test("s_ivfpq_batch: codes partitions pruned DYNAMICALLY by the probe-cell join") {
+    val q = SparkEntry.queries("s_ivfpq_batch")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // per-query probe cells are a broadcast COLUMN (no driver collect
+    // selects cells) and the codes scan's PartitionFilters carry a
+    // dynamic-pruning subquery on the cell partition column — pruning
+    // comes from the JOIN, the s_ann_lsh_batch shape for IVF-PQ
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("PartitionFilters: [isnotnull(cell"), p)
+    // the ADC stage reads the stored M-int codes, never raw embeddings
+    assert(p.contains("codes:array<int>"), p)
+  }
+
   test("s_centroids: exactly one hash-shuffle (partial agg carries (sum,count) pairs)") {
     val p = plan("s_centroids")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

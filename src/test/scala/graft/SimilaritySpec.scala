@@ -211,6 +211,34 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed == inline)
   }
 
+  test("s_ivfpq_batch: each query's slice equals its single-query probe; a 1-row batch equals s_ivfpq_indexed") {
+    // a 1-row batch of the fixed query vector must reproduce the
+    // single-probe serving path bit for bit (same quantizers, same
+    // decimal ADC, same re-rank — only the cell-selection mechanism
+    // differs: broadcast-join column vs driver collect)
+    val v = Tables.embeddings(spark, sf)
+    val single = Similarity.queries("s_ivfpq_indexed")(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val one = Similarity.ivfpqBatchTopk(spark, sf,
+        v.filter(col("vec_id") === 0L).select(col("vec_id").as("query_id"), col("embedding")))
+      .collect().toSeq.sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getInt(3), r.getLong(4), r.getDouble(5)))
+    assert(one == single, s"1-row batch diverged from single probe:\n$one\nvs\n$single")
+    // and the registered multi-query batch is slice-wise equal to
+    // running each query alone — batch size cannot change any result
+    val batch = Similarity.queries("s_ivfpq_batch")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(batch.nonEmpty && batch.size > 1)
+    batch.keys.toSeq.sorted.take(3).foreach { qid =>
+      val alone = Similarity.ivfpqBatchTopk(spark, sf,
+          v.filter(col("vec_id") === qid).select(col("vec_id").as("query_id"), col("embedding")))
+        .collect().toSeq.map(r => (r.getLong(1), r.getLong(2), r.getDouble(5)))
+      val slice = batch(qid).toSeq.sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(5)))
+      assert(slice == alone, s"query $qid: $slice vs $alone")
+    }
+  }
+
   test("ann index upsert: probe(base+upserts) == probe(full rebuild); accounting adds up") {
     val v = Tables.embeddings(spark, sf)
     val maxId = v.agg(max("vec_id")).collect()(0).getLong(0)
