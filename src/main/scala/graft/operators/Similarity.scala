@@ -80,12 +80,72 @@ object Similarity {
   /** 8-bit sign-LSH bucket (axis-aligned hyperplanes on dims 1..8).
     * Shared with Dedup's embedding near-dup so both operators use the
     * SAME LSH geometry — a bucketing change lands everywhere at once
-    * (and must bump [[IndexFormatVersion]]). */
+    * (and must bump [[IndexFormatVersion]]). The INDEX no longer uses
+    * this fixed width — [[lshBitsFor]] dimensions it per corpus. */
   private[graft] val bucketExpr = bucketExprFor(8)
 
   private[graft] val duckBucketExpr = (0 until 8)
     .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
     .mkString(" + ")
+
+  // ---- auto-dimensioned LSH width (bits follow the corpus size) ----
+
+  /** Target mean bucket occupancy: the width rule keeps buckets around
+    * this size, so probe cost tracks the TARGET, not the corpus — the
+    * r10 sweep's one growing probe (`s_ann_lsh_batch`, 3.76× at 100×
+    * in the fixed-256-bucket regime) becomes flat once buckets split
+    * as the corpus grows. */
+  private[graft] val LshTargetBucket = 32
+  /** Width clamp: ≥ 4 bits so tiny corpora still bucket at all; ≤ 16
+    * bits (65k buckets) bounded by the embedding dim (each bit is one
+    * axis-aligned hyperplane over dims 1..bits ≤ 64) and by the
+    * driver-side Hamming-ball enumeration. */
+  private[graft] val LshMinBits = 4
+  private[graft] val LshMaxBits = 16
+
+  /** bits ≈ log₂(n / target), computed EXACTLY in integers (the
+    * smallest b with target·2ᵇ ≥ n, clamped) — a float log₂ could
+    * round differently across engines at exact powers of two; the
+    * DuckDB twin is `length(bin(m − 1))` over the same integer
+    * ceiling-divide. Recorded in the index meta at build; probes READ
+    * it rather than assume (old 8-bit indexes keep working). */
+  private[graft] def lshBitsFor(n: Long): Int = {
+    val m = (n + LshTargetBucket - 1) / LshTargetBucket
+    val b = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(LshMaxBits, math.max(LshMinBits, b))
+  }
+
+  /** The DuckDB twin of build-time width selection + bucketing: CTE
+    * `nb(bits)` from the corpus count, bucket as a data-dependent
+    * list fold over dims 1..bits. */
+  private val duckBitsCte =
+    s"""nb AS (SELECT least($LshMaxBits, greatest($LshMinBits,
+       |         CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END))::INT AS bits
+       |       FROM (SELECT (count(*) + ${LshTargetBucket - 1}) // $LshTargetBucket AS m
+       |             FROM embeddings))""".stripMargin
+  private val duckBucketExprDyn =
+    "CAST(list_sum(list_transform(range(1, bits + 1), " +
+      "j -> CASE WHEN embedding[j] >= 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT)"
+
+  /** All bucket ids within Hamming distance `radius` of `center` in a
+    * `bits`-wide code space — the multi-probe ball, driver-side (the
+    * query is one row; 2¹⁶ max enumeration is trivial). */
+  private[graft] def hammingBall(center: Int, bits: Int, radius: Int): Seq[Int] =
+    (0 until (1 << bits)).filter(b => java.lang.Integer.bitCount(b ^ center) <= radius)
+
+  private val LshMetaName = "_GRAFT_LSH_META"
+
+  /** The stored width of a built LSH index — probes resolve the
+    * geometry from the index META, never from code constants, so an
+    * index built at another corpus size (or by the fixed-width v2
+    * code, which wrote no meta → 8) probes correctly. */
+  private[graft] def annLshBits(root: String): Int = {
+    val f = new java.io.File(root, LshMetaName)
+    if (!f.isFile) 8
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").find(_.startsWith("bits:")).map(_.stripPrefix("bits:").trim.toInt)
+      .getOrElse(8)
+  }
 
   // ----------------------------------------------------------------
   // Brute-force cosine top-k (exact baseline)
@@ -122,7 +182,7 @@ object Similarity {
   /** Bump when an index layout/bucketing expression changes: the
     * version joins the fingerprint, so a code upgrade can never
     * silently reuse an index built by older code. */
-  private val IndexFormatVersion = 2
+  private val IndexFormatVersion = 3 // v3: auto-dimensioned width + meta
   private val IvfIndexVersion = 1
 
   /** Shared cached-index machinery (LSH bucket index + IVF cell
@@ -193,12 +253,22 @@ object Similarity {
   }
 
   /** LSH-bucket-partitioned ANN index (a `_SUCCESS`-terminated parquet
-    * write partitioned by `bucket`). */
+    * write partitioned by `bucket`). The width is AUTO-DIMENSIONED at
+    * build — bits = [[lshBitsFor]](corpus count), recorded in the
+    * index meta so probes read the geometry instead of assuming it —
+    * which is what keeps probe cost tracking the target occupancy as
+    * the corpus grows (buckets split instead of bloating; true
+    * near-dups share ALL sign bits, so widening costs no recall). */
   private[graft] def annIndex(s: SparkSession, dir: String): String =
     cachedIndex(s, dir, "ann", IndexFormatVersion) { path =>
-      withNorm(Tables.embeddings(s, dir))
-        .withColumn("bucket", expr(bucketExpr))
+      val v = withNorm(Tables.embeddings(s, dir))
+      val bits = lshBitsFor(v.count())
+      v.withColumn("bucket", expr(bucketExprFor(bits)))
         .write.partitionBy("bucket").parquet(path)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, LshMetaName),
+        s"bits:$bits".getBytes("UTF-8"))
+      ()
     }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -226,8 +296,13 @@ object Similarity {
   private[graft] def annLshTopk(s: SparkSession, dir: String, radius: Int): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     import s.implicits._
+    // build (or resolve) the index FIRST — the probe geometry (bucket
+    // width) is read from its meta, never assumed from code constants
+    val root = annIndex(s, dir)
+    val bits = annLshBits(root)
     val qRows = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec))
-      .select(col("embedding"), col("nrm"), expr(bucketExpr).as("bucket")).limit(1).collect()
+      .select(col("embedding"), col("nrm"), expr(bucketExprFor(bits)).as("bucket"))
+      .limit(1).collect()
     if (qRows.isEmpty) {
       // no query vector in this corpus → empty top-K with the query's
       // schema (the pre-index join formulation degraded the same way)
@@ -237,13 +312,11 @@ object Similarity {
         .limit(0)
     } else {
       val qRow = qRows(0)
-      // bucket is BIGINT since bucketExpr unified onto bucketExprFor
+      // bucket is BIGINT since the expr unified onto bucketExprFor
       val qbucket = qRow.getAs[Number](2).intValue
-      val probes = (0 until 256)
-        .filter(b => java.lang.Integer.bitCount(b ^ qbucket) <= radius)
-        .map(Int.box)
+      val probes = hammingBall(qbucket, bits, radius).map(Int.box)
       val q = Seq((qRow.getSeq[Float](0).toArray, qRow.getDouble(1))).toDF("qe", "qnrm")
-      s.read.parquet(annIndex(s, dir))
+      s.read.parquet(root)
         .filter(col("bucket").isin(probes: _*))
         .filter(col("vec_id") =!= QueryVec)
         .crossJoin(broadcast(q))
@@ -282,18 +355,22 @@ object Similarity {
     * corpus regardless of corpus size. */
   private def sAnnLshBatch: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
+    // geometry from the index meta (auto-dimensioned width) — the
+    // radius-1 ball is qbucket plus its `bits` single-bit flips
+    val root = annIndex(s, dir)
+    val bits = annLshBits(root)
     // int-typed probe ids to match the index's inferred partition
     // column — a bigint probe side would push the cast onto the scan
     // and defeat dynamic partition pruning
-    val probeArray = (Seq(0) ++ (0 until 8).map(1 << _))
+    val probeArray = (Seq(0) ++ (0 until bits).map(1 << _))
       .map(m => s"cast(qbucket ^ $m as int)").mkString("array(", ", ", ")")
     val probes = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") % BatchMod === 0))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"),
-        expr(bucketExpr).as("qbucket"))
+        expr(bucketExprFor(bits)).as("qbucket"))
       .select(col("qid"), col("qe"), col("qnrm"),
         explode(expr(probeArray)).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    s.read.parquet(annIndex(s, dir))
+    s.read.parquet(root)
       .withColumn("bucket", col("bucket").cast("int"))
       .join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("qid"))
@@ -306,8 +383,9 @@ object Similarity {
   }
 
   private val sAnnLshBatchSql =
-    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
-       |                  ($duckBucketExpr) AS bucket FROM embeddings),
+    s"""WITH $duckBitsCte,
+       |v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
+       |             $duckBucketExprDyn AS bucket FROM embeddings CROSS JOIN nb),
        |q AS (SELECT vec_id qid, embedding qe, nrm qnrm, bucket qbucket
        |      FROM v WHERE vec_id % $BatchMod = 0),
        |cands AS (SELECT q.qid, v.vec_id, v.label,
@@ -320,8 +398,9 @@ object Similarity {
        |WHERE rank <= $K""".stripMargin
 
   private val sAnnLshSql =
-    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
-       |                  ($duckBucketExpr) AS bucket FROM embeddings),
+    s"""WITH $duckBitsCte,
+       |v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
+       |             $duckBucketExprDyn AS bucket FROM embeddings CROSS JOIN nb),
        |q AS (SELECT embedding qe, nrm qnrm, bucket qbucket FROM v WHERE vec_id = $QueryVec),
        |cands AS (SELECT vec_id, label, bucket,
        |            ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS cos
@@ -358,8 +437,9 @@ object Similarity {
   }
 
   private val sAnnRecallSql =
-    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
-       |                  ($duckBucketExpr) AS bucket FROM embeddings),
+    s"""WITH $duckBitsCte,
+       |v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
+       |             $duckBucketExprDyn AS bucket FROM embeddings CROSS JOIN nb),
        |q AS (SELECT embedding qe, nrm qnrm, bucket qbucket FROM v WHERE vec_id = $QueryVec),
        |scored AS (SELECT vec_id, bucket, qbucket,
        |             ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS cos

@@ -145,6 +145,29 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 6, s"shortlist recall collapsed: $overlap/10 vs same-cells exact")
   }
 
+  test("LSH width auto-dimensioning: bits follow the corpus size; probes read the meta, not code constants") {
+    // the exact-integer width rule (smallest b with target·2^b >= n,
+    // clamped to [4,16]) — no float log2 that could round differently
+    // across engines at exact powers of two
+    assert(Similarity.lshBitsFor(0L) == 4)
+    assert(Similarity.lshBitsFor(32L) == 4)
+    assert(Similarity.lshBitsFor(500L) == 4)    // the sf0.01 corpus
+    assert(Similarity.lshBitsFor(2000L) == 6)   // the sf0.1 corpus
+    assert(Similarity.lshBitsFor(32L << 8) == 8)      // exact power boundary
+    assert(Similarity.lshBitsFor((32L << 8) + 1) == 9)
+    assert(Similarity.lshBitsFor(200000L) == 13) // the 100x sweep volume
+    assert(Similarity.lshBitsFor(Long.MaxValue / 2) == 16)
+    // old-index compatibility: a root with NO meta (the fixed-width v2
+    // layout) reads as the legacy 8 bits — width comes from the index,
+    // never assumed
+    val legacy = java.nio.file.Files.createTempDirectory("graft-lsh-legacy").toString
+    assert(Similarity.annLshBits(legacy) == 8)
+    // and the built index's meta records exactly the rule's output
+    val root = Similarity.annIndex(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(Similarity.annLshBits(root) == Similarity.lshBitsFor(n))
+  }
+
   test("LSH probe radius trades scan fraction for recall (the multi-probe knob)") {
     val brute = Similarity.queries("s_cosine_topk")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
