@@ -429,10 +429,15 @@ object Graft {
       operators.AnnIndex.delete(ids, root)
 
     /** Fold all generations + tombstones into one, rebuilding the
-      * running stats from the survivors. Returns
-      * `(cell, n_live, gens_folded)`. */
-    def compact(spark: SparkSession, root: String): DataFrame =
-      operators.AnnIndex.compact(spark, root)
+      * running stats from the survivors. `retrain = true` additionally
+      * retrains BOTH quantizers on the surviving corpus (new coarse
+      * seeds + PQ codebooks, full re-assign/re-encode, swapped
+      * atomically via the manifest) — the recovery [[driftStats]]'s
+      * centroid-displacement signal calls for on a shifted corpus.
+      * Returns `(cell, n_live, gens_folded)`. */
+    def compact(spark: SparkSession, root: String,
+        retrain: Boolean = false): DataFrame =
+      operators.AnnIndex.compact(spark, root, retrain)
 
     /** Per-cell drift accounting — live vs running-stats mass and the
       * centroid displacement re-sends/deletes have accumulated; the

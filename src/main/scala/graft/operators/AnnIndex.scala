@@ -109,6 +109,15 @@ object AnnIndex {
   private def dimOf(lines: Seq[String]): Option[Int] =
     lines.find(_.startsWith("dim:")).flatMap(l =>
       scala.util.Try(l.stripPrefix("dim:").toInt).toOption)
+  // Quantizers resolve THROUGH the manifest since compact(retrain):
+  // a retraining compaction publishes seeds-N/codebooks-N dirs and
+  // points `seeds:`/`books:` lines at them; indexes that never
+  // retrained have no such lines and fall back to the founding
+  // `seeds`/`codebooks` dirs — old layouts read unchanged.
+  private def seedsDirOf(lines: Seq[String]): String =
+    lines.find(_.startsWith("seeds:")).map(_.stripPrefix("seeds:")).getOrElse("seeds")
+  private def booksDirOf(lines: Seq[String]): String =
+    lines.find(_.startsWith("books:")).map(_.stripPrefix("books:")).getOrElse("codebooks")
 
   /** Manifest IO goes through Hadoop's FileSystem/FileContext layer so
     * a non-local `root` (hdfs://…) works like the parquet generations
@@ -306,16 +315,17 @@ object AnnIndex {
     val (gen, lines) = readManifest(s, root).getOrElse(
       throw new IllegalStateException(s"no ANN index published at $root — build() first"))
     val newGen = gen + 1
-    val seeds = s.read.parquet(s"$root/seeds")
+    val seeds = s.read.parquet(s"$root/${seedsDirOf(lines)}")
     val b = assign(withNorm(batch.select(col("vec_id").cast("long").as("vec_id"),
         col("label"), col("embedding"))), seeds)
       .withColumn("gen", lit(newGen))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       b.write.mode("overwrite").partitionBy("cell").parquet(s"$root/data-$newGen")
-      // encode the batch against the FROZEN founding codebooks — the
-      // ADC side of the index stays append-only too
-      encode(b, s.read.parquet(s"$root/codebooks"))
+      // encode the batch against the FROZEN current codebooks (the
+      // founding ones, or the latest retrain's) — the ADC side of the
+      // index stays append-only between retrains
+      encode(b, s.read.parquet(s"$root/${booksDirOf(lines)}"))
         .withColumn("gen", lit(newGen))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
       // moved-cell guard: tombstone the old cell of every re-sent id
@@ -507,7 +517,7 @@ object AnnIndex {
         val probeCells = probeCellsOf(s, root, gen, lines, queryVec, nprobe)
         if (probeCells.isEmpty) emptyTopK(s)
         else {
-          val books = s.read.parquet(s"$root/codebooks")
+          val books = s.read.parquet(s"$root/${booksDirOf(lines)}")
           // query-side ADC table: M×K subspace distances, one tiny frame
           val dt = s.range(1).select(typedLit(queryVec).as("qe"))
             .select(explode(expr(pqSubs("qe"))).as("p"))
@@ -686,18 +696,72 @@ object AnnIndex {
       case Some((gen, lines)) =>
         val keep = dataDirsOf(lines).toSet ++
           dataDirsOf(lines).map(_.replaceFirst("^data-", "codes-")) ++
-          tombDirsOf(lines) + s"stats-$gen"
+          tombDirsOf(lines) + s"stats-$gen" +
+          seedsDirOf(lines) + booksDirOf(lines)
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val now = System.currentTimeMillis()
         fs.listStatus(rootPath).toSeq
           .filter { st =>
             val n = st.getPath.getName
-            st.isDirectory && n.matches("(data|codes|tombs|stats)-\\d+") &&
+            // versioned quantizer dirs (seeds-N/codebooks-N, retrain
+            // leftovers) sweep like generations; the founding
+            // un-versioned `seeds`/`codebooks` never match the pattern
+            st.isDirectory &&
+              n.matches("(data|codes|tombs|stats|seeds|codebooks)-\\d+") &&
               !keep(n) && now - st.getModificationTime > graceMs
           }
           .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     }
+  }
+
+  /** One deterministic Lloyd refinement of the coarse quantizer over
+    * the SURVIVING corpus (the retrain path of [[compact]]): init =
+    * the `cells` lowest-id survivors (re-numbered to dense cell ids
+    * 0..cells−1 — cell ids are partition values), then `rounds`
+    * assign→exact-double-mean steps. Deterministic given the corpus
+    * (lowest-id init, argmin ties → lowest cell, exact means), so a
+    * crash-replayed retraining compaction rewrites identical
+    * quantizers. A cell that loses all members drops out (standard
+    * Lloyd); probes derive cells from the stats, so nothing assumes a
+    * constant cell count. */
+  private def lloydSeeds(s: SparkSession, live: DataFrame, cells: Int,
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    // model-sized driver collect: the k lowest surviving ids
+    val initIds = live.select(col("vec_id")).orderBy(col("vec_id").asc)
+      .limit(cells).collect().map(_.getLong(0))
+    val rank = initIds.zipWithIndex.map { case (id, i) => (id, i.toLong) }
+      .toSeq.toDF("init_id", "init_cell")
+    var seeds = live.join(broadcast(rank), col("vec_id") === col("init_id"))
+      .select(col("init_cell").as("cell"), col("embedding").as("se"))
+      .withColumn("sn", expr(dot("se", "se")))
+    (1 to rounds).foreach { _ =>
+      seeds = statsOf(assign(live.select(col("vec_id"), col("label"),
+          col("embedding"), col("nrm")), seeds))
+        .select(col("cell"), col("pos"), (col("sm") / col("cnt")).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))")
+          .as("se"))
+        .withColumn("sn", expr(dot("se", "se")))
+    }
+    seeds.select(col("cell"), col("se"), col("sn"))
+  }
+
+  /** Retrained PQ codebooks over the survivors: the training sample is
+    * the `PqTrainN` lowest-id SURVIVING vectors re-keyed to dense ids
+    * (the founding rule "vec_id < PqTrainN" applied to the live
+    * corpus — the original sample may be entirely deleted by now),
+    * then the shared [[trainCodebooks]] Lloyd step. */
+  private def retrainedBooks(s: SparkSession, live: DataFrame): DataFrame = {
+    import s.implicits._
+    val ids = live.select(col("vec_id")).orderBy(col("vec_id").asc)
+      .limit(PqTrainN).collect().map(_.getLong(0))
+    val rank = ids.zipWithIndex.map { case (id, i) => (id, i.toLong) }
+      .toSeq.toDF("orig_id", "rid")
+    trainCodebooks(
+      live.join(broadcast(rank), col("vec_id") === col("orig_id"))
+        .select(col("rid").as("vec_id"), col("embedding")))
   }
 
   /** Fold every generation into ONE: resolve the live rows (latest
@@ -709,8 +773,23 @@ object AnnIndex {
     * generation. Old dirs become unreferenced (readers resolve
     * through the manifest); deleting their bytes is the caller's GC
     * decision since a concurrent reader may still hold the old
-    * manifest. Returns per-cell `(cell, n_live, gens_folded)`. */
-  def compact(s: SparkSession, root: String): DataFrame = {
+    * manifest. Returns per-cell `(cell, n_live, gens_folded)`.
+    *
+    * `retrain = true` additionally RETRAINS both quantizers on the
+    * surviving corpus — new coarse seeds ([[lloydSeeds]]), fresh cell
+    * assignment, new PQ codebooks ([[retrainedBooks]]), full
+    * re-encode — published as versioned `seeds-N`/`codebooks-N` dirs
+    * the manifest's `seeds:`/`books:` lines point at (probes and
+    * later upserts resolve quantizers through the manifest, so the
+    * swap is atomic with the data). This is the recovery
+    * [[driftStats]]'s centroid-displacement signal calls for on a
+    * genuinely SHIFTED corpus, where stats-rebuild alone still serves
+    * cells shaped by the founding distribution: post-retrain the
+    * coarse cells re-fit the live data and probe recall recovers
+    * (spec-pinned on a shifted corpus). `retrain = false` keeps the
+    * frozen quantizers bit-for-bit (append exactness — probes
+    * unchanged, spec-pinned). */
+  def compact(s: SparkSession, root: String, retrain: Boolean = false): DataFrame = {
     import s.implicits._
     PublishLock.withLock(s, root) {
     val (gen, lines) = readManifest(s, root).getOrElse(
@@ -719,28 +798,58 @@ object AnnIndex {
     val dataDirs = dataDirsOf(lines)
     val tombDirs = tombDirsOf(lines)
     val codeDirs = dataDirs.map(_.replaceFirst("^data-", "codes-"))
+    // the ledger/metadata lines every compaction carries forward: dim,
+    // batch tags (see batchApplied), and — unless this compaction
+    // retrains — the current quantizer pointers
+    val carried = lines.filter(l => l.startsWith("dim:") || l.startsWith("batch:"))
     val live = liveIn(s, root, dataDirs, tombDirs, None,
         Seq("label", "embedding", "nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      live.withColumn("gen", lit(newGen))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/data-$newGen")
-      // codes are per-vector constants (frozen codebooks): carry the
-      // surviving rows, no re-encode
-      liveIn(s, root, codeDirs, tombDirs, None, Seq("codes"))
-        .withColumn("gen", lit(newGen))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
-      statsOf(live).write.mode("overwrite").parquet(s"$root/stats-$newGen")
-      // the dim metadata AND the batch: idempotence-ledger lines
-      // survive compaction (see batchApplied — an in-cadence policy
-      // compaction must not let a replayed batch re-apply)
-      writeManifest(s, root, newGen,
-        lines.filter(l => l.startsWith("dim:") || l.startsWith("batch:"))
-          :+ s"data-$newGen")
+      if (!retrain) {
+        live.withColumn("gen", lit(newGen))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$root/data-$newGen")
+        // codes are per-vector constants (frozen codebooks): carry the
+        // surviving rows, no re-encode
+        liveIn(s, root, codeDirs, tombDirs, None, Seq("codes"))
+          .withColumn("gen", lit(newGen))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
+        statsOf(live).write.mode("overwrite").parquet(s"$root/stats-$newGen")
+        writeManifest(s, root, newGen,
+          carried ++ lines.filter(l => l.startsWith("seeds:") || l.startsWith("books:"))
+            :+ s"data-$newGen")
+      } else {
+        val cells = s.read.parquet(s"$root/${seedsDirOf(lines)}").count().toInt
+        lloydSeeds(s, live, cells, rounds = 2)
+          .write.mode("overwrite").parquet(s"$root/seeds-$newGen")
+        retrainedBooks(s, live)
+          .write.mode("overwrite").parquet(s"$root/codebooks-$newGen")
+        // assign against the STORED retrained seeds (the build/upsert
+        // discipline: what was written is what assigns)
+        val a = assign(live.select(col("vec_id"), col("label"),
+            col("embedding"), col("nrm")),
+            s.read.parquet(s"$root/seeds-$newGen"))
+          .withColumn("gen", lit(newGen))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          a.write.mode("overwrite").partitionBy("cell").parquet(s"$root/data-$newGen")
+          encode(a, s.read.parquet(s"$root/codebooks-$newGen"))
+            .withColumn("gen", lit(newGen))
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes-$newGen")
+          statsOf(a).write.mode("overwrite").parquet(s"$root/stats-$newGen")
+          writeManifest(s, root, newGen,
+            carried ++ Seq(s"data-$newGen",
+              s"seeds:seeds-$newGen", s"books:codebooks-$newGen"))
+        } finally a.unpersist()
+      }
       // materialized accounting (see delete) — the returned frame must
-      // not re-run the full resolution after the unpersist below
-      live.groupBy(col("cell")).agg(count(lit(1)).as("n_live"))
-        .orderBy(col("cell")).collect()
+      // not re-run the full resolution after the unpersist below;
+      // post-retrain cells come from the NEW assignment
+      val counted =
+        if (!retrain) live.groupBy(col("cell")).agg(count(lit(1)).as("n_live"))
+        else s.read.parquet(s"$root/stats-$newGen").filter(col("pos") === 0)
+          .select(col("cell"), col("cnt").as("n_live"))
+      counted.orderBy(col("cell")).collect()
         .map(r => (r.getLong(0), r.getLong(1),
           dataDirs.length.toLong + tombDirs.length)).toSeq
         .toDF("cell", "n_live", "gens_folded")

@@ -262,6 +262,73 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("compact(retrain): quantizers re-fit a shifted corpus; exactness preserved; upserts use the new quantizers") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-retrain").toString
+    // found on the low-id corpus, then SHIFT it: every live vector is
+    // re-landed NEGATED (opposite orthants — the founding cells fit
+    // the new distribution poorly) and the founding rows deleted
+    // shift = |x| maps everything into the positive orthant: a tight
+    // CLUSTER the founding cells never saw — the shifted mass crowds
+    // into whichever founding cells lean positive, the degenerate
+    // partitioning retrain exists to fix
+    Graft.ann.build(v.filter(col("vec_id") <= 200), "vec_id", "embedding", "label", root)
+    val shifted = v.filter(col("vec_id") > 200 && col("vec_id") <= 400)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> abs(x))").as("embedding"))
+    graft.operators.AnnIndex.upsert(shifted, root)
+    graft.operators.AnnIndex.delete(
+      v.filter(col("vec_id") <= 200).select("vec_id"), root)
+    // a shifted query NOT in the corpus (the |emb| of a deleted id)
+    val qv = v.filter(col("vec_id") === 100L).select("embedding")
+      .as[Array[Float]].collect()(0).map(math.abs)
+    def probeIds(np: Int) = graft.operators.AnnIndex
+      .probe(spark, root, qv, nprobe = np, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    def probePairs(np: Int) = graft.operators.AnnIndex
+      .probe(spark, root, qv, nprobe = np, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    def stats() = {
+      val d = graft.operators.AnnIndex.driftStats(spark, root).collect()
+      (d.map(_.getLong(1)).max, d.map(_.getLong(3)).sum, d.map(_.getDouble(4)).max)
+    }
+    val exactBefore = probePairs(8) // all cells = exact over the live corpus
+    val (maxCellBefore, supBefore, shiftBefore) = stats()
+    // the shifted corpus measurably no longer fits the founding cells:
+    // superseded mass, displaced centroids (the driftStats signal),
+    // and the live mass CROWDS (a degenerate partition is a full scan
+    // at serving time — the 100 TB failure mode)
+    assert(supBefore > 0 && shiftBefore > 0.0, s"($supBefore, $shiftBefore)")
+    assert(maxCellBefore > 200L / 4, s"expected crowding, max cell = $maxCellBefore")
+    val acct = graft.operators.AnnIndex.compact(spark, root, retrain = true).collect()
+    assert(acct.map(_.getLong(1)).sum == 200L) // all survivors, re-celled
+    // drift fully purged AND the coarse cells re-fit the live data:
+    // Lloyd splits the crowded mass, so the worst cell shrinks — probe
+    // cost per query drops proportionally
+    val (maxCellAfter, supAfter, shiftAfter) = stats()
+    assert(supAfter == 0L && shiftAfter == 0.0)
+    assert(maxCellAfter < maxCellBefore,
+      s"load balance did not improve: $maxCellBefore -> $maxCellAfter")
+    // retrain changes the PARTITIONING, never the corpus: all-cell
+    // exact results are identical (vec_id, cosine) sets, and the
+    // pruned probe still recalls on the re-fit cells
+    assert(probePairs(8) == exactBefore)
+    assert((probeIds(2) & exactBefore.map(_._1)).size >= 5)
+    // a post-retrain upsert resolves the RETRAINED quantizers through
+    // the manifest: a freshly-added shifted vector is probe-visible
+    val extra = v.filter(col("vec_id") === 450L)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> abs(x))").as("embedding"))
+    graft.operators.AnnIndex.upsert(extra, root)
+    val qv450 = v.filter(col("vec_id") === 450L).select("embedding")
+      .as[Array[Float]].collect()(0).map(math.abs)
+    val hits = graft.operators.AnnIndex.probe(spark, root, qv450, nprobe = 2, k = 3)
+      .collect()
+    assert(hits.exists(r => r.getLong(0) == 450L && r.getDouble(3) == 1.0),
+      hits.mkString(","))
+  }
+
   test("ann index upsert: probe(base+upserts) == probe(full rebuild); accounting adds up") {
     val v = Tables.embeddings(spark, sf)
     val maxId = v.agg(max("vec_id")).collect()(0).getLong(0)
