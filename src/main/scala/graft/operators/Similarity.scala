@@ -91,17 +91,26 @@ object Similarity {
   // ---- auto-dimensioned LSH width (bits follow the corpus size) ----
 
   /** Target mean bucket occupancy: the width rule keeps buckets around
-    * this size, so probe cost tracks the TARGET, not the corpus — the
-    * r10 sweep's one growing probe (`s_ann_lsh_batch`, 3.76× at 100×
-    * in the fixed-256-bucket regime) becomes flat once buckets split
-    * as the corpus grows. */
-  private[graft] val LshTargetBucket = 32
-  /** Width clamp: ≥ 4 bits so tiny corpora still bucket at all; ≤ 16
-    * bits (65k buckets) bounded by the embedding dim (each bit is one
-    * axis-aligned hyperplane over dims 1..bits ≤ 64) and by the
-    * driver-side Hamming-ball enumeration. */
+    * this size, so per-query probe cost tracks the TARGET, not the
+    * corpus — the r10 sweep's one growing probe (`s_ann_lsh_batch`,
+    * 3.76× at 100× in the fixed-256-bucket regime) flattens once
+    * buckets split as the corpus grows. 256 and not smaller because a
+    * bucket is also a PARTITION DIRECTORY of the index: splitting a
+    * parquet layout into tens of thousands of ~32-row dirs trades
+    * probe arithmetic for file-listing fixed cost (measured: an
+    * over-split 8192-dir index at 100× volume spent ~10 s/query just
+    * listing) — the classic small-files failure. */
+  private[graft] val LshTargetBucket = 256
+  /** Width clamp: ≥ 4 bits so tiny corpora still bucket at all; ≤ 12
+    * bits (4096 buckets) to bound the directory count a filesystem
+    * listing pays per scan — past that, a 100 TB layout keeps bucket
+    * as a SORTED column inside fewer partitions instead of splitting
+    * directories further (each bucket dir just grows more/larger
+    * files, which parquet splits handle). Also bounded by the
+    * embedding dim (each bit is one axis-aligned hyperplane over dims
+    * 1..bits ≤ 64). */
   private[graft] val LshMinBits = 4
-  private[graft] val LshMaxBits = 16
+  private[graft] val LshMaxBits = 12
 
   /** bits ≈ log₂(n / target), computed EXACTLY in integers (the
     * smallest b with target·2ᵇ ≥ n, clamped) — a float log₂ could
@@ -182,7 +191,7 @@ object Similarity {
   /** Bump when an index layout/bucketing expression changes: the
     * version joins the fingerprint, so a code upgrade can never
     * silently reuse an index built by older code. */
-  private val IndexFormatVersion = 3 // v3: auto-dimensioned width + meta
+  private val IndexFormatVersion = 4 // v3: auto width + meta; v4: occupancy 256, one file/bucket
   private val IvfIndexVersion = 1
 
   /** Shared cached-index machinery (LSH bucket index + IVF cell
@@ -263,7 +272,13 @@ object Similarity {
     cachedIndex(s, dir, "ann", IndexFormatVersion) { path =>
       val v = withNorm(Tables.embeddings(s, dir))
       val bits = lshBitsFor(v.count())
+      // repartition BY BUCKET before the partitioned write: without
+      // it every task writes a file into every bucket dir it touches
+      // (tasks × buckets files — the small-files explosion that turns
+      // probe scans into directory listings); with it each bucket's
+      // rows land in exactly one task → one file per bucket dir
       v.withColumn("bucket", expr(bucketExprFor(bits)))
+        .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(path)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(path, LshMetaName),
@@ -334,6 +349,16 @@ object Similarity {
   // ---- batch ANN: many query vectors through one bucket join ----
 
   private val BatchMod = 100L  // every 100th vector queries the index
+  /** The registered batch panels stop at the founding-id range: a
+    * serving batch is FIXED-size regardless of corpus size, so the
+    * scale sweeps measure index-serving cost against corpus volume,
+    * not workload growth (the `t_bm25_batch` fixed-panel model — an
+    * uncapped `% BatchMod` panel at 100× volume is 100× the queries,
+    * and the sweep conflates the two). At the harness SFs every vec_id
+    * is under the cap, so results are unchanged; scale replicas add
+    * corpus without adding queries. Arbitrary-size batches remain the
+    * facade path (`ivfpqBatchTopk` takes any frame). */
+  private val PanelCap = 5000L
 
   /** BATCH ANN probe — the production shape (VERDICT r4 #4): a whole
     * frame of query vectors probes the bucket-partitioned [[annIndex]]
@@ -364,7 +389,8 @@ object Similarity {
     // and defeat dynamic partition pruning
     val probeArray = (Seq(0) ++ (0 until bits).map(1 << _))
       .map(m => s"cast(qbucket ^ $m as int)").mkString("array(", ", ", ")")
-    val probes = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") % BatchMod === 0))
+    val probes = withNorm(Tables.embeddings(s, dir)
+        .filter(col("vec_id") % BatchMod === 0 && col("vec_id") < PanelCap))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"),
         expr(bucketExprFor(bits)).as("qbucket"))
       .select(col("qid"), col("qe"), col("qnrm"),
@@ -387,7 +413,7 @@ object Similarity {
        |v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
        |             $duckBucketExprDyn AS bucket FROM embeddings CROSS JOIN nb),
        |q AS (SELECT vec_id qid, embedding qe, nrm qnrm, bucket qbucket
-       |      FROM v WHERE vec_id % $BatchMod = 0),
+       |      FROM v WHERE vec_id % $BatchMod = 0 AND vec_id < $PanelCap),
        |cands AS (SELECT q.qid, v.vec_id, v.label,
        |            ${duckCosExpr("v.embedding", "qe", "v.nrm", "qnrm")} AS cos
        |          FROM v CROSS JOIN q
@@ -1324,7 +1350,8 @@ object Similarity {
     * the index (the [[sAnnLshBatch]] panel applied to IVF-PQ). */
   private def sIvfpqBatch: Q = (s, dir) =>
     ivfpqBatchTopk(s, dir,
-      Tables.embeddings(s, dir).filter(col("vec_id") % BatchMod === 0)
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % BatchMod === 0 && col("vec_id") < PanelCap)
         .select(col("vec_id").as("query_id"), col("embedding")))
 
   private lazy val sIvfpqBatchSql = {
@@ -1369,7 +1396,7 @@ object Similarity {
        |               GROUP BY cell, dim)
        |         GROUP BY cell),
        |qset AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm
-       |         FROM v WHERE vec_id % $BatchMod = 0),
+       |         FROM v WHERE vec_id % $BatchMod = 0 AND vec_id < $PanelCap),
        |qprobe AS (SELECT qid, cell FROM (
        |             SELECT q.qid, c.cell,
        |                    row_number() OVER (PARTITION BY q.qid

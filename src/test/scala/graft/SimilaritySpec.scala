@@ -150,13 +150,14 @@ class SimilaritySpec extends SparkSpec {
     // clamped to [4,16]) — no float log2 that could round differently
     // across engines at exact powers of two
     assert(Similarity.lshBitsFor(0L) == 4)
-    assert(Similarity.lshBitsFor(32L) == 4)
+    assert(Similarity.lshBitsFor(256L) == 4)
     assert(Similarity.lshBitsFor(500L) == 4)    // the sf0.01 corpus
-    assert(Similarity.lshBitsFor(2000L) == 6)   // the sf0.1 corpus
-    assert(Similarity.lshBitsFor(32L << 8) == 8)      // exact power boundary
-    assert(Similarity.lshBitsFor((32L << 8) + 1) == 9)
-    assert(Similarity.lshBitsFor(200000L) == 13) // the 100x sweep volume
-    assert(Similarity.lshBitsFor(Long.MaxValue / 2) == 16)
+    assert(Similarity.lshBitsFor(2000L) == 4)   // the sf0.1 corpus
+    assert(Similarity.lshBitsFor(256L << 8) == 8)     // exact power boundary
+    assert(Similarity.lshBitsFor((256L << 8) + 1) == 9)
+    assert(Similarity.lshBitsFor(20000L) == 7)   // the 10x sweep volume
+    assert(Similarity.lshBitsFor(200000L) == 10) // the 100x sweep volume
+    assert(Similarity.lshBitsFor(Long.MaxValue / 2) == 12)
     // old-index compatibility: a root with NO meta (the fixed-width v2
     // layout) reads as the legacy 8 bits — width comes from the index,
     // never assumed
