@@ -331,7 +331,20 @@ object Similarity {
       val qbucket = qRow.getAs[Number](2).intValue
       val probes = hammingBall(qbucket, bits, radius).map(Int.box)
       val q = Seq((qRow.getSeq[Float](0).toArray, qRow.getDouble(1))).toDF("qe", "qnrm")
-      s.read.parquet(root)
+      // the driver knows the probe buckets, so read ONLY their
+      // partition dirs (basePath keeps the bucket column): partition
+      // DISCOVERY cost then tracks the Hamming ball, not the total
+      // bucket count — at a 4096-dir index the full-root read pays a
+      // 4096-entry listing before pruning a single row (empty buckets
+      // have no dir; filter to what exists)
+      val probeDirs = probes.map(b => new java.io.File(root, s"bucket=$b"))
+        .filter(_.isDirectory).map(_.toString)
+      if (probeDirs.isEmpty)
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            lit(0).cast("int").as("bucket"), lit(0.0).as("cosine"))
+          .limit(0)
+      else s.read.option("basePath", root).parquet(probeDirs: _*)
         .filter(col("bucket").isin(probes: _*))
         .filter(col("vec_id") =!= QueryVec)
         .crossJoin(broadcast(q))
