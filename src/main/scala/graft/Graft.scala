@@ -405,6 +405,17 @@ object Graft {
         nprobe: Int = 2, k: Int = 10): DataFrame =
       operators.AnnIndex.probe(spark, root, queryVec, nprobe, k)
 
+    /** BATCH probe of the live LSM index: a `(query_id, embedding)`
+      * frame served in one pass — per-query probe cells as a
+      * broadcast column from the latest running-stats centroids,
+      * generation scans pruned to the union of probed cells,
+      * latest-event-wins resolution run once per vec. Each query's
+      * slice equals its single [[probe]] exactly (spec-pinned).
+      * Returns `(query_id, rank, vec_id, label, cell, cosine)`. */
+    def probeBatch(spark: SparkSession, root: String, queries: DataFrame,
+        nprobe: Int = 2, k: Int = 10): DataFrame =
+      operators.AnnIndex.probeBatch(spark, root, queries, nprobe, k)
+
     /** Two-stage IVF-PQ probe of the live index: ADC over the stored
       * per-generation PQ codes of the probed cells, exact re-rank of
       * the `rerankPool` shortlist only. Same upsert-exactness contract
@@ -593,6 +604,17 @@ object Graft {
     def bm25TopkAt(spark: SparkSession, root: String, terms: Seq[String],
         k: Int = 20): DataFrame =
       operators.TextIndex.bm25TopkAtRoot(spark, root, terms, k)
+
+    /** BATCH BM25 serving from an explicit-root incremental index: a
+      * `(query_id, term)` frame probes the signed-delta generations
+      * in one pass (netting precedes the per-query fan-out, so the
+      * maintenance history costs each query nothing beyond its own
+      * terms' postings). Each query's slice equals its single
+      * [[bm25TopkAt]] probe exactly (spec-pinned). Returns
+      * `(query_id, rank, doc_id, bm25)`. */
+    def bm25TopkBatchAt(spark: SparkSession, root: String,
+        queries: DataFrame, k: Int = 20): DataFrame =
+      operators.TextIndex.bm25TopkBatchAtRoot(spark, root, queries, k)
 
     /** Continuous document ingestion into the incremental BM25 index:
       * each micro-batch upserts as one generation (idempotent under

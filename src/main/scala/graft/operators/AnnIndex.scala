@@ -385,7 +385,9 @@ object AnnIndex {
   /** Latest-event-wins resolution over generation dirs plus
     * tombstones, optionally restricted to `cells` (the probed-cell
     * prune — pushed through the union into every generation's
-    * PartitionFilters). Data rows and tombstones form ONE event
+    * PartitionFilters) or to `cellFrame` (a `(cell)` frame joined
+    * broadcast — the BATCH prune, where the probed cells are data,
+    * not driver literals). Data rows and tombstones form ONE event
     * stream per vec_id ordered by generation: the newest event wins,
     * and a winning tombstone removes the id (a later re-upsert
     * revives it). `payload` names the value columns of `dirs`' rows;
@@ -393,7 +395,7 @@ object AnnIndex {
     * filter. */
   private def liveIn(s: SparkSession, root: String, dirs: Seq[String],
       tombDirs: Seq[String], cells: Option[Array[Long]],
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], cellFrame: Option[DataFrame] = None): DataFrame = {
     val rows = dirs.map(d => s.read.parquet(s"$root/$d")
         .select(col("vec_id") +: col("gen") +: col("cell") +:
           lit(false).as("is_tomb") +: payload.map(col): _*))
@@ -406,9 +408,11 @@ object AnnIndex {
     // dir written partitionBy("cell") — normalize so every consumer
     // (stats rebuild, accounting, getLong collects) sees LONG
     val typed = events.withColumn("cell", col("cell").cast("long"))
-    val pruned = cells match {
-      case Some(cs) => typed.filter(col("cell").isin(cs.map(Long.box): _*))
-      case None => typed
+    val pruned = (cells, cellFrame) match {
+      case (Some(cs), _) => typed.filter(col("cell").isin(cs.map(Long.box): _*))
+      case (None, Some(cf)) =>
+        typed.join(broadcast(cf.select(col("cell").cast("long").as("cell")).distinct()), "cell")
+      case (None, None) => typed
     }
     // gen desc, data before tombstone on the tie: a moved re-upsert
     // writes its new-cell row and its old-cell tombstone in the SAME
@@ -441,15 +445,22 @@ object AnnIndex {
     * paths share (a tie-break fix applied here cannot leave one path
     * stale). Also enforces the manifest's stored dimensionality
     * against the query vector. */
-  private def probeCellsOf(s: SparkSession, root: String, gen: Long,
-      lines: Seq[String], queryVec: Array[Float], nprobe: Int): Array[Long] = {
-    dimOf(lines).foreach(d => require(queryVec.length == d,
-      s"query vector dim ${queryVec.length} != index dim $d"))
+  /** LATEST running-stats centroids as `(cell, ce)` — the one
+    * cell-geometry frame both the single probes (driver collect) and
+    * the batch probe (broadcast column join) derive cell selection
+    * from. */
+  private def centroidsOf(s: SparkSession, root: String, gen: Long): DataFrame =
     s.read.parquet(s"$root/stats-$gen")
       .select(col("cell"), col("pos"), (col("sm") / col("cnt")).as("m"))
       .groupBy(col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))")
         .as("ce"))
+
+  private def probeCellsOf(s: SparkSession, root: String, gen: Long,
+      lines: Seq[String], queryVec: Array[Float], nprobe: Int): Array[Long] = {
+    dimOf(lines).foreach(d => require(queryVec.length == d,
+      s"query vector dim ${queryVec.length} != index dim $d"))
+    centroidsOf(s, root, gen)
       .withColumn("qe", typedLit(queryVec))
       .withColumn("pscore", expr(s"${dot("ce", "ce")} - 2 * ${dot("qe", "ce")}"))
       .orderBy(col("pscore").asc, col("cell").asc)
@@ -489,6 +500,55 @@ object AnnIndex {
             .select(col("vec_id"), col("label"), col("cell"),
               round(col("cos"), 6).as("cosine"))
         }
+    }
+  }
+
+  /** BATCH probe over the incrementally-maintained index — a whole
+    * `(query_id, embedding)` frame served in ONE pass, the
+    * [[Similarity.ivfpqBatchTopk]] shape on top of the LSM generation
+    * layout. Per-query probe cells are a COLUMN (qid window over the
+    * broadcast LATEST running-stats centroids — no driver collect
+    * selects cells); the generation scans restrict to the union of
+    * all queries' probed cells via a broadcast cell-frame join;
+    * latest-event-wins resolution (re-sends shadow, tombstones
+    * delete) runs ONCE per vec over the pruned union, independent of
+    * which queries probe it; each resolved row then scores against
+    * every query probing its cell and a qid window keeps top-`k`.
+    * Per-query results equal the single [[probe]] exactly
+    * (spec-pinned). Returns `(query_id, rank, vec_id, label, cell,
+    * cosine)`; an unbuilt root yields an empty frame. */
+  def probeBatch(s: SparkSession, root: String, queries0: DataFrame,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    readManifest(s, root) match {
+      case None =>
+        emptyTopK(s).select(lit(0L).as("query_id"), lit(0L).as("rank"),
+          col("vec_id"), col("label"), col("cell"), col("cosine")).limit(0)
+      case Some((gen, lines)) =>
+        val queries = queries0
+          .select(col("query_id").cast("long").as("qid"), col("embedding").as("qe"))
+          .withColumn("qnrm", expr(s"sqrt(${dot("qe", "qe")})"))
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("pscore").asc, col("cell").asc)
+        val probes = queries.crossJoin(broadcast(centroidsOf(s, root, gen)))
+          .withColumn("pscore", expr(s"${dot("ce", "ce")} - 2 * ${dot("qe", "ce")}"))
+          .withColumn("prn", row_number().over(wp))
+          .filter(col("prn") <= nprobe)
+          .select(col("qid"), col("cell"), col("qe"), col("qnrm"))
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+        liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines), None,
+            Seq("label", "embedding", "nrm"),
+            cellFrame = Some(probes.select(col("cell"))))
+          .join(broadcast(probes), "cell")
+          .select(col("qid"), col("vec_id"), col("label"),
+            col("cell").cast("long").as("cell"),
+            (expr(dot("embedding", "qe")) / (col("nrm") * col("qnrm"))).as("cos"))
+          .withColumn("rank", row_number().over(wk))
+          .filter(col("rank") <= k)
+          .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("label"), col("cell"),
+            round(col("cos"), 6).as("cosine"))
     }
   }
 

@@ -718,6 +718,59 @@ object TextIndex {
       k: Int): DataFrame =
     TextAnalysis.bm25TopkCut(scoredAtRoot(s, root, terms), k)
 
+  /** BATCH retrieval from an explicit-root incremental index — the
+    * [[bm25TopkBatchIndexed]] serving shape over SIGNED delta
+    * generations: one `(query_id, term)` frame, term buckets computed
+    * as a column by the native portable hash, every generation's
+    * postings/df restricted to the probe frame's (bucket, term) pairs
+    * by a broadcast join, then NETTED per (doc, term) / per term
+    * (exact integer sums — superseded and deleted mass cancels)
+    * BEFORE fanning out per query, so the maintenance history costs
+    * each query nothing beyond its own terms' postings. Nano-integer
+    * partial sums per (query, doc) keep 3+-term scores order-free;
+    * each query's slice equals its single-query [[bm25TopkAtRoot]]
+    * probe exactly (spec-pinned). Returns
+    * `(query_id, rank, doc_id, bm25)`. */
+  def bm25TopkBatchAtRoot(s: SparkSession, root: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val gens = readManifest(s, root)
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    val probes = queries
+      .select(col("query_id").cast("long").as("query_id"), col("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .withColumn("bucket",
+        pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)).cast("int"))
+    val terms = broadcast(probes.select(col("bucket"), col("term")).distinct())
+    val post = gens.map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings"))
+      .reduce(_ unionByName _)
+      .join(terms, Seq("bucket", "term"))
+      .groupBy(col("doc_id"), col("term"), col("bucket"))
+      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+      .filter(col("tf") > 0)
+    val dfT = gens.map(g => s.read.schema(DfSchema).parquet(s"$root/$g/df"))
+      .reduce(_ unionByName _)
+      .join(terms, Seq("bucket", "term"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = gens.map(g => s.read.schema(StatsSchema).parquet(s"$root/$g/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_dl")).as("s_dl"))
+    val sc = TextAnalysis.bm25ScDouble("tf", "df", "dl", "n_docs", "s_dl")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("nanos").desc, col("doc_id").asc)
+    post.join(broadcast(probes), Seq("bucket", "term"))
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), expr(sc).as("sc"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(floor(col("sc") * lit(1e9) + lit(0.5)).cast("long")).as("nanos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("doc_id"),
+        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("bm25"))
+  }
+
   /** The oracle query: identical output contract to `t_bm25` (same
     * fixed terms, same pivot, same rounding), served from the index —
     * so it shares `t_bm25`'s DuckDB oracle verbatim, which IS the

@@ -263,6 +263,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSM batch probe: each query's slice equals its single probe over an upsert+re-send+delete history") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-batch").toString
+    graft.operators.AnnIndex.build(v.filter(col("vec_id") <= 300), root)
+    graft.operators.AnnIndex.upsert(
+      v.filter(col("vec_id") > 300 && col("vec_id") <= 400), root)
+    // a re-send (shadows its old row) and deletes — the batch path
+    // must resolve the SAME live view the single probe sees
+    graft.operators.AnnIndex.upsert(
+      v.filter(col("vec_id") === 150L).withColumn("label", lit(77)), root)
+    graft.operators.AnnIndex.delete(Seq(10L, 20L).toDF("vec_id"), root)
+    val qids = Seq(0L, 100L, 250L)
+    val qframe = v.filter(col("vec_id").isin(qids.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = graft.operators.AnnIndex.probeBatch(spark, root, qframe, nprobe = 2, k = 10)
+      .collect().groupBy(_.getLong(0))
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { qid =>
+      val qv = v.filter(col("vec_id") === qid).select("embedding")
+        .as[Array[Float]].collect()(0)
+      val single = graft.operators.AnnIndex.probe(spark, root, qv, nprobe = 2, k = 10)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val slice = batch(qid).toSeq.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getInt(3), r.getLong(4), r.getDouble(5)))
+      assert(slice == single, s"query $qid:\n$slice\nvs\n$single")
+    }
+    assert(!batch.values.flatten.exists(r =>
+      r.getLong(2) == 10L || r.getLong(2) == 20L), "a deleted vec served")
+  }
+
   test("compact(retrain): quantizers re-fit a shifted corpus; exactness preserved; upserts use the new quantizers") {
     import spark.implicits._
     val v = Tables.embeddings(spark, sf)

@@ -228,6 +228,36 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(topkAt() == preCompact)
   }
 
+  test("text LSM batch probe: each query's slice equals its single probe over the signed-delta history") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_text_batch").toString
+    operators.TextIndex.build(Seq(
+      (1L, "vector hash stream alpha"), (2L, "vector vector beta"),
+      (3L, "hash gamma gamma"), (4L, "stream delta"),
+      (5L, "epsilon vector")).toDF("doc_id", "text"), root)
+    // re-send 2 (loses a "vector"), add 6, delete 4 — the batch must
+    // net the signed history exactly as the single probe does
+    operators.TextIndex.upsert(Seq(
+      (2L, "vector beta beta"), (6L, "hash stream zeta")).toDF("doc_id", "text"), root)
+    operators.TextIndex.delete(Seq(4L).toDF("doc_id"), root)
+    val panel = Seq(
+      1L -> Seq("vector", "hash"), 2L -> Seq("stream"),
+      3L -> Seq("hash", "gamma", "vector"))
+    val frame = panel.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "term")
+    val batch = Graft.text.bm25TopkBatchAt(spark, root, frame, 10)
+      .collect().groupBy(_.getLong(0))
+    assert(batch.keySet == panel.map(_._1).toSet)
+    panel.foreach { case (qid, terms) =>
+      val single = Graft.text.bm25TopkAt(spark, root, terms, 10).collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val slice = batch(qid).toSeq.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3)))
+      assert(slice == single, s"query $qid:\n$slice\nvs\n$single")
+      assert(!slice.exists(_._1 == 4L), "a deleted doc served")
+    }
+  }
+
   test("publish lock: two interleaved writers serialize — both upserts land (text + ann)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
