@@ -424,6 +424,14 @@ object Graft {
         nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame =
       operators.AnnIndex.probeAdc(spark, root, queryVec, nprobe, k, rerankPool)
 
+    /** BATCH IVF-PQ probe of the live LSM index — [[probeBatch]]'s
+      * one-pass shape for the ADC path (codes scanned, shortlists per
+      * qid, exact re-rank of shortlisted rows only). Each query's
+      * slice equals its single [[probeAdc]] (spec-pinned). */
+    def probeAdcBatch(spark: SparkSession, root: String, queries: DataFrame,
+        nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame =
+      operators.AnnIndex.probeAdcBatch(spark, root, queries, nprobe, k, rerankPool)
+
     /** BATCH IVF-PQ serving over `dir`'s memo-cached index: a whole
       * `(query_id, embedding)` frame probes in ONE join — per-query
       * probe cells as a broadcast column, DPP-pruned codes/data scans,

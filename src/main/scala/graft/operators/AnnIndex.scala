@@ -609,6 +609,78 @@ object AnnIndex {
     }
   }
 
+  /** BATCH IVF-PQ serving over the incrementally-maintained index —
+    * [[probeAdc]]'s two-stage shape for a whole `(query_id,
+    * embedding)` frame ([[probeBatch]]'s cell-frame prune + per-qid
+    * windows applied to the ADC path): per-query probe cells as a
+    * broadcast column, each query's M×K ADC table from the CURRENT
+    * stored codebooks (founding or latest retrain, resolved through
+    * the manifest), one pruned scan of the stored codes across every
+    * generation (latest-event-wins run once per vec), per-qid
+    * decimal-summed shortlists, and only shortlisted rows pay the
+    * full-dimension exact cosine. Each query's slice equals its
+    * single [[probeAdc]] exactly (spec-pinned). Returns
+    * `(query_id, rank, vec_id, label, cell, cosine)`. */
+  def probeAdcBatch(s: SparkSession, root: String, queries0: DataFrame,
+      nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    readManifest(s, root) match {
+      case None =>
+        emptyTopK(s).select(lit(0L).as("query_id"), lit(0L).as("rank"),
+          col("vec_id"), col("label"), col("cell"), col("cosine")).limit(0)
+      case Some((gen, lines)) =>
+        val queries = queries0
+          .select(col("query_id").cast("long").as("qid"), col("embedding").as("qe"))
+          .withColumn("qnrm", expr(s"sqrt(${dot("qe", "qe")})"))
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("pscore").asc, col("cell").asc)
+        val probes = queries.crossJoin(broadcast(centroidsOf(s, root, gen)))
+          .withColumn("pscore", expr(s"${dot("ce", "ce")} - 2 * ${dot("qe", "ce")}"))
+          .withColumn("prn", row_number().over(wp))
+          .filter(col("prn") <= nprobe)
+          .select(col("qid"), col("cell"))
+        val books = s.read.parquet(s"$root/${booksDirOf(lines)}")
+        val dt = queries
+          .select(col("qid").as("dqid"), explode(expr(pqSubs("qe"))).as("p"))
+          .select(col("dqid"), col("p.m").as("dm"), col("p.sv").as("qsv"))
+          .join(broadcast(books), col("dm") === col("mm"))
+          .select(col("dqid"), col("dm"), col("code").as("dcode"),
+            (col("cn") - lit(2.0) * expr(dot("qsv", "ce"))).as("dscore"))
+        val codeDirs = dataDirsOf(lines).map(_.replaceFirst("^data-", "codes-"))
+        val wa = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)
+        val shortlist = liveIn(s, root, codeDirs, tombDirsOf(lines), None,
+            Seq("codes"), cellFrame = Some(probes.select(col("cell"))))
+          .join(broadcast(probes), "cell")
+          .select(col("qid"), col("cell"), col("vec_id"),
+            posexplode(col("codes")).as(Seq("m", "code")))
+          .join(broadcast(dt),
+            col("qid") === col("dqid") && col("m") === col("dm") && col("code") === col("dcode"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(first(col("cell")).as("cell"),
+            sum(round(col("dscore"), 9).cast("decimal(28,9)")).as("adc"))
+          .withColumn("arn", row_number().over(wa))
+          .filter(col("arn") <= rerankPool)
+          .select(col("qid"), col("cell"), col("vec_id"))
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+        liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines), None,
+            Seq("label", "embedding", "nrm"),
+            cellFrame = Some(probes.select(col("cell"))))
+          .join(broadcast(shortlist), Seq("cell", "vec_id"))
+          .join(broadcast(queries.select(col("qid").as("jqid"), col("qe"), col("qnrm"))),
+            col("qid") === col("jqid"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            col("cell").cast("long").as("cell"),
+            (expr(dot("embedding", "qe")) / (col("nrm") * col("qnrm"))).as("cos"))
+          .withColumn("rank", row_number().over(wk))
+          .filter(col("rank") <= k)
+          .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("label"), col("cell"),
+            round(col("cos"), 6).as("cosine"))
+    }
+  }
+
   /** Delete ids from the live index by appending a TOMBSTONE
     * generation — no published file is touched (the GDPR-delete shape
     * for an LSM store). Each id's tombstone lands in the id's CURRENT

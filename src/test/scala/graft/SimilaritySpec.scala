@@ -293,6 +293,22 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(!batch.values.flatten.exists(r =>
       r.getLong(2) == 10L || r.getLong(2) == 20L), "a deleted vec served")
+    // the ADC path batches the same way: per-qid slices equal the
+    // single two-stage probeAdc over the identical history
+    val adcBatch = graft.operators.AnnIndex
+      .probeAdcBatch(spark, root, qframe, nprobe = 2, k = 10)
+      .collect().groupBy(_.getLong(0))
+    assert(adcBatch.keySet == qids.toSet)
+    qids.foreach { qid =>
+      val qv = v.filter(col("vec_id") === qid).select("embedding")
+        .as[Array[Float]].collect()(0)
+      val single = graft.operators.AnnIndex.probeAdc(spark, root, qv, nprobe = 2, k = 10)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val slice = adcBatch(qid).toSeq.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getInt(3), r.getLong(4), r.getDouble(5)))
+      assert(slice == single, s"ADC query $qid:\n$slice\nvs\n$single")
+    }
   }
 
   test("compact(retrain): quantizers re-fit a shifted corpus; exactness preserved; upserts use the new quantizers") {
