@@ -385,9 +385,7 @@ object AnnIndex {
   /** Latest-event-wins resolution over generation dirs plus
     * tombstones, optionally restricted to `cells` (the probed-cell
     * prune — pushed through the union into every generation's
-    * PartitionFilters) or to `cellFrame` (a `(cell)` frame joined
-    * broadcast — the BATCH prune, where the probed cells are data,
-    * not driver literals). Data rows and tombstones form ONE event
+    * PartitionFilters). Data rows and tombstones form ONE event
     * stream per vec_id ordered by generation: the newest event wins,
     * and a winning tombstone removes the id (a later re-upsert
     * revives it). `payload` names the value columns of `dirs`' rows;
@@ -395,7 +393,7 @@ object AnnIndex {
     * filter. */
   private def liveIn(s: SparkSession, root: String, dirs: Seq[String],
       tombDirs: Seq[String], cells: Option[Array[Long]],
-      payload: Seq[String], cellFrame: Option[DataFrame] = None): DataFrame = {
+      payload: Seq[String]): DataFrame = {
     val rows = dirs.map(d => s.read.parquet(s"$root/$d")
         .select(col("vec_id") +: col("gen") +: col("cell") +:
           lit(false).as("is_tomb") +: payload.map(col): _*))
@@ -408,11 +406,9 @@ object AnnIndex {
     // dir written partitionBy("cell") — normalize so every consumer
     // (stats rebuild, accounting, getLong collects) sees LONG
     val typed = events.withColumn("cell", col("cell").cast("long"))
-    val pruned = (cells, cellFrame) match {
-      case (Some(cs), _) => typed.filter(col("cell").isin(cs.map(Long.box): _*))
-      case (None, Some(cf)) =>
-        typed.join(broadcast(cf.select(col("cell").cast("long").as("cell")).distinct()), "cell")
-      case (None, None) => typed
+    val pruned = cells match {
+      case Some(cs) => typed.filter(col("cell").isin(cs.map(Long.box): _*))
+      case None => typed
     }
     // gen desc, data before tombstone on the tie: a moved re-upsert
     // writes its new-cell row and its old-cell tombstone in the SAME
@@ -507,9 +503,12 @@ object AnnIndex {
     * `(query_id, embedding)` frame served in ONE pass, the
     * [[Similarity.ivfpqBatchTopk]] shape on top of the LSM generation
     * layout. Per-query probe cells are a COLUMN (qid window over the
-    * broadcast LATEST running-stats centroids — no driver collect
-    * selects cells); the generation scans restrict to the union of
-    * all queries' probed cells via a broadcast cell-frame join;
+    * broadcast LATEST running-stats centroids — no PER-QUERY driver
+    * work); the one collect is the probed-cell UNION, bounded by the
+    * CELL COUNT (a quantizer-sized model read, like the single
+    * probe's), pushed as PartitionFilters literals through every
+    * generation scan — a broadcast-join prune instead would read all
+    * partitions and filter rows, a full index scan per batch;
     * latest-event-wins resolution (re-sends shadow, tombstones
     * delete) runs ONCE per vec over the pruned union, independent of
     * which queries probe it; each resolved row then scores against
@@ -535,11 +534,15 @@ object AnnIndex {
           .withColumn("prn", row_number().over(wp))
           .filter(col("prn") <= nprobe)
           .select(col("qid"), col("cell"), col("qe"), col("qnrm"))
+        // the probed-cell UNION (≤ cell count — model-sized) becomes
+        // partition-pruning literals; re-deriving the tiny probes plan
+        // for the pairing join below costs one more nq×cells pass
+        val probedCells = probes.select(col("cell")).distinct()
+          .collect().map(_.getLong(0))
         val wk = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-        liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines), None,
-            Seq("label", "embedding", "nrm"),
-            cellFrame = Some(probes.select(col("cell"))))
+        liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
+            Some(probedCells), Seq("label", "embedding", "nrm"))
           .join(broadcast(probes), "cell")
           .select(col("qid"), col("vec_id"), col("label"),
             col("cell").cast("long").as("cell"),
@@ -611,7 +614,7 @@ object AnnIndex {
 
   /** BATCH IVF-PQ serving over the incrementally-maintained index —
     * [[probeAdc]]'s two-stage shape for a whole `(query_id,
-    * embedding)` frame ([[probeBatch]]'s cell-frame prune + per-qid
+    * embedding)` frame ([[probeBatch]]'s cell-union prune + per-qid
     * windows applied to the ADC path): per-query probe cells as a
     * broadcast column, each query's M×K ADC table from the CURRENT
     * stored codebooks (founding or latest retrain, resolved through
@@ -639,6 +642,10 @@ object AnnIndex {
           .withColumn("prn", row_number().over(wp))
           .filter(col("prn") <= nprobe)
           .select(col("qid"), col("cell"))
+        // probed-cell UNION as PartitionFilters literals (see
+        // probeBatch — a broadcast-join prune would full-scan)
+        val probedCells = probes.select(col("cell")).distinct()
+          .collect().map(_.getLong(0))
         val books = s.read.parquet(s"$root/${booksDirOf(lines)}")
         val dt = queries
           .select(col("qid").as("dqid"), explode(expr(pqSubs("qe"))).as("p"))
@@ -649,8 +656,8 @@ object AnnIndex {
         val codeDirs = dataDirsOf(lines).map(_.replaceFirst("^data-", "codes-"))
         val wa = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)
-        val shortlist = liveIn(s, root, codeDirs, tombDirsOf(lines), None,
-            Seq("codes"), cellFrame = Some(probes.select(col("cell"))))
+        val shortlist = liveIn(s, root, codeDirs, tombDirsOf(lines),
+            Some(probedCells), Seq("codes"))
           .join(broadcast(probes), "cell")
           .select(col("qid"), col("cell"), col("vec_id"),
             posexplode(col("codes")).as(Seq("m", "code")))
@@ -664,9 +671,8 @@ object AnnIndex {
           .select(col("qid"), col("cell"), col("vec_id"))
         val wk = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-        liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines), None,
-            Seq("label", "embedding", "nrm"),
-            cellFrame = Some(probes.select(col("cell"))))
+        liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
+            Some(probedCells), Seq("label", "embedding", "nrm"))
           .join(broadcast(shortlist), Seq("cell", "vec_id"))
           .join(broadcast(queries.select(col("qid").as("jqid"), col("qe"), col("qnrm"))),
             col("qid") === col("jqid"))

@@ -275,7 +275,56 @@ object Sampling {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  private val PriorityN = 50L
+  private val PriorityMod = 1000003L // prime ≫ corpus, so u is near-uniform
+
+  /** P14: WEIGHTED sampling without replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, JACM 2007): priority = u / w with
+    * u ~ U deterministic from the content hash and w the row's
+    * weight (here n_chars — longer documents proportionally likelier,
+    * the token-budget-aware corpus-mixing draw); keep the n smallest
+    * priorities. Chosen over Efraimidis–Spirakis keys u^(1/w): E-S
+    * needs `pow`/`ln`, whose last-ulp behavior is libm-specific and
+    * NOT engine-portable at floor boundaries — priority sampling's
+    * key is ONE IEEE division of exact integers, the established
+    * portability discipline, and carries the same
+    * inclusion-probability ∝ weight semantics (P[keep] = min(1, w/τ)
+    * at threshold τ = the (n+1)-th priority, which also makes
+    * max(w, τ) an unbiased subset-sum estimator).
+    *
+    * Scale shape: the candidate key is a narrow map-side projection;
+    * top-n is TakeOrderedAndProject (per-partition partial top-n,
+    * driver merge — no global sort); only the n-row result pays the
+    * rank window. Deterministic, re-run-stable, joinable — the
+    * [[p8HashSample]] arguments with weights. */
+  private def p14PrioritySample: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val top = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (expr(s"cast(pmod(graft_polyhash(text), $PriorityMod) + 1 as double)")
+          / greatest(col("n_chars"), lit(1L)).cast("double")).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(PriorityN.toInt)
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").asc, col("doc_id").asc)).cast("long"))
+      .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"),
+        expr(TextAnalysis.r6("priority")).as("priority"))
+  }
+
+  private val p14PrioritySampleSql =
+    s"""WITH d AS (SELECT doc_id, lang, n_chars,
+       |    CAST((${PortableHash.duckPolyHash("text")}) % $PriorityMod + 1 AS DOUBLE)
+       |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+       |  FROM documents)
+       |SELECT rk, doc_id, lang, n_chars,
+       |       floor(priority * 1e6 + 0.5) / 1e6 AS priority
+       |FROM (SELECT *, CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rk
+       |      FROM d)
+       |WHERE rk <= $PriorityN""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p14_priority_sample" -> p14PrioritySample,
     "p8_hash_sample" -> p8HashSample,
     "p9_stratified_sample" -> p9StratifiedSample,
     "p10_quota_sample" -> p10QuotaSample,
@@ -284,6 +333,7 @@ object Sampling {
     "p13_unimax_sample" -> p13UnimaxSample)
 
   val oracles: Map[String, String] = Map(
+    "p14_priority_sample" -> p14PrioritySampleSql,
     "p8_hash_sample" -> p8HashSampleSql,
     "p9_stratified_sample" -> p9StratifiedSampleSql,
     "p10_quota_sample" -> p10QuotaSampleSql,

@@ -723,7 +723,9 @@ object TextIndex {
     * generations: one `(query_id, term)` frame, term buckets computed
     * as a column by the native portable hash, every generation's
     * postings/df restricted to the probe frame's (bucket, term) pairs
-    * by a broadcast join, then NETTED per (doc, term) / per term
+    * (the batch's bucket UNION — bounded by its term vocabulary —
+    * collected once into PartitionFilters literals, plus the
+    * broadcast pair join), then NETTED per (doc, term) / per term
     * (exact integer sums — superseded and deleted mass cancels)
     * BEFORE fanning out per query, so the maintenance history costs
     * each query nothing beyond its own terms' postings. Nano-integer
@@ -743,13 +745,21 @@ object TextIndex {
       .withColumn("bucket",
         pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)).cast("int"))
     val terms = broadcast(probes.select(col("bucket"), col("term")).distinct())
-    val post = gens.map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings"))
+    // the batch's BUCKET UNION (bounded by its term vocabulary, never
+    // by the corpus) as PartitionFilters literals on every generation
+    // scan — the join alone would read ALL bucket partitions and
+    // filter rows after
+    val buckets = probes.select(col("bucket")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val post = gens.map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings")
+        .filter(col("bucket").isin(buckets: _*)))
       .reduce(_ unionByName _)
       .join(terms, Seq("bucket", "term"))
       .groupBy(col("doc_id"), col("term"), col("bucket"))
       .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
       .filter(col("tf") > 0)
-    val dfT = gens.map(g => s.read.schema(DfSchema).parquet(s"$root/$g/df"))
+    val dfT = gens.map(g => s.read.schema(DfSchema).parquet(s"$root/$g/df")
+        .filter(col("bucket").isin(buckets: _*)))
       .reduce(_ unionByName _)
       .join(terms, Seq("bucket", "term"))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
