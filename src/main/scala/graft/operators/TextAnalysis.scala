@@ -884,6 +884,54 @@ object TextAnalysis {
   private def tBm25: Q = (s, dir) =>
     bm25FixedPivot(bm25ScoredOf(Tables.documents(s, dir), Bm25Terms, exactInt = true))
 
+  private val Bm25FilterLang = "en"
+
+  /** T-bm25-filtered: METADATA-FILTERED retrieval — BM25 top-k
+    * restricted to `lang = 'en'` documents, scored with GLOBAL corpus
+    * statistics (the Lucene/Elasticsearch filter-query convention: a
+    * filter narrows the CANDIDATES, never the idf — otherwise one doc
+    * scores differently under every filter and cached per-term stats
+    * become filter-dependent; shared hits carry identical scores to
+    * the unfiltered `t_bm25`, which the oracle proves since both
+    * pivot the same `sc`). The [[Similarity]] `s_ivf_filtered` shape
+    * for text. Here the filter joins the term-bounded candidate set
+    * (postings lists, not the corpus) to the predicate's doc set; at
+    * serving scale the filter key is DENORMALIZED onto the index
+    * postings — exactly like `dl` already is — so the pruned scan
+    * applies it before any shuffle. */
+  private def tBm25Filtered: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    bm25FixedPivot(
+      bm25ScoredOf(docs, Bm25Terms, exactInt = true)
+        .join(docs.filter(col("lang") === Bm25FilterLang).select(col("doc_id")),
+          "doc_id"))
+  }
+
+  private val tBm25FilteredSql = {
+    val toks = duckTokens("coalesce(text, '')")
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (SELECT doc_id, CAST(len(list_filter($toks, t -> t <> '')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS s_dl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+       |       WHERE token IN ($terms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (SELECT doc_id, token, ${bm25Sc("tf", "df", "dl", "n_docs", "s_dl")} AS sc
+       |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |flt AS (SELECT doc_id FROM documents WHERE lang = '$Bm25FilterLang'),
+       |wide AS (SELECT doc_id,
+       |   max(CASE WHEN token = '${Bm25Terms(0)}' THEN sc END) AS sv,
+       |   max(CASE WHEN token = '${Bm25Terms(1)}' THEN sc END) AS sh,
+       |   max(CASE WHEN token = '${Bm25Terms(2)}' THEN sc END) AS ss
+       | FROM sc JOIN flt USING (doc_id) GROUP BY doc_id)
+       |SELECT doc_id,
+       |       ${r6("coalesce(sv, 0.0)")} AS s_vector,
+       |       ${r6("coalesce(sh, 0.0)")} AS s_hash,
+       |       ${r6("coalesce(ss, 0.0)")} AS s_stream,
+       |       ${r6("coalesce(sv, 0.0) + coalesce(sh, 0.0) + coalesce(ss, 0.0)")} AS bm25
+       |FROM wide ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   private val tBm25Sql = {
     val toks = duckTokens("coalesce(text, '')")
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
@@ -1502,6 +1550,7 @@ object TextAnalysis {
     "t_fingerprint" -> tFingerprint,
     "t_tfidf" -> tTfidf,
     "t_bm25" -> tBm25,
+    "t_bm25_filtered" -> tBm25Filtered,
     "t_unimax" -> tUnimax)
 
   val oracles: Map[String, String] = Map(
@@ -1525,5 +1574,6 @@ object TextAnalysis {
     "t_fingerprint" -> tFingerprintSql,
     "t_tfidf" -> tTfidfSql,
     "t_bm25" -> tBm25Sql,
+    "t_bm25_filtered" -> tBm25FilteredSql,
     "t_unimax" -> tUnimaxSql)
 }
