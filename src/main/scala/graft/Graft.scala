@@ -402,8 +402,15 @@ object Graft {
     /** Top-`k` cosine neighbours of `queryVec` from the live index;
       * empty frame when no index is published at `root`. */
     def probe(spark: SparkSession, root: String, queryVec: Array[Float],
-        nprobe: Int = 2, k: Int = 10): DataFrame =
-      operators.AnnIndex.probe(spark, root, queryVec, nprobe, k)
+        nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None): DataFrame =
+      operators.AnnIndex.probe(spark, root, queryVec, nprobe, k, asOf)
+
+    /** The retained snapshot versions at an ANN-index root, ascending
+      * (one per publish; expired by [[sweep]] past its grace). Pass
+      * one as `asOf` to [[probe]]/[[probeAdc]] to replay exactly the
+      * index state that publish left — the training-run pin. */
+    def snapshots(spark: SparkSession, root: String): Seq[Long] =
+      operators.AnnIndex.snapshots(spark, root)
 
     /** BATCH probe of the live LSM index: a `(query_id, embedding)`
       * frame served in one pass — per-query probe cells as a
@@ -421,8 +428,9 @@ object Graft {
       * the `rerankPool` shortlist only. Same upsert-exactness contract
       * as [[probe]] (spec-pinned). */
     def probeAdc(spark: SparkSession, root: String, queryVec: Array[Float],
-        nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame =
-      operators.AnnIndex.probeAdc(spark, root, queryVec, nprobe, k, rerankPool)
+        nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30,
+        asOf: Option[Long] = None): DataFrame =
+      operators.AnnIndex.probeAdc(spark, root, queryVec, nprobe, k, rerankPool, asOf)
 
     /** BATCH IVF-PQ probe of the live LSM index — [[probeBatch]]'s
       * one-pass shape for the ADC path (codes scanned, shortlists per
@@ -608,10 +616,20 @@ object Graft {
         maxDeadFraction: Double = 0.2): Option[DataFrame] =
       operators.TextIndex.compactIfBloated(spark, root, maxDeadFraction)
 
-    /** BM25 top-k from an explicit-root incremental index. */
+    /** BM25 top-k from an explicit-root incremental index. `asOf`
+      * probes a RETAINED SNAPSHOT version instead of the live
+      * manifest (every publish writes one; see [[bm25Snapshots]]) —
+      * the training-run pinning discipline: record the version a run
+      * read, and its exact index state stays replayable until the
+      * sweep's retention grace expires it. */
     def bm25TopkAt(spark: SparkSession, root: String, terms: Seq[String],
-        k: Int = 20): DataFrame =
-      operators.TextIndex.bm25TopkAtRoot(spark, root, terms, k)
+        k: Int = 20, asOf: Option[Long] = None): DataFrame =
+      operators.TextIndex.bm25TopkAtRoot(spark, root, terms, k, asOf)
+
+    /** The retained snapshot versions at a text-index root, ascending
+      * (one per publish; expired by the sweep past its grace). */
+    def bm25Snapshots(spark: SparkSession, root: String): Seq[Long] =
+      operators.TextIndex.snapshots(spark, root)
 
     /** BATCH BM25 serving from an explicit-root incremental index: a
       * `(query_id, term)` frame probes the signed-delta generations

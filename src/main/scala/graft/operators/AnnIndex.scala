@@ -139,6 +139,49 @@ object AnnIndex {
     }
   }
 
+  /** SNAPSHOT manifests (the [[TextIndex]] time-travel discipline):
+    * every publish also writes an immutable `.v<gen>` copy so a
+    * training run can PIN the index state it probed ([[probe]]'s
+    * `asOf`); [[sweepUnreferenced]] expires snapshots past its grace
+    * (pass 1) and then keeps every dir any retained snapshot still
+    * references (pass 2) — snapshot retention is the same knob as
+    * generation GC. */
+  private def versionName(v: Long) = s"$ManifestName.v$v"
+
+  private def readManifestAsOf(s: SparkSession, root: String,
+      v: Long): (Long, Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(root, versionName(v))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.isFile(p),
+      s"no retained snapshot v$v at $root — it never existed, or sweepUnreferenced " +
+        "already dropped it past the retention grace window")
+    val in = fs.open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    (lines.head.toLong, lines.drop(1))
+  }
+
+  /** The live manifest, or a retained snapshot's — `asOf` is the
+    * probe-time pin ([[probe]]/[[probeAdc]]); a snapshot's gens,
+    * stats, and quantizers stay readable until the sweep expires it. */
+  private def resolveManifest(s: SparkSession, root: String,
+      asOf: Option[Long]): Option[(Long, Seq[String])] =
+    asOf match {
+      case None => readManifest(s, root)
+      case Some(v) => Some(readManifestAsOf(s, root, v))
+    }
+
+  /** The retained snapshot versions at `root`, ascending. */
+  def snapshots(s: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .filter(_.matches(java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"))
+      .map(_.substring(ManifestName.length + 2).toLong).sorted
+  }
+
   private def writeManifest(s: SparkSession, root: String, gen: Long,
       lines: Seq[String]): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -152,6 +195,12 @@ object AnnIndex {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, ManifestName),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // the immutable snapshot copy — after the live move, so a crash
+    // between the two costs only the snapshot; a replay rewrites
+    // identical bytes
+    val snap = fs.create(new org.apache.hadoop.fs.Path(rootPath, versionName(gen)), true)
+    try snap.write((gen.toString +: lines).mkString("\n").getBytes("UTF-8"))
+    finally snap.close()
     // one-writer-per-root safety net (the TextIndex.publish discipline):
     // re-read after the atomic move — a concurrent publisher landing
     // after ours silently dropped this generation's line; surface the
@@ -471,9 +520,9 @@ object AnnIndex {
     * vec_ids true upserts and applies tombstones. An unbuilt root
     * yields an empty frame. */
   def probe(s: SparkSession, root: String, queryVec: Array[Float],
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    readManifest(s, root) match {
+    resolveManifest(s, root, asOf) match {
       case None => emptyTopK(s)
       case Some((gen, lines)) =>
         // driver-side left fold — the same index-order accumulation as
@@ -570,9 +619,10 @@ object AnnIndex {
     * exact under pure appends (spec-pinned — the codebooks train on
     * the deterministic founding sample both paths share). */
   def probeAdc(s: SparkSession, root: String, queryVec: Array[Float],
-      nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30,
+      asOf: Option[Long] = None): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    readManifest(s, root) match {
+    resolveManifest(s, root, asOf) match {
       case None => emptyTopK(s)
       case Some((gen, lines)) =>
         val qnrm = math.sqrt(
@@ -832,14 +882,26 @@ object AnnIndex {
     readManifest(s, root) match {
       case None => Seq.empty
       case Some((gen, lines)) =>
-        val keep = dataDirsOf(lines).toSet ++
-          dataDirsOf(lines).map(_.replaceFirst("^data-", "codes-")) ++
-          tombDirsOf(lines) + s"stats-$gen" +
-          seedsDirOf(lines) + booksDirOf(lines)
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val now = System.currentTimeMillis()
-        fs.listStatus(rootPath).toSeq
+        // pass 1: expire SNAPSHOT manifests past the retention grace
+        val snapPattern = java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"
+        val expired = fs.listStatus(rootPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.matches(snapPattern) &&
+            now - st.getModificationTime > graceMs)
+          .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+        // pass 2: keep = the live manifest's references plus every
+        // RETAINED snapshot's (its gens, stats, and quantizers stay
+        // replayable until the snapshot itself expires)
+        def refsOf(g: Long, ls: Seq[String]): Set[String] =
+          dataDirsOf(ls).toSet ++
+            dataDirsOf(ls).map(_.replaceFirst("^data-", "codes-")) ++
+            tombDirsOf(ls) + s"stats-$g" + seedsDirOf(ls) + booksDirOf(ls)
+        val keep = refsOf(gen, lines) ++ snapshots(s, root).flatMap { v =>
+          val (g, ls) = readManifestAsOf(s, root, v); refsOf(g, ls)
+        }
+        expired ++ fs.listStatus(rootPath).toSeq
           .filter { st =>
             val n = st.getPath.getName
             // versioned quantizer dirs (seeds-N/codebooks-N, retrain

@@ -377,6 +377,40 @@ object TextIndex {
   private def readManifest(s: SparkSession, root: String): Seq[String] =
     manifestLines(s, root).filter(_.startsWith("gen-"))
 
+  /** SNAPSHOT manifests: every publish also writes an immutable
+    * `_GRAFT_TEXT_MANIFEST.v<N>` copy (N = the publish's generation
+    * number — monotone across upserts/deletes/compactions), so a
+    * training run can PIN the exact index state it read
+    * ([[bm25TopkAtRoot]]'s `asOf`) and reproduce it later — the
+    * Delta/Iceberg time-travel discipline on the manifest level.
+    * Snapshots are retained for [[sweepUnreferenced]]'s grace window
+    * (its pass 1 deletes version files past it; pass 2 then keeps
+    * every generation any RETAINED snapshot still references), so
+    * "how long is a snapshot replayable" is one knob. */
+  private def versionName(v: Long) = s"$ManifestName.v$v"
+
+  private def manifestLinesAsOf(s: SparkSession, root: String, v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, versionName(v))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.isFile(p),
+      s"no retained snapshot v$v at $root — it never existed, or sweepUnreferenced " +
+        "already dropped it past the retention grace window")
+    val in = fs.open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** The retained snapshot versions at `root`, ascending. */
+  def snapshots(s: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .filter(_.matches(java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"))
+      .map(_.substring(ManifestName.length + 2).toLong).sorted
+  }
+
   /** Has a streaming batch with this tag already ridden a published
     * manifest? The ledger rides the SAME atomic move as the data, so
     * a replayed batch can never re-apply (its postings would count
@@ -410,6 +444,14 @@ object TextIndex {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, ManifestName),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // the immutable snapshot copy (version = this publish's highest
+    // generation number): written AFTER the live move, so a crash
+    // between the two costs only the snapshot, never the index; a
+    // replayed publish rewrites identical bytes
+    val v = gens.filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong).max
+    val snap = fs.create(new org.apache.hadoop.fs.Path(rootPath, versionName(v)), true)
+    try snap.write(gens.mkString("\n").getBytes("UTF-8"))
+    finally snap.close()
     val seen = manifestLines(s, root)
     if (seen != gens)
       throw new IllegalStateException(
@@ -667,16 +709,27 @@ object TextIndex {
     * the deleted names (for audit/spec). */
   def sweepUnreferenced(s: SparkSession, root: String,
       graceMs: Long = 30L * 60 * 1000): Seq[String] = {
-    val live = readManifest(s, root).toSet
     val now = System.currentTimeMillis()
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) Seq.empty
-    else fs.listStatus(rootPath).toSeq
+    if (!fs.exists(rootPath)) return Seq.empty
+    // pass 1: expire SNAPSHOT manifests past the retention grace —
+    // this is the snapshot-retention knob (the Delta VACUUM shape):
+    // a snapshot keeps its generations replayable until it expires
+    val snapPattern = java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"
+    val expired = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches(snapPattern) &&
+        now - st.getModificationTime > graceMs)
+      .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+    // pass 2: keep = live manifest ∪ every RETAINED snapshot's gens
+    val retained = snapshots(s, root)
+    val keep = (readManifest(s, root) ++ retained.flatMap(v =>
+      manifestLinesAsOf(s, root, v).filter(_.startsWith("gen-")))).toSet
+    expired ++ fs.listStatus(rootPath).toSeq
       .filter { st =>
         val n = st.getPath.getName
         val stale = now - st.getModificationTime > graceMs
-        (st.isDirectory && n.matches("gen-\\d+") && !live(n) && stale) ||
+        (st.isDirectory && n.matches("gen-\\d+") && !keep(n) && stale) ||
           (st.isFile && n.startsWith(".manifest-") && stale)
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
@@ -689,8 +742,11 @@ object TextIndex {
     * so scores equal a from-scratch index of the surviving corpus bit
     * for bit. */
   private def scoredAtRoot(s: SparkSession, root: String,
-      terms: Seq[String]): DataFrame = {
-    val gens = readManifest(s, root)
+      terms: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    val gens = asOf match {
+      case None => readManifest(s, root)
+      case Some(v) => manifestLinesAsOf(s, root, v).filter(_.startsWith("gen-"))
+    }
     require(gens.nonEmpty, s"no text index at $root — build() first")
     val buckets = terms.map(bucketOf).distinct
     def pruned(sub: String, schema: org.apache.spark.sql.types.StructType) =
@@ -713,10 +769,16 @@ object TextIndex {
         expr(TextAnalysis.bm25ScDouble("tf", "df", "dl", "n_docs", "s_dl")).as("sc"))
   }
 
-  /** Arbitrary-term top-k from an explicit-root incremental index. */
+  /** Arbitrary-term top-k from an explicit-root incremental index.
+    * `asOf = Some(v)` probes the RETAINED SNAPSHOT v instead of the
+    * live manifest — the exact index state whose publish carried
+    * generation v, bit-reproducible until [[sweepUnreferenced]]'s
+    * retention grace drops it (see [[snapshots]]): the training-run
+    * pinning discipline, so "which index produced this dataset?" has
+    * a replayable answer. */
   def bm25TopkAtRoot(s: SparkSession, root: String, terms: Seq[String],
-      k: Int): DataFrame =
-    TextAnalysis.bm25TopkCut(scoredAtRoot(s, root, terms), k)
+      k: Int, asOf: Option[Long] = None): DataFrame =
+    TextAnalysis.bm25TopkCut(scoredAtRoot(s, root, terms, asOf), k)
 
   /** BATCH retrieval from an explicit-root incremental index — the
     * [[bm25TopkBatchIndexed]] serving shape over SIGNED delta

@@ -311,6 +311,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann index snapshots: asOf replays each published state; retention sweep expires them") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-snap").toString
+    val qv = v.filter(col("vec_id") === 0L).select("embedding")
+      .as[Array[Float]].collect()(0)
+    def probeAsOf(asOf: Option[Long]) = Graft.ann
+      .probe(spark, root, qv, nprobe = 8, k = 10, asOf = asOf)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    graft.operators.AnnIndex.build(v.filter(col("vec_id") <= 200), root) // v0
+    val atV0 = probeAsOf(None)
+    graft.operators.AnnIndex.upsert(
+      v.filter(col("vec_id") > 200 && col("vec_id") <= 300), root)       // v1
+    val atV1 = probeAsOf(None)
+    graft.operators.AnnIndex.delete(Seq(5L, 7L).toDF("vec_id"), root)    // v2
+    val atV2 = probeAsOf(None)
+    assert(Graft.ann.snapshots(spark, root) == Seq(0L, 1L, 2L))
+    assert(atV0 != atV1 || atV1 != atV2) // the history actually moved
+    // every snapshot replays the state its publish left — including
+    // across a later compaction (its gens retained until expiry)
+    assert(probeAsOf(Some(0L)) == atV0)
+    assert(probeAsOf(Some(1L)) == atV1)
+    assert(probeAsOf(Some(2L)) == atV2)
+    graft.operators.AnnIndex.compact(spark, root)                        // v3
+    assert(probeAsOf(Some(0L)) == atV0)
+    assert(probeAsOf(Some(2L)) == atV2)
+    assert(probeAsOf(None) == atV2) // compaction changes bytes, not answers
+    // retention: expire all snapshots, GC what only they referenced;
+    // the live index keeps serving, an expired asOf fails loudly
+    val swept = graft.operators.AnnIndex.sweepUnreferenced(spark, root, graceMs = -1L)
+    assert(swept.exists(_.contains(".v0")), swept.mkString(","))
+    assert(Graft.ann.snapshots(spark, root).isEmpty)
+    assert(probeAsOf(None) == atV2)
+    intercept[IllegalArgumentException] { probeAsOf(Some(0L)) }
+  }
+
   test("compact(retrain): quantizers re-fit a shifted corpus; exactness preserved; upserts use the new quantizers") {
     import spark.implicits._
     val v = Tables.embeddings(spark, sf)

@@ -258,6 +258,45 @@ class TemporalSamplingSpec extends SparkSpec {
     }
   }
 
+  test("text index snapshots: asOf replays each published state; retention sweep expires them") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_text_snap").toString
+    val terms = Seq("vector", "hash")
+    def topkOf(docs: org.apache.spark.sql.DataFrame) =
+      operators.TextAnalysis.bm25TopkOf(docs, terms, 10).collect().toSeq
+    def asOf(v: Long) =
+      Graft.text.bm25TopkAt(spark, root, terms, 10, asOf = Some(v)).collect().toSeq
+    val v1 = Seq((1L, "vector alpha"), (2L, "hash beta"),
+      (3L, "vector hash gamma")).toDF("doc_id", "text")
+    operators.TextIndex.build(v1, root) // snapshot v0
+    operators.TextIndex.upsert(Seq((4L, "vector delta"),
+      (2L, "hash hash beta2")).toDF("doc_id", "text"), root) // v1
+    operators.TextIndex.delete(Seq(1L).toDF("doc_id"), root) // v2
+    assert(Graft.text.bm25Snapshots(spark, root) == Seq(0L, 1L, 2L))
+    val afterUpsert = Seq((1L, "vector alpha"), (2L, "hash hash beta2"),
+      (3L, "vector hash gamma"), (4L, "vector delta")).toDF("doc_id", "text")
+    val afterDelete = afterUpsert.filter(col("doc_id") =!= 1L)
+    // every snapshot replays the exact corpus state its publish left
+    assert(asOf(0L) == topkOf(v1))
+    assert(asOf(1L) == topkOf(afterUpsert))
+    assert(asOf(2L) == topkOf(afterDelete))
+    assert(Graft.text.bm25TopkAt(spark, root, terms, 10).collect().toSeq == asOf(2L))
+    // compaction publishes a new snapshot; OLDER ones still replay
+    // (their generation dirs are retained until the snapshots expire)
+    operators.TextIndex.compact(spark, root)
+    assert(asOf(0L) == topkOf(v1))
+    assert(Graft.text.bm25Snapshots(spark, root) == Seq(0L, 1L, 2L, 3L))
+    // retention: grace -1 expires every snapshot, then GCs the gens
+    // only they referenced; the LIVE index keeps serving; an expired
+    // asOf fails loudly instead of reading half-GC'd state
+    val swept = operators.TextIndex.sweepUnreferenced(spark, root, graceMs = -1L)
+    assert(swept.exists(_.contains(".v0")), swept.mkString(","))
+    assert(Graft.text.bm25Snapshots(spark, root).isEmpty)
+    assert(Graft.text.bm25TopkAt(spark, root, terms, 10).collect().toSeq ==
+      topkOf(afterDelete))
+    intercept[IllegalArgumentException] { asOf(0L) }
+  }
+
   test("publish lock: two interleaved writers serialize — both upserts land (text + ann)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
