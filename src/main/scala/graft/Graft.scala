@@ -420,8 +420,8 @@ object Graft {
       * slice equals its single [[probe]] exactly (spec-pinned).
       * Returns `(query_id, rank, vec_id, label, cell, cosine)`. */
     def probeBatch(spark: SparkSession, root: String, queries: DataFrame,
-        nprobe: Int = 2, k: Int = 10): DataFrame =
-      operators.AnnIndex.probeBatch(spark, root, queries, nprobe, k)
+        nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None): DataFrame =
+      operators.AnnIndex.probeBatch(spark, root, queries, nprobe, k, asOf)
 
     /** Two-stage IVF-PQ probe of the live index: ADC over the stored
       * per-generation PQ codes of the probed cells, exact re-rank of
@@ -437,8 +437,10 @@ object Graft {
       * qid, exact re-rank of shortlisted rows only). Each query's
       * slice equals its single [[probeAdc]] (spec-pinned). */
     def probeAdcBatch(spark: SparkSession, root: String, queries: DataFrame,
-        nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame =
-      operators.AnnIndex.probeAdcBatch(spark, root, queries, nprobe, k, rerankPool)
+        nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30,
+        asOf: Option[Long] = None): DataFrame =
+      operators.AnnIndex.probeAdcBatch(spark, root, queries, nprobe, k,
+        rerankPool, asOf)
 
     /** BATCH IVF-PQ serving over `dir`'s memo-cached index: a whole
       * `(query_id, embedding)` frame probes in ONE join — per-query
@@ -549,6 +551,15 @@ object Graft {
         terms: Seq[String], k: Int = 20): DataFrame =
       operators.TextAnalysis.bm25TopkOf(asDocs(df, idCol, textCol), terms, k)
 
+    /** Phrase retrieval (exact consecutive-token match, Lucene
+      * two-stage): candidates from the phrase terms' posting
+      * intersection, adjacency confirmed only on candidates, BM25
+      * scored with GLOBAL stats (the filter-query convention — the
+      * phrase narrows candidates, never the idf). */
+    def phraseBm25Topk(df: DataFrame, idCol: String, textCol: String,
+        phrase: Seq[String], k: Int = 20): DataFrame =
+      operators.TextAnalysis.phraseBm25Of(asDocs(df, idCol, textCol), phrase, k)
+
     /** BM25 top-k served from the persisted inverted index (built
       * on first use, fingerprint-memoized, atomically published —
       * the [[ann]] discipline applied to text): probes scan only the
@@ -639,8 +650,9 @@ object Graft {
       * [[bm25TopkAt]] probe exactly (spec-pinned). Returns
       * `(query_id, rank, doc_id, bm25)`. */
     def bm25TopkBatchAt(spark: SparkSession, root: String,
-        queries: DataFrame, k: Int = 20): DataFrame =
-      operators.TextIndex.bm25TopkBatchAtRoot(spark, root, queries, k)
+        queries: DataFrame, k: Int = 20,
+        asOf: Option[Long] = None): DataFrame =
+      operators.TextIndex.bm25TopkBatchAtRoot(spark, root, queries, k, asOf)
 
     /** Continuous document ingestion into the incremental BM25 index:
       * each micro-batch upserts as one generation (idempotent under

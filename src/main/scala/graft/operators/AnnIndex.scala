@@ -563,12 +563,14 @@ object AnnIndex {
     * which queries probe it; each resolved row then scores against
     * every query probing its cell and a qid window keeps top-`k`.
     * Per-query results equal the single [[probe]] exactly
-    * (spec-pinned). Returns `(query_id, rank, vec_id, label, cell,
+    * (spec-pinned). `asOf` pins a retained snapshot exactly as the
+    * single probe's does — a batch serving job replays the same index
+    * state. Returns `(query_id, rank, vec_id, label, cell,
     * cosine)`; an unbuilt root yields an empty frame. */
   def probeBatch(s: SparkSession, root: String, queries0: DataFrame,
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    readManifest(s, root) match {
+    resolveManifest(s, root, asOf) match {
       case None =>
         emptyTopK(s).select(lit(0L).as("query_id"), lit(0L).as("rank"),
           col("vec_id"), col("label"), col("cell"), col("cosine")).limit(0)
@@ -672,12 +674,17 @@ object AnnIndex {
     * generation (latest-event-wins run once per vec), per-qid
     * decimal-summed shortlists, and only shortlisted rows pay the
     * full-dimension exact cosine. Each query's slice equals its
-    * single [[probeAdc]] exactly (spec-pinned). Returns
+    * single [[probeAdc]] exactly (spec-pinned), including under
+    * `asOf` snapshot pins (codebooks resolve through the PINNED
+    * manifest's `books:` pointer, so a post-retrain snapshot replays
+    * with the retrained quantizers and a pre-retrain one with the
+    * founding dirs). Returns
     * `(query_id, rank, vec_id, label, cell, cosine)`. */
   def probeAdcBatch(s: SparkSession, root: String, queries0: DataFrame,
-      nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, rerankPool: Int = 30,
+      asOf: Option[Long] = None): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    readManifest(s, root) match {
+    resolveManifest(s, root, asOf) match {
       case None =>
         emptyTopK(s).select(lit(0L).as("query_id"), lit(0L).as("rank"),
           col("vec_id"), col("label"), col("cell"), col("cosine")).limit(0)

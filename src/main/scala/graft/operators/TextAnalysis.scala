@@ -932,6 +932,73 @@ object TextAnalysis {
        |FROM wide ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // Phrase-constrained BM25 (exact consecutive-token match)
+  // ----------------------------------------------------------------
+
+  private[graft] val Bm25Phrase = Seq("vector", "hash")
+
+  /** Phrase retrieval, the Lucene two-stage shape: candidates are the
+    * docs whose postings contain EVERY phrase term (the intersection a
+    * production deploy reads from the term index — work bounded by the
+    * phrase terms' postings, never the corpus), and only candidates
+    * pay the adjacency confirm — an exact consecutive-token match on
+    * the space-joined normalized token stream, space-padded on both
+    * sides so a token-internal suffix ("xvector hash") can never
+    * false-positive. Scoring keeps the filter-query convention
+    * ([[tBm25Filtered]]): BM25 over the phrase's terms with GLOBAL
+    * corpus statistics — the phrase narrows candidates, never the idf.
+    * Per-term partials sum as nano-integers (order-free), ordering is
+    * on the exact integer, rounding is the portable [[r6]]. */
+  private[graft] def phraseBm25Of(docs: DataFrame, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty))
+    val needle = phrase.mkString(" ", " ", " ")
+    val cand = bm25ScoredOf(docs, phrase, exactInt = true)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        sum(floor(col("sc") * lit(1e9) + lit(0.5)).cast("long")).as("nanos"))
+      .filter(col("nt") === phrase.distinct.length)
+    val txt = coalesce(col("text"), lit(""))
+    docs.select(col("doc_id"),
+        concat(lit(" "),
+          array_join(filter(tokens(txt), t => t =!= ""), " "),
+          lit(" ")).as("joined"))
+      .join(cand, "doc_id")
+      .filter(col("joined").contains(needle))
+      .orderBy(col("nanos").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        expr(r6("cast(nanos as double) / 1e9")).as("bm25"))
+  }
+
+  private def tBm25Phrase: Q = (s, dir) =>
+    phraseBm25Of(Tables.documents(s, dir), Bm25Phrase, 20)
+
+  private val tBm25PhraseSql = {
+    val toks = duckTokens("coalesce(text, '')")
+    val terms = Bm25Phrase.map(t => s"'$t'").mkString(", ")
+    val needle = Bm25Phrase.mkString(" ", " ", " ")
+    s"""WITH dl AS (SELECT doc_id, CAST(len(list_filter($toks, t -> t <> '')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS s_dl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+       |       WHERE token IN ($terms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (SELECT doc_id, token, ${bm25Sc("tf", "df", "dl", "n_docs", "s_dl")} AS sc
+       |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |cand AS (SELECT doc_id,
+       |           sum(CAST(floor(sc * 1e9 + 0.5) AS BIGINT)) AS nanos
+       |         FROM sc GROUP BY doc_id
+       |         HAVING count(*) = ${Bm25Phrase.distinct.length}),
+       |conf AS (SELECT doc_id FROM documents
+       |         WHERE contains(' ' || array_to_string(list_filter($toks, t -> t <> ''), ' ') || ' ',
+       |                        '$needle'))
+       |SELECT doc_id, ${r6("CAST(nanos AS DOUBLE) / 1e9")} AS bm25
+       |FROM cand JOIN conf USING (doc_id)
+       |ORDER BY nanos DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   private val tBm25Sql = {
     val toks = duckTokens("coalesce(text, '')")
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
@@ -1551,6 +1618,7 @@ object TextAnalysis {
     "t_tfidf" -> tTfidf,
     "t_bm25" -> tBm25,
     "t_bm25_filtered" -> tBm25Filtered,
+    "t_bm25_phrase" -> tBm25Phrase,
     "t_unimax" -> tUnimax)
 
   val oracles: Map[String, String] = Map(
@@ -1575,5 +1643,6 @@ object TextAnalysis {
     "t_tfidf" -> tTfidfSql,
     "t_bm25" -> tBm25Sql,
     "t_bm25_filtered" -> tBm25FilteredSql,
+    "t_bm25_phrase" -> tBm25PhraseSql,
     "t_unimax" -> tUnimaxSql)
 }

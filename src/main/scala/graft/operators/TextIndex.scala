@@ -793,12 +793,17 @@ object TextIndex {
     * each query nothing beyond its own terms' postings. Nano-integer
     * partial sums per (query, doc) keep 3+-term scores order-free;
     * each query's slice equals its single-query [[bm25TopkAtRoot]]
-    * probe exactly (spec-pinned). Returns
+    * probe exactly (spec-pinned), including under `asOf` snapshot
+    * pins — a batch serving job replays the same retained index
+    * state the single probe would. Returns
     * `(query_id, rank, doc_id, bm25)`. */
   def bm25TopkBatchAtRoot(s: SparkSession, root: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, asOf: Option[Long] = None): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
-    val gens = readManifest(s, root)
+    val gens = asOf match {
+      case None => readManifest(s, root)
+      case Some(v) => manifestLinesAsOf(s, root, v).filter(_.startsWith("gen-"))
+    }
     require(gens.nonEmpty, s"no text index at $root — build() first")
     val probes = queries
       .select(col("query_id").cast("long").as("query_id"), col("term"))

@@ -265,6 +265,27 @@ class PropertySpec extends SparkSpec {
     checkParity("post-compact")
   }
 
+  test("phraseBm25Of: exact consecutive-token match — order, adjacency, and token boundaries all enforced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector hash join"),          // phrase present
+      (2L, "hash vector join"),          // both terms, wrong order
+      (3L, "xvector hash scan"),         // token-suffix guard: no match
+      (4L, "big vector, HASH! done"),    // normalization: punct/case fold
+      (5L, "vector only here"),          // one term: not a candidate
+      (6L, "the vector hash"),           // present at the tail
+      (7L, "vector scan hash"),          // both terms, not adjacent
+      (8L, null.asInstanceOf[String])    // null text is safe
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .phraseBm25Of(docs, Seq("vector", "hash"), 10).collect().toSeq
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 4L, 6L))
+    assert(out.forall(_.getDouble(1) > 0.0))
+    // ranking is by the exact nano-integer total, descending
+    val scores = out.map(_.getDouble(1))
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("hash-sampling law: keep-sets are nested as pct grows; pct=100 keeps everything") {
     val corpus = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), col("text").as("body")).limit(200)

@@ -334,6 +334,24 @@ class SimilaritySpec extends SparkSpec {
     assert(probeAsOf(Some(0L)) == atV0)
     assert(probeAsOf(Some(1L)) == atV1)
     assert(probeAsOf(Some(2L)) == atV2)
+    // the batch probes honor the same pin: a 1-query batch's slice
+    // under asOf equals the single probe's answer at that snapshot
+    def batchAsOf(asOf: Option[Long]) = Graft.ann
+      .probeBatch(spark, root, Seq((99L, qv)).toDF("query_id", "embedding"),
+        nprobe = 8, k = 10, asOf = asOf)
+      .collect().toSeq.sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getInt(3), r.getDouble(5)))
+    assert(batchAsOf(Some(0L)) == atV0)
+    assert(batchAsOf(Some(2L)) == atV2)
+    val adcSingleV1 = Graft.ann
+      .probeAdc(spark, root, qv, nprobe = 8, k = 5, asOf = Some(1L))
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(3)))
+    val adcBatchV1 = Graft.ann.probeAdcBatch(spark, root,
+        Seq((7L, qv)).toDF("query_id", "embedding"),
+        nprobe = 8, k = 5, asOf = Some(1L))
+      .collect().toSeq.sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getDouble(5)))
+    assert(adcBatchV1 == adcSingleV1)
     graft.operators.AnnIndex.compact(spark, root)                        // v3
     assert(probeAsOf(Some(0L)) == atV0)
     assert(probeAsOf(Some(2L)) == atV2)

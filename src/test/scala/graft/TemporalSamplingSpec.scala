@@ -281,6 +281,14 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(asOf(1L) == topkOf(afterUpsert))
     assert(asOf(2L) == topkOf(afterDelete))
     assert(Graft.text.bm25TopkAt(spark, root, terms, 10).collect().toSeq == asOf(2L))
+    // the batch probe honors the same pin: a 1-query batch's slice
+    // under asOf equals the single probe's answer at that snapshot
+    def batchAsOf(v: Long) = Graft.text.bm25TopkBatchAt(spark, root,
+        terms.map(t => (9L, t)).toDF("query_id", "term"), 10, asOf = Some(v))
+      .collect().toSeq.sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(batchAsOf(0L) == asOf(0L).map(r => (r.getLong(0), r.getDouble(1))))
+    assert(batchAsOf(2L) == asOf(2L).map(r => (r.getLong(0), r.getDouble(1))))
     // compaction publishes a new snapshot; OLDER ones still replay
     // (their generation dirs are retained until the snapshots expire)
     operators.TextIndex.compact(spark, root)
