@@ -370,6 +370,20 @@ object Graft {
         .select(col("group"), explode(col("top")).as("hit"))
         .select(col("group"), col("hit.id").as("id"), col("hit.score").as("score"))
     }
+
+    /** Late-interaction (ColBERT MaxSim) retrieval over multi-vector
+      * documents: `docVectors` = one row per document VECTOR, `query` =
+      * the query's vectors; score(q, d) = Σ over query vectors of the
+      * max cosine to any of d's vectors. Broadcast query, one corpus
+      * scan, per-doc state bounded by the query's vector count. */
+    def maxsimTopK(docVectors: DataFrame, idCol: String, vecCol: String,
+        query: DataFrame, qidCol: String, qvecCol: String,
+        k: Int = 10): DataFrame =
+      operators.Similarity.maxsimTopk(
+        docVectors.select(col(idCol).cast("long").as("doc_id"),
+          col(vecCol).as("embedding")),
+        query.select(col(qidCol).cast("long").as("qv"),
+          col(qvecCol).as("embedding")), k)
   }
 
   /** Persisted, incrementally-maintained ANN index (IVF over cosine) —
@@ -522,6 +536,31 @@ object Graft {
         alert: Double = 0.2): DataFrame =
       operators.Quality.driftPsi(base, cur, numericCols, categoricalCols,
         buckets, alert)
+
+    /** Sketch-based corpus overlap (decontamination triage): estimate
+      * |A|, |B|, |A∪B|, |A∩B| over 8-byte key frames from two mergeable
+      * HLL sketches — one narrow scan per corpus, no join of the key
+      * universes. Pair with [[Graft.dedup.contaminatedIds]] when the
+      * estimated overlap warrants the exact pass. */
+    def overlapSketch(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+      operators.Quality.overlapSketch(a, b, keyCol)
+
+    /** Join-key skew diagnostics: the heaviest `topN` keys of `keyCol`
+      * with exact share and the per-key salt factor a salted join
+      * needs to level them across `partitions` reducers. */
+    def skewReport(df: DataFrame, keyCol: String, partitions: Int = 32,
+        topN: Int = 10): DataFrame =
+      operators.Quality.skewReport(df, keyCol, partitions, topN)
+
+    /** Bloom semi-join reduction: drop `fact` rows whose `factKey`
+      * cannot match `dim`'s `dimKey` BEFORE any shuffle — Spark's
+      * runtime-filter optimization as an explicit operator (for
+      * pre-computed dims, cross-query filter reuse, or predicates the
+      * optimizer rule won't fire on). False negatives are impossible;
+      * downstream joins remove the false positives. */
+    def bloomReduce(fact: DataFrame, factKey: String, dim: DataFrame,
+        dimKey: String): DataFrame =
+      operators.RelationalExt.bloomReduce(fact, factKey, dim, dimKey)
   }
 
   object text {

@@ -290,16 +290,173 @@ object Quality {
        |FROM terms GROUP BY "column", nb, nc ORDER BY "column"""".stripMargin
 
   // ----------------------------------------------------------------
+  // Sketch-based corpus overlap (decontamination triage)
+  // ----------------------------------------------------------------
+
+  /** lgConfigK for the overlap sketches: 2¹⁵ = 32768 registers →
+    * ~0.6% relative standard error in dense mode, exact below the
+    * sparse-mode promotion point. 64 KB per sketch — mergeable
+    * driver-side state, never a shuffle of the element universe. */
+  private val OverlapLgK = 15
+
+  /** Per-side estimate bound: ±2% + 32 absolute (≥ 3σ at lgK 15).
+    * The intersection bound is stated against the UNION size (±5% + 64)
+    * because inclusion–exclusion subtracts three estimates whose errors
+    * each scale with the sets they sketch — the absolute intersection
+    * error grows with |A∪B|, NOT with |A∩B|. That asymmetry is the
+    * honest contract of sketch overlap: it detects *large* overlap
+    * cheaply; a small intersection under a huge union needs the exact
+    * join (d_contamination) to quantify. */
+  private val OverlapSideTol = 0.02
+  private val OverlapInterTol = 0.05
+
+  /** Reusable sketch-overlap core: given two element frames (each a
+    * single column of 8-byte keys), estimate |A|, |B|, |A∪B|, |A∩B|
+    * from two mergeable HLL sketches — ONE narrow scan per corpus, a
+    * 64 KB sketch each, no join anywhere on the production path. */
+  def overlapSketch(a: DataFrame, b: DataFrame, keyCol: String,
+      lgK: Int = OverlapLgK): DataFrame = {
+    val ska = a.agg(hll_sketch_agg(col(keyCol), lgK).as("ska"))
+    val skb = b.agg(hll_sketch_agg(col(keyCol), lgK).as("skb"))
+    ska.crossJoin(broadcast(skb))
+      .select(hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+  }
+
+  /** `x_overlap_sketch` — the decontamination-triage question "how much
+    * does corpus B share with corpus A?" answered WITHOUT a join: the
+    * overlap of the two corpora's 5-gram shingle universes (the
+    * [[Dedup]] shingle primitive: normalize → 5-gram → portable 8-byte
+    * hash, all map-side) estimated by inclusion–exclusion over HLL
+    * sketches. At 100 TB each corpus reduces to a 64 KB mergeable
+    * sketch in one narrow scan — sketches from different days/sources
+    * union associatively, so the estimate maintains incrementally while
+    * the exact join would re-shuffle both shingle universes every time.
+    *
+    * Oracle discipline (the `a8`/`x_profile_approx` within-bounds
+    * contract): exact counts come from the distinct-hash twin (run here
+    * only to judge the bound; production runs the sketches alone) and
+    * the estimates are contracted to the documented tolerances. */
+  private def xOverlapSketch: Q = (s, dir) => {
+    val sh = Dedup.shingleHashesOf(Tables.documents(s, dir))
+    val a = sh.filter(col("doc_id") % 2 === 0).select(col("h"))
+    val b = sh.filter(col("doc_id") % 2 === 1).select(col("h"))
+    val est = overlapSketch(a, b, "h")
+    val ad = a.distinct()
+    val bd = b.distinct()
+    val exact = ad.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(bd.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(
+        ad.join(bd, "h").agg(count(lit(1)).as("n_inter"))))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        // one IEEE division of exact integers, half-up at 6 decimals —
+        // the established portable-rounding discipline
+        expr("floor((CAST(n_inter AS DOUBLE) / n_union) * 1e6 + 0.5) / 1e6")
+          .as("jaccard"),
+        (abs(col("est_a") - col("n_a"))
+          <= col("n_a") * OverlapSideTol + 32).as("a_within_bounds"),
+        (abs(col("est_b") - col("n_b"))
+          <= col("n_b") * OverlapSideTol + 32).as("b_within_bounds"),
+        (abs(col("est_union") - col("n_union"))
+          <= col("n_union") * OverlapSideTol + 32).as("union_within_bounds"),
+        (abs(col("est_inter") - col("n_inter"))
+          <= col("n_union") * OverlapInterTol + 64).as("inter_within_bounds"))
+  }
+
+  private val xOverlapSketchSql = {
+    import graft.functions.PortableHash
+    val hashWin = PortableHash.duckPolyHash("sh")
+    s"""WITH ${Dedup.duckShingleCte},
+       |sh AS (SELECT doc_id, $hashWin AS h
+       |       FROM (SELECT doc_id, unnest(shingles) AS sh FROM s)),
+       |a AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0),
+       |b AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 1),
+       |x AS (SELECT (SELECT count(*) FROM a) AS n_a,
+       |             (SELECT count(*) FROM b) AS n_b,
+       |             (SELECT count(*) FROM a JOIN b USING (h)) AS n_inter)
+       |SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
+       |  floor((CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard,
+       |  TRUE AS a_within_bounds, TRUE AS b_within_bounds,
+       |  TRUE AS union_within_bounds, TRUE AS inter_within_bounds
+       |FROM x""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // Join-key skew diagnostics
+  // ----------------------------------------------------------------
+
+  /** Reducers the salt recommendation targets — the session's
+    * `spark.sql.shuffle.partitions` at the sandbox scale; a cluster
+    * run passes its own. */
+  private val SkewPartitions = 32
+  private val SkewTopN = 10
+
+  /** Reusable skew-report core: per key of `keyCol`, `(key, cnt,
+    * share_ppm, salt_factor, needs_salt)` for the heaviest `topN` keys.
+    * `salt_factor` = ceil(cnt · partitions / total) — the number of
+    * uniform-reducer shares this key alone would fill, i.e. exactly the
+    * per-key split count a salted join (j4's pattern) needs to level
+    * it. All integer arithmetic; the heaviest-keys cut is a
+    * TakeOrderedAndProject, so the report never global-sorts. */
+  def skewReport(df: DataFrame, keyCol: String,
+      partitions: Int = SkewPartitions, topN: Int = SkewTopN): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"), col("total"), col("n_keys"),
+        expr("CAST(cnt * 1000000 DIV total AS BIGINT)").as("share_ppm"),
+        expr(s"CAST((cnt * $partitions + total - 1) DIV total AS BIGINT)")
+          .as("salt_factor"))
+      .withColumn("needs_salt", col("salt_factor") > 1L)
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topN)
+  }
+
+  /** `x_skew_report` — the pre-flight a 100 TB join runs before
+    * choosing between a plain shuffle, AQE skew handling, and explicit
+    * salting: key-frequency diagnostics over the planned shuffle key.
+    * The demo key is `l_returnflag` (3 values — the low-cardinality
+    * "state/country column" shape where every key is pathological);
+    * the report's `salt_factor` is precisely the `Salt` a j4-style
+    * salted join should use per key. ONE map-side-combined groupBy on
+    * the key; the output is key-cardinality-bounded and the top-N cut
+    * is per-partition top-k + driver merge. */
+  private def xSkewReport: Q = (s, dir) =>
+    skewReport(Tables.lineitem(s, dir), "l_returnflag")
+
+  private val xSkewReportSql =
+    s"""WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS key, count(*) AS cnt
+       |           FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+       |SELECT key, cnt, total, n_keys,
+       |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       |  CAST((cnt * $SkewPartitions + total - 1) // total AS BIGINT) AS salt_factor,
+       |  CAST((cnt * $SkewPartitions + total - 1) // total AS BIGINT) > 1 AS needs_salt
+       |FROM c CROSS JOIN t
+       |ORDER BY cnt DESC, key LIMIT $SkewTopN""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "x_profile" -> xProfile,
     "x_profile_approx" -> xProfileApprox,
     "x_expectations" -> xExpectations,
-    "x_drift_psi" -> xDriftPsi)
+    "x_drift_psi" -> xDriftPsi,
+    "x_overlap_sketch" -> xOverlapSketch,
+    "x_skew_report" -> xSkewReport)
 
   val oracles: Map[String, String] = Map(
     "x_profile" -> xProfileSql,
     "x_profile_approx" -> xProfileApproxSql,
     "x_expectations" -> xExpectationsSql,
-    "x_drift_psi" -> xDriftPsiSql)
+    "x_drift_psi" -> xDriftPsiSql,
+    "x_overlap_sketch" -> xOverlapSketchSql,
+    "x_skew_report" -> xSkewReportSql)
 }

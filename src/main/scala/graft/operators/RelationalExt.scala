@@ -74,6 +74,66 @@ object RelationalExt {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
   // ----------------------------------------------------------------
+  // Bloom-filter semi-join reduction
+  // ----------------------------------------------------------------
+
+  /** Bloom capacity the demo sizes for: production passes the dim
+    * side's expected key count from table stats. 1M items over 8M bits
+    * ≈ 2% fpp at capacity (far lower when under-filled); the serialized
+    * filter is ~1 MB — a broadcast-scale constant. */
+  private val BloomExpectedItems = 1000000L
+  private val BloomNumBits = 8000000L
+
+  /** Reusable bloom semi-join reduction: filter `fact` down to rows
+    * whose `factKey` might match `dim`'s `dimKey` BEFORE any shuffle.
+    * Two jobs: (1) build the filter with Spark's own mergeable
+    * `BloomFilterAggregate` (map-side partials, one ~1 MB row to the
+    * driver — model-sized, like a k-means model); (2) apply Spark's
+    * codegen'd `might_contain` with the filter riding the plan as a
+    * foldable binary literal, deserialized once per task. False
+    * positives pass (and must be removed by the real join downstream);
+    * false negatives are impossible, so the reduction is semantically
+    * free. */
+  def bloomReduce(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, expectedItems: Long = BloomExpectedItems,
+      numBits: Long = BloomNumBits): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(fact.sparkSession)
+    val bloom = dim.agg(call_function("graft_bloom_agg",
+      col(dimKey), lit(expectedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    fact.filter(call_function("graft_bloom_contains", lit(bloom), col(factKey)))
+  }
+
+  /** The explicit form of Spark's runtime-filter optimization
+    * (`InjectRuntimeFilter`), exposed as an operator for the shapes the
+    * optimizer rule won't fire on — a pre-computed/cached dim frame, a
+    * filter reused across many queries, or a dim predicate too complex
+    * for its heuristics. The urgent-orders dim keeps ~20% of orders, so
+    * the bloom drops ~80% of lineitem BEFORE the join's exchange — at
+    * 100 TB that is the difference between shuffling 100 TB and 20 TB
+    * of fact rows. The join itself then removes bloom false positives:
+    * the result equals the plain join exactly (the oracle IS the plain
+    * join). */
+  private def j8BloomJoin: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val l = bloomReduce(Tables.lineitem(s, dir), "l_orderkey", o, "o_orderkey")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"))
+          .cast("double").as("revenue"))
+  }
+
+  private val j8BloomJoinSql =
+    """SELECT l_linestatus, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_linestatus""".stripMargin
+
+  // ----------------------------------------------------------------
   // Set operations
   // ----------------------------------------------------------------
 
@@ -1428,6 +1488,7 @@ object RelationalExt {
     "a12_anomaly" -> a12Anomaly,
     "j4_salted_join" -> j4SaltedJoin,
     "j5_semi_anti" -> j5SemiAnti,
+    "j8_bloom_join" -> j8BloomJoin,
     "u5_intersect" -> u5Intersect,
     "u6_except" -> u6Except,
     "u7_upsert" -> u7Upsert,
@@ -1472,6 +1533,7 @@ object RelationalExt {
     "f_dates" -> fDatesSql,
     "j4_salted_join" -> j4SaltedJoinSql,
     "j5_semi_anti" -> j5SemiAntiSql,
+    "j8_bloom_join" -> j8BloomJoinSql,
     "u5_intersect" -> u5IntersectSql,
     "u6_except" -> u6ExceptSql,
     "u7_upsert" -> u7UpsertSql,

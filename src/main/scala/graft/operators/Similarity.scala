@@ -2123,8 +2123,87 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------
+  // Late-interaction (multi-vector) retrieval — MaxSim
+  // ----------------------------------------------------------------
+
+  /** Vectors per document in the multi-vector demo corpus (documents
+    * are consecutive [[MaxSimDocWidth]]-vector groups of the
+    * embeddings table — the per-chunk/per-token embedding layout a
+    * late-interaction encoder emits). */
+  private val MaxSimDocWidth = 4
+  private val MaxSimQueryDoc = 0L
+
+  /** `s_maxsim_topk` — late-interaction retrieval (the ColBERT MaxSim
+    * scoring, Khattab & Zaharia SIGIR 2020): documents and the query
+    * each carry MULTIPLE vectors; score(q, d) = Σ over query vectors of
+    * the max cosine to any of d's vectors. The multi-vector layout is
+    * what chunk- or token-level encoders produce, and MaxSim is the
+    * standard way to score it without pooling away locality.
+    *
+    * Shape: broadcast the query's vectors (model-sized), one narrow
+    * scan of the corpus computes every (vec, qvec) cosine map-side,
+    * then two partial-aggregated reductions — max per (doc, qvec),
+    * sum per doc — and a TakeOrderedAndProject top-k. Per-doc state is
+    * bounded by the query's vector count, never the corpus.
+    *
+    * At 100 TB the exact scan is the RERANK stage: candidates come
+    * from an ANN probe over pooled/per-chunk vectors (the
+    * [[AnnIndex]] path), and this operator scores the shortlist —
+    * the PLAID/ColBERTv2 serving split. Determinism: each cosine is
+    * the shared left-fold dot (bit-identical both engines), max is
+    * selection, and the final sum adds floored nano-integers —
+    * order-free. */
+  /** Reusable MaxSim core: `docVectors` = (doc_id, embedding) with one
+    * row per document vector; `queryVectors` = (qv, embedding) — the
+    * query's vectors (model-sized, broadcast). Returns the top-k
+    * documents by Σ_qv max_docvec cosine. */
+  def maxsimTopk(docVectors: DataFrame, queryVectors: DataFrame,
+      k: Int = K): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docVectors.sparkSession)
+    val v = withNorm(docVectors)
+    val q = withNorm(queryVectors)
+      .select(col("qv"), col("embedding").as("qe"), col("nrm").as("qn"))
+    v.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("qv"),
+        expr(cosExpr("embedding", "qe", "nrm", "qn")).as("cos"))
+      .groupBy(col("doc_id"), col("qv"))
+      .agg(max(col("cos")).as("mx"))
+      .select(col("doc_id"), floor(col("mx") * lit(1e9)).cast("long").as("nano"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nano")).as("nanos"), count(lit(1)).as("n_qvecs"))
+      .orderBy(col("nanos").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_qvecs"),
+        expr("floor((CAST(nanos AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6").as("maxsim"))
+  }
+
+  private def sMaxsimTopk: Q = (s, dir) => {
+    val v = Tables.embeddings(s, dir)
+      .withColumn("d", expr(s"vec_id DIV $MaxSimDocWidth"))
+    maxsimTopk(
+      v.filter(col("d") =!= MaxSimQueryDoc)
+        .select(col("d").as("doc_id"), col("embedding")),
+      v.filter(col("d") === MaxSimQueryDoc)
+        .select(col("vec_id").as("qv"), col("embedding")))
+  }
+
+  private val sMaxsimTopkSql =
+    s"""WITH v AS (SELECT vec_id, vec_id // $MaxSimDocWidth AS d, embedding,
+       |             $duckNormExpr AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS qv, embedding AS qe, nrm AS qn FROM v WHERE d = $MaxSimQueryDoc),
+       |p AS (SELECT d, qv, ${duckCosExpr("embedding", "qe", "nrm", "qn")} AS cos
+       |      FROM v CROSS JOIN q WHERE d <> $MaxSimQueryDoc),
+       |m AS (SELECT d, qv, CAST(floor(max(cos) * 1e9) AS BIGINT) AS nano
+       |      FROM p GROUP BY d, qv),
+       |t AS (SELECT d, sum(nano) AS nanos, count(*) AS n_qvecs FROM m GROUP BY d)
+       |SELECT d AS doc_id, n_qvecs,
+       |       floor((CAST(nanos AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS maxsim
+       |FROM t ORDER BY nanos DESC, d LIMIT $K""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "s_maxsim_topk" -> sMaxsimTopk,
     "s_dim_reduce" -> sDimReduce,
     "s_mmr_rerank" -> sMmrRerank,
     "s_cosine_topk" -> sCosineTopk,
@@ -2149,6 +2228,7 @@ object Similarity {
     "s_hybrid_rrf" -> sHybridRrf)
 
   val oracles: Map[String, String] = Map(
+    "s_maxsim_topk" -> sMaxsimTopkSql,
     "s_quantized_topk" -> sQuantizedTopkSql,
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,

@@ -481,7 +481,29 @@ object GraftFunctions {
       (children: Seq[Expression]) => HtmlElements(children.head)),
     (FunctionIdentifier("graft_html_links"),
       new ExpressionInfo(classOf[HtmlLinks].getName, "graft_html_links"),
-      (children: Seq[Expression]) => HtmlLinks(children.head)))
+      (children: Seq[Expression]) => HtmlLinks(children.head)),
+    // Spark's own runtime-filter bloom expressions, exposed by name so
+    // an OPERATOR can build/apply a semi-join reduction filter
+    // explicitly (InjectRuntimeFilter only fires on shapes the
+    // optimizer recognizes; the explicit form covers the rest — see
+    // RelationalExt.j8BloomJoin). The aggregate returns the serialized
+    // filter (mergeable partial aggregation); might_contain
+    // deserializes its foldable bloom argument ONCE per task and stays
+    // inside whole-stage codegen.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

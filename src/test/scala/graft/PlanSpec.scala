@@ -71,6 +71,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("j8: the bloom reduction filters the fact side below the join (might_contain in the scan stage)") {
+    val p = plan("j8_bloom_join")
+    // the codegen'd might_contain predicate is present...
+    assert(p.contains("might_contain"), p)
+    // ...and sits in the lineitem subtree, i.e. BEFORE the join operator
+    // in bottom-up order: the last join occurrence must come before the
+    // last might_contain occurrence in the printed (top-down) plan
+    val joinPos = math.max(p.lastIndexOf("HashJoin"), p.lastIndexOf("SortMergeJoin"))
+    assert(joinPos >= 0 && p.lastIndexOf("might_contain") > joinPos, p)
+  }
+
+  test("x_overlap_sketch: the sketch path is two aggregates, no join of the element universes") {
+    // the production path (overlapSketch alone) must be join-free —
+    // the exact twin inside the registered query has joins, so pin the
+    // CORE, not the composite
+    val sh = graft.operators.Dedup.shingleHashesOf(Tables.documents(spark, sf))
+    val p = graft.operators.Quality.overlapSketch(
+      sh.filter(col("doc_id") % 2 === 0).select(col("h")),
+      sh.filter(col("doc_id") % 2 === 1).select(col("h")), "h")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("hll_sketch_agg") || p.contains("HllSketchAgg"), p)
+  }
+
   test("s_ann_lsh: probe scan prunes to the probe-bucket partitions (no full-corpus scan)") {
     val q = SparkEntry.queries("s_ann_lsh")(spark, sf)
     val p = q.queryExecution.executedPlan.toString

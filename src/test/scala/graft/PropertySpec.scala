@@ -286,6 +286,52 @@ class PropertySpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("overlap-sketch laws: identical frames overlap exactly; disjoint frames stay inside the stated bound") {
+    import graft.operators.Quality
+    val n = 20000L
+    val a = spark.range(n).select(col("id").as("h"))
+    // A == B: the union of a sketch with itself has the SAME registers,
+    // so inclusion–exclusion collapses algebraically — est_inter and
+    // est_union both equal est_a, exactly, whatever the estimate is
+    val same = Quality.overlapSketch(a, a, "h").collect()(0)
+    assert(same.getAs[Long]("est_union") == same.getAs[Long]("est_a"))
+    assert(same.getAs[Long]("est_inter") == same.getAs[Long]("est_a"))
+    // disjoint ranges: union ≈ 2n within the per-side tolerance, and
+    // the intersection estimate stays inside the union-relative bound
+    // the operator contracts (±5% of union + 64)
+    val b = spark.range(n, 2 * n).select(col("id").as("h"))
+    val dis = Quality.overlapSketch(a, b, "h").collect()(0)
+    assert(math.abs(dis.getAs[Long]("est_union") - 2 * n) <= 0.02 * 2 * n + 32)
+    assert(dis.getAs[Long]("est_inter") <= 0.05 * dis.getAs[Long]("est_union") + 64)
+  }
+
+  test("skew-report law: exact integer diagnostics on a constructed key distribution") {
+    import graft.operators.Quality
+    val df = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq("c")).toDF("k")
+    val rows = Quality.skewReport(df, "k", partitions = 4, topN = 2).collect()
+    assert(rows.map(r => (r.getAs[String]("key"), r.getAs[Long]("cnt"),
+      r.getAs[Long]("share_ppm"), r.getAs[Long]("salt_factor"),
+      r.getAs[Boolean]("needs_salt"))).toSeq == Seq(
+      ("a", 10L, 625000L, 3L, true),   // ceil(10·4/16) = 3
+      ("b", 5L, 312500L, 2L, true)))   // ceil(5·4/16) = 2
+    assert(rows.forall(r => r.getAs[Long]("total") == 16L
+      && r.getAs[Long]("n_keys") == 3L))
+  }
+
+  test("bloom-reduce law: never drops a matching row; passes at most the bloom's false positives") {
+    import graft.operators.RelationalExt
+    val fact = Tables.lineitem(spark, sf)
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val reduced = RelationalExt.bloomReduce(fact, "l_orderkey", dim, "o_orderkey")
+    val trueMatches = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"), "left_semi")
+    // no false negatives: every true match survives the bloom
+    assert(trueMatches.exceptAll(reduced.select(fact.columns.map(col): _*)).isEmpty)
+    // the reduction is real: far fewer rows than the full fact side
+    val (nFact, nReduced, nTrue) = (fact.count(), reduced.count(), trueMatches.count())
+    assert(nReduced >= nTrue && nReduced < nFact)
+  }
+
   test("hash-sampling law: keep-sets are nested as pct grows; pct=100 keeps everything") {
     val corpus = Tables.documents(spark, sf)
       .select(col("doc_id").as("id"), col("text").as("body")).limit(200)

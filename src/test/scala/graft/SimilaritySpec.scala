@@ -842,4 +842,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maxsim law: vector multiplicity never changes a doc's score (max, not sum, over doc vectors)") {
+    val e = Tables.embeddings(spark, sf)
+    val docs = e.filter(col("vec_id").between(4, 43))
+      .select(expr("vec_id DIV 4").as("doc_id"), col("embedding"))
+    val query = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qv"), col("embedding"))
+    val base = Similarity.maxsimTopk(docs, query).collect().toSeq
+    // duplicate every vector of half the docs: scores must be identical
+    val doubled = docs.unionByName(docs.filter(col("doc_id") % 2 === 0))
+    val dup = Similarity.maxsimTopk(doubled, query).collect().toSeq
+    assert(base == dup, s"MaxSim changed under vector duplication:\n$base\nvs\n$dup")
+  }
+
+  test("maxsim law: single-vector docs + single-vector query degenerate to cosine top-k") {
+    val e = Tables.embeddings(spark, sf)
+    val docs = e.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val query = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qv"), col("embedding"))
+    val maxsim = Similarity.maxsimTopk(docs, query).collect()
+    assert(maxsim.forall(_.getAs[Long]("n_qvecs") == 1L))
+    val exact = Similarity.queries("s_cosine_topk")(spark, sf).collect()
+    assert(maxsim.map(_.getAs[Long]("doc_id")).toSeq ==
+      exact.map(_.getAs[Long]("vec_id")).toSeq)
+  }
+
 }
