@@ -134,6 +134,85 @@ object RelationalExt {
       |GROUP BY l_linestatus""".stripMargin
 
   // ----------------------------------------------------------------
+  // Materialized-view rewrite (aggregate navigation)
+  // ----------------------------------------------------------------
+
+  private val MatViewVersion = 1
+
+  /** The lineitem summary [[org.apache.spark.sql.graft.MatViewRewrite]]
+    * navigates to: grouped by the (returnflag, linestatus) keys with
+    * count(*) and sum/min/max of quantity — the u9 incremental-agg
+    * shape persisted as a table (built through the shared cached-index
+    * machinery: fingerprinted against the source, rebuilt iff lineitem
+    * changes, atomically published). */
+  private def lineitemMatView(s: SparkSession, dir: String): String =
+    Similarity.cachedIndex(s, dir, "matview_li", MatViewVersion,
+        srcTable = "lineitem.parquet") { path =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("s_qty"),
+          min(col("l_quantity")).as("mn_qty"),
+          max(col("l_quantity")).as("mx_qty"))
+        .coalesce(1)
+        .write.parquet(path)
+    }
+
+  /** `u10_matview_rewrite` — aggregate navigation, end to end: the
+    * query is written against the FACT table (filter on a key, group
+    * by a key SUBSET, count/sum/min/max), the registered
+    * [[org.apache.spark.sql.graft.MatViewRewrite]] rule rewrites it to
+    * re-aggregate the summary instead, and the oracle (the same SQL
+    * over the raw fact table in DuckDB) proves the navigation is
+    * exact. The plan is PlanSpec-pinned to scan the summary, NOT
+    * lineitem. At 100 TB this turns every matching dashboard query
+    * from a full fact scan into a metadata-sized read; the summary
+    * itself is maintained incrementally (`Graft.mergeAggStates`, u9).
+    *
+    * The view registration is scoped to query construction (the
+    * rewrite is forced while registered, then deregistered) so the
+    * REGISTERED suite's other lineitem aggregates keep their own
+    * documented plans; a production deployment leaves the registry
+    * standing — the rule is conservative enough to fire only on
+    * exactly-answerable aggregates. */
+  private def u10MatviewRewrite: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.MatViewRewrite
+    val viewPath = lineitemMatView(s, dir)
+    if (!s.experimental.extraOptimizations.contains(MatViewRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ MatViewRewrite
+    val name = s"li_by_flag_status@$dir"
+    MatViewRewrite.register(name, MatViewRewrite.MatView(
+      basePathMarker = "lineitem.parquet",
+      keys = Set("l_returnflag", "l_linestatus"),
+      sumCols = Map("l_quantity" -> "s_qty"),
+      countCol = "cnt",
+      minCols = Map("l_quantity" -> "mn_qty"),
+      maxCols = Map("l_quantity" -> "mx_qty"),
+      view = () => s.read.parquet(viewPath).queryExecution.analyzed))
+    try {
+      val q = Tables.lineitem(s, dir)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+      // force optimization while the view is registered: the rewrite
+      // lands in the memoized optimizedPlan, which every later action
+      // (Verify's write, Bench's run, PlanSpec's executedPlan) reuses
+      q.queryExecution.optimizedPlan
+      q
+    } finally MatViewRewrite.unregister(name)
+  }
+
+  private val u10MatviewRewriteSql =
+    """SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+      |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------------
   // Set operations
   // ----------------------------------------------------------------
 
@@ -1489,6 +1568,7 @@ object RelationalExt {
     "j4_salted_join" -> j4SaltedJoin,
     "j5_semi_anti" -> j5SemiAnti,
     "j8_bloom_join" -> j8BloomJoin,
+    "u10_matview_rewrite" -> u10MatviewRewrite,
     "u5_intersect" -> u5Intersect,
     "u6_except" -> u6Except,
     "u7_upsert" -> u7Upsert,
@@ -1534,6 +1614,7 @@ object RelationalExt {
     "j4_salted_join" -> j4SaltedJoinSql,
     "j5_semi_anti" -> j5SemiAntiSql,
     "j8_bloom_join" -> j8BloomJoinSql,
+    "u10_matview_rewrite" -> u10MatviewRewriteSql,
     "u5_intersect" -> u5IntersectSql,
     "u6_except" -> u6ExceptSql,
     "u7_upsert" -> u7UpsertSql,

@@ -526,5 +526,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => PolyHashRewrite)
+    ext.injectOptimizerRule(_ => MatViewRewrite)
   }
 }

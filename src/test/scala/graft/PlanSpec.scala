@@ -82,6 +82,51 @@ class PlanSpec extends SparkSpec {
     assert(joinPos >= 0 && p.lastIndexOf("might_contain") > joinPos, p)
   }
 
+  test("u10: the aggregate navigates to the registered summary — the fact table is never scanned") {
+    val p = plan("u10_matview_rewrite")
+    assert(!p.contains("lineitem.parquet"),
+      s"rewrite did not fire — plan still scans the fact table:\n$p")
+    assert(p.contains("matview_li"), p)
+  }
+
+  test("matview rule is conservative: non-key filters and distinct aggregates stay on the fact table") {
+    import org.apache.spark.sql.graft.MatViewRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    // a (wrong-on-purpose) summary: the rule must never consult it for
+    // the non-rewritable shapes below, so its values don't matter
+    spark.range(1).selectExpr("'N' AS l_returnflag", "'O' AS l_linestatus",
+      "123L AS cnt", "1.0D AS s_qty").write.mode("overwrite").parquet(tmp)
+    if (!spark.experimental.extraOptimizations.contains(MatViewRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MatViewRewrite
+    MatViewRewrite.register("planspec-neg", MatViewRewrite.MatView(
+      basePathMarker = "lineitem.parquet",
+      keys = Set("l_returnflag", "l_linestatus"),
+      sumCols = Map("l_quantity" -> "s_qty"), countCol = "cnt",
+      view = () => spark.read.parquet(tmp).queryExecution.analyzed))
+    try {
+      val li = Tables.lineitem(spark, sf)
+      // control: an answerable aggregate DOES navigate
+      val yes = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(!yes.contains("lineitem.parquet"), yes)
+      // non-key filter: not answerable post-grouping → untouched
+      val f = li.filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(f.contains("lineitem.parquet"), f)
+      // distinct aggregate: not derivable from a sum-rollup → untouched
+      val d = li.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_linestatus")).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(d.contains("lineitem.parquet"), d)
+      // aggregate over a non-covered column → untouched
+      val nc = li.groupBy(col("l_returnflag")).agg(sum(col("l_tax")).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(nc.contains("lineitem.parquet"), nc)
+    } finally MatViewRewrite.unregister("planspec-neg")
+  }
+
   test("x_overlap_sketch: the sketch path is two aggregates, no join of the element universes") {
     // the production path (overlapSketch alone) must be join-free —
     // the exact twin inside the registered query has joins, so pin the
