@@ -94,6 +94,17 @@ object Dedup {
        |          ELSE [array_to_string(toks, ' ')] END) AS shingles
        |      FROM t)""".stripMargin
 
+  /** Source-keyed twin of [[duckShingleCte]] (the per-source overlap
+    * matrix groups shingles by ingest feed, not by document). */
+  private[graft] val duckShingleCteBySource =
+    s"""t AS (SELECT source, $duckToks AS toks FROM documents),
+       |s AS (SELECT source,
+       |        list_distinct(CASE WHEN len(toks) >= $W
+       |          THEN list_transform(range(1, len(toks) - ${W - 2}),
+       |                 i -> array_to_string(toks[i:i+${W - 1}], ' '))
+       |          ELSE [array_to_string(toks, ' ')] END) AS shingles
+       |      FROM t)""".stripMargin
+
   // ----------------------------------------------------------------
   // Exact dedup: hash-groupBy on a content fingerprint
   // ----------------------------------------------------------------

@@ -386,6 +386,76 @@ object Quality {
        |FROM x""".stripMargin
   }
 
+  /** `x_overlap_matrix` — the GROUPED form of the overlap sketch: ONE
+    * scan of the corpus produces one HLL sketch PER SOURCE (the
+    * sketch-column-per-partition layout a production lake keeps — a
+    * sketch per day/source/shard, merged on demand), and every pairwise
+    * source overlap is then inclusion–exclusion over the 20-row sketch
+    * frame — no shingle ever crosses the network for the estimates.
+    * This is what "which ingest feeds duplicate each other?" costs at
+    * 100 TB: per-partition sketches maintained incrementally, a
+    * sketch-count-sized self-join to answer ALL pairs.
+    *
+    * Exact twin (judging only, the a8 discipline): per-source distinct
+    * shingles + an h-equality self-join for the true pair
+    * intersections; same tolerances as [[xOverlapSketch]], intersection
+    * bound against each pair's union. */
+  private def xOverlapMatrix: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+    val sk = sh.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("h"), OverlapLgK).as("sk"))
+    val est = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+      .join(sk.select(col("source").as("src_b"), col("sk").as("skb")),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+    val d = sh.distinct()
+    val n = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = d.as("x")
+      .join(d.as("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(broadcast(n.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(n.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"),
+        (abs(col("est_union") - col("n_union"))
+          <= col("n_union") * OverlapSideTol + 32).as("union_within_bounds"),
+        (abs(col("est_inter") - col("n_inter"))
+          <= col("n_union") * OverlapInterTol + 64).as("inter_within_bounds"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val xOverlapMatrixSql = {
+    import graft.functions.PortableHash
+    val hashWin = PortableHash.duckPolyHash("sh")
+    s"""WITH ${Dedup.duckShingleCteBySource},
+       |sh AS (SELECT source, $hashWin AS h
+       |       FROM (SELECT source, unnest(shingles) AS sh FROM s)),
+       |d AS (SELECT DISTINCT source, h FROM sh),
+       |n AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+       |i AS (SELECT x.source AS sa, y.source AS sb, count(*) AS ni
+       |      FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+       |      GROUP BY 1, 2)
+       |SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+       |       coalesce(i.ni, 0) AS n_inter,
+       |       a.n + b.n - coalesce(i.ni, 0) AS n_union,
+       |       TRUE AS union_within_bounds, TRUE AS inter_within_bounds
+       |FROM n a JOIN n b ON a.source < b.source
+       |LEFT JOIN i ON i.sa = a.source AND i.sb = b.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // Join-key skew diagnostics
   // ----------------------------------------------------------------
@@ -450,6 +520,7 @@ object Quality {
     "x_expectations" -> xExpectations,
     "x_drift_psi" -> xDriftPsi,
     "x_overlap_sketch" -> xOverlapSketch,
+    "x_overlap_matrix" -> xOverlapMatrix,
     "x_skew_report" -> xSkewReport)
 
   val oracles: Map[String, String] = Map(
@@ -458,5 +529,6 @@ object Quality {
     "x_expectations" -> xExpectationsSql,
     "x_drift_psi" -> xDriftPsiSql,
     "x_overlap_sketch" -> xOverlapSketchSql,
+    "x_overlap_matrix" -> xOverlapMatrixSql,
     "x_skew_report" -> xSkewReportSql)
 }

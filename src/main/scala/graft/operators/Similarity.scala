@@ -865,6 +865,90 @@ object Similarity {
        |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
 
   // ----------------------------------------------------------------
+  // Binary quantization: 1-bit signatures, Hamming shortlist, exact rerank
+  // ----------------------------------------------------------------
+
+  /** 63 sign bits (dims 1..63) in ONE int64 — bit 63 stays unused
+    * because the DuckDB twin sums the bit weights with checked BIGINT
+    * arithmetic (1<<63 would overflow where Spark's long wraps). */
+  private val BqBits = 63
+  private val BqShortlist = 100
+  private val BqIndexVersion = 1
+
+  /** The persisted signature table: (vec_id, label, nrm, sig) — 8-byte
+    * signatures via the shared sign-quantization expression. Built
+    * through the fingerprinted cached-index machinery like the
+    * LSH/IVF indexes. */
+  private[graft] def bqIndex(s: SparkSession, dir: String): String =
+    cachedIndex(s, dir, "bq", BqIndexVersion) { path =>
+      withNorm(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label"), col("nrm"),
+          expr(bucketExprFor(BqBits)).cast("long").as("sig"))
+        .coalesce(1)
+        .write.parquet(path)
+    }
+
+  /** `s_bq_rerank` — binary quantization with rescoring, the third
+    * compression tier next to SQ8 ([[sQuantizedTopk]], 4× smaller) and
+    * PQ ([[sPqAdc]], trained): every vector reduces to a 63-bit sign
+    * signature (sign-random-projection LSH, Charikar STOC 2002 — here
+    * axis-aligned, the shared [[bucketExprFor]] geometry), candidate
+    * generation is a Hamming-distance TakeOrdered over the PERSISTED
+    * 8-byte-signature table, and only the [[BqShortlist]] survivors pay
+    * an exact-cosine rerank through a broadcast join back to the full
+    * vectors.
+    *
+    * The 100 TB split this models: signatures are 32× smaller than the
+    * float32 vectors (1 B vectors ≈ 8 GB of signatures — a
+    * memory-resident tier), so the full-corpus pass scans ONLY
+    * (vec_id, sig) at XOR+popcount speed, while the 256-byte vectors
+    * stay cold and are touched for exactly `shortlist` rows. Both
+    * stages are deterministic (Hamming ties break on vec_id; rerank
+    * on the shared left-fold cosine), so the oracle replicates the
+    * two-stage pipeline exactly. */
+  private def sBqRerank: Q = (s, dir) => {
+    val idx = s.read.parquet(bqIndex(s, dir))
+    val v = withNorm(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"),
+        expr(bucketExprFor(BqBits)).cast("long").as("qsig"))
+    val shortlist = idx.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming", expr("CAST(bit_count(sig ^ qsig) AS INT)"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(BqShortlist)
+      .select(col("vec_id"), col("label"), col("hamming"),
+        col("qe"), col("qnrm"))
+    v.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"), col("label"), col("hamming"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("label"), col("hamming"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  private val sBqRerankSql = {
+    val duckSig =
+      s"""CAST(list_sum(list_transform(range(1, ${BqBits + 1}),
+         |  j -> CASE WHEN embedding[j] >= 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
+       |             $duckSig AS sig
+       |           FROM embeddings),
+       |q AS (SELECT embedding AS qe, nrm AS qnrm, sig AS qsig FROM v WHERE vec_id = $QueryVec),
+       |short AS (SELECT s.vec_id, s.label, s.embedding, s.nrm,
+       |            CAST(bit_count(xor(s.sig, qsig)) AS INT) AS hamming, qe, qnrm
+       |          FROM v s CROSS JOIN q WHERE s.vec_id <> $QueryVec
+       |          ORDER BY hamming, s.vec_id LIMIT $BqShortlist),
+       |scored AS (SELECT vec_id, label, hamming,
+       |             ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS cos
+       |           FROM short)
+       |SELECT vec_id, label, hamming, round(cos, 6) AS cosine
+       |FROM scored ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Product quantization: subspace codebooks + ADC top-k
   // ----------------------------------------------------------------
 
@@ -2214,6 +2298,7 @@ object Similarity {
     "s_ivf_ann_indexed" -> sIvfAnnIndexed,
     "s_ivf_filtered" -> sIvfFiltered,
     "s_quantized_topk" -> sQuantizedTopk,
+    "s_bq_rerank" -> sBqRerank,
     "s_blocked_knn" -> sBlockedKnn,
     "s_topk_agg" -> sTopkAgg,
     "s_hard_negatives" -> sHardNegatives,
@@ -2230,6 +2315,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s_maxsim_topk" -> sMaxsimTopkSql,
     "s_quantized_topk" -> sQuantizedTopkSql,
+    "s_bq_rerank" -> sBqRerankSql,
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_recall" -> sAnnRecallSql,
