@@ -134,6 +134,76 @@ object RelationalExt {
       |GROUP BY l_linestatus""".stripMargin
 
   // ----------------------------------------------------------------
+  // Bucketed co-located join: zero-exchange SMJ over two fact tables
+  // ----------------------------------------------------------------
+
+  private val BktVersion = 1
+  private[operators] val BktBuckets = 8
+
+  /** Build-and-register one bucketed join side: the FILES are built
+    * once per source fingerprint through the shared cached-index
+    * machinery — written `bucketBy(n, key).sortBy(key)` with ONE
+    * writer task, so every bucket is exactly one sorted file (the
+    * shape Spark requires to trust the sort order at read) — and the
+    * catalog entry (in-memory here, so per-JVM) is re-created over the
+    * existing files with the same `CLUSTERED BY` DDL: the standard
+    * external-bucketed-table deployment — data on the object store,
+    * DDL in the metastore. The table name carries the live build
+    * path's hash, so a fingerprint rebuild can never serve through a
+    * stale catalog entry. */
+  private def bucketedView(s: SparkSession, dir: String, table: String,
+      key: String, projection: DataFrame => DataFrame): String = {
+    val path = Similarity.cachedIndex(s, dir, s"bkt_$table", BktVersion,
+        srcTable = s"$table.parquet") { p =>
+      graft.sources.Sources.writeBucketed(
+        projection(Tables(s, dir, table)), p, key, BktBuckets)
+    }
+    val tbl = s"graft_bkt_${table}_${java.lang.Integer.toHexString(path.hashCode)}"
+    graft.sources.Sources.bucketedTable(s, tbl, path,
+      projection(Tables(s, dir, table)).schema.toDDL, key, BktBuckets)
+    tbl
+  }
+
+  /** `j9_bucketed_join` — the co-location answer to the 100 TB
+    * fact-to-fact join: both sides PRE-BUCKETED on the join key into
+    * the same bucket count, so join, per-order aggregate, AND top-k
+    * all run with ZERO shuffle exchanges (PlanSpec-pinned) — the scan
+    * partitioning satisfies the SMJ's distribution, the join's
+    * partitioning satisfies the aggregate's (o_orderkey is a subset of
+    * the grouping keys), and the final ordering is a
+    * TakeOrderedAndProject. At 100 TB this is THE nightly-pipeline
+    * layout decision: pay the layout shuffle once at ingest, then
+    * every downstream orderkey join is exchange-free; bucket count
+    * scales to thousands (it is the join parallelism), 8 here only to
+    * match the sandbox's data size. The `merge` hint keeps the plan
+    * SMJ so the demo measures the bucketed path, not a
+    * broadcast-sized special case. */
+  private def j9BucketedJoin: Q = (s, dir) => {
+    val oTbl = bucketedView(s, dir, "orders", "o_orderkey",
+      _.select(col("o_orderkey"), col("o_orderpriority")))
+    val lTbl = bucketedView(s, dir, "lineitem", "l_orderkey",
+      _.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+    val o = s.table(oTbl)
+    val l = s.table(lTbl)
+    l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))")).as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("n_items"),
+        col("rev").cast("double").as("revenue"))
+  }
+
+  private val j9BucketedJoinSql =
+    """SELECT o_orderkey, o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderpriority
+      |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))) DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------
   // Materialized-view rewrite (aggregate navigation)
   // ----------------------------------------------------------------
 
@@ -1568,6 +1638,7 @@ object RelationalExt {
     "j4_salted_join" -> j4SaltedJoin,
     "j5_semi_anti" -> j5SemiAnti,
     "j8_bloom_join" -> j8BloomJoin,
+    "j9_bucketed_join" -> j9BucketedJoin,
     "u10_matview_rewrite" -> u10MatviewRewrite,
     "u5_intersect" -> u5Intersect,
     "u6_except" -> u6Except,
@@ -1614,6 +1685,7 @@ object RelationalExt {
     "j4_salted_join" -> j4SaltedJoinSql,
     "j5_semi_anti" -> j5SemiAntiSql,
     "j8_bloom_join" -> j8BloomJoinSql,
+    "j9_bucketed_join" -> j9BucketedJoinSql,
     "u10_matview_rewrite" -> u10MatviewRewriteSql,
     "u5_intersect" -> u5IntersectSql,
     "u6_except" -> u6ExceptSql,

@@ -79,8 +79,33 @@ object SqlSurface {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`, planned as UnionLoop) —
+    * BFS levels over the region→nation→customer/supplier hierarchy
+    * from the `R0` seed, the SQL-surface twin of the `g_bfs` DataFrame
+    * loop. The graph is acyclic and the recursion depth-bounded by the
+    * `level < 2` guard, so UNION ALL semantics terminate identically
+    * in both engines; `min(level)` collapses would-be multi-path
+    * nodes deterministically. Each iteration is one distributed join —
+    * the driver never materializes the frontier. */
+  private val recursiveText =
+    """WITH RECURSIVE edges AS (
+      |  SELECT 'R' || n_regionkey AS src, 'N' || n_nationkey AS dst FROM nation
+      |  UNION ALL
+      |  SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer
+      |  UNION ALL
+      |  SELECT 'N' || s_nationkey, 'S' || s_suppkey FROM supplier),
+      |reach AS (
+      |  SELECT 'R0' AS node, 0 AS level
+      |  UNION ALL
+      |  SELECT e.dst, r.level + 1
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.level < 2)
+      |SELECT node, min(level) AS level
+      |FROM reach GROUP BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_q6_forecast" -> sql(q6Text),
+    "sql_recursive_cte" -> sql(recursiveText),
     "sql_exists_semijoin" -> sql(existsText),
     "sql_cte_window" -> sql(cteWindowText),
     "sql_lateral_topn" -> sql(lateralText),
@@ -89,6 +114,7 @@ object SqlSurface {
   // identical statements run as the DuckDB oracle
   val oracles: Map[String, String] = Map(
     "sql_q6_forecast" -> q6Text,
+    "sql_recursive_cte" -> recursiveText,
     "sql_exists_semijoin" -> existsText,
     "sql_cte_window" -> cteWindowText,
     "sql_lateral_topn" -> lateralText,

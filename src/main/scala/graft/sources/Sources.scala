@@ -151,6 +151,42 @@ object Sources {
     n
   }
 
+  /** Bucketed layout — the ingest-time half of the zero-exchange join
+    * (`j9_bucketed_join`): write `df` hash-CLUSTERED (and sorted) by
+    * `key` into `buckets` files at `path` under a throwaway catalog
+    * name (the external table's FILES carry the layout; the catalog
+    * entry is per-JVM metadata re-created by [[bucketedTable]]).
+    * `writerTasks` controls files-per-bucket — keep 1 so Spark can
+    * trust the per-bucket sort at read; raise it only when one
+    * writer task can't hold a bucket's rows. At 100 TB the bucket
+    * count IS the downstream join parallelism — thousands, sized so
+    * a bucket fits an executor; this pays the layout shuffle once at
+    * ingest so every later equi-join/aggregate on `key` is
+    * exchange-free. */
+  def writeBucketed(df: DataFrame, path: String, key: String,
+      buckets: Int, writerTasks: Int = 1): Unit = {
+    val s = df.sparkSession
+    val tmp = s"graft_bkt_write_${System.nanoTime()}"
+    df.repartition(writerTasks, org.apache.spark.sql.functions.col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
+      .option("path", path).saveAsTable(tmp)
+    s.sql(s"DROP TABLE $tmp") // external: the bucketed files stay
+  }
+
+  /** Re-attach a [[writeBucketed]] directory as a catalog table so the
+    * scan reports the bucket layout (`SelectedBucketsCount`) and joins
+    * and aggregates on `key` plan without exchanges. Standard
+    * external-bucketed-table deployment: data on the object store,
+    * `CLUSTERED BY` DDL in the (here in-memory, per-JVM) metastore. */
+  def bucketedTable(spark: SparkSession, table: String, path: String,
+      schemaDDL: String, key: String, buckets: Int): DataFrame = {
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"""CREATE TABLE $table ($schemaDDL) USING parquet
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+                   |LOCATION '$path'""".stripMargin)
+    spark.table(table)
+  }
+
   /** M0 ordering convention (SURVEY §7.5(1)): a stable global `doc_pos`
     * from the parquet metadata columns — doc_pos = (prefix-summed file
     * offset) + row-in-file. Per-file counts (one row per FILE) collect

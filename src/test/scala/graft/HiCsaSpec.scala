@@ -172,6 +172,26 @@ class HiCsaSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/big").count() == Tables.orders(spark, sf).count())
   }
 
+  test("writeBucketed/bucketedTable: layout round-trips; multi-writer keeps bucket files consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // multi-writer path: 2 writer tasks → up to 2 files per bucket;
+    // rows still land in the right bucket, contents round-trip exactly
+    Sources.writeBucketed(df, s"$dir/o", "o_orderkey", buckets = 4, writerTasks = 2)
+    val tbl = s"graft_bkt_spec_${System.nanoTime()}"
+    val back = Sources.bucketedTable(spark, tbl, s"$dir/o",
+      df.schema.toDDL, "o_orderkey", 4)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // the catalog entry reports the bucket spec and the scan uses it:
+    // a self-join on the bucket key plans without any exchange
+    val j = back.as("a").join(back.hint("merge").as("b"), "o_orderkey")
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(!p.contains("Exchange"), p)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("writeSortedByKey lays out tight key ranges per file (scan pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
     val df = Tables.orders(spark, sf)

@@ -404,6 +404,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(seg#"), p)
   }
 
+  test("j9: bucketed join + aggregate + top-k plan with ZERO exchanges") {
+    val p = plan("j9_bucketed_join")
+    // both sides pre-bucketed on the join key: the SMJ's distribution
+    // is satisfied by the scans, the aggregate's by the join (its
+    // grouping keys contain the bucket key), and the final ordering is
+    // a TakeOrderedAndProject — no Exchange of ANY kind (hash, range,
+    // single-partition, broadcast) anywhere in the plan
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    // the scans report the bucket layout (SelectedBucketsCount)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("u9: incremental merge keeps exact decimal until the final double cast") {
     val p = plan("u9_incremental_agg")
     // both partial aggregates sum DECIMAL; one exchange per side plus
