@@ -415,9 +415,14 @@ object Graft {
 
     /** Top-`k` cosine neighbours of `queryVec` from the live index;
       * empty frame when no index is published at `root`. */
+    /** `where`: optional metadata predicate (over vec_id/label/cell)
+      * for FILTERED vector search — applied to the resolved live rows
+      * of the probed cells before scoring (post-filter semantics:
+      * raise `nprobe` when the filter is very selective). */
     def probe(spark: SparkSession, root: String, queryVec: Array[Float],
-        nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None): DataFrame =
-      operators.AnnIndex.probe(spark, root, queryVec, nprobe, k, asOf)
+        nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None,
+        where: Option[String] = None): DataFrame =
+      operators.AnnIndex.probe(spark, root, queryVec, nprobe, k, asOf, where)
 
     /** The retained snapshot versions at an ANN-index root, ascending
       * (one per publish; expired by [[sweep]] past its grace). Pass
@@ -434,8 +439,9 @@ object Graft {
       * slice equals its single [[probe]] exactly (spec-pinned).
       * Returns `(query_id, rank, vec_id, label, cell, cosine)`. */
     def probeBatch(spark: SparkSession, root: String, queries: DataFrame,
-        nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None): DataFrame =
-      operators.AnnIndex.probeBatch(spark, root, queries, nprobe, k, asOf)
+        nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None,
+        where: Option[String] = None): DataFrame =
+      operators.AnnIndex.probeBatch(spark, root, queries, nprobe, k, asOf, where)
 
     /** Two-stage IVF-PQ probe of the live index: ADC over the stored
       * per-generation PQ codes of the probed cells, exact re-rank of
@@ -544,6 +550,21 @@ object Graft {
       * estimated overlap warrants the exact pass. */
     def overlapSketch(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
       operators.Quality.overlapSketch(a, b, keyCol)
+
+    /** Row-level quality gate with quarantine: split `df` into (pass,
+      * quarantined) by named per-row rules in one narrow pass —
+      * quarantined rows carry the violated rule names. NULL rule
+      * results count as violations. */
+    def quarantine(df: DataFrame, rules: Seq[(String, Column)])
+        : (DataFrame, DataFrame) =
+      operators.Quality.quarantine(df, rules)
+
+    /** [[quarantine]] + parquet sinks (the DLQ/badRecordsPath pattern
+      * with reasons attached); returns (nPass, nQuarantined) counted
+      * from the written files. */
+    def quarantineTo(df: DataFrame, rules: Seq[(String, Column)],
+        passPath: String, quarantinePath: String): (Long, Long) =
+      operators.Quality.quarantineTo(df, rules, passPath, quarantinePath)
 
     /** Join-key skew diagnostics: the heaviest `topN` keys of `keyCol`
       * with exact share and the per-key salt factor a salted join

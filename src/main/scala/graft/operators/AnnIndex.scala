@@ -520,7 +520,8 @@ object AnnIndex {
     * vec_ids true upserts and applies tombstones. An unbuilt root
     * yields an empty frame. */
   def probe(s: SparkSession, root: String, queryVec: Array[Float],
-      nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None,
+      where: Option[String] = None): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     resolveManifest(s, root, asOf) match {
       case None => emptyTopK(s)
@@ -535,8 +536,16 @@ object AnnIndex {
           // one read per generation (each dir is its own partitioned
           // table), unioned — Catalyst pushes the cell filter through
           // the union into every generation's PartitionFilters
+          // `where`: metadata-filtered vector search, the FAISS
+          // IDSelector shape — the predicate (over vec_id/label/cell)
+          // applies to the RESOLVED live rows of the probed cells,
+          // before scoring, so deleted/shadowed rows can never match.
+          // Post-filter semantics: candidates still come from the
+          // nprobe cells, so a very selective filter can return < k
+          // rows — raise nprobe for higher filtered recall.
           liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
               Some(probeCells), Seq("label", "embedding", "nrm"))
+            .transform(d => where.fold(d)(w => d.filter(expr(w))))
             .withColumn("qe", typedLit(queryVec))
             .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
               (expr(dot("embedding", "qe")) / (col("nrm") * lit(qnrm))).as("cos"))
@@ -568,7 +577,8 @@ object AnnIndex {
     * state. Returns `(query_id, rank, vec_id, label, cell,
     * cosine)`; an unbuilt root yields an empty frame. */
   def probeBatch(s: SparkSession, root: String, queries0: DataFrame,
-      nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, asOf: Option[Long] = None,
+      where: Option[String] = None): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     resolveManifest(s, root, asOf) match {
       case None =>
@@ -594,6 +604,10 @@ object AnnIndex {
           .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
         liveIn(s, root, dataDirsOf(lines), tombDirsOf(lines),
             Some(probedCells), Seq("label", "embedding", "nrm"))
+          // same post-resolution metadata filter as [[probe]]'s
+          // `where` — applied BEFORE the pairing join, so filtered-out
+          // rows never fan out across queries
+          .transform(d => where.fold(d)(w => d.filter(expr(w))))
           .join(broadcast(probes), "cell")
           .select(col("qid"), col("vec_id"), col("label"),
             col("cell").cast("long").as("cell"),

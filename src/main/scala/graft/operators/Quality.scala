@@ -141,6 +141,67 @@ object Quality {
         col("n_violations").cast("long").as("n_violations"), col("pass"))
   }
 
+  /** Row-level quality gate with quarantine — the other half of the
+    * aggregate [[xExpectations]] report: evaluate named per-row rules
+    * in ONE narrow projection and split the frame into (pass,
+    * quarantined), quarantined rows carrying `violations` = the array
+    * of violated rule names. NULL predicate results count as
+    * violations (a rule that cannot be evaluated has not passed — the
+    * dbt/GE convention). No shuffle anywhere: at 100 TB this is a
+    * map-only pass whose two outputs stream straight to their sinks
+    * ([[quarantineTo]]); the bad-rows path is the `badRecordsPath` /
+    * DLQ pattern with the REASON attached, so reprocessing after a
+    * rule fix is a filter on `violations`, not a re-scan of the
+    * source. */
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    val tags = array(rules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name)) }: _*)
+    val tagged = df.withColumn("violations",
+      filter(tags, x => x.isNotNull))
+    (tagged.filter(size(col("violations")) === 0).drop("violations"),
+      tagged.filter(size(col("violations")) > 0))
+  }
+
+  /** [[quarantine]] + sinks: good rows to `passPath`, bad rows (with
+    * `violations`) to `quarantinePath`; returns (nPass, nQuarantined)
+    * read back from the written files so the counts are the sinks'
+    * truth, not a separate job's. */
+  def quarantineTo(df: DataFrame, rules: Seq[(String, Column)],
+      passPath: String, quarantinePath: String): (Long, Long) = {
+    val (ok, bad) = quarantine(df, rules)
+    ok.write.mode("overwrite").parquet(passPath)
+    bad.withColumn("violations", array_join(col("violations"), ","))
+      .write.mode("overwrite").parquet(quarantinePath)
+    val s = df.sparkSession
+    (s.read.parquet(passPath).count(), s.read.parquet(quarantinePath).count())
+  }
+
+  /** `x_quarantine` — the registered demo of [[quarantine]]: lineitem
+    * rows violating any of three named rules, with the violated-rule
+    * list attached (CSV-joined — arrays crash the comparator). */
+  private def xQuarantine: Q = (s, dir) => {
+    val rules = Seq(
+      "qty_le_45" -> (col("l_quantity") <= 45),
+      "disc_le_05" -> (col("l_discount") <= 0.05),
+      "ship_not_null" -> col("l_shipdate").isNotNull)
+    val (_, bad) = quarantine(Tables.lineitem(s, dir), rules)
+    bad.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      array_join(col("violations"), ",").as("violations"))
+  }
+
+  private val xQuarantineSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       array_to_string(list_filter([
+      |         CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 'qty_le_45' END,
+      |         CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 'disc_le_05' END,
+      |         CASE WHEN NOT coalesce(l_shipdate IS NOT NULL, FALSE) THEN 'ship_not_null' END
+      |       ], x -> x IS NOT NULL), ',') AS violations
+      |FROM lineitem
+      |WHERE NOT coalesce(l_quantity <= 45, FALSE)
+      |   OR NOT coalesce(l_discount <= 0.05, FALSE)
+      |   OR NOT coalesce(l_shipdate IS NOT NULL, FALSE)""".stripMargin
+
   private val xExpectationsSql =
     """WITH oc AS (SELECT count(*) AS n,
        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
@@ -518,6 +579,7 @@ object Quality {
     "x_profile" -> xProfile,
     "x_profile_approx" -> xProfileApprox,
     "x_expectations" -> xExpectations,
+    "x_quarantine" -> xQuarantine,
     "x_drift_psi" -> xDriftPsi,
     "x_overlap_sketch" -> xOverlapSketch,
     "x_overlap_matrix" -> xOverlapMatrix,
@@ -527,6 +589,7 @@ object Quality {
     "x_profile" -> xProfileSql,
     "x_profile_approx" -> xProfileApproxSql,
     "x_expectations" -> xExpectationsSql,
+    "x_quarantine" -> xQuarantineSql,
     "x_drift_psi" -> xDriftPsiSql,
     "x_overlap_sketch" -> xOverlapSketchSql,
     "x_overlap_matrix" -> xOverlapMatrixSql,

@@ -445,6 +445,33 @@ class GraftApiSpec extends SparkSpec {
     assert(out1("c").getBoolean(4) && out1("c").getDouble(3) > 0.2)
   }
 
+  test("quarantine: pass+bad partition the input; null rules violate; sinks round-trip with reasons") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0), "ok"),
+      (2L, Some(99.0), "ok"),     // fails range
+      (3L, None, "ok"),           // null predicate -> violation
+      (4L, Some(20.0), "BAD"),    // fails status
+      (5L, Some(99.0), "BAD")     // fails both
+    ).toDF("id", "v", "st")
+    val rules = Seq(
+      "v_in_range" -> (col("v") <= 50.0),
+      "st_ok" -> (col("st") === "ok"))
+    val (ok, bad) = Graft.quality.quarantine(df, rules)
+    assert(ok.count() + bad.count() == df.count())
+    assert(ok.select("id").as[Long].collect().sorted.toSeq == Seq(1L))
+    val reasons = bad.select(col("id"), array_join(col("violations"), ",").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(reasons == Map(2L -> "v_in_range", 3L -> "v_in_range",
+      4L -> "st_ok", 5L -> "v_in_range,st_ok"))
+    // sink path: both outputs written, counts are the files' truth
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar").toString
+    val (nOk, nBad) = Graft.quality.quarantineTo(df, rules, s"$dir/ok", s"$dir/bad")
+    assert(nOk == 1L && nBad == 4L)
+    assert(spark.read.parquet(s"$dir/bad")
+      .filter(col("violations") === "v_in_range,st_ok").count() == 1L)
+  }
+
   test("rrfFuse: hand-computed fusion of three ranked lists; both-list docs beat single-list ones") {
     import spark.implicits._
     val text = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc", "rank")

@@ -311,6 +311,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered LSM probe: where == filter-then-topk of the unfiltered ranking; batch slice matches") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-filt").toString
+    graft.operators.AnnIndex.build(v.filter(col("vec_id") <= 400), root)
+    // a re-send that changes metadata: the filter must see the LATEST
+    // label, never the shadowed founding row's
+    graft.operators.AnnIndex.upsert(
+      v.filter(col("vec_id") === 150L).withColumn("label", lit(77)), root)
+    val qv = v.filter(col("vec_id") === 150L).select("embedding")
+      .as[Array[Float]].collect()(0)
+    val lbl = Graft.ann.probe(spark, root, qv, nprobe = 2, k = 1000)
+      .filter(col("vec_id") =!= 150L).collect()(0).getInt(1)
+    // law: filtered probe == filter of the FULL unfiltered ranking of
+    // the same probed cells, then top-k (both rank cos desc, vec_id)
+    val expected = Graft.ann.probe(spark, root, qv, nprobe = 2, k = 100000)
+      .collect().filter(_.getInt(1) == lbl).take(5)
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3))).toSeq
+    val filtered = Graft.ann.probe(spark, root, qv, nprobe = 2, k = 5,
+        where = Some(s"label = $lbl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3))).toSeq
+    assert(filtered == expected)
+    assert(filtered.forall(_._2 == lbl))
+    // the re-sent row matches its NEW label only
+    val re = Graft.ann.probe(spark, root, qv, nprobe = 2, k = 5,
+      where = Some("label = 77")).collect()
+    assert(re.map(_.getLong(0)).toSeq == Seq(150L))
+    assert(Graft.ann.probe(spark, root, qv, nprobe = 2, k = 100000,
+      where = Some("label != 77")).collect().forall(_.getLong(0) != 150L))
+    // batch slice under the same predicate equals the single probe
+    val qframe = Seq((7L, qv)).toDF("query_id", "embedding")
+    val batch = Graft.ann.probeBatch(spark, root, qframe, nprobe = 2, k = 5,
+        where = Some(s"label = $lbl"))
+      .collect().sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getInt(3), r.getDouble(5))).toSeq
+    assert(batch == filtered)
+  }
+
   test("ann index snapshots: asOf replays each published state; retention sweep expires them") {
     import spark.implicits._
     val v = Tables.embeddings(spark, sf)
