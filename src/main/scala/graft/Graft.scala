@@ -1084,6 +1084,14 @@ object Graft {
       * query. */
     def splitByHash(df: DataFrame, contentCol: String): DataFrame =
       operators.Sampling.splitByHash(df, contentCol)
+
+    /** GROUP-AWARE split: bands come from the hash of `groupCol`, so a
+      * whole group (near-dup cluster, source domain, user…) moves as
+      * one unit between train and the held-out splits — the leakage
+      * guard `p15_group_split` demonstrates with near-dup cluster ids.
+      * Same band arithmetic as [[splitByHash]]. */
+    def splitByGroup(df: DataFrame, groupCol: String): DataFrame =
+      operators.Sampling.splitByGroup(df, groupCol)
   }
 
   object hicsa {

@@ -742,15 +742,23 @@ object Dedup {
         (col("cl").isNotNull && col("cl") =!= col("doc_id")).as("is_dup"))
   }
 
-  private def dClusterCanonical: Q = (s, dir) =>
+  /** The canonical near-dup cluster assignment over the corpus —
+    * shared by `d_cluster_canonical` and the group-aware split
+    * (`p15_group_split`). */
+  private[operators] def clusterVerdicts(s: SparkSession, dir: String): DataFrame =
     clusterVerdictsFromPairs(
       Tables.documents(s, dir).select(col("doc_id")),
       minhashCandidates(s, dir)
         .filter(col("est_jaccard") >= JaccardThreshold)
         .select(col("a_id"), col("b_id")))
 
-  private val dClusterCanonicalSql =
-    s"""WITH RECURSIVE $duckMinhashCandCte,
+  private def dClusterCanonical: Q = (s, dir) => clusterVerdicts(s, dir)
+
+  /** DuckDB twin of [[clusterVerdicts]] as a reusable CTE chain ending
+    * in `cl(doc_id, cluster_id, is_dup)`. Callers prepend
+    * `WITH RECURSIVE `. */
+  private[operators] val duckClusterCte =
+    s"""$duckMinhashCandCte,
        |pairs AS (SELECT a_id, b_id FROM mh WHERE est_jaccard >= $JaccardThreshold),
        |und AS (SELECT a_id AS s, b_id AS d FROM pairs
        |        UNION ALL SELECT b_id, a_id FROM pairs),
@@ -758,11 +766,15 @@ object Dedup {
        |  SELECT DISTINCT s, s FROM und
        |  UNION
        |  SELECT r.node, u.d FROM reach r JOIN und u ON u.s = r.peer),
-       |lab AS (SELECT node, min(peer) AS label FROM reach GROUP BY node)
-       |SELECT doc_id,
-       |       coalesce(lab.label, doc_id) AS cluster_id,
-       |       (lab.label IS NOT NULL AND lab.label <> doc_id) AS is_dup
-       |FROM documents LEFT JOIN lab ON doc_id = lab.node""".stripMargin
+       |lab AS (SELECT node, min(peer) AS label FROM reach GROUP BY node),
+       |cl AS (SELECT doc_id,
+       |         coalesce(lab.label, doc_id) AS cluster_id,
+       |         (lab.label IS NOT NULL AND lab.label <> doc_id) AS is_dup
+       |       FROM documents LEFT JOIN lab ON doc_id = lab.node)""".stripMargin
+
+  private val dClusterCanonicalSql =
+    s"""WITH RECURSIVE $duckClusterCte
+       |SELECT doc_id, cluster_id, is_dup FROM cl""".stripMargin
 
   // ----------------------------------------------------------------
   // SimHash fingerprint + Hamming near-dup

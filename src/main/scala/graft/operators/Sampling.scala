@@ -204,6 +204,44 @@ object Sampling {
        |        ${PortableHash.duckPolyHash("text")} % 100 AS split_band
        |      FROM documents)""".stripMargin
 
+  /** Group-aware split by an arbitrary group column: every row's band
+    * comes from the hash of its GROUP id, so a group can never
+    * straddle splits. The generalized core of [[p15GroupSplit]]. */
+  def splitByGroup(df: DataFrame, groupCol: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    df.withColumn("split_band",
+        pmod(call_function("graft_polyhash", col(groupCol).cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("split_band") < TrainBand, "train")
+          .when(col("split_band") < ValBand, "validation")
+          .otherwise("test"))
+  }
+
+  /** `p15_group_split` — the LEAKAGE-GUARDED train/val/test split: the
+    * per-row hash split (`p11`) lets two near-duplicate documents land
+    * in different splits, silently leaking training text into the
+    * held-out sets — the classic contamination path a 100 TB corpus
+    * hits constantly (mirrors, boilerplate families, re-crawls). Here
+    * the split key is the document's near-dup CLUSTER id (the
+    * connected-component canonical the dedup family already
+    * computes), so an entire duplicate family moves as ONE unit:
+    * either all train or all held-out. Cost on top of the cluster
+    * pass: one narrow projection — and the cluster pass is the dedup
+    * work the pipeline runs anyway. */
+  private def p15GroupSplit: Q = (s, dir) =>
+    splitByGroup(Dedup.clusterVerdicts(s, dir), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("split_band"), col("split"))
+
+  private val p15GroupSplitSql =
+    s"""WITH RECURSIVE ${Dedup.duckClusterCte}
+       |SELECT doc_id, cluster_id, split_band,
+       |  CASE WHEN split_band < $TrainBand THEN 'train'
+       |       WHEN split_band < $ValBand THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_id,
+       |        ${PortableHash.duckPolyHash("CAST(cluster_id AS VARCHAR)")} % 100 AS split_band
+       |      FROM cl)""".stripMargin
+
   // ---- UniMax-ENFORCED sampling: the budgets drive the sampler ----
 
   /** p13: UniMax budgets APPLIED — the waterfilled per-language token
@@ -329,6 +367,7 @@ object Sampling {
     "p9_stratified_sample" -> p9StratifiedSample,
     "p10_quota_sample" -> p10QuotaSample,
     "p11_split" -> p11Split,
+    "p15_group_split" -> p15GroupSplit,
     "p12_token_budget" -> p12TokenBudget,
     "p13_unimax_sample" -> p13UnimaxSample)
 
@@ -338,6 +377,7 @@ object Sampling {
     "p9_stratified_sample" -> p9StratifiedSampleSql,
     "p10_quota_sample" -> p10QuotaSampleSql,
     "p11_split" -> p11SplitSql,
+    "p15_group_split" -> p15GroupSplitSql,
     "p12_token_budget" -> p12TokenBudgetSql,
     "p13_unimax_sample" -> p13UnimaxSampleSql)
 }

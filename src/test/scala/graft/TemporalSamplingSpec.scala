@@ -441,6 +441,25 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0)
   }
 
+  test("p15_group_split: no near-dup cluster straddles splits; exhaustive and p11-band-consistent") {
+    val out = Sampling.queries("p15_group_split")(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(out.count() == n)
+    // THE leakage-guard law: every cluster maps to exactly one split —
+    // so in particular every near-dup pair shares a split
+    assert(out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // band arithmetic identical to p11's
+    assert(out.filter(col("split") === "train" && col("split_band") >= 90).count() == 0)
+    assert(out.filter(col("split") === "validation"
+      && (col("split_band") < 90 || col("split_band") >= 95)).count() == 0)
+    assert(out.filter(col("split") === "test" && col("split_band") < 95).count() == 0)
+    // and the guard is not vacuous on this corpus: some cluster with
+    // ≥ 2 members exists (would-be straddle candidates)
+    assert(out.groupBy("cluster_id").count().filter(col("count") > 1).count() > 0)
+  }
+
   test("p12 token budget: greedy prefix respects the budget exactly, per stratum") {
     import spark.implicits._
     // every doc is exactly 5 tokens → a 12-token budget keeps exactly
