@@ -611,6 +611,29 @@ object Graft {
         terms: Seq[String], k: Int = 20): DataFrame =
       operators.TextAnalysis.bm25TopkOf(asDocs(df, idCol, textCol), terms, k)
 
+    /** EXACT threshold heavy hitters over an unbounded token universe
+      * (count·(k+1) > corpus tokens): per-partition Misra-Gries
+      * candidate sketches (bounded state, no vocabulary shuffle), then
+      * an exact verify pass over candidates only. Equals the naive
+      * GROUP BY + HAVING — the pigeonhole guarantee makes the
+      * candidate union complete and the verify pass makes false
+      * candidates harmless. Use the `t_top_tokens` groupBy shape when
+      * the vocabulary is bounded; use THIS for URLs/n-grams/user-ids. */
+    def frequentTerms(df: DataFrame, idCol: String, textCol: String,
+        k: Int = 2000): DataFrame =
+      operators.TextAnalysis.frequentTermsOf(asDocs(df, idCol, textCol), k)
+
+    /** BM25F fielded retrieval (Robertson & Zaragoza 2004): title hits
+      * weighted 3× body hits, field TFs combined into one
+      * pseudo-frequency BEFORE saturation (per-field BM25 summed after
+      * saturation over-rewards a term spread thin). The title is the
+      * first [[operators.TextAnalysis.Bm25fTitleLen]] tokens here; a
+      * real corpus supplies field columns and the arithmetic is
+      * unchanged. Same scale shape as [[bm25Topk]]. */
+    def bm25fTopk(df: DataFrame, idCol: String, textCol: String,
+        terms: Seq[String], k: Int = 20): DataFrame =
+      operators.TextAnalysis.bm25fTopkOf(asDocs(df, idCol, textCol), terms, k)
+
     /** Phrase retrieval (exact consecutive-token match, Lucene
       * two-stage): candidates from the phrase terms' posting
       * intersection, adjacency confirmed only on candidates, BM25

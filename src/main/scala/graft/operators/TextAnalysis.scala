@@ -1024,6 +1024,127 @@ object TextAnalysis {
   }
 
   // ----------------------------------------------------------------
+  // BM25F fielded retrieval (Robertson & Zaragoza 2004)
+  // ----------------------------------------------------------------
+
+  /** Title weight 3 / body weight 1, b = ½ both fields, k1 = 6/5; the
+    * title is the first [[Bm25fTitleLen]] non-empty tokens (the test
+    * corpus has no field structure, so the fields are derived
+    * deterministically — a real corpus supplies them as columns and
+    * the arithmetic is unchanged). */
+  private[graft] val Bm25fTitleLen = 8
+
+  /** BM25F score for one term, algebraized to exact integers the
+    * [[bm25Sc]] way so Spark and DuckDB agree to the bit. Per
+    * Robertson & Zaragoza, field TFs combine into one pseudo-frequency
+    * BEFORE saturation (the whole point of BM25F — per-field BM25
+    * summed after saturation over-rewards a term spread thin):
+    *
+    *   norm_f = 1 − b + b·dl_f/avgdl_f   (b = ½, avgdl_f = S_f/N)
+    *   tf̃    = Σ_f w_f·tf_f/norm_f = 2A/D with
+    *             A = 3·tf_t·S_t·(S_b + dl_b·N) + tf_b·S_b·(S_t + dl_t·N)
+    *             D = (S_t + dl_t·N)·(S_b + dl_b·N)
+    *   sc     = idf · tf̃/(k1 + tf̃)
+    *          = 5A·(2N − 2df + 1) / [(2df + 1)·(3D + 5A)]
+    *
+    * (all ½s, 5ths and the ratio-form idf clear exactly), evaluated as
+    * ONE double division. Long bounds: ≲5·10¹⁶ at sf0.1 — exact-int is
+    * the ORACLE form; production scale uses the double rendering,
+    * which only sells last-ulp exactness no serving path needs.
+    * Precondition: each field globally non-empty (S_f > 0), else the
+    * norm is degenerate. */
+  private[operators] def bm25fSc(tft: String, tfb: String, dlt: String,
+      dlb: String, df: String, n: String, st: String, sb: String): String = {
+    val a = s"(3 * $tft * $st * ($sb + $dlb * $n) + $tfb * $sb * ($st + $dlt * $n))"
+    val d = s"(($st + $dlt * $n) * ($sb + $dlb * $n))"
+    s"CAST(5 * $a * (2 * $n - 2 * $df + 1) AS DOUBLE) / " +
+      s"CAST((2 * $df + 1) * (3 * $d + 5 * $a) AS DOUBLE)"
+  }
+
+  /** Per-(doc, query-term) BM25F partials over a (doc_id, text) frame.
+    * Same scale shape as [[bm25ScoredOf]]: the corpus is touched twice
+    * narrow-in — once for per-field lengths (partial-agg'd to a 1-row
+    * stats frame), once for per-field postings RESTRICTED to the query
+    * terms inside the scan's codegen stage (the (doc, term, field)
+    * exchange carries |terms| postings lists, never the corpus; the
+    * field tag rides the exploded row, so both fields price in the ONE
+    * shuffle). df counts docs matching in EITHER field (title ∪ body =
+    * the whole doc, so it equals unfielded df). */
+  private[graft] def bm25fScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val toks = filter(tokens(txt), t => t =!= "")
+    val fields = docs.select(col("doc_id"),
+      slice(toks, 1, Bm25fTitleLen).as("title_toks"),
+      slice(toks, lit(Bm25fTitleLen + 1), greatest(size(toks) - Bm25fTitleLen, lit(0)))
+        .as("body_toks"))
+    val dl = fields.select(col("doc_id"),
+      size(col("title_toks")).cast("long").as("dl_t"),
+      size(col("body_toks")).cast("long").as("dl_b"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl_t")).as("s_t"), sum(col("dl_b")).as("s_b"))
+    val tf = fields
+      .select(col("doc_id"), explode(concat(
+        transform(col("title_toks"), t => struct(t.as("token"), lit("t").as("f"))),
+        transform(col("body_toks"), t => struct(t.as("token"), lit("b").as("f")))))
+        .as("tk"))
+      .select(col("doc_id"), col("tk.token").as("token"), col("tk.f").as("f"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sum(when(col("f") === "t", 1L).otherwise(0L)).as("tf_t"),
+        sum(when(col("f") === "b", 1L).otherwise(0L)).as("tf_b"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"),
+        expr(bm25fSc("tf_t", "tf_b", "dl_t", "dl_b", "df", "n_docs", "s_t", "s_b")).as("sc"))
+  }
+
+  /** Façade form: BM25F top-k for arbitrary terms — nano-integer
+    * order-free partial sums, k-bounded via TakeOrderedAndProject. */
+  def bm25fTopkOf(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25TopkCut(bm25fScoredOf(docs, terms), k)
+
+  /** T-bm25f: fielded retrieval on the fixed oracle terms — per-term
+    * scores in fixed columns (deterministic float-add order, the
+    * [[bm25FixedPivot]] discipline), portable rounding, top-20. A
+    * title hit outscores the same hit buried in the body, which is
+    * what the field weights sell. */
+  private def tBm25f: Q = (s, dir) =>
+    bm25FixedPivot(bm25fScoredOf(Tables.documents(s, dir), Bm25Terms))
+
+  private val tBm25fSql = {
+    val toks = s"list_filter(${duckTokens("coalesce(text, '')")}, t -> t <> '')"
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH fld AS (SELECT doc_id, $toks[1:$Bm25fTitleLen] AS title_toks,
+       |                    $toks[${Bm25fTitleLen + 1}:] AS body_toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(title_toks) AS BIGINT) AS dl_t,
+       |              CAST(len(body_toks) AS BIGINT) AS dl_b FROM fld),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl_t) AS s_t, sum(dl_b) AS s_b FROM dl),
+       |tk AS (SELECT doc_id, unnest(title_toks) AS token, 't' AS f FROM fld
+       |       UNION ALL SELECT doc_id, unnest(body_toks), 'b' FROM fld),
+       |tf AS (SELECT doc_id, token,
+       |         CAST(sum(CASE WHEN f = 't' THEN 1 ELSE 0 END) AS BIGINT) AS tf_t,
+       |         CAST(sum(CASE WHEN f = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS tf_b
+       |       FROM tk WHERE token IN ($terms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (SELECT doc_id, token,
+       |         ${bm25fSc("tf_t", "tf_b", "dl_t", "dl_b", "df", "n_docs", "s_t", "s_b")} AS sc
+       |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |wide AS (SELECT doc_id,
+       |   max(CASE WHEN token = '${Bm25Terms(0)}' THEN sc END) AS sv,
+       |   max(CASE WHEN token = '${Bm25Terms(1)}' THEN sc END) AS sh,
+       |   max(CASE WHEN token = '${Bm25Terms(2)}' THEN sc END) AS ss
+       | FROM sc GROUP BY doc_id)
+       |SELECT doc_id,
+       |       ${r6("coalesce(sv, 0.0)")} AS s_vector,
+       |       ${r6("coalesce(sh, 0.0)")} AS s_hash,
+       |       ${r6("coalesce(ss, 0.0)")} AS s_stream,
+       |       ${r6("coalesce(sv, 0.0) + coalesce(sh, 0.0) + coalesce(ss, 0.0)")} AS bm25
+       |FROM wide ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // UniMax language-budget allocation (waterfilling)
   // ----------------------------------------------------------------
 
@@ -1125,6 +1246,77 @@ object TextAnalysis {
        |WHERE token <> ''
        |GROUP BY token
        |ORDER BY n DESC, token LIMIT 20""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // Exact heavy hitters: merged Misra-Gries candidates + verify
+  // ----------------------------------------------------------------
+
+  /** Misra-Gries summary of one partition's token stream with `k`
+    * counters (Misra & Gries 1982): an unseen token either takes a
+    * free counter or decrements every counter (zeros evicted). The
+    * guarantee the two-pass operator leans on: any token whose count
+    * in the stream exceeds len/(k+1) MUST hold a counter at the end —
+    * a token with m occurrences can lose at most one per decrement
+    * round, and each round consumes k+1 stream positions. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counts.get(t) match {
+        case Some(c) => counts(t) = c + 1
+        case None if counts.size < k => counts(t) = 1L
+        case None =>
+          counts.filterInPlace((_, c) => c > 1L)
+            .mapValuesInPlace((_, c) => c - 1L); ()
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** EXACT threshold heavy hitters — every token with global count
+    * c·(k+1) > N (N = corpus token count), with its exact count — via
+    * candidates-then-verify: per-partition [[misraGries]] sketches
+    * (bounded state, NO vocabulary shuffle) emit ≤ k candidates each;
+    * only candidates pay the exact-count pass. Exactness is pigeonhole:
+    * a token above the global threshold is above the per-partition
+    * threshold in at least one partition, so the candidate union can't
+    * miss it, and the verify pass makes false candidates harmless —
+    * the result equals the naive GROUP BY + HAVING (the oracle) while
+    * exchanging only candidate rows. Two narrow corpus scans; the
+    * threshold compare is integer (cross-multiplied), so both engines
+    * agree exactly. The [[tTopTokens]] groupBy-the-vocabulary shape is
+    * fine when the vocabulary is bounded; THIS is the shape for
+    * unbounded token universes (URLs, n-grams, user ids) at 100 TB. */
+  private[graft] def frequentTermsOf(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(
+      explode(filter(tokens(coalesce(col("text"), lit(""))), t => t =!= ""))
+        .as("token"))
+    val cand = toks.as[String]
+      .mapPartitions(it => misraGries(it, k))
+      .toDF("token").distinct()          // ≤ k per partition before the distinct
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    toks.join(broadcast(cand), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * (k + 1) > col("n_tok"))
+      .select(col("token"), col("cnt"))
+  }
+
+  private val FreqTermsK = 2000
+
+  private def tFrequentTerms: Q = (s, dir) =>
+    frequentTermsOf(Tables.documents(s, dir), FreqTermsK)
+
+  private val tFrequentTermsSql = {
+    val toks = duckTokens("coalesce(text, '')")
+    s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+       |tok2 AS (SELECT token FROM tok WHERE token <> ''),
+       |n AS (SELECT count(*) AS n_tok FROM tok2),
+       |c AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY token)
+       |SELECT token, cnt FROM c CROSS JOIN n
+       |WHERE cnt * ${FreqTermsK + 1} > n_tok""".stripMargin
   }
 
   // ----------------------------------------------------------------
@@ -1605,6 +1797,7 @@ object TextAnalysis {
     "t_pack_sequences" -> tPackSequences,
     "t_redact_pii" -> tRedactPii,
     "t_top_tokens" -> tTopTokens,
+    "t_frequent_terms" -> tFrequentTerms,
     "t_token_count" -> tTokenCount,
     "t_mixture_weights" -> tMixtureWeights,
     "t_bigram_pmi" -> tBigramPmi,
@@ -1619,6 +1812,7 @@ object TextAnalysis {
     "t_bm25" -> tBm25,
     "t_bm25_filtered" -> tBm25Filtered,
     "t_bm25_phrase" -> tBm25Phrase,
+    "t_bm25f" -> tBm25f,
     "t_unimax" -> tUnimax)
 
   val oracles: Map[String, String] = Map(
@@ -1630,6 +1824,7 @@ object TextAnalysis {
     "t_pack_sequences" -> tPackSequencesSql,
     "t_redact_pii" -> tRedactPiiSql,
     "t_top_tokens" -> tTopTokensSql,
+    "t_frequent_terms" -> tFrequentTermsSql,
     "t_token_count" -> tTokenCountSql,
     "t_mixture_weights" -> tMixtureWeightsSql,
     "t_bigram_pmi" -> tBigramPmiSql,
@@ -1644,5 +1839,6 @@ object TextAnalysis {
     "t_bm25" -> tBm25Sql,
     "t_bm25_filtered" -> tBm25FilteredSql,
     "t_bm25_phrase" -> tBm25PhraseSql,
+    "t_bm25f" -> tBm25fSql,
     "t_unimax" -> tUnimaxSql)
 }

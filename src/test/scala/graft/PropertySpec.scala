@@ -265,6 +265,102 @@ class PropertySpec extends SparkSpec {
     checkParity("post-compact")
   }
 
+  test("frequentTerms law: candidates+verify equals naive GROUP BY/HAVING under eviction pressure, at any partitioning") {
+    import graft.operators.TextAnalysis
+    // k = 3 forces constant Misra-Gries evictions; the law is that the
+    // RESULT is still exact — the sketch only generates candidates
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll")
+    for (round <- 1 to 3) {
+      // zipf-ish: head tokens dominate, the tail churns the counters
+      val toks = (0 until 400).map { _ =>
+        val r = rnd.nextDouble()
+        if (r < 0.4) vocab(0) else if (r < 0.6) vocab(1)
+        else vocab(2 + rnd.nextInt(vocab.size - 2))
+      }
+      val docs = toks.grouped(7).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val k = 3
+      val n = toks.size
+      val expect = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (k + 1) > n }.toMap
+      for (parts <- Seq(1, 7)) {
+        val got = TextAnalysis.frequentTermsOf(docs.repartition(parts), k)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"round $round parts=$parts: $got vs $expect")
+      }
+    }
+    // the sketch itself honors the retention guarantee stand-alone:
+    // any token with count > len/(k+1) holds a counter at the end —
+    // 60 of 220 > 220/(3+1) = 55, under any arrival order
+    val stream = Seq.fill(60)("hot") ++ (0 until 160).map(i => s"t$i")
+    val held = TextAnalysis.misraGries(
+      new scala.util.Random(5).shuffle(stream).iterator, 3).toSet
+    assert(held.contains("hot"), s"guarantee violated: $held")
+  }
+
+  test("bm25f law: equals a from-scratch Scala model on random corpora; a title hit outscores the same hit in the body") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("vector", "hash", "stream", "join", "scan",
+      "merge", "alpha", "beta", "gamma")
+    val terms = Seq("vector", "hash", "stream")
+    val tl = TextAnalysis.Bm25fTitleLen
+    def toks(s: String): Array[String] =
+      s.toLowerCase.split("[\\p{Punct} ]+").filter(_.nonEmpty)
+    def model(corpus: Seq[(Long, String)], k: Int): Seq[(Long, Double)] = {
+      val fields = corpus.map { case (id, t) =>
+        val ts = toks(t); (id, ts.take(tl), ts.drop(tl)) }
+      val n = fields.size.toLong
+      val sT = fields.map(_._2.length.toLong).sum
+      val sB = fields.map(_._3.length.toLong).sum
+      val df = terms.map(t => t ->
+        fields.count { case (_, a, b) => a.contains(t) || b.contains(t) }.toLong).toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      fields.map { case (id, title, body) =>
+        val nanos = terms.map { t =>
+          val (tft, tfb) = (title.count(_ == t).toLong, body.count(_ == t).toLong)
+          if (tft + tfb == 0) 0L else {
+            val (dlt, dlb) = (title.length.toLong, body.length.toLong)
+            val a = 3 * tft * sT * (sB + dlb * n) + tfb * sB * (sT + dlt * n)
+            val d = (sT + dlt * n) * (sB + dlb * n)
+            val sc = (5 * a * (2 * n - 2 * df(t) + 1)).toDouble /
+              ((2 * df(t) + 1) * (3 * d + 5 * a)).toDouble
+            math.floor(sc * 1e9 + 0.5).toLong
+          }
+        }.sum
+        (id, r6(nanos.toDouble / 1e9))
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+    }
+    for (round <- 1 to 4) {
+      def mkText(len: Int): String =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // at least one doc longer than the title cut so S_b > 0 (the
+      // documented non-degenerate-field precondition)
+      val corpus = (0L until 10L).map(id =>
+        id -> mkText(if (id == 0) tl + 6 else 1 + rnd.nextInt(2 * tl)))
+      val got = TextAnalysis
+        .bm25fTopkOf(corpus.toDF("doc_id", "text"), terms, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == model(corpus, 5), s"round $round: $got vs ${model(corpus, 5)}")
+    }
+    // field weighting: same token multiset, term in title vs buried in
+    // body — the title doc must strictly outrank (this is what BM25F
+    // sells over unfielded BM25, which scores the two identically)
+    val filler = Seq.fill(tl)("alpha").mkString(" ")
+    val pair = Seq(
+      1L -> s"vector $filler alpha alpha",  // "vector" inside the title cut
+      2L -> s"$filler vector alpha alpha",  // "vector" pushed past it
+      3L -> s"$filler alpha alpha alpha")   // S_b donor, no hit
+    val ranked = TextAnalysis
+      .bm25fTopkOf(pair.toDF("doc_id", "text"), Seq("vector"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byId = ranked.toMap
+    assert(byId(1L) > byId(2L), s"title hit must outscore body hit: $ranked")
+  }
+
   test("phraseBm25Of: exact consecutive-token match — order, adjacency, and token boundaries all enforced") {
     import spark.implicits._
     val docs = Seq(
