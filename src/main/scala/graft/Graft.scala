@@ -46,6 +46,16 @@ object Graft {
       addCols: Seq[String]): DataFrame =
     operators.RelationalExt.mergeAggStates(base, delta, keys, addCols)
 
+  /** Incremental JOIN-view maintenance under insert-only deltas on both
+    * sides: stored view ∪ (dA ⋈ B_new) ∪ (A ⋈ dB) — both refresh terms
+    * delta-bounded, dB broadcast, history never rescanned against
+    * history. Exact when deltas are disjoint from their bases (updates
+    * route through [[upsertByKey]]/SCD-2); the u11 oracle proves the
+    * decomposition against the full recompute. */
+  def mergeJoinView(baseView: DataFrame, a: DataFrame, da: DataFrame,
+      bNew: DataFrame, db: DataFrame, keys: Seq[String]): DataFrame =
+    operators.RelationalExt.mergeJoinView(baseView, a, da, bNew, db, keys)
+
   private def asDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
 
@@ -982,6 +992,16 @@ object Graft {
         valueCol: String,
         maxCells: Int = operators.TimeSeries.MaxGridCells): DataFrame =
       operators.TimeSeries.resampleHourly(df, keyCol, tsCol, valueCol, maxCells)
+
+    /** Hourly gap-fill by LINEAR INTERPOLATION between the nearest
+      * observed hours → (keyCol, hour, n_events, interp_avg) — the
+      * fill for continuously-varying signals where [[resampleHourly]]'s
+      * forward-fill makes a staircase. Observed hours keep their own
+      * mean exactly; leading hours of a cap-truncated key stay null. */
+    def interpolateHourly(df: DataFrame, keyCol: String, tsCol: String,
+        valueCol: String,
+        maxCells: Int = operators.TimeSeries.MaxGridCells): DataFrame =
+      operators.TimeSeries.interpolateHourly(df, keyCol, tsCol, valueCol, maxCells)
 
     /** Truncation audit for [[resampleHourly]]'s per-key grid cap:
       * `(key, span_hours, emitted_hours, truncated)`. */

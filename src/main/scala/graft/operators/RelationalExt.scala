@@ -453,6 +453,56 @@ object RelationalExt {
       |FROM orders GROUP BY o_custkey""".stripMargin
 
   // ----------------------------------------------------------------
+  // Incremental JOIN maintenance (materialized-join-view refresh)
+  // ----------------------------------------------------------------
+
+  /** Refresh a materialized join view under INSERT-only deltas on both
+    * sides — the join half of incremental view maintenance ([[u9IncrementalAgg]]
+    * is the aggregate half). With facts A += dA and dims B += dB
+    * (B_new = B ∪ dB already stored), the delta decomposition
+    *
+    *   (A ∪ dA) ⋈ (B ∪ dB) = A⋈B  ∪  dA ⋈ B_new  ∪  A ⋈ dB
+    *
+    * is exact when the deltas are disjoint from their bases (append
+    * partitions; updates route through upsert/SCD-2 instead — an
+    * update re-sent as an insert would double-count). History A⋈B is
+    * the STORED view, never recomputed: the refresh touches the new
+    * facts against the current dim table (dA ⋈ B_new — dA-sized, the
+    * daily partition) and old facts against only the NEW dim rows
+    * (A ⋈ dB — dB broadcast, and with A bucketed on the key the scan
+    * prunes to dB's buckets). At 100 TB both refresh terms are
+    * delta-bounded; the full A⋈B rescan the naive refresh pays never
+    * happens. */
+  def mergeJoinView(baseView: DataFrame, a: DataFrame, da: DataFrame,
+      bNew: DataFrame, db: DataFrame, keys: Seq[String]): DataFrame =
+    baseView
+      .unionByName(da.join(bNew, keys))
+      .unionByName(a.join(broadcast(db), keys))
+
+  /** Harness binding: the orders⋈customer view maintained across a
+    * date-cutoff fact delta and a custkey-slice dim delta; the oracle
+    * is the full-recompute join, so the gate proves the decomposition
+    * identity exactly. */
+  private def u11IncrementalJoin: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+    val cust = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val a = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val da = orders.filter(col("o_orderkey") % 7 === 0)
+    val db = cust.filter(col("custkey") % 10 === 0)
+    val bOld = cust.filter(col("custkey") % 10 =!= 0)
+    val baseView = a.join(bOld, Seq("custkey"))
+    mergeJoinView(baseView, a, da, cust, db, Seq("custkey"))
+  }
+
+  private val u11IncrementalJoinSql =
+    """SELECT o_custkey AS custkey, o_orderkey,
+      |       CAST(o_totalprice AS DOUBLE) AS o_totalprice, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  // ----------------------------------------------------------------
   // Mode (most frequent value) per group — deterministic ties
   // ----------------------------------------------------------------
 
@@ -1645,6 +1695,7 @@ object RelationalExt {
     "u7_upsert" -> u7Upsert,
     "u8_scd2" -> u8Scd2,
     "u9_incremental_agg" -> u9IncrementalAgg,
+    "u11_incremental_join" -> u11IncrementalJoin,
     "a13_mode" -> a13Mode,
     "a5_rollup" -> a5Rollup,
     "a6_cube" -> a6Cube,
@@ -1692,6 +1743,7 @@ object RelationalExt {
     "u7_upsert" -> u7UpsertSql,
     "u8_scd2" -> u8Scd2Sql,
     "u9_incremental_agg" -> u9IncrementalAggSql,
+    "u11_incremental_join" -> u11IncrementalJoinSql,
     "a13_mode" -> a13ModeSql,
     "a5_rollup" -> a5RollupSql,
     "a6_cube" -> a6CubeSql,

@@ -236,6 +236,94 @@ object TimeSeries {
       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin
 
   // ----------------------------------------------------------------
+  // Linear-interpolation gap fill (pandas interpolate / InfluxDB)
+  // ----------------------------------------------------------------
+
+  /** The interpolation arithmetic, ONE string rendered into both
+    * engines (the `bm25Sc` discipline) over identically-named columns:
+    * pa/na = nearest observed hourly means before/after, eph/enh their
+    * epoch seconds, eh the grid hour's. Identical textual double ops →
+    * identical result in both engines; 6-dp portable rounding last. */
+  private def interpExpr: String =
+    TextAnalysis.r6("CASE WHEN pa IS NULL THEN NULL WHEN eh = eph THEN pa " +
+      "ELSE pa + (na - pa) * (CAST(eh - eph AS DOUBLE) / CAST(enh - eph AS DOUBLE)) END")
+
+  /** Gap fill by LINEAR INTERPOLATION between the nearest observed
+    * hours — the fill for continuously-varying signals where
+    * [[resampleHourly]]'s forward-fill (right for step signals) makes
+    * a staircase. Per key: hourly means, the capped grid, then two
+    * windows (last-non-null back, first-non-null forward) give each
+    * gap hour its bracketing observations; observed hours keep their
+    * own mean EXACTLY (eh = eph branch), interior gaps interpolate,
+    * leading hours of a cap-truncated key stay null ("unknown", not
+    * fabricated). Same scale shape as resample: everything past the
+    * hourly partial-agg is grid-sized, windows partition per key. */
+  def interpolateHourly(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxCells: Int = MaxGridCells): DataFrame = {
+    val hourly = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"), avg(col(valueCol)).as("__hour_avg"))
+    val grid = df.groupBy(col(keyCol))
+      .agg(min(date_trunc("hour", col(tsCol))).as("h0"),
+        max(date_trunc("hour", col(tsCol))).as("h1"))
+      .select(col(keyCol),
+        explode(sequence(
+          greatest(col("h0"), col("h1") - expr(s"interval ${maxCells - 1} hours")),
+          col("h1"), expr("interval 1 hour"))).as("hour"))
+    val back = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("__hour_avg").isNotNull, col("hour"))
+    grid.join(hourly, Seq(keyCol, "hour"), "left")
+      .select(col(keyCol), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("__hour_avg"), ignoreNulls = true).over(back).as("pa"),
+        unix_timestamp(last(obsHour, ignoreNulls = true).over(back)).as("eph"),
+        first(col("__hour_avg"), ignoreNulls = true).over(fwd).as("na"),
+        unix_timestamp(first(obsHour, ignoreNulls = true).over(fwd)).as("enh"),
+        unix_timestamp(col("hour")).as("eh"))
+      .select(col(keyCol), col("hour"), col("n_events"),
+        expr(interpExpr).as("interp_avg"))
+  }
+
+  private def tsInterpolate: Q = (s, dir) =>
+    interpolateHourly(Tables.events(s, dir), "user_id", "ts", "value", DemoGridCap)
+
+  private val tsInterpolateSql =
+    s"""WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |         count(*) AS n_events, avg(value) AS hour_avg
+      |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+      |bounds AS (
+      |  SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+      |         max(date_trunc('hour', ts)) AS h1
+      |  FROM events GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(
+      |           greatest(h0, h1 - INTERVAL ${DemoGridCap - 1} HOUR),
+      |           h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds),
+      |joined AS (
+      |  SELECT g.user_id AS user_id, g.hour AS hour,
+      |    coalesce(h.n_events, 0)::BIGINT AS n_events,
+      |    last_value(h.hour_avg IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pa,
+      |    epoch(last_value(CASE WHEN h.hour_avg IS NOT NULL THEN g.hour END IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS eph,
+      |    first_value(h.hour_avg IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS na,
+      |    epoch(first_value(CASE WHEN h.hour_avg IS NOT NULL THEN g.hour END IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))::BIGINT AS enh,
+      |    epoch(g.hour)::BIGINT AS eh
+      |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour)
+      |SELECT user_id, hour, n_events, ${interpExpr} AS interp_avg
+      |FROM joined""".stripMargin
+
+  // ----------------------------------------------------------------
   // Ordered-sequence funnel: view → click → purchase, in order
   // ----------------------------------------------------------------
 
@@ -344,6 +432,7 @@ object TimeSeries {
     "ts_resample" -> tsResample,
     "ts_resample_capped" -> tsResampleCapped,
     "ts_resample_stats" -> tsResampleStats,
+    "ts_interpolate" -> tsInterpolate,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention)
 
@@ -353,6 +442,7 @@ object TimeSeries {
     "ts_resample" -> tsResampleSql,
     "ts_resample_capped" -> tsResampleCappedSql,
     "ts_resample_stats" -> tsResampleStatsSql,
+    "ts_interpolate" -> tsInterpolateSql,
     "ts_funnel" -> tsFunnelSql,
     "ts_retention" -> tsRetentionSql)
 }

@@ -149,6 +149,26 @@ class RelationalSpec extends SparkSpec {
   }
 
 
+  test("u11 join-view decomposition: incremental refresh == full recompute on random disjoint splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 3) {
+      val facts = (0 until 40).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(100)))
+      val dims = (0L until 8L).map(k => (k, s"d$k"))
+      val (aRows, daRows) = facts.partition(_ => rnd.nextBoolean())
+      val (bRows, dbRows) = dims.partition(_ => rnd.nextBoolean())
+      val a = aRows.toDF("fid", "k", "v"); val da = daRows.toDF("fid", "k", "v")
+      val bNew = dims.toDF("k", "name"); val db = dbRows.toDF("k", "name")
+      val bOld = bRows.toDF("k", "name")
+      val incr = operators.RelationalExt.mergeJoinView(
+        a.join(bOld, Seq("k")), a, da, bNew, db, Seq("k"))
+      val full = facts.toDF("fid", "k", "v").join(dims.toDF("k", "name"), Seq("k"))
+      assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+        s"round $round: decomposition != recompute")
+    }
+  }
+
   test("f_bits: algebraic identities of the bitwise family hold row-wise") {
     val out = Relational.queries("f_bits")(spark, sf)
     // AND + OR = a + b; XOR = OR - AND; shifts are *4 and div 2

@@ -116,6 +116,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!stats("dense")._3 && stats("dense") == ((3L, 3L, false)))
   }
 
+  test("interpolateHourly: observed hours exact, gap hours linear, truncated leading hours null") {
+    import spark.implicits._
+    // one key with a 4-hour interior gap: 10:00 avg 2.0, 14:00 avg 10.0
+    // → 11:00/12:00/13:00 must read 4.0/6.0/8.0 (pure linearity)
+    val rows = Seq(
+      ("k1", "2023-01-01 10:10:00", 1.0), ("k1", "2023-01-01 10:50:00", 3.0),
+      ("k1", "2023-01-01 14:30:00", 10.0),
+      ("sparse", "2020-01-01 00:30:00", 1.0), ("sparse", "2023-01-01 10:30:00", 5.0))
+      .toDF("k", "tss", "value")
+      .select(col("k"), col("tss").cast("timestamp").as("ts"), col("value"))
+    val out = Graft.timeseries.interpolateHourly(rows, "k", "ts", "value", maxCells = 5)
+      .cache()
+    val k1 = out.filter(col("k") === "k1").orderBy("hour").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour").toString.take(13) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(k1("2023-01-01 10") == 2.0 && k1("2023-01-01 14") == 10.0,
+      s"observed hours must keep their own mean: $k1")
+    assert(k1("2023-01-01 11") == 4.0 && k1("2023-01-01 12") == 6.0
+      && k1("2023-01-01 13") == 8.0, s"gap hours must be linear: $k1")
+    // cap-truncated key: leading grid hours (no surviving observation
+    // before them) stay null; the surviving observed hour is exact
+    val sp = out.filter(col("k") === "sparse").orderBy("hour").collect()
+    assert(sp.length == 5 && sp.init.forall(_.isNullAt(3)) && sp.last.getDouble(3) == 5.0)
+    out.unpersist()
+  }
+
   test("ts_funnel: stage timestamps strictly ordered, stage label consistent") {
     val f = operators.TimeSeries.queries("ts_funnel")(spark, sf).cache()
     // one row per user who ever viewed
