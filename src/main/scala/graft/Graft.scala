@@ -46,6 +46,16 @@ object Graft {
       addCols: Seq[String]): DataFrame =
     operators.RelationalExt.mergeAggStates(base, delta, keys, addCols)
 
+  /** Incremental DISTINCT-count maintenance: merge per-key HLL sketch
+    * states by register max-merge (order-free, and EQUAL to a
+    * single-pass sketch of the union — spec-pinned), absent keys
+    * carrying through. The DISTINCT member of the IVM family beside
+    * [[mergeAggStates]] and [[mergeJoinView]]; estimate with
+    * `hll_sketch_estimate` when reporting. */
+  def mergeDistinctStates(base: DataFrame, delta: DataFrame,
+      keys: Seq[String], sketchCol: String): DataFrame =
+    operators.RelationalExt.mergeDistinctStates(base, delta, keys, sketchCol)
+
   /** Incremental JOIN-view maintenance under insert-only deltas on both
     * sides: stored view ∪ (dA ⋈ B_new) ∪ (A ⋈ dB) — both refresh terms
     * delta-bounded, dB broadcast, history never rescanned against
@@ -552,6 +562,15 @@ object Graft {
         alert: Double = 0.2): DataFrame =
       operators.Quality.driftPsi(base, cur, numericCols, categoricalCols,
         buckets, alert)
+
+    /** Two-sample Kolmogorov-Smirnov drift per column: D = the
+      * worst-case CDF gap at any point — catches tail shifts PSI's
+      * fixed buckets smear. Exact integer arithmetic until one final
+      * division; the alert (D > 0.1) compares cross-multiplied
+      * integers. For discrete/quantized columns; quantize continuous
+      * ones first or use [[driftPsi]]. */
+    def driftKs(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame =
+      operators.Quality.driftKs(base, cur, cols)
 
     /** Sketch-based corpus overlap (decontamination triage): estimate
       * |A|, |B|, |A∪B|, |A∩B| over 8-byte key frames from two mergeable

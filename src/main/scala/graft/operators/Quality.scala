@@ -351,6 +351,101 @@ object Quality {
        |FROM terms GROUP BY "column", nb, nc ORDER BY "column"""".stripMargin
 
   // ----------------------------------------------------------------
+  // Distribution drift: two-sample Kolmogorov-Smirnov (exact)
+  // ----------------------------------------------------------------
+
+  /** KS decision threshold D > 0.1, compared as exact cross-multiplied
+    * integers (mdev · 10 > n_base · n_cur) — no float boundary decides
+    * the alert, the [[driftPsi]] discipline. */
+  private val KsAlertTimes10 = 1L
+
+  /** `x_drift_ks` core — two-sample Kolmogorov-Smirnov statistic per
+    * column: D = max over values of |F_base(v) − F_cur(v)|. PSI sees
+    * mass moved between fixed buckets; KS sees the worst-case CDF gap
+    * at ANY point, catching tail shifts PSI's equal-width buckets
+    * smear. The whole computation is EXACT INTEGER until one final
+    * division: per distinct value, dev = |cumA·n_cur − cumB·n_base|
+    * (cross-multiplied cumulative counts), D = max(dev)/(n_base·n_cur)
+    * — both engines agree to the bit, and the alert compares integers.
+    *
+    * Scale shape: one narrow union scan fans the columns out map-side;
+    * the per-(column, value) count aggregate is the only full-volume
+    * shuffle; the cumulative window runs over DISTINCT values per
+    * column. Use it on discrete/quantized columns (here l_quantity,
+    * l_discount: ≤ 50 distinct) — a continuous column should be
+    * quantized first or handed to [[driftPsi]], the `a14_winsorize`
+    * cardinality argument. */
+  def driftKs(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
+    def tagged(df: DataFrame, a: Long, b: Long): DataFrame =
+      cols.map(c => df.filter(col(c).isNotNull)
+        .select(lit(c).as("column"), col(c).cast("double").as("v"),
+          lit(a).as("a"), lit(b).as("b")))
+        .reduce(_ unionByName _)
+    val perVal = tagged(base, 1L, 0L).unionByName(tagged(cur, 0L, 1L))
+      .groupBy(col("column"), col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val totals = perVal.groupBy(col("column"))
+      .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_cur"))
+    val cum = Window.partitionBy(col("column")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVal
+      .select(col("column"),
+        sum(col("ca")).over(cum).as("cuma"), sum(col("cb")).over(cum).as("cumb"))
+      .join(broadcast(totals), "column")
+      .select(col("column"), col("n_base"), col("n_cur"),
+        abs(col("cuma") * col("n_cur") - col("cumb") * col("n_base")).as("dev"))
+      .groupBy(col("column"))
+      .agg(first(col("n_base")).as("n_base"), first(col("n_cur")).as("n_cur"),
+        max(col("dev")).as("mdev"))
+      .select(col("column"), col("n_base"), col("n_cur"),
+        expr(TextAnalysis.r6(
+          "cast(mdev as double) / cast(n_base * n_cur as double)")).as("ks"),
+        (col("mdev") * 10L > col("n_base") * col("n_cur") * KsAlertTimes10)
+          .as("drifted"))
+      .orderBy(col("column"))
+  }
+
+  private def xDriftKs: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    driftKs(
+      li.filter(col("l_shipdate") < lit(DriftCutoff)),
+      li.filter(col("l_shipdate") >= lit(DriftCutoff)),
+      Seq("l_quantity", "l_discount"))
+  }
+
+  private val xDriftKsSql =
+    s"""WITH base AS (SELECT * FROM lineitem WHERE l_shipdate < '$DriftCutoff'),
+       |cur AS (SELECT * FROM lineitem WHERE l_shipdate >= '$DriftCutoff'),
+       |t AS (
+       |  SELECT 'l_quantity' AS "column", CAST(l_quantity AS DOUBLE) AS v, 1 AS a, 0 AS b
+       |    FROM base WHERE l_quantity IS NOT NULL
+       |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), 1, 0
+       |    FROM base WHERE l_discount IS NOT NULL
+       |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE), 0, 1
+       |    FROM cur WHERE l_quantity IS NOT NULL
+       |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), 0, 1
+       |    FROM cur WHERE l_discount IS NOT NULL),
+       |pv AS (SELECT "column", v, CAST(sum(a) AS BIGINT) AS ca,
+       |              CAST(sum(b) AS BIGINT) AS cb
+       |       FROM t GROUP BY "column", v),
+       |tot AS (SELECT "column", CAST(sum(ca) AS BIGINT) AS n_base,
+       |               CAST(sum(cb) AS BIGINT) AS n_cur
+       |        FROM pv GROUP BY "column"),
+       |c AS (SELECT "column",
+       |        sum(ca) OVER (PARTITION BY "column" ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |        sum(cb) OVER (PARTITION BY "column" ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+       |      FROM pv),
+       |dev AS (SELECT c."column" AS "column", n_base, n_cur,
+       |          abs(cuma * n_cur - cumb * n_base) AS dev
+       |        FROM c JOIN tot ON c."column" = tot."column")
+       |SELECT "column", n_base, n_cur,
+       |       floor((CAST(max(dev) AS DOUBLE) / CAST(n_base * n_cur AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks,
+       |       max(dev) * 10 > n_base * n_cur * $KsAlertTimes10 AS drifted
+       |FROM dev GROUP BY "column", n_base, n_cur ORDER BY "column"""".stripMargin
+
+  // ----------------------------------------------------------------
   // Sketch-based corpus overlap (decontamination triage)
   // ----------------------------------------------------------------
 
@@ -581,6 +676,7 @@ object Quality {
     "x_expectations" -> xExpectations,
     "x_quarantine" -> xQuarantine,
     "x_drift_psi" -> xDriftPsi,
+    "x_drift_ks" -> xDriftKs,
     "x_overlap_sketch" -> xOverlapSketch,
     "x_overlap_matrix" -> xOverlapMatrix,
     "x_skew_report" -> xSkewReport)
@@ -591,6 +687,7 @@ object Quality {
     "x_expectations" -> xExpectationsSql,
     "x_quarantine" -> xQuarantineSql,
     "x_drift_psi" -> xDriftPsiSql,
+    "x_drift_ks" -> xDriftKsSql,
     "x_overlap_sketch" -> xOverlapSketchSql,
     "x_overlap_matrix" -> xOverlapMatrixSql,
     "x_skew_report" -> xSkewReportSql)

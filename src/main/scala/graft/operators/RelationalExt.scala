@@ -503,6 +503,63 @@ object RelationalExt {
       |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
 
   // ----------------------------------------------------------------
+  // Incremental DISTINCT-count maintenance (HLL-mergeable state)
+  // ----------------------------------------------------------------
+
+  /** Merge two per-key HLL sketch-state tables — the DISTINCT-count
+    * member of the IVM family ([[mergeAggStates]] covers additive
+    * aggregates, [[mergeJoinView]] joins): COUNT DISTINCT is not
+    * additive, but HLL registers max-merge, so the maintained state is
+    * the sketch column and refresh = union. Register max-merge is
+    * order-free AND lossless w.r.t. a single-pass sketch of the union
+    * (same hashes → same registers), so estimate(merge(base, delta))
+    * EQUALS estimate(sketch(base ∪ delta)) exactly — not just
+    * approximately (spec-pinned). Absent keys carry the present side's
+    * sketch through. One shuffle on the keys, sketch rows are
+    * (1.5 KB · 2^lgK−…) fixed-size — the stored rollup stays tiny
+    * however large the fact table. */
+  def mergeDistinctStates(base: DataFrame, delta: DataFrame,
+      keys: Seq[String], sketchCol: String): DataFrame = {
+    val b = base.withColumnRenamed(sketchCol, "__b_sk")
+    val d = delta.withColumnRenamed(sketchCol, "__d_sk")
+    b.join(d, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__b_sk").isNull, col("__d_sk"))
+          .when(col("__d_sk").isNull, col("__b_sk"))
+          .otherwise(hll_union(col("__b_sk"), col("__d_sk")))
+          .as(sketchCol): _*)
+  }
+
+  private val DistinctLgK = 14
+
+  /** Harness binding: distinct customers per order priority maintained
+    * across the [[IncAggCutoff]] date split. The oracle computes the
+    * EXACT distinct count; the estimate ships as a within-bounds
+    * boolean (the `a8_approx_stats` discipline — lgK 14 ≈ 0.8%
+    * standard error, checked at ±5% + 16). */
+  private def u12IncrementalDistinct: Q = (s, dir) => {
+    def sk(df: DataFrame): DataFrame = df.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(DistinctLgK)).as("sk"))
+    val orders = Tables.orders(s, dir)
+    val merged = mergeDistinctStates(
+      sk(orders.filter(col("o_orderdate") < lit(IncAggCutoff))),
+      sk(orders.filter(col("o_orderdate") >= lit(IncAggCutoff))),
+      Seq("o_orderpriority"), "sk")
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    exact.join(broadcast(merged), "o_orderpriority")
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_custs"))
+          <= col("exact_custs") * lit(0.05) + lit(16)).as("within_bounds"))
+  }
+
+  private val u12IncrementalDistinctSql =
+    """SELECT o_orderpriority,
+      |       count(DISTINCT o_custkey) AS exact_custs,
+      |       true AS within_bounds
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------------
   // Mode (most frequent value) per group — deterministic ties
   // ----------------------------------------------------------------
 
@@ -1696,6 +1753,7 @@ object RelationalExt {
     "u8_scd2" -> u8Scd2,
     "u9_incremental_agg" -> u9IncrementalAgg,
     "u11_incremental_join" -> u11IncrementalJoin,
+    "u12_incremental_distinct" -> u12IncrementalDistinct,
     "a13_mode" -> a13Mode,
     "a5_rollup" -> a5Rollup,
     "a6_cube" -> a6Cube,
@@ -1744,6 +1802,7 @@ object RelationalExt {
     "u8_scd2" -> u8Scd2Sql,
     "u9_incremental_agg" -> u9IncrementalAggSql,
     "u11_incremental_join" -> u11IncrementalJoinSql,
+    "u12_incremental_distinct" -> u12IncrementalDistinctSql,
     "a13_mode" -> a13ModeSql,
     "a5_rollup" -> a5RollupSql,
     "a6_cube" -> a6CubeSql,

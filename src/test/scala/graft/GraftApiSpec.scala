@@ -445,6 +445,30 @@ class GraftApiSpec extends SparkSpec {
     assert(out1("c").getBoolean(4) && out1("c").getDouble(3) > 0.2)
   }
 
+  test("driftKs: equals the brute-force max-CDF-gap; identical reads zero; a planted median shift trips the alert") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val bVals = (0 until 400).map(_ => rnd.nextInt(20).toDouble)
+    val cVals = (0 until 300).map(_ => rnd.nextInt(20).toDouble + 4.0)
+    val base = bVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val cur = cVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    // brute force over every candidate point (the pooled values)
+    val na = bVals.size.toLong; val nc = cVals.size.toLong
+    val mdev = (bVals ++ cVals).distinct.map { v =>
+      math.abs(bVals.count(_ <= v) * nc - cVals.count(_ <= v) * na)
+    }.max
+    val expectKs = math.floor(mdev.toDouble / (na * nc).toDouble * 1e6 + 0.5) / 1e6
+    val out = Graft.quality.driftKs(base, cur, Seq("x")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == na && out(0).getLong(2) == nc)
+    assert(out(0).getDouble(3) == expectKs, s"${out(0)} vs $expectKs")
+    assert(out(0).getBoolean(4) == (mdev * 10 > na * nc))
+    // +4 shift on a 0..19 support is a big CDF gap — must alert
+    assert(out(0).getBoolean(4))
+    val same = Graft.quality.driftKs(base, base, Seq("x")).collect()
+    assert(same(0).getDouble(3) == 0.0 && !same(0).getBoolean(4))
+  }
+
   test("quarantine: pass+bad partition the input; null rules violate; sinks round-trip with reasons") {
     import spark.implicits._
     val df = Seq(

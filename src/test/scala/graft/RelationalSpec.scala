@@ -169,6 +169,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("u12 distinct-state merge: estimate(merge(base, delta)) == estimate(single-pass sketch of the union), one-sided keys included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(60).toLong))
+    val (bRows, dRows) = rows.partition(_ => rnd.nextBoolean())
+    // key 9 exists only in the delta — the carry-through case
+    val dAll = dRows ++ Seq((9L, 1L), (9L, 2L))
+    def sk(xs: Seq[(Long, Long)]) = xs.toDF("k", "v").groupBy("k")
+      .agg(hll_sketch_agg(col("v"), lit(12)).as("sk"))
+    val merged = operators.RelationalExt
+      .mergeDistinctStates(sk(bRows), sk(dAll), Seq("k"), "sk")
+      .select(col("k"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = sk(bRows ++ dAll)
+      .select(col("k"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // register max-merge is LOSSLESS vs the single-pass sketch — exact
+    // equality, not approximate agreement
+    assert(merged == whole, s"$merged vs $whole")
+    assert(merged.contains(9L))
+  }
+
   test("f_bits: algebraic identities of the bitwise family hold row-wise") {
     val out = Relational.queries("f_bits")(spark, sf)
     // AND + OR = a + b; XOR = OR - AND; shifts are *4 and div 2
