@@ -256,38 +256,73 @@ object Quality {
   def driftPsi(base: DataFrame, cur: DataFrame, numericCols: Seq[String],
       categoricalCols: Seq[String], buckets: Int = PsiBuckets,
       alert: Double = 0.2): DataFrame = {
-    def bucketed(df: DataFrame): DataFrame = {
-      val nums = numericCols.map { c =>
-        val ext = base.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
-        // degenerate-extent guard (null-safe): a constant base column
-        // (mx = mn) or an EMPTY base (both null) would divide by zero —
-        // 0/0 → null buckets, where Spark's null-skipping greatest and
-        // DuckDB's null-propagating one diverge. Everything lands in
-        // bucket 0 instead, mirrored verbatim in the oracle SQL.
-        df.crossJoin(broadcast(ext))
-          .select(lit(c).as("column"),
-            when(col("mx") <=> col("mn"), lit(0))
-              .otherwise(least(lit(buckets - 1), greatest(lit(0),
-                floor((col(c) - col("mn")) / (col("mx") - col("mn"))
-                  * buckets).cast("int")))).cast("string").as("bucket"))
-      }
-      val cats = categoricalCols.map(c => df.select(lit(c).as("column"),
-        coalesce(col(c).cast("string"), lit("<null>")).as("bucket")))
-      (nums ++ cats).reduce(_ unionByName _)
+    val extents = psiExtents(base, numericCols)
+    psiFromCounts(
+      psiBucketCounts(base, numericCols, categoricalCols, extents, buckets),
+      psiBucketCounts(cur, numericCols, categoricalCols, extents, buckets),
+      alert)
+  }
+
+  /** The per-numeric-column BASE extents the bucketing closes over —
+    * |numericCols| 1-row aggregates collected to the driver (the
+    * kmeans-model convention: model-sized reads are fine; this is what
+    * lets a STREAMING monitor fix the baseline once instead of
+    * rescanning it per batch). None = empty/all-null base. */
+  private[graft] def psiExtents(base: DataFrame,
+      numericCols: Seq[String]): Map[String, (Option[Double], Option[Double])] =
+    numericCols.map { c =>
+      val r = base.agg(min(col(c).cast("double")).as("mn"),
+        max(col(c).cast("double")).as("mx")).head()
+      c -> ((if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    }.toMap
+
+  /** Per-(column, bucket) occupancy of ONE table version under FIXED
+    * extents — (column, bucket, n), the mergeable PSI state: counts
+    * are additive, so a running version maintains by
+    * [[RelationalExt.mergeAggStates]] instead of recount. One narrow
+    * scan fanning the columns out map-side. */
+  private[graft] def psiBucketCounts(df: DataFrame, numericCols: Seq[String],
+      categoricalCols: Seq[String],
+      extents: Map[String, (Option[Double], Option[Double])],
+      buckets: Int = PsiBuckets): DataFrame = {
+    def litOpt(o: Option[Double]) =
+      o.map(lit(_)).getOrElse(lit(null).cast("double"))
+    val nums = numericCols.map { c =>
+      val (mn, mx) = (litOpt(extents(c)._1), litOpt(extents(c)._2))
+      // degenerate-extent guard (null-safe): a constant base column
+      // (mx = mn) or an EMPTY base (both null) would divide by zero —
+      // 0/0 → null buckets, where Spark's null-skipping greatest and
+      // DuckDB's null-propagating one diverge. Everything lands in
+      // bucket 0 instead, mirrored verbatim in the oracle SQL.
+      df.select(lit(c).as("column"),
+        when(mx <=> mn, lit(0))
+          .otherwise(least(lit(buckets - 1), greatest(lit(0),
+            floor((col(c) - mn) / (mx - mn)
+              * buckets).cast("int")))).cast("string").as("bucket"))
     }
-    val cb = bucketed(base).groupBy(col("column"), col("bucket"))
-      .agg(count(lit(1)).as("cb"))
-    val cc = bucketed(cur).groupBy(col("column"), col("bucket"))
-      .agg(count(lit(1)).as("cc"))
-    val nb = base.agg(count(lit(1)).as("nb"))
-    val nc = cur.agg(count(lit(1)).as("nc"))
+    val cats = categoricalCols.map(c => df.select(lit(c).as("column"),
+      coalesce(col(c).cast("string"), lit("<null>")).as("bucket")))
+    (nums ++ cats).reduce(_ unionByName _)
+      .groupBy(col("column"), col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI report from two (column, bucket, n) count frames — per-column
+    * totals are the bucket sums (every row lands in exactly one bucket
+    * per column, so they equal the version's row count). Everything
+    * here is bucket-count-sized. */
+  private[graft] def psiFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
+      alert: Double = 0.2): DataFrame = {
     val k = Window.partitionBy(col("column"))
     val alertNanos = math.round(alert * 1e9)
-    cb.join(cc, Seq("column", "bucket"), "full_outer")
+    baseCounts.select(col("column"), col("bucket"), col("n").as("cb"))
+      .join(curCounts.select(col("column"), col("bucket"), col("n").as("cc")),
+        Seq("column", "bucket"), "full_outer")
       .select(col("column"), col("bucket"),
         coalesce(col("cb"), lit(0L)).as("cb"), coalesce(col("cc"), lit(0L)).as("cc"))
       .withColumn("kk", count(lit(1)).over(k))
-      .crossJoin(broadcast(nb)).crossJoin(broadcast(nc))
+      .withColumn("nb", sum(col("cb")).over(k))
+      .withColumn("nc", sum(col("cc")).over(k))
       .select(col("column"), col("nb"), col("nc"),
         floor(((col("cb") + lit(1.0)) / (col("nb") + col("kk"))
           - (col("cc") + lit(1.0)) / (col("nc") + col("kk")))
