@@ -346,6 +346,40 @@ object Quality {
       categoricalCols = Seq("o_orderstatus", "o_orderpriority"))
   }
 
+  /** Where the IVM demo splits the current version into two "daily"
+    * deltas. */
+  private val PsiIvmSplit = "1998-05-01"
+
+  /** `x_drift_psi_ivm` — the SAME report as [[xDriftPsi]], but the
+    * current version's bucket counts are maintained INCREMENTALLY:
+    * cur arrives as two deltas, each bucketed under the FROZEN base
+    * extents, and the per-(column, bucket) counts merged with
+    * [[RelationalExt.mergeAggStates]] (bucket counts are additive).
+    * The oracle is the full recompute, so the gate proves the
+    * maintenance identity
+    * psi(base, merge(counts(d1), counts(d2))) == psi(base, d1 ∪ d2)
+    * EXACTLY (integer counts — no drift between association orders).
+    * This is the identity the streaming monitor
+    * ([[graft.streaming.StreamingDriftMonitor]]) relies on: a 100 TB
+    * table under continuous ingest keeps its drift report current by
+    * bucketing ONLY each day's delta — never rescanning the
+    * accumulated version. */
+  private def xDriftPsiIvm: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val nums = Seq("o_totalprice")
+    val cats = Seq("o_orderstatus", "o_orderpriority")
+    val base = o.filter(col("o_orderdate") < lit(DriftCutoff))
+    val ext = psiExtents(base, nums)
+    val d1 = o.filter(col("o_orderdate") >= lit(DriftCutoff) &&
+      col("o_orderdate") < lit(PsiIvmSplit))
+    val d2 = o.filter(col("o_orderdate") >= lit(PsiIvmSplit))
+    val merged = RelationalExt.mergeAggStates(
+      psiBucketCounts(d1, nums, cats, ext),
+      psiBucketCounts(d2, nums, cats, ext),
+      Seq("column", "bucket"), Seq("n"))
+    psiFromCounts(psiBucketCounts(base, nums, cats, ext), merged)
+  }
+
   private val xDriftPsiSql =
     s"""WITH base AS (SELECT * FROM orders WHERE o_orderdate < '$DriftCutoff'),
        |cur AS (SELECT * FROM orders WHERE o_orderdate >= '$DriftCutoff'),
@@ -711,6 +745,7 @@ object Quality {
     "x_expectations" -> xExpectations,
     "x_quarantine" -> xQuarantine,
     "x_drift_psi" -> xDriftPsi,
+    "x_drift_psi_ivm" -> xDriftPsiIvm,
     "x_drift_ks" -> xDriftKs,
     "x_overlap_sketch" -> xOverlapSketch,
     "x_overlap_matrix" -> xOverlapMatrix,
@@ -722,6 +757,8 @@ object Quality {
     "x_expectations" -> xExpectationsSql,
     "x_quarantine" -> xQuarantineSql,
     "x_drift_psi" -> xDriftPsiSql,
+    // the IVM variant must equal the full recompute — same oracle text
+    "x_drift_psi_ivm" -> xDriftPsiSql,
     "x_drift_ks" -> xDriftKsSql,
     "x_overlap_sketch" -> xOverlapSketchSql,
     "x_overlap_matrix" -> xOverlapMatrixSql,

@@ -450,4 +450,32 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.TextIndex.batchApplied(spark, root, "stream-1"))
     assert(!graft.operators.TextIndex.batchApplied(spark, root, "stream-99"))
   }
+
+  test("drift monitor: incrementally absorbed PSI equals the batch recompute; replays are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 200)
+      .map(i => (i % 100 * 1.0, if (i % 2 == 0) "a" else "b")).toDF("x", "c")
+    val batch1 = (0 until 100).map(i => ((i % 50) + 50.0, "a"))
+    val batch2 = (0 until 60).map(i => (i % 30 * 1.0, "z"))
+    val input = MemoryStream[(Double, String)]
+    val (q, m) = streaming.StreamingDriftMonitor.monitor(
+      input.toDF().toDF("x", "c"), base, Seq("x"), Seq("c"))
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cur = (batch1 ++ batch2).toDF("x", "c")
+    val want = graft.operators.Quality
+      .driftPsi(base, cur, Seq("x"), Seq("c")).collect().toSeq
+    val got = m.report(spark).collect().toSeq
+    assert(got == want, s"monitor diverged from batch recompute:\n$got\nvs\n$want")
+    assert(want.exists(_.getAs[Boolean]("drifted")),
+      "planted shift should trip at least one alert")
+    // replaying an already-absorbed batch id must not double-count
+    m.absorb(cur, 0L)
+    assert(m.report(spark).collect().toSeq == want)
+  }
 }
