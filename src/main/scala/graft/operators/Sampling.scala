@@ -313,6 +313,90 @@ object Sampling {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- Temperature-scaled mixture sampling (τ = 2) ----
+
+  /** Budget = 2/5 of the corpus's total tokens — same envelope as the
+    * UniMax demo so the two mixture rules are directly comparable. */
+  private val TempBudgetNum = 2L
+  private val TempBudgetDen = 5L
+
+  /** p16: TEMPERATURE sampling — the classic multilingual mixture
+    * rule (Conneau et al., XLM-R 2020; mT5): per-language sampling
+    * mass ∝ c_l^(1/τ). Where UniMax (p13) CAPS head languages and
+    * waterfills the remainder, temperature RESHAPES the whole
+    * distribution, smoothly boosting tail languages — the two rules a
+    * multilingual pretraining run actually chooses between, now both
+    * enforced by the same hash-order token-prefix sampler.
+    *
+    * Portability discipline: τ = 2 makes the weight sqrt(c_l) — IEEE
+    * sqrt is correctly rounded in BOTH engines (unlike pow/ln, the
+    * p14 lesson) — and each weight is quantized to a nano-integer
+    * BEFORE the sum, so the budget split
+    * budget_l = B · nano_l div Σnano is exact integer arithmetic end
+    * to end (DECIMAL(38,0) / HUGEINT product, overflow-free at any
+    * corpus size; no float boundary decides a budget). The kept set
+    * is the per-language deterministic hash-order prefix whose
+    * running token sum stays within budget (p12/p13 discipline).
+    * One corpus scan plus one lang-key window; the budget frame is
+    * |languages|-sized and broadcast. */
+  private def p16TemperatureSample: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
+      .withColumn("ntok",
+        size(filter(TextAnalysis.tokens(col("text")), t => t =!= "")).cast("long"))
+    val weights = docs.groupBy(col("lang")).agg(sum(col("ntok")).as("c"))
+      .withColumn("nano",
+        floor(sqrt(col("c").cast("double")) * lit(1e9) + lit(0.5)).cast("long"))
+    val totals = weights.agg(sum(col("nano")).as("nanosum"), sum(col("c")).as("ctot"))
+    val budgets = weights.crossJoin(broadcast(totals))
+      .select(col("lang"), expr(
+        s"""CAST(CAST(ctot * $TempBudgetNum div $TempBudgetDen AS DECIMAL(38,0))
+           | * nano div nanosum AS BIGINT)""".stripMargin)
+        .as("budget_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(call_function("graft_polyhash", col("text")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("cum", sum(col("ntok")).over(w))
+      .join(broadcast(budgets), "lang")
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("ntok")).as("tokens_kept"),
+        first(col("budget_tokens")).as("budget_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val p16TemperatureSampleSql = {
+    val toks = TextAnalysis.duckTokens("coalesce(text, '')")
+    s"""WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text,
+       |             CAST(len(list_filter($toks, t -> t <> ''))
+       |               AS BIGINT) AS ntok
+       |           FROM documents),
+       |c AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS c FROM d GROUP BY lang),
+       |wt AS (SELECT lang, c,
+       |         CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS nano
+       |       FROM c),
+       |tot AS (SELECT CAST(sum(nano) AS BIGINT) AS nanosum,
+       |               CAST(sum(c) AS BIGINT) AS ctot FROM wt),
+       |alloc AS (SELECT lang,
+       |    CAST(CAST(ctot * $TempBudgetNum // $TempBudgetDen AS HUGEINT)
+       |      * nano // nanosum AS BIGINT) AS budget_tokens
+       |  FROM wt CROSS JOIN tot),
+       |cum AS (SELECT doc_id, lang, ntok,
+       |          CAST(sum(ntok) OVER (PARTITION BY lang
+       |            ORDER BY ${PortableHash.duckPolyHash("text")}, doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |        FROM d)
+       |SELECT lang, count(*) AS n_docs_kept,
+       |       CAST(sum(ntok) AS BIGINT) AS tokens_kept,
+       |       CAST(max(budget_tokens) AS BIGINT) AS budget_tokens
+       |FROM cum JOIN alloc USING (lang)
+       |WHERE cum <= budget_tokens
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private val PriorityN = 50L
   private val PriorityMod = 1000003L // prime ≫ corpus, so u is near-uniform
 
@@ -369,7 +453,8 @@ object Sampling {
     "p11_split" -> p11Split,
     "p15_group_split" -> p15GroupSplit,
     "p12_token_budget" -> p12TokenBudget,
-    "p13_unimax_sample" -> p13UnimaxSample)
+    "p13_unimax_sample" -> p13UnimaxSample,
+    "p16_temperature_sample" -> p16TemperatureSample)
 
   val oracles: Map[String, String] = Map(
     "p14_priority_sample" -> p14PrioritySampleSql,
@@ -379,5 +464,6 @@ object Sampling {
     "p11_split" -> p11SplitSql,
     "p15_group_split" -> p15GroupSplitSql,
     "p12_token_budget" -> p12TokenBudgetSql,
-    "p13_unimax_sample" -> p13UnimaxSampleSql)
+    "p13_unimax_sample" -> p13UnimaxSampleSql,
+    "p16_temperature_sample" -> p16TemperatureSampleSql)
 }

@@ -1320,6 +1320,65 @@ object TextAnalysis {
   }
 
   // ----------------------------------------------------------------
+  // Approx heavy hitters: Count-Min sketch under the within-bounds
+  // contract
+  // ----------------------------------------------------------------
+
+  private val CmsEps = 0.001
+  private val CmsConf = 0.99
+  private val CmsSeed = 42
+  private val CmsTopK = 20
+
+  /** `t_top_tokens_cms` — Count-Min-sketch count estimates (Cormode &
+    * Muthukrishnan 2005) for the exact top-k tokens, gated by the
+    * `a8_approx_stats` within-bounds contract: the output carries the
+    * EXACT counts plus two CMS-law booleans the oracle pins TRUE —
+    * `never_under` (CMS is one-sided: every estimate ≥ the true
+    * count) and `within_eps` (estimate ≤ true + ⌈ε·N⌉). Spark's
+    * `count_min_sketch` aggregate builds the sketch DISTRIBUTED —
+    * per-partition sketches are merged associatively by the partial
+    * agg, so ONE depth×width integer table reaches the driver no
+    * matter the corpus size; the k estimate lookups are driver-side
+    * model-sized reads. This is the [[frequentTermsOf]] companion for
+    * the monitoring use: Misra-Gries answers "which tokens are heavy"
+    * exactly with two passes, the CMS answers "how heavy is THIS
+    * token" for any ad-hoc token in O(1) after one pass — the shape a
+    * vocabulary/contamination dashboard queries at 100 TB. The exact
+    * top-k twin here is the correctness gate, not the production
+    * path. */
+  private def tTopTokensCms: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(filter(tokens(coalesce(col("text"), lit(""))),
+        t => t =!= "")).as("token"))
+    val row = toks.agg(
+      expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"),
+      count(lit(1)).as("n_tok")).head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val slack = math.ceil(CmsEps * row.getLong(1)).toLong
+    toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(CmsTopK)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        sketch.estimateCount(r.getString(0))))
+      .toDF("token", "cnt", "est")
+      .select(col("token"), col("cnt"),
+        (col("est") >= col("cnt")).as("never_under"),
+        (col("est") <= col("cnt") + slack).as("within_eps"))
+  }
+
+  private val tTopTokensCmsSql = {
+    val toks = duckTokens("coalesce(text, '')")
+    s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+       |tok2 AS (SELECT token FROM tok WHERE token <> ''),
+       |c AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY token)
+       |SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       |       TRUE AS never_under, TRUE AS within_eps
+       |FROM c ORDER BY cnt DESC, token LIMIT $CmsTopK""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // PII redaction (training-corpus scrubbing)
   // ----------------------------------------------------------------
 
@@ -1797,6 +1856,7 @@ object TextAnalysis {
     "t_pack_sequences" -> tPackSequences,
     "t_redact_pii" -> tRedactPii,
     "t_top_tokens" -> tTopTokens,
+    "t_top_tokens_cms" -> tTopTokensCms,
     "t_frequent_terms" -> tFrequentTerms,
     "t_token_count" -> tTokenCount,
     "t_mixture_weights" -> tMixtureWeights,
@@ -1824,6 +1884,7 @@ object TextAnalysis {
     "t_pack_sequences" -> tPackSequencesSql,
     "t_redact_pii" -> tRedactPiiSql,
     "t_top_tokens" -> tTopTokensSql,
+    "t_top_tokens_cms" -> tTopTokensCmsSql,
     "t_frequent_terms" -> tFrequentTermsSql,
     "t_token_count" -> tTokenCountSql,
     "t_mixture_weights" -> tMixtureWeightsSql,

@@ -301,6 +301,38 @@ class PropertySpec extends SparkSpec {
     assert(held.contains("hot"), s"guarantee violated: $held")
   }
 
+  test("count-min law: estimates never underestimate, stay within eps·N, and are partitioning-invariant") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val toks = (0 until 500).map { _ =>
+      val r = rnd.nextDouble()
+      if (r < 0.5) vocab(0) else vocab(1 + rnd.nextInt(vocab.size - 1))
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val eps = 0.01
+    val slack = math.ceil(eps * toks.size).toLong
+    def estimates(parts: Int): Map[String, Long] = {
+      val bytes = toks.toDF("token").repartition(parts)
+        .agg(expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      vocab.map(t => t -> sk.estimateCount(t)).toMap
+    }
+    val e1 = estimates(1)
+    vocab.foreach { t =>
+      val c = exact.getOrElse(t, 0L)
+      assert(e1(t) >= c, s"$t underestimated: ${e1(t)} < $c")
+      assert(e1(t) <= c + slack, s"$t over eps bound: ${e1(t)} > $c + $slack")
+    }
+    // the partial-agg merge is exact: same estimates at any partitioning
+    assert(estimates(7) == e1)
+    // and the registered within-bounds query's booleans all hold
+    val rows = graft.operators.TextAnalysis.queries("t_top_tokens_cms")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[Boolean]("never_under") && r.getAs[Boolean]("within_eps"), r.toString))
+  }
+
   test("bm25f law: equals a from-scratch Scala model on random corpora; a title hit outscores the same hit in the body") {
     import graft.operators.TextAnalysis
     val rnd = new scala.util.Random(7)

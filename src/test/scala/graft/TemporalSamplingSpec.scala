@@ -399,6 +399,30 @@ class TemporalSamplingSpec extends SparkSpec {
     }
   }
 
+  test("p16: temperature sampler stays within budget; sqrt weights boost the tail language's share") {
+    val out = Sampling.queries("p16_temperature_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (_, kept, budget) =>
+      assert(kept <= budget, s"kept $kept over budget $budget") }
+    val totals = Tables.documents(spark, sf)
+      .select(col("lang"),
+        size(filter(split(regexp_replace(lower(coalesce(col("text"), lit(""))),
+          "[\\p{Punct} ]+", " "), " "), t => t =!= "")).cast("long").as("ntok"))
+      .groupBy(col("lang")).agg(sum(col("ntok")).as("nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the budget envelope holds: Σ budgets ≤ B = 2/5 of total tokens
+    val ctot = totals.values.sum
+    assert(out.values.map(_._3).sum <= ctot * 2 / 5)
+    // flattening law, exact integers: budget ∝ sqrt(c), so the
+    // smallest language's budget SHARE strictly exceeds the largest's
+    // scaled by the raw ratio — budget_min·c_max > budget_max·c_min
+    val minLang = totals.minBy(_._2)._1
+    val maxLang = totals.maxBy(_._2)._1
+    assert(out(minLang)._3 * totals(maxLang) > out(maxLang)._3 * totals(minLang),
+      s"no tail boost: $out vs $totals")
+  }
+
   test("bm25 oracle query: 20 ranked rows, totals = sum of per-term parts, scores positive") {
     val out = TextAnalysis.queries("t_bm25")(spark, sf).collect()
     assert(out.length == 20)
