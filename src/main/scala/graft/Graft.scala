@@ -451,6 +451,12 @@ object Graft {
     def snapshots(spark: SparkSession, root: String): Seq[Long] =
       operators.AnnIndex.snapshots(spark, root)
 
+    /** Restore the live index to retained snapshot `v` (Delta RESTORE
+      * shape — discards everything published after it; see
+      * [[operators.AnnIndex.rollbackTo]]). */
+    def rollbackTo(spark: SparkSession, root: String, v: Long): Unit =
+      operators.AnnIndex.rollbackTo(spark, root, v)
+
     /** BATCH probe of the live LSM index: a `(query_id, embedding)`
       * frame served in one pass — per-query probe cells as a
       * broadcast column from the latest running-stats centroids,
@@ -753,6 +759,12 @@ object Graft {
       * (one per publish; expired by the sweep past its grace). */
     def bm25Snapshots(spark: SparkSession, root: String): Seq[Long] =
       operators.TextIndex.snapshots(spark, root)
+
+    /** Restore the live text index to retained snapshot `v` (Delta
+      * RESTORE shape — discards everything published after it; see
+      * [[operators.TextIndex.rollbackTo]]). */
+    def bm25RollbackTo(spark: SparkSession, root: String, v: Long): Unit =
+      operators.TextIndex.rollbackTo(spark, root, v)
 
     /** BATCH BM25 serving from an explicit-root incremental index: a
       * `(query_id, term)` frame probes the signed-delta generations

@@ -898,6 +898,49 @@ object AnnIndex {
     * lines, their `codes-N` twins, and the current generation's
     * `stats-N`. Uses the Hadoop FS layer like the manifest IO, so a
     * non-local root sweeps too. Returns deleted dir names. */
+  /** Every root-level dir one manifest state references: its
+    * data/code/tomb dirs, its generation's stats, and its quantizer
+    * dirs (versioned via `seeds:`/`books:` lines after a retraining
+    * compaction, the founding `seeds`/`codebooks` otherwise). */
+  private def refsOf(g: Long, ls: Seq[String]): Set[String] =
+    dataDirsOf(ls).toSet ++
+      dataDirsOf(ls).map(_.replaceFirst("^data-", "codes-")) ++
+      tombDirsOf(ls) + s"stats-$g" + seedsDirOf(ls) + booksDirOf(ls)
+
+  /** RESTORE the live index to retained snapshot `v` — the Delta
+    * RESTORE shape, the [[TextIndex.rollbackTo]] twin: the snapshot's
+    * manifest (generation counter, data/tomb dirs, quantizer
+    * pointers, AND the idempotence ledger) becomes the live one
+    * again; snapshots after `v` and the dirs only they referenced are
+    * deleted IMMEDIATELY, no grace — the next publish reuses those
+    * generation numbers, and a reused dir name over surviving stale
+    * data would silently corrupt later time travel. History at and
+    * before `v` stays probeable via `asOf`. Holds the publish lock.
+    * A streaming ingest whose batches were rolled back must reset its
+    * checkpoint too — the rolled-back ledger means a replay
+    * re-applies them, by design. */
+  def rollbackTo(s: SparkSession, root: String, v: Long): Unit =
+    PublishLock.withLock(s, root) {
+      val (gen, lines) = readManifestAsOf(s, root, v)
+      writeManifest(s, root, gen, lines)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      snapshots(s, root).filter(_ > v).foreach { x =>
+        fs.delete(new org.apache.hadoop.fs.Path(rootPath, versionName(x)), false); ()
+      }
+      val keep = refsOf(gen, lines) ++ snapshots(s, root).flatMap { x =>
+        val (g, ls) = readManifestAsOf(s, root, x); refsOf(g, ls)
+      }
+      fs.listStatus(rootPath).toSeq.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory &&
+            n.matches("(data|codes|tombs|stats|seeds|codebooks)-\\d+") &&
+            !keep(n)) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
+
   def sweepUnreferenced(s: SparkSession, root: String,
       graceMs: Long = 30L * 60 * 1000): Seq[String] = {
     readManifest(s, root) match {
@@ -915,10 +958,6 @@ object AnnIndex {
         // pass 2: keep = the live manifest's references plus every
         // RETAINED snapshot's (its gens, stats, and quantizers stay
         // replayable until the snapshot itself expires)
-        def refsOf(g: Long, ls: Seq[String]): Set[String] =
-          dataDirsOf(ls).toSet ++
-            dataDirsOf(ls).map(_.replaceFirst("^data-", "codes-")) ++
-            tombDirsOf(ls) + s"stats-$g" + seedsDirOf(ls) + booksDirOf(ls)
         val keep = refsOf(gen, lines) ++ snapshots(s, root).flatMap { v =>
           val (g, ls) = readManifestAsOf(s, root, v); refsOf(g, ls)
         }

@@ -411,6 +411,38 @@ object TextIndex {
       .map(_.substring(ManifestName.length + 2).toLong).sorted
   }
 
+  /** RESTORE the live index to retained snapshot `v` — the Delta
+    * RESTORE shape, run after a bad batch lands: the snapshot's
+    * manifest (generations AND the idempotence ledger) becomes the
+    * live one again, then the abandoned suffix — snapshots after `v`
+    * and the generation dirs only they referenced — is deleted
+    * IMMEDIATELY, no grace: the next upsert reuses those generation
+    * numbers, and a reused `gen-N` over a surviving stale dir would
+    * silently corrupt later time travel. History at and before `v`
+    * stays probeable via `asOf`. Holds the publish lock (one
+    * administrative writer). The ledger rolls back with the manifest
+    * BY DESIGN — a deliberately re-sent batch re-applies; a streaming
+    * ingest whose batches were rolled back must reset its checkpoint
+    * or replay re-applies them. */
+  def rollbackTo(s: SparkSession, root: String, v: Long): Unit =
+    PublishLock.withLock(s, root) {
+      val lines = manifestLinesAsOf(s, root, v)
+      publish(s, root, lines)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      snapshots(s, root).filter(_ > v).foreach { x =>
+        fs.delete(new org.apache.hadoop.fs.Path(rootPath, versionName(x)), false); ()
+      }
+      val keep = (lines ++ snapshots(s, root).flatMap(x =>
+        manifestLinesAsOf(s, root, x))).filter(_.startsWith("gen-")).toSet
+      fs.listStatus(rootPath).toSeq.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.matches("gen-\\d+") && !keep(n)) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
+
   /** Has a streaming batch with this tag already ridden a published
     * manifest? The ledger rides the SAME atomic move as the data, so
     * a replayed batch can never re-apply (its postings would count

@@ -403,6 +403,43 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] { probeAsOf(Some(0L)) }
   }
 
+  test("ann index rollback: restores the snapshot state, discards the abandoned suffix, accepts new writes") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-rb").toString
+    val qv = v.filter(col("vec_id") === 0L).select("embedding")
+      .as[Array[Float]].collect()(0)
+    def probeNow() = Graft.ann.probe(spark, root, qv, nprobe = 8, k = 10)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(3)))
+    graft.operators.AnnIndex.build(v.filter(col("vec_id") <= 200), root) // v0
+    val atV0 = probeNow()
+    graft.operators.AnnIndex.upsert(
+      v.filter(col("vec_id") > 200 && col("vec_id") <= 300), root)       // v1
+    graft.operators.AnnIndex.delete(Seq(5L, 7L).toDF("vec_id"), root)    // v2
+    assert(probeNow() != atV0)
+    Graft.ann.rollbackTo(spark, root, 0L)
+    // live == the snapshot's state; later snapshots and their dirs gone
+    assert(probeNow() == atV0)
+    assert(Graft.ann.snapshots(spark, root) == Seq(0L))
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!names("data-1") && !names("tombs-2"), names.mkString(","))
+    // history before the rollback point stays probeable
+    assert(Graft.ann.probe(spark, root, qv, nprobe = 8, k = 10, asOf = Some(0L))
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(3))) == atV0)
+    // the index keeps working: a new upsert reuses the abandoned
+    // generation number safely and equals a from-scratch twin
+    graft.operators.AnnIndex.upsert(
+      v.filter(col("vec_id") > 300 && col("vec_id") <= 320), root)       // v1 again
+    assert(Graft.ann.snapshots(spark, root) == Seq(0L, 1L))
+    val root2 = java.nio.file.Files.createTempDirectory("graft-ann-rb2").toString
+    graft.operators.AnnIndex.build(v.filter(col("vec_id") <= 200), root2)
+    graft.operators.AnnIndex.upsert(
+      v.filter(col("vec_id") > 300 && col("vec_id") <= 320), root2)
+    val fresh = Graft.ann.probe(spark, root2, qv, nprobe = 8, k = 10)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(3)))
+    assert(probeNow() == fresh)
+  }
+
   test("compact(retrain): quantizers re-fit a shifted corpus; exactness preserved; upserts use the new quantizers") {
     import spark.implicits._
     val v = Tables.embeddings(spark, sf)

@@ -305,6 +305,38 @@ class TemporalSamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] { asOf(0L) }
   }
 
+  test("text index rollback: restores the snapshot state, discards the abandoned suffix, accepts new writes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_text_rb").toString
+    val terms = Seq("vector", "hash")
+    def topkOf(docs: org.apache.spark.sql.DataFrame) =
+      operators.TextAnalysis.bm25TopkOf(docs, terms, 10).collect().toSeq
+    def live() = Graft.text.bm25TopkAt(spark, root, terms, 10).collect().toSeq
+    val v1 = Seq((1L, "vector alpha"), (2L, "hash beta"),
+      (3L, "vector hash gamma")).toDF("doc_id", "text")
+    operators.TextIndex.build(v1, root)                                  // v0
+    operators.TextIndex.upsert(
+      Seq((4L, "vector bad batch")).toDF("doc_id", "text"), root)        // v1
+    operators.TextIndex.delete(Seq(2L).toDF("doc_id"), root)             // v2
+    assert(live() != topkOf(v1))
+    Graft.text.bm25RollbackTo(spark, root, 0L)
+    // live == the snapshot's corpus; later snapshots and gen dirs gone
+    assert(live() == topkOf(v1))
+    assert(Graft.text.bm25Snapshots(spark, root) == Seq(0L))
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!names("gen-1") && !names("gen-2"), names.mkString(","))
+    // history before the rollback point stays probeable
+    assert(Graft.text.bm25TopkAt(spark, root, terms, 10, asOf = Some(0L))
+      .collect().toSeq == topkOf(v1))
+    // the index keeps working: gen-1 is reused safely and the result
+    // equals the in-query BM25 of the new corpus
+    operators.TextIndex.upsert(
+      Seq((5L, "vector fresh")).toDF("doc_id", "text"), root)            // v1 again
+    assert(Graft.text.bm25Snapshots(spark, root) == Seq(0L, 1L))
+    assert(live() == topkOf(v1.unionByName(
+      Seq((5L, "vector fresh")).toDF("doc_id", "text"))))
+  }
+
   test("publish lock: two interleaved writers serialize — both upserts land (text + ann)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
