@@ -195,6 +195,64 @@ object Graph {
         coalesce(col("n_external"), lit(0L)).as("n_external"))
   }
 
+  // ----------------------------------------------------------------
+  // S5 — politeness-aware frontier scheduling
+  // ----------------------------------------------------------------
+
+  /** Per-domain fetch delay (robots.txt crawl-delay stand-in). */
+  private val CrawlDelayMs = 500L
+  /** Synthetic domain count — pages map to domains by id (the
+    * deterministic stand-in for hostname extraction). */
+  private val CrawlDomains = 16L
+
+  /** `s5_crawl_schedule` — the frontier SCHEDULER a polite crawler
+    * runs between BFS waves (Rcrawler's RequestsDelay knob,
+    * hi-csa-db.Rmd:111-119, made explicit): pages are assigned
+    * per-domain fetch slots — highest in-degree first (crawl
+    * authoritative pages early), one fetch per domain per wave — and
+    * each slot's start time honors the domain's crawl delay.
+    * `wave = slot` also IS the round-robin interleaving: the global
+    * fetch order cycles across domains, so no host sees bursts while
+    * idle hosts wait.
+    *
+    * Scale shape: one narrow aggregate for in-degrees, one window
+    * PARTITIONED BY DOMAIN (parallelism = live domains, the natural
+    * politeness unit — per-domain schedules are independent by
+    * definition, so this is the maximal safe parallelism, and a
+    * 100 TB frontier has millions of domains, not 16). No global
+    * sort: the per-domain slot is the only ordering the schedule
+    * needs. */
+  private def s5CrawlSchedule: Q = (s, dir) => {
+    val links = pageLinks(s, dir)
+    val inDeg = links.filter(col("is_internal"))
+      .groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
+    val pages = Tables.documents(s, dir)
+      .select(col("doc_id").as("node"),
+        pmod(col("doc_id"), lit(CrawlDomains)).as("domain"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+      .orderBy(col("in_degree").desc, col("page_id").asc)
+    pages.join(inDeg, Seq("node"), "left")
+      .select(col("node").as("page_id"), col("domain"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("scheduled_ms", (col("slot") - 1L) * CrawlDelayMs)
+  }
+
+  private val s5CrawlScheduleSql =
+    s"""WITH $duckPageLinksCte,
+       |ind AS (SELECT dst AS node, count(*) AS in_degree
+       |        FROM links WHERE is_internal GROUP BY dst),
+       |pages AS (SELECT doc_id AS node, doc_id % $CrawlDomains AS domain
+       |          FROM documents)
+       |SELECT node AS page_id, domain,
+       |       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+       |       CAST(row_number() OVER (PARTITION BY domain
+       |         ORDER BY coalesce(in_degree, 0) DESC, node) AS BIGINT) AS slot,
+       |       CAST((row_number() OVER (PARTITION BY domain
+       |         ORDER BY coalesce(in_degree, 0) DESC, node) - 1)
+       |         * $CrawlDelayMs AS BIGINT) AS scheduled_ms
+       |FROM pages LEFT JOIN ind USING (node)""".stripMargin
+
   private val s2CrawlSql =
     s"""WITH RECURSIVE $duckPageLinksCte,
        |walk(node, depth) AS (
@@ -917,7 +975,8 @@ object Graph {
     "g_sssp" -> gSssp,
     "g_pagerank" -> gPagerank,
     "g_hits" -> gHits,
-    "s2_crawl" -> s2Crawl)
+    "s2_crawl" -> s2Crawl,
+    "s5_crawl_schedule" -> s5CrawlSchedule)
 
   // g_cc_star shares the labelprop oracle: both compute the
   // per-component minimum label, by different algorithms
@@ -931,5 +990,6 @@ object Graph {
     "g_sssp" -> gSsspSql,
     "g_pagerank" -> gPagerankSql,
     "g_hits" -> gHitsSql,
-    "s2_crawl" -> s2CrawlSql)
+    "s2_crawl" -> s2CrawlSql,
+    "s5_crawl_schedule" -> s5CrawlScheduleSql)
 }
