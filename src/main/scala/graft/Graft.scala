@@ -578,6 +578,13 @@ object Graft {
     def driftKs(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame =
       operators.Quality.driftKs(base, cur, cols)
 
+    /** Chi-square drift over the PSI buckets with a φ² (effect-size)
+      * alert — the statistic whose per-bucket terms localize WHICH
+      * buckets moved; see [[operators.Quality.driftChi2]]. */
+    def driftChi2(base: DataFrame, cur: DataFrame, numericCols: Seq[String],
+        categoricalCols: Seq[String]): DataFrame =
+      operators.Quality.driftChi2(base, cur, numericCols, categoricalCols)
+
     /** Sketch-based corpus overlap (decontamination triage): estimate
       * |A|, |B|, |A∪B|, |A∩B| over 8-byte key frames from two mergeable
       * HLL sketches — one narrow scan per corpus, no join of the key

@@ -515,6 +515,120 @@ object Quality {
        |FROM dev GROUP BY "column", n_base, n_cur ORDER BY "column"""".stripMargin
 
   // ----------------------------------------------------------------
+  // Distribution drift: chi-square with an effect-size alert
+  // ----------------------------------------------------------------
+
+  /** Alert when φ² = χ²/n_cur exceeds 0.01 — an EFFECT-SIZE
+    * threshold, not a p-value: at 100 TB row counts every p-value
+    * rejects (any microscopic shift is "significant"), so the alert
+    * that means something operationally is "the shift is LARGE",
+    * which φ² measures scale-invariantly. Compared as exact integers
+    * (χ²-nanos > n_cur · 10⁷ ⇔ χ²/n_cur > 0.01). */
+  private val Chi2Phi2AlertNanosPerRow = 10000000L
+
+  /** `x_drift_chi2` core — Pearson chi-square per column between two
+    * versions, over the SAME fixed buckets as [[driftPsi]] (numeric:
+    * equal-width under the base extent; categorical: by value).
+    * χ² = Σ_buckets (o − e)²/e with expected counts from the base
+    * distribution smoothed à la PSI (e = (cb+1)·n_cur/(n_base+k), so
+    * a bucket the base never saw is defined). Completes the drift
+    * triad: PSI reads total mass moved (symmetric, log-weighted), KS
+    * the worst-case CDF gap, χ² the variance-normalized discrepancy —
+    * the statistic whose per-bucket terms localize WHICH buckets
+    * drifted. Each term is floored to nano-integers before the
+    * order-free sum (the [[driftPsi]] discipline); the alert is the
+    * φ² effect size, exact integer compare. Same scale shape as PSI:
+    * one narrow scan per version, bucket-count-sized everything
+    * after. */
+  def driftChi2(base: DataFrame, cur: DataFrame, numericCols: Seq[String],
+      categoricalCols: Seq[String], buckets: Int = PsiBuckets): DataFrame = {
+    val extents = psiExtents(base, numericCols)
+    chi2FromCounts(
+      psiBucketCounts(base, numericCols, categoricalCols, extents, buckets),
+      psiBucketCounts(cur, numericCols, categoricalCols, extents, buckets))
+  }
+
+  /** Chi-square report from two (column, bucket, n) count frames —
+    * the [[psiFromCounts]] twin, so a [[graft.streaming
+    * .StreamingDriftMonitor]]-style incremental state serves both. */
+  private[graft] def chi2FromCounts(baseCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val k = Window.partitionBy(col("column"))
+    baseCounts.select(col("column"), col("bucket"), col("n").as("cb"))
+      .join(curCounts.select(col("column"), col("bucket"), col("n").as("cc")),
+        Seq("column", "bucket"), "full_outer")
+      .select(col("column"), col("bucket"),
+        coalesce(col("cb"), lit(0L)).as("cb"), coalesce(col("cc"), lit(0L)).as("cc"))
+      .withColumn("kk", count(lit(1)).over(k))
+      .withColumn("nb", sum(col("cb")).over(k))
+      .withColumn("nc", sum(col("cc")).over(k))
+      // (cc − e)²/e via explicit d·d — pow() is libm-specific in its
+      // last ulp and NOT engine-portable at floor boundaries
+      .withColumn("e", (col("cb") + lit(1.0)) * col("nc") / (col("nb") + col("kk")))
+      .withColumn("d", col("cc") - col("e"))
+      .select(col("column"), col("nb"), col("nc"),
+        floor(col("d") * col("d") / col("e") * lit(1e9)).cast("long").as("nano"))
+      .groupBy(col("column"))
+      .agg(first(col("nb")).as("n_base"), first(col("nc")).as("n_cur"),
+        sum(col("nano")).as("nanos"))
+      .select(col("column"), col("n_base"), col("n_cur"),
+        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("chi2"),
+        (col("nanos") > col("n_cur") * Chi2Phi2AlertNanosPerRow).as("drifted"))
+      .orderBy(col("column"))
+  }
+
+  private def xDriftChi2: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    driftChi2(
+      o.filter(col("o_orderdate") < lit(DriftCutoff)),
+      o.filter(col("o_orderdate") >= lit(DriftCutoff)),
+      numericCols = Seq("o_totalprice"),
+      categoricalCols = Seq("o_orderstatus", "o_orderpriority"))
+  }
+
+  private val xDriftChi2Sql =
+    s"""WITH base AS (SELECT * FROM orders WHERE o_orderdate < '$DriftCutoff'),
+       |cur AS (SELECT * FROM orders WHERE o_orderdate >= '$DriftCutoff'),
+       |ext AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM base),
+       |bb AS (
+       |  SELECT 'o_totalprice' AS "column",
+       |    CAST(CASE WHEN mx IS NOT DISTINCT FROM mn THEN 0
+       |      ELSE least(${PsiBuckets - 1}, greatest(0,
+       |        CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) END AS VARCHAR) AS bucket
+       |  FROM base CROSS JOIN ext
+       |  UNION ALL SELECT 'o_orderstatus', coalesce(o_orderstatus, '<null>') FROM base
+       |  UNION ALL SELECT 'o_orderpriority', coalesce(o_orderpriority, '<null>') FROM base),
+       |cb2 AS (
+       |  SELECT 'o_totalprice' AS "column",
+       |    CAST(CASE WHEN mx IS NOT DISTINCT FROM mn THEN 0
+       |      ELSE least(${PsiBuckets - 1}, greatest(0,
+       |        CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) END AS VARCHAR) AS bucket
+       |  FROM cur CROSS JOIN ext
+       |  UNION ALL SELECT 'o_orderstatus', coalesce(o_orderstatus, '<null>') FROM cur
+       |  UNION ALL SELECT 'o_orderpriority', coalesce(o_orderpriority, '<null>') FROM cur),
+       |bcnt AS (SELECT "column", bucket, count(*) AS cb FROM bb GROUP BY "column", bucket),
+       |ccnt AS (SELECT "column", bucket, count(*) AS cc FROM cb2 GROUP BY "column", bucket),
+       |j AS (SELECT coalesce(b."column", c."column") AS "column",
+       |        coalesce(b.bucket, c.bucket) AS bucket,
+       |        coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+       |      FROM bcnt b FULL OUTER JOIN ccnt c
+       |        ON b."column" = c."column" AND b.bucket = c.bucket),
+       |wk AS (SELECT *, count(*) OVER (PARTITION BY "column") AS kk,
+       |         sum(cb) OVER (PARTITION BY "column") AS nb,
+       |         sum(cc) OVER (PARTITION BY "column") AS nc
+       |       FROM j),
+       |ed AS (SELECT "column", nb, nc, cc,
+       |         (cb + 1.0) * nc / (nb + kk) AS e
+       |       FROM wk),
+       |terms AS (SELECT "column", nb, nc,
+       |    CAST(floor((cc - e) * (cc - e) / e * 1e9) AS BIGINT) AS nano
+       |  FROM ed)
+       |SELECT "column", CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+       |       floor((CAST(sum(nano) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS chi2,
+       |       sum(nano) > nc * $Chi2Phi2AlertNanosPerRow AS drifted
+       |FROM terms GROUP BY "column", nb, nc ORDER BY "column"""".stripMargin
+
+  // ----------------------------------------------------------------
   // Sketch-based corpus overlap (decontamination triage)
   // ----------------------------------------------------------------
 
@@ -747,6 +861,7 @@ object Quality {
     "x_drift_psi" -> xDriftPsi,
     "x_drift_psi_ivm" -> xDriftPsiIvm,
     "x_drift_ks" -> xDriftKs,
+    "x_drift_chi2" -> xDriftChi2,
     "x_overlap_sketch" -> xOverlapSketch,
     "x_overlap_matrix" -> xOverlapMatrix,
     "x_skew_report" -> xSkewReport)
@@ -760,6 +875,7 @@ object Quality {
     // the IVM variant must equal the full recompute — same oracle text
     "x_drift_psi_ivm" -> xDriftPsiSql,
     "x_drift_ks" -> xDriftKsSql,
+    "x_drift_chi2" -> xDriftChi2Sql,
     "x_overlap_sketch" -> xOverlapSketchSql,
     "x_overlap_matrix" -> xOverlapMatrixSql,
     "x_skew_report" -> xSkewReportSql)

@@ -445,6 +445,25 @@ class GraftApiSpec extends SparkSpec {
     assert(out1("c").getBoolean(4) && out1("c").getDouble(3) > 0.2)
   }
 
+  test("driftChi2: identical versions read ~zero below the alert; planted shifts trip the φ² alert") {
+    import spark.implicits._
+    val base = (0 until 1000).map(i =>
+      (i.toLong, (i % 4).toDouble, if (i % 2 == 0) "a" else "b")).toDF("id", "x", "c")
+    val out0 = Graft.quality.driftChi2(base, base, Seq("x"), Seq("c")).collect()
+    assert(out0.length == 2)
+    // smoothing makes identical-version chi2 tiny but not exactly 0;
+    // the φ² alert must stay untripped
+    assert(out0.forall(r => !r.getBoolean(4) && r.getDouble(3) < 0.01),
+      out0.mkString(","))
+    val shifted = (0 until 1000).map(i =>
+      (i.toLong, (i % 4).toDouble + 2.5, if (i % 10 == 0) "b" else "a"))
+      .toDF("id", "x", "c")
+    val out1 = Graft.quality.driftChi2(base, shifted, Seq("x"), Seq("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out1("x").getBoolean(4) && out1("x").getDouble(3) / 1000 > 0.01)
+    assert(out1("c").getBoolean(4) && out1("c").getDouble(3) / 1000 > 0.01)
+  }
+
   test("driftKs: equals the brute-force max-CDF-gap; identical reads zero; a planted median shift trips the alert") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
