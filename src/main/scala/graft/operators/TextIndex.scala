@@ -698,6 +698,15 @@ object TextIndex {
     * row + negation + new row = 3 rows, 1 live); [[compact]] returns
     * it to 0 (spec-pinned). Full postings scan (narrow projection) —
     * a maintenance query, not a serving path. */
+  /** Number of live documents in the published index — the signed
+    * registry netted (one registry scan; maintenance/audit read, the
+    * [[pipelines.Forget]] erasure certificate's text-surface count). */
+  def liveDocCount(s: SparkSession, root: String): Long = {
+    val gens = readManifest(s, root)
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    liveDocs(s, root, gens).count()
+  }
+
   def indexStats(s: SparkSession, root: String): DataFrame = {
     val gens = readManifest(s, root)
     require(gens.nonEmpty, s"no text index at $root — build() first")

@@ -337,6 +337,42 @@ class TemporalSamplingSpec extends SparkSpec {
       Seq((5L, "vector fresh")).toDF("doc_id", "text"))))
   }
 
+  test("forget pipeline: one erasure request empties every surface — corpus, text index, ann index — and is idempotent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+    val textRoot = java.nio.file.Files.createTempDirectory("graft_forget_t").toString
+    val annRoot = java.nio.file.Files.createTempDirectory("graft_forget_a").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_forget_c").toString + "/v2"
+    operators.TextIndex.build(docs, textRoot)
+    operators.AnnIndex.build(emb, annRoot)
+    val gone = Set(3L, 7L, 11L)
+    val ids = gone.toSeq.toDF("doc_id")
+    val cert = pipelines.Forget.forget(docs, ids, out, Some(textRoot), Some(annRoot))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cert("corpus") == ((60L, 3L, 57L)), cert.toString)
+    assert(cert("text_index") == ((60L, 3L, 57L)), cert.toString)
+    assert(cert("ann_index") == ((60L, 3L, 57L)), cert.toString)
+    // cross-surface law: the BM25 index serves exactly the surviving
+    // corpus, and no probe can return a forgotten id
+    val survivors = spark.read.parquet(out)
+    val terms = Seq("vector", "hash")
+    assert(Graft.text.bm25TopkAt(spark, textRoot, terms, 10).collect().toSeq ==
+      operators.TextAnalysis.bm25TopkOf(survivors, terms, 10).collect().toSeq)
+    val qv = emb.filter(col("vec_id") === 3L).select("embedding")
+      .as[Array[Float]].collect()(0)
+    val hits = Graft.ann.probe(spark, annRoot, qv, nprobe = 8, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.intersect(gone).isEmpty, hits.mkString(","))
+    // idempotent: the same request again erases nothing further
+    val cert2 = pipelines.Forget.forget(survivors, ids, out + "b",
+        Some(textRoot), Some(annRoot))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cert2.values.forall(_ == 0L), cert2.toString)
+  }
+
   test("publish lock: two interleaved writers serialize — both upserts land (text + ann)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
