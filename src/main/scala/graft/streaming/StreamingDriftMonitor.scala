@@ -63,6 +63,17 @@ class DriftMonitor private[streaming] (
         .toDF("column", "bucket", "n"),
       alert)
   }
+
+  /** The chi-square twin over the SAME incremental state — one
+    * absorbed count table serves the whole drift triad's bucketed
+    * members (see [[Quality.chi2FromCounts]]). */
+  def reportChi2(spark: SparkSession): DataFrame = synchronized {
+    import spark.implicits._
+    Quality.chi2FromCounts(
+      baseCounts.toDF("column", "bucket", "n"),
+      cur.toSeq.map { case ((c, b), n) => (c, b, n) }
+        .toDF("column", "bucket", "n"))
+  }
 }
 
 object StreamingDriftMonitor {

@@ -477,5 +477,9 @@ class StreamingSpec extends SparkSpec {
     // replaying an already-absorbed batch id must not double-count
     m.absorb(cur, 0L)
     assert(m.report(spark).collect().toSeq == want)
+    // the chi-square report runs off the SAME absorbed state
+    val wantChi2 = graft.operators.Quality
+      .driftChi2(base, cur, Seq("x"), Seq("c")).collect().toSeq
+    assert(m.reportChi2(spark).collect().toSeq == wantChi2)
   }
 }
