@@ -345,11 +345,15 @@ object Sampling {
       .select(col("doc_id"), col("lang"), coalesce(col("text"), lit("")).as("text"))
       .withColumn("ntok",
         size(filter(TextAnalysis.tokens(col("text")), t => t =!= "")).cast("long"))
-    val weights = docs.groupBy(col("lang")).agg(sum(col("ntok")).as("c"))
+    // totals from a post-agg window over the |languages|-row frame —
+    // NOT a re-derived aggregate, which would re-scan the corpus (the
+    // t_mixture_weights plan discipline)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val budgets = docs.groupBy(col("lang")).agg(sum(col("ntok")).as("c"))
       .withColumn("nano",
         floor(sqrt(col("c").cast("double")) * lit(1e9) + lit(0.5)).cast("long"))
-    val totals = weights.agg(sum(col("nano")).as("nanosum"), sum(col("c")).as("ctot"))
-    val budgets = weights.crossJoin(broadcast(totals))
+      .withColumn("nanosum", sum(col("nano")).over(wAll))
+      .withColumn("ctot", sum(col("c")).over(wAll))
       .select(col("lang"), expr(
         s"""CAST(CAST(ctot * $TempBudgetNum div $TempBudgetDen AS DECIMAL(38,0))
            | * nano div nanosum AS BIGINT)""".stripMargin)

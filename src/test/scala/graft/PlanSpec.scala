@@ -265,6 +265,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(quota).length == 1, quota)
   }
 
+  test("p16: TWO corpus scans (weights agg + prefix window), budgets broadcast") {
+    val p = plan("p16_temperature_sample")
+    assert("Scan parquet".r.findAllIn(p).length == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s5_crawl_schedule: per-domain window only — no global sort") {
+    val p = plan("s5_crawl_schedule")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+  }
+
   test("sql surface: predicates written in SQL still reach the parquet scan") {
     val p = plan("sql_q6_forecast")
     assert(p.contains("LessThan(l_quantity,24.0)"), p)
