@@ -493,6 +493,75 @@ object Similarity {
        |FROM exactk JOIN annk USING (vec_id)""".stripMargin
 
   // ----------------------------------------------------------------
+  // Matryoshka truncation eval (MRL prefix-dim retrieval quality)
+  // ----------------------------------------------------------------
+
+  /** Prefix widths evaluated — powers of two up to half the full
+    * dimensionality, the MRL deployment ladder. */
+  private val MrlDims = Seq(8, 16, 32)
+
+  /** `s_matryoshka_recall` — the adaptive-retrieval question
+    * Matryoshka Representation Learning (Kusupati et al., NeurIPS
+    * 2022) deployments ask before shipping truncated vectors: at
+    * prefix width d, what recall@k does brute-force retrieval keep
+    * against the full-dimension ranking? One row per width. This is
+    * the EVALUATION an embedding-storage decision runs — halving
+    * stored dims halves every ANN index byte and probe fold in this
+    * library, and this query prices that cut on the corpus itself.
+    *
+    * Scale shape: per width one narrow map-side slice+fold pass and a
+    * TakeOrderedAndProject (per-partition partial top-k, no global
+    * sort); the recall join is k-row. The widths share one corpus
+    * scan per evaluation — |MrlDims| passes total, each cheaper than
+    * the full-dim scoring by the width ratio. */
+  private def sMatryoshkaRecall: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val v = Tables.embeddings(s, dir)
+    val full = sCosineTopk(s, dir).select(col("vec_id"))
+    MrlDims.map { d =>
+      val t = v.withColumn("e", expr(s"slice(embedding, 1, $d)"))
+        .withColumn("nrm", expr(s"sqrt(${foldDot("e", "e")})"))
+      val q = t.filter(col("vec_id") === QueryVec)
+        .select(col("e").as("qe"), col("nrm").as("qnrm"))
+      t.filter(col("vec_id") =!= QueryVec)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr(cosExpr("e", "qe", "nrm", "qnrm")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(K)
+        .select(col("vec_id"))
+        .join(full, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dim_prefix"), lit(K.toLong).as("k"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / lit(K.toDouble), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("dim_prefix"))
+  }
+
+  private val sMatryoshkaRecallSql = {
+    val perD = MrlDims.map { d =>
+      s"""t$d AS (SELECT vec_id, embedding[1:$d] AS e FROM embeddings),
+         |n$d AS (SELECT vec_id, e, sqrt(${duckFoldDot("e", "e")}) AS nrm FROM t$d),
+         |q$d AS (SELECT e qe, nrm qnrm FROM n$d WHERE vec_id = $QueryVec),
+         |k$d AS (SELECT vec_id FROM (
+         |  SELECT vec_id, ${duckCosExpr("e", "qe", "nrm", "qnrm")} AS cos
+         |  FROM n$d CROSS JOIN q$d WHERE vec_id <> $QueryVec
+         |  ORDER BY cos DESC, vec_id LIMIT $K)),
+         |r$d AS (SELECT CAST($d AS BIGINT) AS dim_prefix, CAST($K AS BIGINT) AS k,
+         |          count(*) AS n_hits,
+         |          round(count(*)::DOUBLE / $K, 6) AS recall
+         |        FROM k$d JOIN fullk USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val unions = MrlDims.map(d => s"SELECT * FROM r$d").mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding, $duckNormExpr AS nrm FROM embeddings),
+       |q AS (SELECT embedding qe, nrm qnrm FROM v WHERE vec_id = $QueryVec),
+       |fullk AS (SELECT vec_id FROM (
+       |  SELECT vec_id, ${duckCosExpr("embedding", "qe", "nrm", "qnrm")} AS cos
+       |  FROM v CROSS JOIN q WHERE vec_id <> $QueryVec
+       |  ORDER BY cos DESC, vec_id LIMIT $K)),
+       |$perD
+       |$unions ORDER BY dim_prefix""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // IVF ANN: coarse quantizer cells + nprobe=2 probe
   // ----------------------------------------------------------------
 
@@ -2293,6 +2362,7 @@ object Similarity {
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_recall" -> sAnnRecall,
+    "s_matryoshka_recall" -> sMatryoshkaRecall,
     "s_ann_lsh_batch" -> sAnnLshBatch,
     "s_ivf_ann" -> sIvfAnn,
     "s_ivf_ann_indexed" -> sIvfAnnIndexed,
@@ -2319,6 +2389,7 @@ object Similarity {
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_recall" -> sAnnRecallSql,
+    "s_matryoshka_recall" -> sMatryoshkaRecallSql,
     "s_ann_lsh_batch" -> sAnnLshBatchSql,
     "s_ivf_ann" -> sIvfAnnSql,
     "s_ivf_ann_indexed" -> sIvfAnnSql,
