@@ -457,6 +457,12 @@ object Graft {
     def rollbackTo(spark: SparkSession, root: String, v: Long): Unit =
       operators.AnnIndex.rollbackTo(spark, root, v)
 
+    /** Vecs added/removed/updated between two retained snapshots —
+      * the repin audit; see [[operators.AnnIndex.snapshotDiff]]. */
+    def snapshotDiff(spark: SparkSession, root: String,
+        v1: Long, v2: Long): DataFrame =
+      operators.AnnIndex.snapshotDiff(spark, root, v1, v2)
+
     /** BATCH probe of the live LSM index: a `(query_id, embedding)`
       * frame served in one pass — per-query probe cells as a
       * broadcast column from the latest running-stats centroids,
@@ -772,6 +778,12 @@ object Graft {
       * [[operators.TextIndex.rollbackTo]]). */
     def bm25RollbackTo(spark: SparkSession, root: String, v: Long): Unit =
       operators.TextIndex.rollbackTo(spark, root, v)
+
+    /** Docs added/removed/updated between two retained snapshots —
+      * the repin audit; see [[operators.TextIndex.snapshotDiff]]. */
+    def bm25SnapshotDiff(spark: SparkSession, root: String,
+        v1: Long, v2: Long): DataFrame =
+      operators.TextIndex.snapshotDiff(spark, root, v1, v2)
 
     /** BATCH BM25 serving from an explicit-root incremental index: a
       * `(query_id, term)` frame probes the signed-delta generations

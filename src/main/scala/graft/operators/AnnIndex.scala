@@ -472,6 +472,43 @@ object AnnIndex {
       .drop("rn", "is_tomb")
   }
 
+  /** What changed between two retained snapshots — the
+    * [[TextIndex.snapshotDiff]] twin on the vector side: one row per
+    * vec whose state differs, `(vec_id, change)` with
+    * `change ∈ {added, removed, updated}` (updated = live in both but
+    * re-upserted in between, detected by the count of data events).
+    * Two registry-shaped scans (vec_id/gen/tomb columns only — the
+    * embedding payload is never read) + one full-outer join. */
+  def snapshotDiff(s: SparkSession, root: String, v1: Long, v2: Long): DataFrame = {
+    def state(v: Long): DataFrame = {
+      val (_, lines) = readManifestAsOf(s, root, v)
+      val rows = dataDirsOf(lines).map(d => s.read.parquet(s"$root/$d")
+          .select(col("vec_id"), col("gen"), lit(false).as("is_tomb")))
+        .reduce(_ unionByName _)
+      val events = tombDirsOf(lines)
+        .map(d => s.read.parquet(s"$root/$d")
+          .select(col("vec_id"), col("gen"), lit(true).as("is_tomb")))
+        .foldLeft(rows)(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("gen").desc, col("is_tomb").asc)
+      events
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nv", sum(when(col("is_tomb"), 0L).otherwise(1L))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))))
+        .filter(col("rn") === 1 && !col("is_tomb"))
+        .select(col("vec_id"), col("nv").as("n_versions"))
+    }
+    state(v1).select(col("vec_id"), col("n_versions").as("nv1"))
+      .join(state(v2).select(col("vec_id"), col("n_versions").as("nv2")),
+        Seq("vec_id"), "full_outer")
+      .select(col("vec_id"),
+        when(col("nv1").isNull, lit("added"))
+          .when(col("nv2").isNull, lit("removed"))
+          .when(col("nv1") =!= col("nv2"), lit("updated")).as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy(col("vec_id"))
+  }
+
   /** The empty probe result. Label is pinned to the harness's INT —
     * an unbuilt root has no schema to derive the real label type
     * from, so callers unioning probe results across possibly-unbuilt

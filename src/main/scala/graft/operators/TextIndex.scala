@@ -698,6 +698,37 @@ object TextIndex {
     * row + negation + new row = 3 rows, 1 live); [[compact]] returns
     * it to 0 (spec-pinned). Full postings scan (narrow projection) —
     * a maintenance query, not a serving path. */
+  /** What changed between two retained snapshots — the audit a
+    * training run asks before repinning ("what did the index absorb
+    * since the version my dataset was built against?"): one row per
+    * doc whose state differs, `(doc_id, change)` with
+    * `change ∈ {added, removed, updated}` (updated = live in both but
+    * re-sent in between — detected by the count of positive registry
+    * events, which only a re-send increments). Two registry scans
+    * netted + one full-outer join on doc_id; postings are never
+    * touched. Also the [[rollbackTo]] preview: diff(v, live-version)
+    * lists exactly what a rollback to `v` would discard. */
+  def snapshotDiff(s: SparkSession, root: String, v1: Long, v2: Long): DataFrame = {
+    def state(v: Long): DataFrame =
+      manifestLinesAsOf(s, root, v).filter(_.startsWith("gen-"))
+        .map(g => s.read.schema(DocsSchema).parquet(s"$root/$g/docs"))
+        .reduce(_ unionByName _)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("d")).as("alive"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_versions"))
+        .filter(col("alive") === 1)
+        .select(col("doc_id"), col("n_versions"))
+    state(v1).select(col("doc_id"), col("n_versions").as("nv1"))
+      .join(state(v2).select(col("doc_id"), col("n_versions").as("nv2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("nv1").isNull, lit("added"))
+          .when(col("nv2").isNull, lit("removed"))
+          .when(col("nv1") =!= col("nv2"), lit("updated")).as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy(col("doc_id"))
+  }
+
   /** Number of live documents in the published index — the signed
     * registry netted (one registry scan; maintenance/audit read, the
     * [[pipelines.Forget]] erasure certificate's text-surface count). */

@@ -403,6 +403,25 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] { probeAsOf(Some(0L)) }
   }
 
+  test("ann index snapshot diff: added/removed/updated between retained versions") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-diff").toString
+    graft.operators.AnnIndex.build(v.filter(col("vec_id") <= 200), root)   // v0
+    graft.operators.AnnIndex.upsert(                                        // v1
+      v.filter((col("vec_id") > 200 && col("vec_id") <= 205) ||
+        col("vec_id") === 5L), root)
+    graft.operators.AnnIndex.delete(Seq(7L).toDF("vec_id"), root)          // v2
+    def diff(a: Long, b: Long) = Graft.ann.snapshotDiff(spark, root, a, b)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(diff(0L, 1L) ==
+      ((5L, "updated") +: (201L to 205L).map(i => (i, "added"))))
+    assert(diff(1L, 2L) == Seq((7L, "removed")))
+    assert(diff(0L, 2L) == Seq((5L, "updated"), (7L, "removed")) ++
+      (201L to 205L).map(i => (i, "added")))
+    assert(diff(2L, 2L).isEmpty)
+  }
+
   test("ann index rollback: restores the snapshot state, discards the abandoned suffix, accepts new writes") {
     import spark.implicits._
     val v = Tables.embeddings(spark, sf)

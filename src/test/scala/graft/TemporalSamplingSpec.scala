@@ -305,6 +305,24 @@ class TemporalSamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] { asOf(0L) }
   }
 
+  test("text index snapshot diff: added/removed/updated between any two retained versions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_text_diff").toString
+    operators.TextIndex.build(Seq((1L, "vector alpha"), (2L, "hash beta"),
+      (3L, "vector hash gamma")).toDF("doc_id", "text"), root)          // v0
+    operators.TextIndex.upsert(Seq((4L, "vector delta"),
+      (2L, "hash hash beta2")).toDF("doc_id", "text"), root)            // v1
+    operators.TextIndex.delete(Seq(1L).toDF("doc_id"), root)            // v2
+    def diff(a: Long, b: Long) = Graft.text.bm25SnapshotDiff(spark, root, a, b)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(diff(0L, 1L) == Seq((2L, "updated"), (4L, "added")))
+    assert(diff(1L, 2L) == Seq((1L, "removed")))
+    assert(diff(0L, 2L) == Seq((1L, "removed"), (2L, "updated"), (4L, "added")))
+    assert(diff(2L, 2L).isEmpty)
+    // direction flips the verbs
+    assert(diff(2L, 0L) == Seq((1L, "added"), (2L, "updated"), (4L, "removed")))
+  }
+
   test("text index rollback: restores the snapshot state, discards the abandoned suffix, accepts new writes") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_text_rb").toString
