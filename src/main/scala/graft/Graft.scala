@@ -37,6 +37,15 @@ object Graft {
   def upsertByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     operators.RelationalExt.upsertByKey(base, updates, keys)
 
+  /** Column-level lineage of any DataFrame from its analyzed Catalyst
+    * plan — (column, source_table, source_column) rows; see
+    * [[plans.Lineage.columnLineage]]. */
+  def lineage(df: DataFrame): DataFrame = plans.Lineage.columnLineage(df)
+
+  /** Scale-killer lint over a query's plans — (severity, finding,
+    * detail) rows; see [[plans.PlanLint.lint]]. */
+  def lint(df: DataFrame): DataFrame = plans.PlanLint.lint(df)
+
   /** Incremental-view-maintenance merge: sum every `addCols` column
     * across two partial per-key aggregate tables (counts, sums — any
     * additive state; DECIMAL stays exact), absent keys contributing

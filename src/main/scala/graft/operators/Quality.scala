@@ -852,6 +852,35 @@ object Quality {
        |ORDER BY cnt DESC, key LIMIT $SkewTopN""".stripMargin
 
   // ----------------------------------------------------------------
+  // Column-level lineage (governance over the analyzed plan)
+  // ----------------------------------------------------------------
+
+  /** `x_lineage` — [[graft.plans.Lineage.columnLineage]] over a
+    * representative join+aggregate: the oracle is the KNOWN dependency
+    * set (a VALUES relation — lineage is a property of the PLAN, not
+    * the data, so the expected rows are exact and fixed). Pins that
+    * the extractor resolves aliases, aggregate expressions, and join
+    * pass-throughs to the right scan leaves. */
+  private def xLineage: Q = (s, dir) => {
+    val q = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+    graft.plans.Lineage.columnLineage(q)
+  }
+
+  private val xLineageSql =
+    """SELECT * FROM (VALUES
+      |  ('n_custs', 'orders', 'o_custkey'),
+      |  ('o_orderdate', 'orders', 'o_orderdate'),
+      |  ('revenue', 'lineitem', 'l_discount'),
+      |  ('revenue', 'lineitem', 'l_extendedprice'))
+      |  AS t("column", source_table, source_column)
+      |ORDER BY "column", source_table, source_column""".stripMargin
+
+  // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "x_profile" -> xProfile,
@@ -864,7 +893,8 @@ object Quality {
     "x_drift_chi2" -> xDriftChi2,
     "x_overlap_sketch" -> xOverlapSketch,
     "x_overlap_matrix" -> xOverlapMatrix,
-    "x_skew_report" -> xSkewReport)
+    "x_skew_report" -> xSkewReport,
+    "x_lineage" -> xLineage)
 
   val oracles: Map[String, String] = Map(
     "x_profile" -> xProfileSql,
@@ -878,5 +908,6 @@ object Quality {
     "x_drift_chi2" -> xDriftChi2Sql,
     "x_overlap_sketch" -> xOverlapSketchSql,
     "x_overlap_matrix" -> xOverlapMatrixSql,
-    "x_skew_report" -> xSkewReportSql)
+    "x_skew_report" -> xSkewReportSql,
+    "x_lineage" -> xLineageSql)
 }

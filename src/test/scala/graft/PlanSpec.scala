@@ -495,4 +495,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("column lineage: windows, explodes, and positional unions resolve to scan leaves") {
+    import graft.plans.Lineage
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      Lineage.columnLineage(df).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // window: the rank derives from BOTH the partition and order keys
+    val w = Tables.orders(spark, sf)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("o_custkey").orderBy("o_orderdate")))
+      .select("o_orderkey", "rk")
+    assert(pairsOf(w) == Set(
+      ("o_orderkey", "orders", "o_orderkey"),
+      ("rk", "orders", "o_custkey"),
+      ("rk", "orders", "o_orderdate")))
+    // generator: exploded tokens derive from the exploded column
+    val e = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    assert(pairsOf(e) == Set(("tok", "documents", "text")))
+    // union: output column i derives from BOTH children's column i
+    val u = Tables.orders(spark, sf).select(col("o_totalprice").as("v"))
+      .unionByName(Tables.lineitem(spark, sf).select(col("l_extendedprice").as("v")))
+    assert(pairsOf(u) == Set(
+      ("v", "orders", "o_totalprice"),
+      ("v", "lineitem", "l_extendedprice")))
+  }
+
+  test("plan lint: flags cross joins, single-partition windows, udfs, global sorts; clean plans stay clean") {
+    import graft.plans.PlanLint
+    import spark.implicits._
+    def findings(df: org.apache.spark.sql.DataFrame): Set[String] =
+      PlanLint.lint(df).collect().map(_.getString(1)).toSet
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((1L, 1.0)).toDF("id2", "w")
+    assert(findings(a.crossJoin(b)).contains("cross_join"))
+    assert(findings(a.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("id"))))
+      .contains("single_partition_window"))
+    val f = org.apache.spark.sql.functions.udf((s: String) => s.length)
+    assert(findings(a.select(f(col("v")).as("n"))).contains("scala_udf"))
+    assert(findings(a.orderBy("id")).contains("global_sort"))
+    // the registered flagship stays clean of errors
+    val flagship = SparkEntry.queries("q3_top_revenue")(spark, sf)
+    assert(!PlanLint.lint(flagship).collect()
+      .exists(_.getString(0) == "error"))
+  }
+
 }
