@@ -855,6 +855,13 @@ object Graft {
         rounds: Int = 3): DataFrame =
       operators.TextAnalysis.bpeEncodeOf(asDocs(df, idCol, textCol), rounds)
 
+    /** SentencePiece-style unigram Viterbi segmentation over a
+      * data-derived piece vocabulary (chars + frequent 2/3-grams),
+      * integer-exact objective — per doc (n_words, n_pieces,
+      * piece_mass); see [[operators.TextAnalysis.unigramSegmentOf]]. */
+    def unigramSegment(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      operators.TextAnalysis.unigramSegmentOf(asDocs(df, idCol, textCol))
+
     /** Cross-document boilerplate removal (C4/RefinedWeb line dedup):
       * segments of `segLen` tokens recurring in ≥ `minDf` distinct
       * documents are struck from every document → (doc_id, n_segments,

@@ -1847,9 +1847,165 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // Unigram (SentencePiece-style) Viterbi segmentation
+  // ----------------------------------------------------------------
+
+  /** Words truncated to this many chars for segmentation (the
+    * SentencePiece max-piece-candidate cap discipline) — also the DP
+    * unroll depth, so it is a COMPILE-TIME plan constant, not a
+    * driver loop. */
+  private val SegMaxWordLen = 16
+  /** A 2/3-gram enters the piece vocabulary at this corpus-weighted
+    * count; single chars always enter (every word stays segmentable). */
+  private val SegMinGramCount = 5L
+  /** Lexicographic score encoding: score = −k·B + Σ piece counts,
+    * maximized — fewest pieces first, then highest cumulative piece
+    * frequency. B bounds Σcounts: ≤ MaxWordLen · corpus token count,
+    * so 10¹² holds to ~10¹⁰ corpus tokens per shard; raise B (BIGINT
+    * headroom ~10¹⁸) beyond that. */
+  private val SegB = 1000000000000L
+  private val SegNeg = -900000000000000000L
+
+  /** `t_unigram_segment` — SentencePiece-style UNIGRAM segmentation
+    * (Kudo, ACL 2018) as Viterbi DP over a data-derived piece
+    * vocabulary, the missing member of the tokenizer family next to
+    * BPE train/encode: vocabulary = all single chars plus every 2/3-
+    * gram with corpus-weighted count ≥ threshold; each word's optimal
+    * segmentation maximizes the INTEGER-EXACT objective (min pieces,
+    * then max cumulative piece frequency) — the engine-portable
+    * stand-in for unigram max-likelihood: the DP structure (best
+    * split point per prefix) is identical, but piece log-probs would
+    * ride libm `ln`, whose last-ulp wobble at floor boundaries is not
+    * cross-engine-stable, while this objective is pure BIGINT
+    * arithmetic, so both engines agree exactly and ties break by the
+    * score itself.
+    *
+    * The DP is UNROLLED into [[SegMaxWordLen]] column definitions —
+    * one codegen'd projection, no iteration anywhere — over per-word
+    * candidate-count arrays built by three vocab joins. Everything
+    * past the first token explode is VOCABULARY-sized (the
+    * [[bpeEncodeOf]] discipline): each distinct word is segmented
+    * once, documents join the result by word. Output per doc:
+    * `(doc_id, n_words, n_pieces, piece_mass)` — n_pieces/piece_mass
+    * derive uniquely from the optimal score, so the oracle pins the
+    * DP exactly without path reconstruction. */
+  private[graft] def unigramSegmentOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs
+      .select(col("doc_id"),
+        explode(tokens(coalesce(col("text"), lit("")))).as("w0"))
+      .filter(col("w0") =!= "")
+      .select(col("doc_id"), substring(col("w0"), 1, SegMaxWordLen).as("w"))
+    val wf = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // piece vocabulary: corpus-weighted substring counts
+    val pieces = (1 to 3).map { l =>
+      wf.select(col("f"), explode(expr(
+          s"transform(sequence(1, length(w) - ${l - 1}), i -> substring(w, i, $l))"))
+          .as("p"))
+        .filter(length(col("p")) === l) // short words yield no l-grams
+        .groupBy(col("p")).agg(sum(col("f")).as("cnt"))
+    }.reduce(_ unionByName _)
+      .filter(length(col("p")) === 1 || col("cnt") >= SegMinGramCount)
+    // per word, per position i, the count of the piece ENDING at i for
+    // each length (sentinel −1 = not in vocabulary / i < l)
+    val wpos = wf.select(col("w"),
+      explode(expr("sequence(1, length(w))")).as("i"))
+    val cands = (1 to 3).map { l =>
+      wpos.withColumn("p",
+          when(col("i") >= l, expr(s"substring(w, i - ${l - 1}, $l)")))
+        .join(pieces.withColumnRenamed("p", "vp"),
+          col("p") === col("vp"), "left")
+        .groupBy(col("w"))
+        .agg(expr("transform(array_sort(collect_list(named_struct(" +
+          "'i', i, 'c', coalesce(cnt, -1L)))), x -> x.c)").as(s"c$l"))
+    }
+    val dp0 = cands.reduce(_.join(_, "w"))
+      .withColumn("n", length(col("w"))).withColumn("b0", lit(0L))
+    val dp = (1 to SegMaxWordLen).foldLeft(dp0) { (acc, i) =>
+      val terms = (1 to 3).filter(_ <= i).map { l =>
+        val c = expr(s"try_element_at(c$l, $i)")
+        when(c.isNotNull && c >= 0L,
+          col(s"b${i - l}") + (lit(-SegB) + c)).otherwise(lit(SegNeg))
+      }
+      acc.withColumn(s"b$i", greatest(lit(SegNeg) +: terms: _*))
+    }
+    // score = −k·B + mass with 0 < mass < B:
+    // k = (−best) div B + 1, mass = best + k·B — both exact integers
+    val perWord = dp.select(col("w"), expr(
+        (1 to SegMaxWordLen).map(i => s"WHEN $i THEN b$i")
+          .mkString("CASE n ", " ", " END")).as("best"))
+      .withColumn("k", expr(s"(-best) div $SegB") + lit(1L))
+      .withColumn("mass", col("best") + col("k") * lit(SegB))
+      .select(col("w"), col("k"), col("mass"))
+    words.join(perWord, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_pieces"),
+        sum(col("mass")).as("piece_mass"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("piece_mass"), lit(0L)).as("piece_mass"))
+  }
+
+  private def tUnigramSegment: Q = (s, dir) =>
+    unigramSegmentOf(Tables.documents(s, dir))
+
+  private val tUnigramSegmentSql = {
+    val toks = duckTokens("coalesce(text, '')")
+    val gramArms = (1 to 3).map { l =>
+      s"""SELECT f, unnest(list_transform(range(1, length(w) - ${l - 1} + 1),
+         |  i -> substr(w, i, $l))) AS p FROM wf""".stripMargin
+    }.mkString("\n    UNION ALL ")
+    val candCtes = (1 to 3).map { l =>
+      s"""c$l AS (SELECT w, list(coalesce(cnt, -1) ORDER BY i) AS c$l FROM (
+         |  SELECT wp.w, wp.i, v.cnt FROM wpos wp LEFT JOIN vocab v
+         |    ON wp.i >= $l AND substr(wp.w, wp.i - ${l - 1}, $l) = v.p) GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    val dpChain = (1 to SegMaxWordLen).map { i =>
+      val terms = (1 to 3).filter(_ <= i).map { l =>
+        s"""CASE WHEN c$l[$i] >= 0 THEN b${i - l} - $SegB + c$l[$i]
+           | ELSE ${SegNeg}::BIGINT END""".stripMargin
+      }.mkString(", ")
+      s"s$i AS (SELECT *, greatest(${SegNeg}::BIGINT, $terms) AS b$i FROM s${i - 1})"
+    }.mkString(",\n")
+    val caseBest = (1 to SegMaxWordLen).map(i => s"WHEN $i THEN b$i")
+      .mkString("CASE n ", " ", " END")
+    s"""WITH w0 AS (SELECT doc_id, unnest($toks) AS w0 FROM documents),
+       |words AS (SELECT doc_id, substr(w0, 1, $SegMaxWordLen) AS w
+       |          FROM w0 WHERE w0 <> ''),
+       |wf AS (SELECT w, count(*) AS f FROM words GROUP BY w),
+       |pieces AS (SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM (
+       |    $gramArms
+       |  ) WHERE p <> '' GROUP BY p),
+       |vocab AS (SELECT p, cnt FROM pieces
+       |          WHERE length(p) = 1 OR cnt >= $SegMinGramCount),
+       |wpos AS (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM wf),
+       |$candCtes,
+       |s0 AS (SELECT wf.w, length(wf.w) AS n, c1.c1, c2.c2, c3.c3,
+       |         0::BIGINT AS b0
+       |       FROM wf JOIN c1 USING (w) JOIN c2 USING (w) JOIN c3 USING (w)),
+       |$dpChain,
+       |perword AS (SELECT w, $caseBest AS best FROM s$SegMaxWordLen),
+       |kk AS (SELECT w, ((-best) // $SegB + 1) AS k,
+       |              best + ((-best) // $SegB + 1) * $SegB AS mass
+       |       FROM perword),
+       |perdoc AS (SELECT doc_id, count(*) AS n_words,
+       |             CAST(sum(k) AS BIGINT) AS n_pieces,
+       |             CAST(sum(mass) AS BIGINT) AS piece_mass
+       |           FROM words JOIN kk USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+       |       coalesce(n_pieces, 0) AS n_pieces,
+       |       coalesce(piece_mass, 0) AS piece_mass
+       |FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "t_bpe_merges" -> tBpeMerges,
     "t_bpe_encode" -> tBpeEncode,
+    "t_unigram_segment" -> tUnigramSegment,
     "t_line_dedup" -> tLineDedup,
     "t_chunk_overlap" -> tChunkOverlap,
     "t_repetition" -> tRepetition,
@@ -1878,6 +2034,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t_bpe_merges" -> tBpeMergesSql,
     "t_bpe_encode" -> tBpeEncodeSql,
+    "t_unigram_segment" -> tUnigramSegmentSql,
     "t_line_dedup" -> tLineDedupSql,
     "t_chunk_overlap" -> tChunkOverlapSql,
     "t_repetition" -> tRepetitionSql,

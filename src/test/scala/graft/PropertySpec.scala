@@ -301,6 +301,51 @@ class PropertySpec extends SparkSpec {
     assert(held.contains("hot"), s"guarantee violated: $held")
   }
 
+  test("unigram segmentation law: equals a brute-force Scala DP on random corpora; a frequent trigram beats chars") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcde"
+    for (round <- 1 to 2) {
+      val words = (0 until 150).map { _ =>
+        if (rnd.nextDouble() < 0.5) "the" + alphabet(rnd.nextInt(5))
+        else (0 until (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(5))).mkString
+      }
+      val docsSeq = words.grouped(5).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      val docs = docsSeq.toDF("doc_id", "text")
+      // brute-force twin of the integer-exact objective
+      val B = 1000000000000L
+      val allWords = docsSeq.flatMap(_._2.toLowerCase
+        .split("[\\p{Punct} ]+").filter(_.nonEmpty)).map(_.take(16))
+      val wf = allWords.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val pieceCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, f) <- wf; l <- 1 to 3; i <- 0 to w.length - l)
+        pieceCnt(w.substring(i, i + l)) += f
+      val vocab = pieceCnt.filter { case (p, c) => p.length == 1 || c >= 5 }.toMap
+      def seg(w: String): (Long, Long) = {
+        val NEG = Long.MinValue / 4
+        val best = Array.fill(w.length + 1)(NEG); best(0) = 0L
+        for (i <- 1 to w.length; l <- 1 to 3; if i - l >= 0; if best(i - l) != NEG)
+          vocab.get(w.substring(i - l, i)).foreach { c =>
+            best(i) = math.max(best(i), best(i - l) - B + c) }
+        val k = (-best(w.length)) / B + 1
+        (k, best(w.length) + k * B)
+      }
+      val expect = docsSeq.map { case (id, t) =>
+        val ws = t.toLowerCase.split("[\\p{Punct} ]+").filter(_.nonEmpty).map(_.take(16))
+        val segs = ws.map(seg)
+        (id, ws.length.toLong, segs.map(_._1).sum, segs.map(_._2).sum)
+      }.toSet
+      val got = TextAnalysis.unigramSegmentOf(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expect, s"round $round")
+      // the frequent 'the' trigram is in vocabulary, so a 'the*' word
+      // segments into strictly fewer pieces than its char count
+      val theWord = words.find(_.startsWith("the")).get
+      assert(seg(theWord)._1 < theWord.length)
+    }
+  }
+
   test("count-min law: estimates never underestimate, stay within eps·N, and are partitioning-invariant") {
     import org.apache.spark.util.sketch.CountMinSketch
     val rnd = new scala.util.Random(7)
