@@ -600,6 +600,12 @@ object Graft {
         categoricalCols: Seq[String]): DataFrame =
       operators.Quality.driftChi2(base, cur, numericCols, categoricalCols)
 
+    /** Normalized Wasserstein-1 drift (CDF area gap / base extent) —
+      * reads HOW FAR mass moved, not just that it moved; see
+      * [[operators.Quality.driftW1]]. */
+    def driftW1(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame =
+      operators.Quality.driftW1(base, cur, cols)
+
     /** Sketch-based corpus overlap (decontamination triage): estimate
       * |A|, |B|, |A∪B|, |A∩B| over 8-byte key frames from two mergeable
       * HLL sketches — one narrow scan per corpus, no join of the key

@@ -515,6 +515,116 @@ object Quality {
        |FROM dev GROUP BY "column", n_base, n_cur ORDER BY "column"""".stripMargin
 
   // ----------------------------------------------------------------
+  // Distribution drift: normalized Wasserstein-1 (earth mover)
+  // ----------------------------------------------------------------
+
+  /** Alert when normalized W1 exceeds 5% of the base extent —
+    * compared as exact integers (nanos > 0.05·10⁹). */
+  private val W1AlertNanos = 50000000L
+
+  /** `x_drift_w1` core — two-sample Wasserstein-1 (earth-mover)
+    * distance per column, NORMALIZED by the base extent so columns on
+    * any unit share one alert scale: W1 = Σ over adjacent distinct
+    * values of |F_base − F_cur| · gap, i.e. the AREA between the two
+    * CDFs — the drift quartet's fourth member: PSI reads total mass
+    * moved between fixed buckets, KS the worst-case CDF gap at one
+    * point, χ² the variance-normalized bucket discrepancy, W1 *how
+    * far* the mass moved (a shift of 1 unit and of 10 units read the
+    * same to KS; W1 scales with the distance). Same machinery as
+    * [[driftKs]]: per-(column, value) counts are the only full-volume
+    * shuffle, cumulative window over DISTINCT values; each term
+    * |cumA·n_cur − cumB·n_base| · gap is exact-integer cross-
+    * multiplied counts times one double gap, normalized and floored
+    * to nanos BEFORE the order-free sum, alert compared as integers —
+    * the discrete/quantized-column caveat of KS applies. */
+  def driftW1(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
+    def tagged(df: DataFrame, a: Long, b: Long): DataFrame =
+      cols.map(c => df.filter(col(c).isNotNull)
+        .select(lit(c).as("column"), col(c).cast("double").as("v"),
+          lit(a).as("a"), lit(b).as("b")))
+        .reduce(_ unionByName _)
+    val perVal = tagged(base, 1L, 0L).unionByName(tagged(cur, 0L, 1L))
+      .groupBy(col("column"), col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val totals = perVal.groupBy(col("column"))
+      .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_cur"),
+        min(when(col("ca") > 0, col("v"))).as("mn"),
+        max(when(col("ca") > 0, col("v"))).as("mx"))
+    val cum = Window.partitionBy(col("column")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lead1 = Window.partitionBy(col("column")).orderBy(col("v"))
+    perVal
+      .select(col("column"), col("v"),
+        sum(col("ca")).over(cum).as("cuma"), sum(col("cb")).over(cum).as("cumb"))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(lead1) - col("v"), lit(0.0)))
+      .join(broadcast(totals), "column")
+      .select(col("column"), col("n_base"), col("n_cur"),
+        // degenerate base extent (constant/empty) → zero contribution,
+        // mirrored in the oracle (the driftPsi guard discipline)
+        when(col("mx") <=> col("mn"), lit(0L))
+          .otherwise(floor(
+            abs(col("cuma") * col("n_cur") - col("cumb") * col("n_base"))
+              .cast("double") * col("gap")
+              / (col("n_base") * col("n_cur")).cast("double")
+              / (col("mx") - col("mn")) * lit(1e9)).cast("long"))
+          .as("nano"))
+      .groupBy(col("column"))
+      .agg(first(col("n_base")).as("n_base"), first(col("n_cur")).as("n_cur"),
+        sum(col("nano")).as("nanos"))
+      .select(col("column"), col("n_base"), col("n_cur"),
+        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("w1_norm"),
+        (col("nanos") > W1AlertNanos).as("drifted"))
+      .orderBy(col("column"))
+  }
+
+  private def xDriftW1: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    driftW1(
+      li.filter(col("l_shipdate") < lit(DriftCutoff)),
+      li.filter(col("l_shipdate") >= lit(DriftCutoff)),
+      Seq("l_quantity", "l_discount"))
+  }
+
+  private val xDriftW1Sql =
+    s"""WITH base AS (SELECT * FROM lineitem WHERE l_shipdate < '$DriftCutoff'),
+       |cur AS (SELECT * FROM lineitem WHERE l_shipdate >= '$DriftCutoff'),
+       |t AS (
+       |  SELECT 'l_quantity' AS "column", CAST(l_quantity AS DOUBLE) AS v, 1 AS a, 0 AS b
+       |    FROM base WHERE l_quantity IS NOT NULL
+       |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), 1, 0
+       |    FROM base WHERE l_discount IS NOT NULL
+       |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE), 0, 1
+       |    FROM cur WHERE l_quantity IS NOT NULL
+       |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), 0, 1
+       |    FROM cur WHERE l_discount IS NOT NULL),
+       |pv AS (SELECT "column", v, CAST(sum(a) AS BIGINT) AS ca,
+       |              CAST(sum(b) AS BIGINT) AS cb
+       |       FROM t GROUP BY "column", v),
+       |tot AS (SELECT "column", CAST(sum(ca) AS BIGINT) AS n_base,
+       |               CAST(sum(cb) AS BIGINT) AS n_cur,
+       |               min(CASE WHEN ca > 0 THEN v END) AS mn,
+       |               max(CASE WHEN ca > 0 THEN v END) AS mx
+       |        FROM pv GROUP BY "column"),
+       |c AS (SELECT "column", v,
+       |        sum(ca) OVER (PARTITION BY "column" ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |        sum(cb) OVER (PARTITION BY "column" ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+       |        coalesce(lead(v, 1) OVER (PARTITION BY "column" ORDER BY v) - v,
+       |          0.0) AS gap
+       |      FROM pv),
+       |terms AS (SELECT c."column" AS "column", n_base, n_cur,
+       |    CASE WHEN mx IS NOT DISTINCT FROM mn THEN 0
+       |      ELSE CAST(floor(CAST(abs(cuma * n_cur - cumb * n_base) AS DOUBLE)
+       |        * gap / CAST(n_base * n_cur AS DOUBLE) / (mx - mn) * 1e9) AS BIGINT)
+       |    END AS nano
+       |  FROM c JOIN tot ON c."column" = tot."column")
+       |SELECT "column", n_base, n_cur,
+       |       floor((CAST(sum(nano) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS w1_norm,
+       |       sum(nano) > $W1AlertNanos AS drifted
+       |FROM terms GROUP BY "column", n_base, n_cur ORDER BY "column"""".stripMargin
+
+  // ----------------------------------------------------------------
   // Distribution drift: chi-square with an effect-size alert
   // ----------------------------------------------------------------
 
@@ -891,6 +1001,7 @@ object Quality {
     "x_drift_psi_ivm" -> xDriftPsiIvm,
     "x_drift_ks" -> xDriftKs,
     "x_drift_chi2" -> xDriftChi2,
+    "x_drift_w1" -> xDriftW1,
     "x_overlap_sketch" -> xOverlapSketch,
     "x_overlap_matrix" -> xOverlapMatrix,
     "x_skew_report" -> xSkewReport,
@@ -906,6 +1017,7 @@ object Quality {
     "x_drift_psi_ivm" -> xDriftPsiSql,
     "x_drift_ks" -> xDriftKsSql,
     "x_drift_chi2" -> xDriftChi2Sql,
+    "x_drift_w1" -> xDriftW1Sql,
     "x_overlap_sketch" -> xOverlapSketchSql,
     "x_overlap_matrix" -> xOverlapMatrixSql,
     "x_skew_report" -> xSkewReportSql,

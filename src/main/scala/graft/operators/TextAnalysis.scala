@@ -1048,15 +1048,22 @@ object TextAnalysis {
     *          = 5A·(2N − 2df + 1) / [(2df + 1)·(3D + 5A)]
     *
     * (all ½s, 5ths and the ratio-form idf clear exactly), evaluated as
-    * ONE double division. Long bounds: ≲5·10¹⁶ at sf0.1 — exact-int is
-    * the ORACLE form; production scale uses the double rendering,
-    * which only sells last-ulp exactness no serving path needs.
-    * Precondition: each field globally non-empty (S_f > 0), else the
-    * norm is degenerate. */
+    * ONE double division. The products carry S_t·S_b (corpus-length
+    * SQUARED — unlike unfielded bm25Sc they outgrow BIGINT at ~10× the
+    * sf0.1 fixture, found by the r11 scale sweep under ANSI), so each
+    * product chain is promoted to 128-bit-exact arithmetic at its
+    * head: Spark DECIMAL(38,0) / DuckDB HUGEINT (`bigType`) — exact
+    * in both engines to 38 digits, headroom past 10¹² docs; both
+    * convert the exact integer to nearest-double identically for the
+    * final division. Precondition: each field globally non-empty
+    * (S_f > 0), else the norm is degenerate. */
   private[operators] def bm25fSc(tft: String, tfb: String, dlt: String,
-      dlb: String, df: String, n: String, st: String, sb: String): String = {
-    val a = s"(3 * $tft * $st * ($sb + $dlb * $n) + $tfb * $sb * ($st + $dlt * $n))"
-    val d = s"(($st + $dlt * $n) * ($sb + $dlb * $n))"
+      dlb: String, df: String, n: String, st: String, sb: String,
+      bigType: String = "DECIMAL(38,0)"): String = {
+    def big(x: String) = s"CAST($x AS $bigType)"
+    val a = s"(3 * ${big(tft)} * $st * ($sb + $dlb * $n) + " +
+      s"${big(tfb)} * $sb * ($st + $dlt * $n))"
+    val d = s"(${big(s"$st + $dlt * $n")} * ($sb + $dlb * $n))"
     s"CAST(5 * $a * (2 * $n - 2 * $df + 1) AS DOUBLE) / " +
       s"CAST((2 * $df + 1) * (3 * $d + 5 * $a) AS DOUBLE)"
   }
@@ -1129,7 +1136,8 @@ object TextAnalysis {
        |       FROM tk WHERE token IN ($terms) GROUP BY doc_id, token),
        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
        |sc AS (SELECT doc_id, token,
-       |         ${bm25fSc("tf_t", "tf_b", "dl_t", "dl_b", "df", "n_docs", "s_t", "s_b")} AS sc
+       |         ${bm25fSc("tf_t", "tf_b", "dl_t", "dl_b", "df", "n_docs", "s_t", "s_b",
+                  bigType = "HUGEINT")} AS sc
        |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
        |wide AS (SELECT doc_id,
        |   max(CASE WHEN token = '${Bm25Terms(0)}' THEN sc END) AS sv,

@@ -20,12 +20,17 @@ import graft.operators.Quality
   * State discipline: the running counts live on the driver as a
   * (column, bucket) → n map — (numericCols·buckets + categorical
   * cardinality) entries, the k-means-model convention for
-  * driver-sized reads. Replay safety is per batch id: a crash replay
-  * of an already-absorbed micro-batch is a no-op, so at-least-once
-  * delivery yields exactly-once counts (the
-  * [[StreamingTextIngest]] ledger argument, held in memory here
-  * because the state itself is rebuilt from the stream's checkpoint
-  * on restart).
+  * driver-sized reads. Replay safety is per batch id: a replay of an
+  * already-absorbed micro-batch within the session is a no-op, so
+  * at-least-once delivery yields exactly-once counts. The state is
+  * SESSION-LIFETIME by design (a restarted query's checkpoint marks
+  * old batches committed, so they do not replay into a fresh
+  * monitor): DURABLE monitoring routes the same mergeable counts
+  * through a stored table instead — persist each batch's
+  * [[Quality.psiBucketCounts]] delta and refresh with
+  * [[graft.Graft.mergeAggStates]], the exact identity
+  * `x_drift_psi_ivm` proves; this in-memory monitor is the
+  * dashboard-session form.
   */
 class DriftMonitor private[streaming] (
     baseCounts: Seq[(String, String, Long)],

@@ -18,7 +18,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Same state discipline as [[StreamingDriftMonitor]]: per-batch work
   * is one narrow aggregate of the batch (bucket-count-sized collect),
-  * driver-map state, replay-safe per batch id.
+  * driver-map state, replay-safe per batch id, SESSION-LIFETIME (a
+  * durable profile persists the per-batch bucket deltas — counts are
+  * additive — and merges on read; this in-memory form is the
+  * watermark-tuning session's tool).
   */
 class LatenessMonitor private[streaming] (tsCol: String,
     bucketsMs: Seq[Long]) extends Serializable {

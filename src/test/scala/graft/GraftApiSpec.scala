@@ -464,6 +464,37 @@ class GraftApiSpec extends SparkSpec {
     assert(out1("c").getBoolean(4) && out1("c").getDouble(3) / 1000 > 0.01)
   }
 
+  test("driftW1: equals the brute-force CDF-area; identical reads zero; shift distance scales the statistic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val bVals = (0 until 400).map(_ => rnd.nextInt(20).toDouble)
+    def w1Brute(a: Seq[Double], b: Seq[Double]): Double = {
+      val vs = (a ++ b).distinct.sorted
+      val ext = a.max - a.min
+      vs.zip(vs.tail).map { case (v, nx) =>
+        val fa = a.count(_ <= v).toDouble / a.size
+        val fb = b.count(_ <= v).toDouble / b.size
+        math.abs(fa - fb) * (nx - v)
+      }.sum / ext
+    }
+    def run(c: Seq[Double]): (Double, Boolean) = {
+      val base = bVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+      val cur = c.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+      val r = Graft.quality.driftW1(base, cur, Seq("x")).collect()(0)
+      (r.getDouble(3), r.getBoolean(4))
+    }
+    val (zero, zAlert) = run(bVals)
+    assert(zero == 0.0 && !zAlert)
+    val shift1 = bVals.map(_ + 1.0)
+    val shift5 = bVals.map(_ + 5.0)
+    val (w1a, aAlert) = run(shift1)
+    val (w1b, bAlert) = run(shift5)
+    assert(math.abs(w1a - w1Brute(bVals, shift1)) < 2e-6, s"$w1a")
+    assert(math.abs(w1b - w1Brute(bVals, shift5)) < 2e-6, s"$w1b")
+    // W1 reads the DISTANCE of the shift (KS saturates; W1 scales)
+    assert(w1b > 3 * w1a && bAlert)
+  }
+
   test("driftKs: equals the brute-force max-CDF-gap; identical reads zero; a planted median shift trips the alert") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
