@@ -444,15 +444,37 @@ object Quality {
     * l_discount: ≤ 50 distinct) — a continuous column should be
     * quantized first or handed to [[driftPsi]], the `a14_winsorize`
     * cardinality argument. */
-  def driftKs(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
-    def tagged(df: DataFrame, a: Long, b: Long): DataFrame =
-      cols.map(c => df.filter(col(c).isNotNull)
-        .select(lit(c).as("column"), col(c).cast("double").as("v"),
-          lit(a).as("a"), lit(b).as("b")))
-        .reduce(_ unionByName _)
-    val perVal = tagged(base, 1L, 0L).unionByName(tagged(cur, 0L, 1L))
-      .groupBy(col("column"), col("v"))
-      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+  def driftKs(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame =
+    ksFromCounts(valueCounts(base, cols), valueCounts(cur, cols))
+
+  /** Per-(column, value) occupancy of ONE table version — the
+    * mergeable state of the VALUE-level drift statistics (KS, W1):
+    * counts are additive, so a streaming monitor maintains them by
+    * merge, the [[psiBucketCounts]] twin for distributions judged at
+    * distinct values instead of fixed buckets (discrete/quantized
+    * columns — the class-doc cardinality caveat). */
+  private[graft] def valueCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map(c => df.filter(col(c).isNotNull)
+        .select(lit(c).as("column"), col(c).cast("double").as("v")))
+      .reduce(_ unionByName _)
+      .groupBy(col("column"), col("v")).agg(count(lit(1)).as("n"))
+
+  /** The merged (column, v, ca, cb) frame both value-level statistics
+    * score from. */
+  private def mergedValueCounts(baseCounts: DataFrame,
+      curCounts: DataFrame): DataFrame =
+    baseCounts.select(col("column"), col("v"), col("n").as("ca"))
+      .join(curCounts.select(col("column"), col("v"), col("n").as("cb")),
+        Seq("column", "v"), "full_outer")
+      .select(col("column"), col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+
+  /** KS report from two (column, v, n) count frames — everything past
+    * the counts is distinct-value-sized. */
+  private[graft] def ksFromCounts(baseCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val perVal = mergedValueCounts(baseCounts, curCounts)
     val totals = perVal.groupBy(col("column"))
       .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_cur"))
     val cum = Window.partitionBy(col("column")).orderBy(col("v"))
@@ -537,15 +559,15 @@ object Quality {
     * multiplied counts times one double gap, normalized and floored
     * to nanos BEFORE the order-free sum, alert compared as integers —
     * the discrete/quantized-column caveat of KS applies. */
-  def driftW1(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
-    def tagged(df: DataFrame, a: Long, b: Long): DataFrame =
-      cols.map(c => df.filter(col(c).isNotNull)
-        .select(lit(c).as("column"), col(c).cast("double").as("v"),
-          lit(a).as("a"), lit(b).as("b")))
-        .reduce(_ unionByName _)
-    val perVal = tagged(base, 1L, 0L).unionByName(tagged(cur, 0L, 1L))
-      .groupBy(col("column"), col("v"))
-      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+  def driftW1(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame =
+    w1FromCounts(valueCounts(base, cols), valueCounts(cur, cols))
+
+  /** W1 report from two (column, v, n) count frames — the
+    * [[ksFromCounts]] twin; one incremental value-count state serves
+    * both. */
+  private[graft] def w1FromCounts(baseCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val perVal = mergedValueCounts(baseCounts, curCounts)
     val totals = perVal.groupBy(col("column"))
       .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_cur"),
         min(when(col("ca") > 0, col("v"))).as("mn"),

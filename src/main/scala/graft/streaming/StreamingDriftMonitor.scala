@@ -7,15 +7,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Quality
 
-/** Continuous PSI drift monitoring over a streamed table — the
-  * incremental-maintenance identity `x_drift_psi_ivm` proves, run for
-  * real: the baseline (extents + bucket counts) is frozen ONCE, then
-  * every micro-batch contributes only its OWN bucket counts
-  * (additive), so the monitor's per-batch work is one narrow scan of
-  * the batch regardless of how much history has accumulated. A 100 TB
-  * table under continuous ingest never rescans the accumulated
-  * current version; `report` materializes the PSI table from
-  * bucket-count-sized state whenever asked.
+/** Continuous drift monitoring over a streamed table — the whole
+  * drift QUARTET (PSI, χ² from bucket counts; KS, W1 from per-value
+  * counts) off ONE incrementally-maintained state, the
+  * `x_drift_psi_ivm` identity run for real: the baseline (extents +
+  * counts) is frozen ONCE, then every micro-batch contributes only
+  * its OWN counts (additive), so the monitor's per-batch work is one
+  * narrow scan of the batch regardless of how much history has
+  * accumulated. A 100 TB table under continuous ingest never rescans
+  * the accumulated current version; each `report*` materializes its
+  * statistic from count-sized state whenever asked.
   *
   * State discipline: the running counts live on the driver as a
   * (column, bucket) → n map — (numericCols·buckets + categorical
@@ -34,16 +35,22 @@ import graft.operators.Quality
   */
 class DriftMonitor private[streaming] (
     baseCounts: Seq[(String, String, Long)],
+    baseValueCounts: Seq[(String, Double, Long)],
     extents: Map[String, (Option[Double], Option[Double])],
     numericCols: Seq[String], categoricalCols: Seq[String],
+    valueCols: Seq[String],
     buckets: Int, alert: Double) extends Serializable {
 
   private val cur = mutable.Map.empty[(String, String), Long]
+  private val curVals = mutable.Map.empty[(String, Double), Long]
   private val applied = mutable.Set.empty[Long]
 
-  /** Fold one micro-batch's bucket counts into the running
-    * current-version state (bucket-count-sized collect; one narrow
-    * scan of the batch). Absorbing a batch id twice is a no-op. */
+  /** Fold one micro-batch's bucket counts (and, for `valueCols`, its
+    * per-distinct-value counts — the KS/W1 state; discrete columns
+    * only, the [[Quality.driftKs]] cardinality caveat) into the
+    * running current-version state (bucket/value-count-sized collect;
+    * one narrow scan of the batch per state family). Absorbing a
+    * batch id twice is a no-op. */
   def absorb(batch: DataFrame, batchId: Long): Unit = synchronized {
     if (applied.add(batchId)) {
       Quality.psiBucketCounts(batch, numericCols, categoricalCols,
@@ -51,6 +58,11 @@ class DriftMonitor private[streaming] (
         .collect().foreach { r =>
           val k = (r.getString(0), r.getString(1))
           cur(k) = cur.getOrElse(k, 0L) + r.getLong(2)
+        }
+      if (valueCols.nonEmpty)
+        Quality.valueCounts(batch, valueCols).collect().foreach { r =>
+          val k = (r.getString(0), r.getDouble(1))
+          curVals(k) = curVals.getOrElse(k, 0L) + r.getLong(2)
         }
     }
   }
@@ -79,6 +91,27 @@ class DriftMonitor private[streaming] (
       cur.toSeq.map { case ((c, b), n) => (c, b, n) }
         .toDF("column", "bucket", "n"))
   }
+
+  private def valueFrames(spark: SparkSession) = {
+    import spark.implicits._
+    require(valueCols.nonEmpty,
+      "no valueCols configured — pass discrete columns to monitor() for KS/W1")
+    (baseValueCounts.toDF("column", "v", "n"),
+      curVals.toSeq.map { case ((c, v), n) => (c, v, n) }.toDF("column", "v", "n"))
+  }
+
+  /** KS over the incremental per-value counts ([[Quality.ksFromCounts]]) —
+    * equals the batch [[Quality.driftKs]] of baseline vs everything
+    * absorbed, exactly (integer counts). */
+  def reportKs(spark: SparkSession): DataFrame = synchronized {
+    val (b, c) = valueFrames(spark); Quality.ksFromCounts(b, c)
+  }
+
+  /** Wasserstein-1 over the same per-value counts
+    * ([[Quality.w1FromCounts]]). */
+  def reportW1(spark: SparkSession): DataFrame = synchronized {
+    val (b, c) = valueFrames(spark); Quality.w1FromCounts(b, c)
+  }
 }
 
 object StreamingDriftMonitor {
@@ -89,7 +122,8 @@ object StreamingDriftMonitor {
     * counts. Returns the query and the monitor handle (`report` at
     * any time). */
   def monitor(stream: DataFrame, base: DataFrame, numericCols: Seq[String],
-      categoricalCols: Seq[String], buckets: Int = 10, alert: Double = 0.2,
+      categoricalCols: Seq[String], valueCols: Seq[String] = Nil,
+      buckets: Int = 10, alert: Double = 0.2,
       checkpoint: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(0L))
       : (StreamingQuery, DriftMonitor) = {
@@ -98,8 +132,12 @@ object StreamingDriftMonitor {
         extents, buckets)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toSeq
-    val m = new DriftMonitor(bc, extents, numericCols, categoricalCols,
-      buckets, alert)
+    val bv =
+      if (valueCols.isEmpty) Seq.empty[(String, Double, Long)]
+      else Quality.valueCounts(base, valueCols)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val m = new DriftMonitor(bc, bv, extents, numericCols, categoricalCols,
+      valueCols, buckets, alert)
     val w0 = stream.writeStream.outputMode("append").trigger(trigger)
     val w = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
     val q = w.foreachBatch((b: DataFrame, id: Long) => m.absorb(b, id)).start()

@@ -460,7 +460,8 @@ class StreamingSpec extends SparkSpec {
     val batch2 = (0 until 60).map(i => (i % 30 * 1.0, "z"))
     val input = MemoryStream[(Double, String)]
     val (q, m) = streaming.StreamingDriftMonitor.monitor(
-      input.toDF().toDF("x", "c"), base, Seq("x"), Seq("c"))
+      input.toDF().toDF("x", "c"), base, Seq("x"), Seq("c"),
+      valueCols = Seq("x"))
     try {
       input.addData(batch1)
       q.processAllAvailable()
@@ -481,6 +482,12 @@ class StreamingSpec extends SparkSpec {
     val wantChi2 = graft.operators.Quality
       .driftChi2(base, cur, Seq("x"), Seq("c")).collect().toSeq
     assert(m.reportChi2(spark).collect().toSeq == wantChi2)
+    // ...and the value-level statistics run off the absorbed
+    // per-value counts: the whole drift QUARTET from one monitor
+    assert(m.reportKs(spark).collect().toSeq ==
+      graft.operators.Quality.driftKs(base, cur, Seq("x")).collect().toSeq)
+    assert(m.reportW1(spark).collect().toSeq ==
+      graft.operators.Quality.driftW1(base, cur, Seq("x")).collect().toSeq)
   }
 
   test("lateness monitor: buckets arrivals against the running event-time frontier") {
