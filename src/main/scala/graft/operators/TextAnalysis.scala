@@ -26,7 +26,7 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   /** Shared tokenizer — the reference's normalize+split (Rmd:77-79). */
-  private[operators] def tokens(c: Column): Column =
+  private[graft] def tokens(c: Column): Column =
     split(regexp_replace(lower(c), "[\\p{Punct} ]+", " "), " ")
 
   private[operators] def duckTokens(inner: String): String =

@@ -490,6 +490,47 @@ class StreamingSpec extends SparkSpec {
       graft.operators.Quality.driftW1(base, cur, Seq("x")).collect().toSeq)
   }
 
+  test("heavy-hitters monitor: never misses a global heavy hitter, even one spread thin across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    // 'hot' is heavy GLOBALLY but deliberately diluted per batch
+    def mkBatch(nHot: Int, nNoise: Int): Seq[String] = {
+      val toks = Seq.fill(nHot)("hot") ++
+        (0 until nNoise).map(_ => vocab(rnd.nextInt(vocab.size)))
+      rnd.shuffle(toks).grouped(9).map(_.mkString(" ")).toSeq
+    }
+    val b1 = mkBatch(40, 150)
+    val b2 = mkBatch(45, 160)
+    val b3 = mkBatch(38, 140)
+    val k = 4
+    val input = MemoryStream[String]
+    val (q, m) = streaming.StreamingHeavyHitters.monitor(
+      input.toDF().toDF("text"), k = k, eps = 0.01)
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val all = (b1 ++ b2 ++ b3).flatMap(_.split(" ")).filter(_.nonEmpty)
+    val n = all.size
+    assert(m.totalTokens == n)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }.toMap
+    assert(exact.contains("hot"), "fixture must plant a global heavy hitter")
+    val got = m.report(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // completeness: every exact heavy hitter is reported...
+    exact.foreach { case (t, c) =>
+      assert(got.contains(t), s"missed heavy hitter $t")
+      // ...with a one-sided estimate within eps·N
+      assert(got(t) >= c && got(t) <= c + math.ceil(0.01 * n).toLong,
+        s"$t est ${got(t)} vs exact $c")
+    }
+    // replaying an absorbed batch id must not double-count
+    m.absorb(Seq("hot hot hot").toDF("text"), 0L)
+    assert(m.totalTokens == n)
+  }
+
   test("lateness monitor: buckets arrivals against the running event-time frontier") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
