@@ -152,9 +152,14 @@ object Quality {
     * ([[quarantineTo]]); the bad-rows path is the `badRecordsPath` /
     * DLQ pattern with the REASON attached, so reprocessing after a
     * rule fix is a filter on `violations`, not a re-scan of the
-    * source. */
+    * source. An input that already carries a `violations` column is
+    * rejected — tagging through it would silently overwrite user data
+    * and the pass-side drop would then delete the original column. */
   def quarantine(df: DataFrame, rules: Seq[(String, Column)])
       : (DataFrame, DataFrame) = {
+    require(!df.columns.contains("violations"),
+      "quarantine(): input already has a 'violations' column; rename it " +
+        "first — the quarantined output reserves that name for rule tags")
     val tags = array(rules.map { case (name, pred) =>
       when(!coalesce(pred, lit(false)), lit(name)) }: _*)
     val tagged = df.withColumn("violations",
@@ -471,9 +476,14 @@ object Quality {
         coalesce(col("cb"), lit(0L)).as("cb"))
 
   /** KS report from two (column, v, n) count frames — everything past
-    * the counts is distinct-value-sized. */
+    * the counts is distinct-value-sized. The cross-multiplied products
+    * (cumA·n_cur, n_base·n_cur) are promoted to DECIMAL(38,0) —
+    * BIGINT overflows once n_base·n_cur passes 2⁶³ (~3·10⁹ rows per
+    * side), the `bm25fSc` 128-bit discipline — mirrored as HUGEINT in
+    * the oracle. */
   private[graft] def ksFromCounts(baseCounts: DataFrame,
       curCounts: DataFrame): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
     val perVal = mergedValueCounts(baseCounts, curCounts)
     val totals = perVal.groupBy(col("column"))
       .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_cur"))
@@ -484,14 +494,15 @@ object Quality {
         sum(col("ca")).over(cum).as("cuma"), sum(col("cb")).over(cum).as("cumb"))
       .join(broadcast(totals), "column")
       .select(col("column"), col("n_base"), col("n_cur"),
-        abs(col("cuma") * col("n_cur") - col("cumb") * col("n_base")).as("dev"))
+        abs(big(col("cuma")) * col("n_cur")
+          - big(col("cumb")) * col("n_base")).as("dev"))
       .groupBy(col("column"))
       .agg(first(col("n_base")).as("n_base"), first(col("n_cur")).as("n_cur"),
         max(col("dev")).as("mdev"))
       .select(col("column"), col("n_base"), col("n_cur"),
-        expr(TextAnalysis.r6(
-          "cast(mdev as double) / cast(n_base * n_cur as double)")).as("ks"),
-        (col("mdev") * 10L > col("n_base") * col("n_cur") * KsAlertTimes10)
+        expr(TextAnalysis.r6("cast(mdev as double) / " +
+          "cast(cast(n_base as decimal(38,0)) * n_cur as double)")).as("ks"),
+        (col("mdev") * 10L > big(col("n_base")) * col("n_cur") * KsAlertTimes10)
           .as("drifted"))
       .orderBy(col("column"))
   }
@@ -529,11 +540,12 @@ object Quality {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
        |      FROM pv),
        |dev AS (SELECT c."column" AS "column", n_base, n_cur,
-       |          abs(cuma * n_cur - cumb * n_base) AS dev
+       |          abs(CAST(cuma AS HUGEINT) * n_cur
+       |            - CAST(cumb AS HUGEINT) * n_base) AS dev
        |        FROM c JOIN tot ON c."column" = tot."column")
        |SELECT "column", n_base, n_cur,
-       |       floor((CAST(max(dev) AS DOUBLE) / CAST(n_base * n_cur AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks,
-       |       max(dev) * 10 > n_base * n_cur * $KsAlertTimes10 AS drifted
+       |       floor((CAST(max(dev) AS DOUBLE) / CAST(CAST(n_base AS HUGEINT) * n_cur AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks,
+       |       max(dev) * 10 > CAST(n_base AS HUGEINT) * n_cur * $KsAlertTimes10 AS drifted
        |FROM dev GROUP BY "column", n_base, n_cur ORDER BY "column"""".stripMargin
 
   // ----------------------------------------------------------------
@@ -567,6 +579,7 @@ object Quality {
     * both. */
   private[graft] def w1FromCounts(baseCounts: DataFrame,
       curCounts: DataFrame): DataFrame = {
+    def big(c: Column): Column = c.cast("decimal(38,0)")
     val perVal = mergedValueCounts(baseCounts, curCounts)
     val totals = perVal.groupBy(col("column"))
       .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_cur"),
@@ -585,9 +598,10 @@ object Quality {
         // mirrored in the oracle (the driftPsi guard discipline)
         when(col("mx") <=> col("mn"), lit(0L))
           .otherwise(floor(
-            abs(col("cuma") * col("n_cur") - col("cumb") * col("n_base"))
+            abs(big(col("cuma")) * col("n_cur")
+                - big(col("cumb")) * col("n_base"))
               .cast("double") * col("gap")
-              / (col("n_base") * col("n_cur")).cast("double")
+              / (big(col("n_base")) * col("n_cur")).cast("double")
               / (col("mx") - col("mn")) * lit(1e9)).cast("long"))
           .as("nano"))
       .groupBy(col("column"))
@@ -637,8 +651,10 @@ object Quality {
        |      FROM pv),
        |terms AS (SELECT c."column" AS "column", n_base, n_cur,
        |    CASE WHEN mx IS NOT DISTINCT FROM mn THEN 0
-       |      ELSE CAST(floor(CAST(abs(cuma * n_cur - cumb * n_base) AS DOUBLE)
-       |        * gap / CAST(n_base * n_cur AS DOUBLE) / (mx - mn) * 1e9) AS BIGINT)
+       |      ELSE CAST(floor(CAST(abs(CAST(cuma AS HUGEINT) * n_cur
+       |          - CAST(cumb AS HUGEINT) * n_base) AS DOUBLE)
+       |        * gap / CAST(CAST(n_base AS HUGEINT) * n_cur AS DOUBLE)
+       |        / (mx - mn) * 1e9) AS BIGINT)
        |    END AS nano
        |  FROM c JOIN tot ON c."column" = tot."column")
        |SELECT "column", n_base, n_cur,

@@ -29,8 +29,9 @@ import graft.operators.TextAnalysis
   * honest estimates ≤ true + ε·N — run the exact verify pass
   * ([[TextAnalysis.frequentTermsOf]]'s second scan) over the
   * candidate list when exactness is needed. Driver state: the
-  * candidate set (≤ k · partitions · batches, prunable) + one CMS;
-  * replay-safe per batch id.
+  * candidate set, pruned each batch to tokens above HALF the current
+  * threshold (see [[prune]] — O(k·partitions), not growing with batch
+  * count) + one CMS; replay-safe per batch id.
   */
 class HeavyHittersMonitor private[streaming] (k: Int, eps: Double,
     confidence: Double, seed: Int) extends Serializable {
@@ -63,7 +64,23 @@ class HeavyHittersMonitor private[streaming] (k: Int, eps: Double,
           new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0))))
         nTok += row.getLong(1)
       }
+      prune()
     }
+  }
+
+  /** Bound the driver-side candidate set: drop candidates whose CMS
+    * estimate is below HALF the current threshold n/(k+1). Sound:
+    * estimates are one-sided, so a pruned token's true count at prune
+    * time t is < n_t/(2(k+1)); if its FINAL total exceeds N/(k+1) it
+    * must accrue > (N − n_t/2)/(k+1) > (N − n_t)/(k+1) = Σ_{b>t}
+    * len_b/(k+1) after t, so by the per-batch pigeonhole it exceeds
+    * some single later batch's threshold and re-enters via that
+    * batch's Misra-Gries pass — completeness is preserved while the
+    * set stays O(k·partitions) instead of growing with batch count. */
+  private def prune(): Unit = {
+    val n = nTok
+    candidates.filterInPlace(t =>
+      sketch.estimateCount(t) * 2 * (k + 1) >= n)
   }
 
   /** Candidates whose estimated count clears the global threshold

@@ -33,7 +33,8 @@ class LatenessMonitor private[streaming] (tsCol: String,
   private def bucketName(i: Int): String =
     if (i == 0) "on_time"
     else if (i < bucketsMs.size + 1) s"late_lt_${bucketsMs(i - 1) / 1000}s"
-    else "late_beyond"
+    else if (i == bucketsMs.size + 1) "late_beyond"
+    else "null_ts"
 
   /** Fold one micro-batch in: lateness = (max event time seen before
     * this batch) − row event time, bucketed on the configured
@@ -52,7 +53,8 @@ class LatenessMonitor private[streaming] (tsCol: String,
         when(lateMs < b, lit(i + 1)).otherwise(els)
       }
       val rows = batch
-        .select(when(lateMs <= 0L, lit(0)).otherwise(bucket).as("b"),
+        .select(when(ts.isNull, lit(bucketsMs.size + 2))
+            .when(lateMs <= 0L, lit(0)).otherwise(bucket).as("b"),
           unix_millis(ts).as("ms"))
         .groupBy(col("b"))
         .agg(count(lit(1)).as("n"), max(col("ms")).as("mx"))
@@ -61,8 +63,13 @@ class LatenessMonitor private[streaming] (tsCol: String,
         val name = bucketName(r.getInt(0))
         counts(name) = counts.getOrElse(name, 0L) + r.getLong(1)
       }
-      val batchMax = rows.map(_.getLong(2)).max
-      maxSeenMs = Some(maxSeenMs.fold(batchMax)(math.max(_, batchMax)))
+      // max(ms) is NULL for the null_ts group (and would throw via
+      // getLong); the frontier only advances on observed event times.
+      val nonNull = rows.toSeq.filterNot(_.isNullAt(2)).map(_.getLong(2))
+      if (nonNull.nonEmpty) {
+        val batchMax = nonNull.max
+        maxSeenMs = Some(maxSeenMs.fold(batchMax)(math.max(_, batchMax)))
+      }
     }
   }
 
@@ -71,7 +78,7 @@ class LatenessMonitor private[streaming] (tsCol: String,
   def report(spark: SparkSession): DataFrame = synchronized {
     import spark.implicits._
     val total = counts.values.sum
-    (0 to bucketsMs.size + 1).map { i =>
+    (0 to bucketsMs.size + 2).map { i =>
       val name = bucketName(i)
       (name, counts.getOrElse(name, 0L))
     }.toDF("bucket", "n_events")

@@ -152,11 +152,20 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
       fn.map { f =>
-        val rewritten: Expression = ae.aggregateFunction match {
+        val swapped: Expression = ae.aggregateFunction match {
           case _: Count => org.apache.spark.sql.catalyst.expressions.Coalesce(
             Seq(ae.copy(aggregateFunction = f), Literal(0L)))
           case _ => ae.copy(aggregateFunction = f)
         }
+        // schema invariance: re-summing a pre-summed DECIMAL widens
+        // precision again (sum(DECIMAL(p,s)) → p+10, so the view form
+        // yields p+20) — the optimizer contract requires the output
+        // type under the preserved exprId to stay EXACTLY the analyzed
+        // type, so cast back whenever the swap changed it
+        val rewritten =
+          if (swapped.dataType == al.dataType) swapped
+          else org.apache.spark.sql.catalyst.expressions.Cast(
+            swapped, al.dataType)
         Alias(rewritten, name)(exprId = al.exprId)
       }
     case _ => None

@@ -535,27 +535,33 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
-    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val input = MemoryStream[(Option[java.sql.Timestamp], String)]
     val (q, m) = streaming.StreamingLateness.monitor(
       input.toDF().toDF("ts", "v"), "ts")
     try {
-      // first batch: no frontier yet — everything on time
-      input.addData((t("10:00:00"), "a"), (t("10:05:00"), "b"))
+      // first batch: ALL-NULL event times — must not crash, must not
+      // advance the frontier, counts into the null_ts bucket
+      input.addData((None, "n0"), (None, "n1"))
       q.processAllAvailable()
-      // second batch vs frontier 10:05:00
+      // second batch: no frontier yet — everything on time
+      input.addData((Some(t("10:00:00")), "a"), (Some(t("10:05:00")), "b"))
+      q.processAllAvailable()
+      // third batch vs frontier 10:05:00; a null ts rides along
       input.addData(
-        (t("10:04:59.5"), "c"),  // 0.5 s late  -> late_lt_1s
-        (t("10:04:30"), "d"),    // 30 s late   -> late_lt_60s
-        (t("09:00:00"), "e"),    // 65 min late -> late_beyond
-        (t("10:06:00"), "f"))    // ahead       -> on_time
+        (Some(t("10:04:59.5")), "c"),  // 0.5 s late  -> late_lt_1s
+        (Some(t("10:04:30")), "d"),    // 30 s late   -> late_lt_60s
+        (Some(t("09:00:00")), "e"),    // 65 min late -> late_beyond
+        (Some(t("10:06:00")), "f"),    // ahead       -> on_time
+        (None, "n2"))                  // null        -> null_ts
       q.processAllAvailable()
     } finally q.stop()
     val got = m.report(spark).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("on_time" -> 3L, "late_lt_1s" -> 1L,
-      "late_lt_10s" -> 0L, "late_lt_60s" -> 1L, "late_beyond" -> 1L), got.toString)
+      "late_lt_10s" -> 0L, "late_lt_60s" -> 1L, "late_beyond" -> 1L,
+      "null_ts" -> 3L), got.toString)
     // replay of an absorbed batch id is a no-op
-    m.absorb(Seq((t("08:00:00"), "x")).toDF("ts", "v"), 1L)
-    assert(m.report(spark).collect().map(_.getLong(1)).sum == 6L)
+    m.absorb(Seq((Some(t("08:00:00")), "x")).toDF("ts", "v"), 1L)
+    assert(m.report(spark).collect().map(_.getLong(1)).sum == 9L)
   }
 }
