@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, Graph, Multimodal, Quality, Relational, RelationalExt, Sampling, Scrape, Similarity, SqlSurface, Temporal, TextAnalysis, TextIndex, TimeSeries}
 import graft.pipelines.{CleanCorpus, Flagship}
+import graft.sources.CorpusStore
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -32,7 +33,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Scrape.queries, Scrape.oracles),
       (Flagship.queries, Flagship.oracles),
-      (CleanCorpus.queries, CleanCorpus.oracles))
+      (CleanCorpus.queries, CleanCorpus.oracles),
+      (CorpusStore.queries, CorpusStore.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -205,7 +205,7 @@ object Similarity {
     * (the sweep's completion signal; Spark's own parquet commit writes
     * it for single-write builds). At 100 TB this is the one-off index
     * build every ANN system amortizes across queries. */
-  private[operators] def cachedIndex(s: SparkSession, dir: String, kind: String,
+  private[graft] def cachedIndex(s: SparkSession, dir: String, kind: String,
       version: Int, srcTable: String = "embeddings.parquet")(build: String => Unit): String = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val src = new java.io.File(dir, srcTable)

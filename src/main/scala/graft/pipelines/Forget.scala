@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AnnIndex, TextIndex}
+import graft.sources.CorpusStore
 
 /** The right-to-be-forgotten pipeline — ONE deletion request applied
   * to every surface a document lives on, atomically enough to audit:
@@ -70,5 +71,45 @@ object Forget {
     }
     (Seq(corpusRow) ++ textRow ++ annRow)
       .toDF("surface", "n_before", "n_deleted", "n_after")
+  }
+
+  /** [[forget]] routed through a VERSIONED corpus ([[CorpusStore]]):
+    * the erasure publishes a new corpus version (copy-on-write — only
+    * segments holding matched docs rewrite) instead of rewriting a
+    * bare dir in place, and the certificate carries each surface's
+    * `(v_before, v_after)` snapshot pair — so "this request was erased
+    * from corpus v_after" is a REPLAYABLE claim (`CorpusStore.asOf` /
+    * each index's `asOf` re-reads either side), which the in-place
+    * form could never make. Version columns are the index families'
+    * manifest snapshot versions; a surface not deployed simply has no
+    * row. */
+  def forgetVersioned(s: SparkSession, corpusRoot: String, ids: DataFrame,
+      textRoot: Option[String], annRoot: Option[String]): DataFrame = {
+    import s.implicits._
+    val before = CorpusStore.read(s, corpusRoot).count()
+    val cert = CorpusStore.forget(s, corpusRoot, ids).head()
+    val corpusRow = ("corpus", before, cert.getAs[Long]("n_deleted"),
+      before - cert.getAs[Long]("n_deleted"),
+      cert.getAs[Long]("v_before"), cert.getAs[Long]("v_after"))
+
+    val textRow = textRoot.map { root =>
+      val vb = TextIndex.snapshots(s, root).max
+      val b = TextIndex.liveDocCount(s, root)
+      TextIndex.delete(ids, root)
+      val a = TextIndex.liveDocCount(s, root)
+      ("text_index", b, b - a, a, vb, TextIndex.snapshots(s, root).max)
+    }
+    val annRow = annRoot.map { root =>
+      def live() = AnnIndex.driftStats(s, root)
+        .agg(sum(col("n_live"))).head().getLong(0)
+      val vb = AnnIndex.snapshots(s, root).max
+      val b = live()
+      AnnIndex.delete(ids.select(col("doc_id").as("vec_id")), root)
+      val a = live()
+      ("ann_index", b, b - a, a, vb, AnnIndex.snapshots(s, root).max)
+    }
+    (Seq(corpusRow) ++ textRow ++ annRow)
+      .toDF("surface", "n_before", "n_deleted", "n_after",
+        "v_before", "v_after")
   }
 }

@@ -1,0 +1,316 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{PublishLock, Similarity}
+
+/** Manifest-versioned document lake — the [[graft.operators.TextIndex]]
+  * snapshot discipline applied to the CORPUS itself, so a training run
+  * can pin not just the index state it probed but the exact document
+  * set those probes served (reference: the idempotent cached-artifact
+  * pattern of `hi-csa-db.Rmd:105-131`, where every derived table is a
+  * versioned file the pipeline republishes rather than mutates).
+  *
+  * Layout at `root`:
+  *  - `seg-<n>/` — immutable parquet segment dirs; a corpus VERSION is
+  *    the set of segments its manifest lists, so two versions share
+  *    every segment neither touched (the Iceberg/Delta file-reuse
+  *    shape: an append adds ONE segment line, an erasure rewrites ONLY
+  *    the segments holding matched docs).
+  *  - `_GRAFT_CORPUS_MANIFEST` — the live version: one `seg-<n>` line
+  *    per member segment, published by atomic rename.
+  *  - `_GRAFT_CORPUS_MANIFEST.v<V>` — immutable snapshot copy per
+  *    publish (V monotone), the [[asOf]]/[[snapshotDiff]]/[[rollbackTo]]
+  *    substrate.
+  *
+  * Scale shape: [[read]] is a plain multi-dir parquet scan (predicate
+  * pushdown, partition pruning, column pruning all intact — the store
+  * adds zero per-row indirection over `spark.read.parquet`). [[forget]]
+  * first runs a segment-pruning semi-join (which segments contain any
+  * requested id — broadcast, request-sized) and rewrites only those;
+  * at 100 TB with date/shard-aligned segments an erasure touches a
+  * handful of segments, not the lake. [[snapshotDiff]] reads only the
+  * SYMMETRIC DIFFERENCE of the two manifests' segment sets — versions
+  * sharing 99 % of their segments diff in time proportional to what
+  * changed. All manifest IO goes through the Hadoop FS layer (HDFS/
+  * object-store roots work like local), writers serialize on the
+  * root's [[PublishLock]], and readers resolve through the manifest so
+  * a half-written segment is never visible.
+  *
+  * Contract: `doc_id` is unique corpus-wide (appends carry new ids, a
+  * re-send is an erase + append); each version holds a doc in exactly
+  * one segment. [[snapshotDiff]]'s correctness rests on that.
+  */
+object CorpusStore {
+
+  private val ManifestName = "_GRAFT_CORPUS_MANIFEST"
+
+  private def versionName(v: Long) = s"$ManifestName.v$v"
+
+  private def fsOf(s: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p, p.getFileSystem(s.sparkContext.hadoopConfiguration))
+  }
+
+  private def readLines(s: SparkSession, p: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+    val in = fs.open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Live manifest lines; empty when the store doesn't exist yet.
+    * Unknown prefixes are ignored by readers — forward-extensible,
+    * the TextIndex/AnnIndex manifest convention. */
+  private def manifestLines(s: SparkSession, root: String): Seq[String] = {
+    val (rootPath, fs) = fsOf(s, root)
+    val p = new org.apache.hadoop.fs.Path(rootPath, ManifestName)
+    if (!fs.isFile(p)) Seq.empty else readLines(s, p, fs)
+  }
+
+  private def liveSegs(s: SparkSession, root: String): Seq[String] =
+    manifestLines(s, root).filter(_.startsWith("seg-"))
+
+  private def segsAsOf(s: SparkSession, root: String, v: Long): Seq[String] = {
+    val (rootPath, fs) = fsOf(s, root)
+    val p = new org.apache.hadoop.fs.Path(rootPath, versionName(v))
+    require(fs.isFile(p),
+      s"no retained corpus snapshot v$v at $root — it never existed, or it was " +
+        "swept/rolled back")
+    readLines(s, p, fs).filter(_.startsWith("seg-"))
+  }
+
+  /** Retained snapshot versions at `root`, ascending. */
+  def snapshots(s: SparkSession, root: String): Seq[Long] = {
+    val (rootPath, fs) = fsOf(s, root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .filter(_.matches(java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"))
+      .map(_.substring(ManifestName.length + 2).toLong).sorted
+  }
+
+  /** The live corpus version (highest snapshot). */
+  def currentVersion(s: SparkSession, root: String): Long = {
+    val vs = snapshots(s, root)
+    require(vs.nonEmpty, s"no corpus store at $root")
+    vs.max
+  }
+
+  /** Atomic publish: live manifest moved into place, then the
+    * immutable `.v<V>` snapshot copy (V = previous max + 1). Written
+    * live-first so a crash between the two costs only the snapshot —
+    * the TextIndex publish ordering. Returns the new version. */
+  private def publish(s: SparkSession, root: String,
+      lines: Seq[String]): Long = {
+    val (rootPath, fs) = fsOf(s, root)
+    fs.mkdirs(rootPath)
+    val v = snapshots(s, root).lastOption.getOrElse(0L) + 1
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".manifest-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootPath.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, ManifestName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val snap = fs.create(new org.apache.hadoop.fs.Path(rootPath, versionName(v)), true)
+    try snap.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally snap.close()
+    val seen = manifestLines(s, root)
+    if (seen != lines)
+      throw new IllegalStateException(
+        s"concurrent corpus publish detected at $root — serialize writers (one per root)")
+    v
+  }
+
+  private def nextSegOf(lines: Seq[String]): Long =
+    lines.filter(_.startsWith("seg-"))
+      .map(_.stripPrefix("seg-").toLong).maxOption.fold(0L)(_ + 1)
+
+  /** Found a store at `root` from `docs` (segment 0, version 1). */
+  def create(docs: DataFrame, root: String): Long = {
+    val s = docs.sparkSession
+    PublishLock.withLock(s, root) {
+      require(manifestLines(s, root).isEmpty,
+        s"corpus store already exists at $root — use append/forget")
+      docs.write.mode("overwrite").parquet(s"$root/seg-0")
+      publish(s, root, Seq("seg-0"))
+    }
+  }
+
+  /** Append a batch as one new immutable segment; every existing
+    * segment is carried by reference (zero rewrite). Returns the new
+    * version. */
+  def append(docs: DataFrame, root: String): Long = {
+    val s = docs.sparkSession
+    PublishLock.withLock(s, root) {
+      val lines = manifestLines(s, root)
+      require(lines.nonEmpty, s"no corpus store at $root — create() first")
+      val seg = s"seg-${nextSegOf(lines)}"
+      docs.write.mode("overwrite").parquet(s"$root/$seg")
+      publish(s, root, lines :+ seg)
+    }
+  }
+
+  private def readSegs(s: SparkSession, root: String,
+      segs: Seq[String]): DataFrame = {
+    require(segs.nonEmpty, s"corpus at $root has no segments")
+    s.read.parquet(segs.map(g => s"$root/$g"): _*)
+  }
+
+  /** The live corpus — a plain parquet scan over the manifest's
+    * segments (all pushdown intact). */
+  def read(s: SparkSession, root: String): DataFrame =
+    readSegs(s, root, liveSegs(s, root))
+
+  /** The corpus exactly as retained snapshot `v` read it — the
+    * training-run pin. */
+  def asOf(s: SparkSession, root: String, v: Long): DataFrame =
+    readSegs(s, root, segsAsOf(s, root, v))
+
+  /** Doc-level audit of what changed between two retained snapshots:
+    * `(doc_id, change)` with change ∈ added|removed. Reads ONLY the
+    * segments in the manifests' symmetric difference — shared segments
+    * (untouched by any write between the versions) are never opened,
+    * so the diff costs what changed, not what exists. */
+  def snapshotDiff(s: SparkSession, root: String, v1: Long, v2: Long): DataFrame = {
+    val a = segsAsOf(s, root, v1).toSet
+    val b = segsAsOf(s, root, v2).toSet
+    val onlyA = (a -- b).toSeq.sorted
+    val onlyB = (b -- a).toSeq.sorted
+    def ids(segs: Seq[String]): DataFrame =
+      if (segs.isEmpty)
+        s.range(0).select(col("id").as("doc_id"))
+      else readSegs(s, root, segs).select(col("doc_id"))
+    val ia = ids(onlyA)
+    val ib = ids(onlyB)
+    ib.join(ia, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("added").as("change"))
+      .unionByName(
+        ia.join(ib, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("removed").as("change")))
+  }
+
+  /** Erase `ids` (column `doc_id`) from the corpus, copy-on-write:
+    * segments holding NO matched doc are carried by reference;
+    * each touched segment's survivors rewrite into a fresh segment.
+    * Publishes a new version and returns the erasure certificate
+    * `(v_before, v_after, n_segments, n_touched, n_deleted)` — the
+    * version pair is what makes the certificate auditable: "v_after
+    * no longer serves these ids" is a replayable claim via [[asOf]].
+    * A request matching nothing publishes nothing (no-op, v_after =
+    * v_before). */
+  def forget(s: SparkSession, root: String, ids: DataFrame): DataFrame = {
+    import s.implicits._
+    PublishLock.withLock(s, root) {
+      val lines = manifestLines(s, root)
+      val segs = lines.filter(_.startsWith("seg-"))
+      val vBefore = snapshots(s, root).max
+      val idsB = broadcast(ids.select(col("doc_id")).distinct()).persist()
+      try {
+        // segment pruning: which segments hold any requested id —
+        // request-sized result, one semi-joined scan of doc_id only
+        val touched = segs.filter { g =>
+          !readSegs(s, root, Seq(g)).select(col("doc_id"))
+            .join(idsB, Seq("doc_id"), "left_semi").isEmpty
+        }
+        if (touched.isEmpty) {
+          Seq((vBefore, vBefore, segs.size.toLong, 0L, 0L))
+            .toDF("v_before", "v_after", "n_segments", "n_touched", "n_deleted")
+        } else {
+          var next = nextSegOf(lines)
+          var deleted = 0L
+          val rewritten = touched.map { g =>
+            val old = readSegs(s, root, Seq(g))
+            val nOld = old.count()
+            val fresh = s"seg-$next"; next += 1
+            old.join(idsB, Seq("doc_id"), "left_anti")
+              .write.mode("overwrite").parquet(s"$root/$fresh")
+            deleted += nOld - s.read.parquet(s"$root/$fresh").count()
+            fresh
+          }
+          val kept = lines.filterNot(touched.contains)
+          val vAfter = publish(s, root, kept ++ rewritten)
+          Seq((vBefore, vAfter, segs.size.toLong, touched.size.toLong, deleted))
+            .toDF("v_before", "v_after", "n_segments", "n_touched", "n_deleted")
+        }
+      } finally { idsB.unpersist(); () }
+    }
+  }
+
+  /** RESTORE the live corpus to retained snapshot `v`: its manifest
+    * becomes live again, snapshots after `v` are dropped, and segment
+    * dirs only the dropped suffix referenced are deleted IMMEDIATELY
+    * (the next append reuses those segment numbers — a stale survivor
+    * dir would corrupt later time travel; the TextIndex.rollbackTo
+    * rationale). History at and before `v` stays readable via
+    * [[asOf]]. */
+  def rollbackTo(s: SparkSession, root: String, v: Long): Unit =
+    PublishLock.withLock(s, root) {
+      val lines = segsAsOf(s, root, v)
+      val (rootPath, fs) = fsOf(s, root)
+      // restore makes snapshot v ITSELF the live state — the live
+      // manifest is written directly, no new .v copy is minted
+      val tmp = new org.apache.hadoop.fs.Path(rootPath, s".manifest-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        rootPath.toUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, ManifestName),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      snapshots(s, root).filter(_ > v).foreach { x =>
+        fs.delete(new org.apache.hadoop.fs.Path(rootPath, versionName(x)), false); ()
+      }
+      val keep = (lines ++ snapshots(s, root).flatMap(x => segsAsOf(s, root, x))).toSet
+      fs.listStatus(rootPath).toSeq.foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.matches("seg-\\d+") && !keep(n)) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
+
+  // ----------------------------------------------------------------
+  // Registered oracle query
+  // ----------------------------------------------------------------
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** `v_corpus_diff` — a three-version store built from `documents`
+    * (v1: docs with id % 3 ≠ 0; v2: append the id % 3 = 0 batch;
+    * v3: forget ids with id % 97 = 0), then the doc-level
+    * [[snapshotDiff]] v1 → v3. Set semantics make the oracle exact
+    * and layout-independent: added = in v3 ∧ ∉ v1 = (%97≠0 ∧ %3=0),
+    * removed = in v1 ∧ ∉ v3 = (%3≠0 ∧ %97=0). The store is built once
+    * per source fingerprint through the shared [[Similarity.cachedIndex]]
+    * memo (the persisted-index discipline). */
+  private def vCorpusDiff: Q = (s, dir) => {
+    val root = Similarity.cachedIndex(s, dir, "corpusver", 1,
+        "documents.parquet") { path =>
+      val docs = Tables.documents(s, dir)
+      create(docs.filter(col("doc_id") % 3 =!= 0), path)
+      append(docs.filter(col("doc_id") % 3 === 0), path)
+      forget(s, path,
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))).collect()
+      // cachedIndex's sweep completion marker
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
+    }
+    snapshotDiff(s, root, 1L, 3L)
+  }
+
+  private val vCorpusDiffSql =
+    """SELECT doc_id, 'added' AS change FROM documents
+      |WHERE doc_id % 97 <> 0 AND doc_id % 3 = 0
+      |UNION ALL
+      |SELECT doc_id, 'removed' FROM documents
+      |WHERE doc_id % 3 <> 0 AND doc_id % 97 = 0""".stripMargin
+
+  def queries: Map[String, Q] = Map("v_corpus_diff" -> vCorpusDiff)
+  def oracles: Map[String, String] = Map("v_corpus_diff" -> vCorpusDiffSql)
+}

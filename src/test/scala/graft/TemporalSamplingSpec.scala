@@ -391,6 +391,83 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(cert2.values.forall(_ == 0L), cert2.toString)
   }
 
+  test("versioned corpus: append/forget publish snapshots; asOf/diff/rollback replay them; a pinned (corpus v, index v) pair replays retrieval byte-identically") {
+    import spark.implicits._
+    import graft.sources.CorpusStore
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 80)
+    val v1docs = docs.filter(col("doc_id") < 60)
+    val v2batch = docs.filter(col("doc_id") >= 60)
+    val corpusRoot = java.nio.file.Files.createTempDirectory("graft_cstore").toString + "/c"
+    val textRoot = java.nio.file.Files.createTempDirectory("graft_cstore_t").toString
+
+    // v1: create corpus + build index from exactly that corpus version
+    assert(CorpusStore.create(v1docs, corpusRoot) == 1L)
+    operators.TextIndex.build(CorpusStore.read(spark, corpusRoot), textRoot)
+    val indexV1 = operators.TextIndex.snapshots(spark, textRoot).max
+    val terms = Seq("vector", "hash")
+    val pinned = operators.TextIndex
+      .bm25TopkAtRoot(spark, textRoot, terms, 10, asOf = Some(indexV1))
+      .collect().toSeq
+
+    // v2: append — corpus version advances, v1 still readable
+    assert(CorpusStore.append(v2batch, corpusRoot) == 2L)
+    operators.TextIndex.upsert(v2batch, textRoot)
+    assert(CorpusStore.read(spark, corpusRoot).count() == 80L)
+    assert(CorpusStore.asOf(spark, corpusRoot, 1L).count() == 60L)
+
+    // v3: versioned forget — certificate carries the version pair on
+    // every surface
+    val gone = Seq(3L, 7L, 61L).toDF("doc_id")
+    val cert = pipelines.Forget.forgetVersioned(spark, corpusRoot, gone,
+        Some(textRoot), None)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(cert("corpus").getAs[Long]("n_deleted") == 3L)
+    assert(cert("corpus").getAs[Long]("v_before") == 2L)
+    assert(cert("corpus").getAs[Long]("v_after") == 3L)
+    assert(cert("text_index").getAs[Long]("n_deleted") == 3L)
+    assert(cert("text_index").getAs[Long]("v_after") >
+      cert("text_index").getAs[Long]("v_before"))
+    assert(CorpusStore.read(spark, corpusRoot).count() == 77L)
+
+    // the doc-level diff audits exactly the erased ids
+    val d23 = CorpusStore.snapshotDiff(spark, corpusRoot, 2L, 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d23 == Map(3L -> "removed", 7L -> "removed", 61L -> "removed"))
+    val d13 = CorpusStore.snapshotDiff(spark, corpusRoot, 1L, 3L)
+    assert(d13.filter(col("change") === "added").count() == 19L) // 60..79 minus 61
+    assert(d13.filter(col("change") === "removed").count() == 2L) // 3, 7
+
+    // re-running the same erasure is a versionless no-op
+    val cert2 = pipelines.Forget.forgetVersioned(spark, corpusRoot, gone,
+        Some(textRoot), None)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(cert2("corpus").getAs[Long]("n_deleted") == 0L)
+    assert(cert2("corpus").getAs[Long]("v_after") == 3L)
+
+    // THE PIN: after two corpus versions and two index mutations, the
+    // (corpus v1, index v1) pair replays the original retrieval
+    // byte-identically — from the pinned index snapshot AND
+    // recomputed from scratch off the pinned corpus snapshot
+    val replayIndexed = operators.TextIndex
+      .bm25TopkAtRoot(spark, textRoot, terms, 10, asOf = Some(indexV1))
+      .collect().toSeq
+    val replayCorpus = TextAnalysis
+      .bm25TopkOf(CorpusStore.asOf(spark, corpusRoot, 1L), terms, 10)
+      .collect().toSeq
+    assert(replayIndexed == pinned)
+    assert(replayCorpus == pinned)
+
+    // rollback: v2 becomes live again; the abandoned v3 is gone
+    CorpusStore.rollbackTo(spark, corpusRoot, 2L)
+    assert(CorpusStore.read(spark, corpusRoot).count() == 80L)
+    assert(CorpusStore.snapshots(spark, corpusRoot) == Seq(1L, 2L))
+    // and a fresh append after rollback reuses nothing stale
+    assert(CorpusStore.append(Seq((999L, "late doc")).toDF("doc_id", "text"),
+      corpusRoot) == 3L)
+    assert(CorpusStore.read(spark, corpusRoot).count() == 81L)
+  }
+
   test("publish lock: two interleaved writers serialize — both upserts land (text + ann)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
