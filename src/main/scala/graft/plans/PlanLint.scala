@@ -3,7 +3,10 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.ScalaUDF
 import org.apache.spark.sql.catalyst.plans.Cross
-import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 
 /** Scale-killer lint over a query's plans — the checks this library's
   * own PlanSpec runs on every registered query, packaged as an
@@ -21,6 +24,16 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
   */
 object PlanLint {
 
+  /** A plan whose STATIC maximum row count is at most this is treated
+    * as bounded — joining or sorting it cannot be the scale variable.
+    * Catalyst's own `maxRows` derivation is the prover: an ungrouped
+    * aggregate is ≤ 1 row, a `limit n` ≤ n, a literal-backed local
+    * relation its size, and the bound propagates through narrow ops. */
+  private val BoundedRows = 1000L
+
+  private def bounded(p: LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= BoundedRows)
+
   /** One row per finding: `(severity, finding, detail)`. Empty =
     * clean. */
   def lint(df: DataFrame): DataFrame = {
@@ -35,7 +48,21 @@ object PlanLint {
     val analyzed = df.queryExecution.analyzed
 
     optimized.foreach {
-      case j: Join if j.joinType == Cross || j.condition.isEmpty =>
+      // a condition-less join is only a scale-killer when BOTH sides
+      // scale: the library's own 1-row-broadcast idiom (global-agg
+      // totals, a single query vector) is a bounded fan-out, not a
+      // cartesian blow-up. Two provers: Catalyst's maxRows (ungrouped
+      // agg, limit, literal relation), and an explicit broadcast()
+      // hint — the author's attestation that the side fits in one
+      // executor's memory, which the broadcast machinery ENFORCES at
+      // runtime (spark.sql.autoBroadcastJoinThreshold / 8GB hard cap),
+      // so an unbounded side fails loudly rather than scaling O(n·m).
+      case j: Join if (j.joinType == Cross || j.condition.isEmpty) &&
+          !bounded(j.left) && !bounded(j.right) &&
+          !j.hint.leftHint.exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) &&
+          !j.hint.rightHint.exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) =>
         out += (("error", "cross_join",
           "join without a condition multiplies row counts — add keys or broadcast a bounded side"))
       case _ => ()
@@ -50,15 +77,28 @@ object PlanLint {
       out += (("warn", "scala_udf",
         "ScalaUDF blocks whole-stage codegen and filter pushdown — prefer built-in functions or a native Expression"))
 
-    val phys = df.queryExecution.executedPlan.toString
-    if (phys.contains("CartesianProduct"))
+    // physical pass over the pre-adaptive plan tree (AQE may still
+    // improve it at runtime — the lint reports the static plan)
+    val phys: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    if (phys.exists(_.toString.startsWith("CartesianProduct")))
       out += (("error", "cartesian_product",
         "physical cartesian product — O(n·m) row pairs"))
-    // a physical range-exchange is a GLOBAL sort of the full stream;
-    // TakeOrderedAndProject (orderBy + limit) never plans one
-    if (phys.contains("Exchange rangepartitioning"))
+    // a global SortExec demands range partitioning of its whole input
+    // (AQE inserts the actual exchange lazily, so the node — not the
+    // exchange — is what the static plan shows). A scale-killer when
+    // it sorts the full input stream; legitimate when an aggregation
+    // below already reduced the volume to group cardinality (the
+    // ubiquitous report-ordering tail). TakeOrderedAndProject
+    // (orderBy + limit) never plans one.
+    val fullVolumeSort = phys.collect {
+      case e: SortExec if e.global => e
+    }.exists(e => !e.child.exists(_.isInstanceOf[BaseAggregateExec]))
+    if (fullVolumeSort)
       out += (("warn", "global_sort",
-        "global ORDER BY range-shuffles the whole dataset — fine for small results, a scale-killer on full volume; prefer orderBy+limit or a per-key window"))
+        "global ORDER BY range-shuffles the full unaggregated stream — prefer orderBy+limit, a per-key window, or sort after aggregation"))
 
     out.distinct.sortBy(identity).toSeq
       .toDF("severity", "finding", "detail")

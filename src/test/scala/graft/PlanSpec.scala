@@ -527,18 +527,55 @@ class PlanSpec extends SparkSpec {
     def findings(df: org.apache.spark.sql.DataFrame): Set[String] =
       PlanLint.lint(df).collect().map(_.getString(1)).toSet
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
-    val b = Seq((1L, 1.0)).toDF("id2", "w")
-    assert(findings(a.crossJoin(b)).contains("cross_join"))
-    assert(findings(a.withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("id"))))
+    // cross join of two UNBOUNDED (file-backed) sides flags; never run
+    val ord = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    assert(findings(ord.crossJoin(li)).contains("cross_join"))
+    // …but the library's bounded idioms don't: a provably-1-row side
+    // (ungrouped agg — Catalyst maxRows), or an explicit broadcast()
+    // attestation on a key-filtered side
+    assert(!findings(li.crossJoin(ord.agg(max(col("o_totalprice")).as("mx"))))
+      .contains("cross_join"))
+    assert(!findings(li.crossJoin(broadcast(ord.filter(col("o_orderkey") === 1L))))
+      .contains("cross_join"))
+    assert(findings(li.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("l_orderkey"))))
       .contains("single_partition_window"))
     val f = org.apache.spark.sql.functions.udf((s: String) => s.length)
     assert(findings(a.select(f(col("v")).as("n"))).contains("scala_udf"))
-    assert(findings(a.orderBy("id")).contains("global_sort"))
+    // full-volume global sort flags; sort AFTER aggregation (report
+    // ordering, group-cardinality volume) doesn't
+    assert(findings(li.orderBy("l_orderkey")).contains("global_sort"))
+    assert(!findings(li.groupBy("l_returnflag").count().orderBy("l_returnflag"))
+      .contains("global_sort"))
     // the registered flagship stays clean of errors
     val flagship = SparkEntry.queries("q3_top_revenue")(spark, sf)
     assert(!PlanLint.lint(flagship).collect()
       .exists(_.getString(0) == "error"))
+  }
+
+  test("plan lint self-gate: every registered query lints clean outside the named exemptions") {
+    import graft.plans.PlanLint
+    // the repo's own scale-killer lint turned on the repo's own suite:
+    // any new query that plans a cartesian product, a full-volume
+    // global sort, a ScalaUDF, or an unjustified single-partition
+    // window fails HERE, not on a 1000-executor cluster. Exemptions
+    // are the documented bounded-by-construction windows:
+    //  - p14_priority_sample: one global prefix window over the
+    //    PRIORITY-AGGREGATED frame (rows = distinct priorities × keys,
+    //    bounded by the sampler's contract, see Sampling.scala)
+    //  - t_mixture_weights: corpus totals window over the per-language
+    //    aggregate (rows = language count, see TextAnalysis.scala)
+    val exempt: Map[String, Set[String]] = Map(
+      "p14_priority_sample" -> Set("single_partition_window"),
+      "t_mixture_weights" -> Set("single_partition_window"))
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      PlanLint.lint(fn(spark, sf)).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .filterNot { case (_, finding) => exempt.getOrElse(name, Set.empty)(finding) }
+        .map { case (sev, finding) => s"$name: $sev/$finding" }
+    }
+    assert(bad.isEmpty, s"lint findings outside exemptions:\n${bad.mkString("\n")}")
   }
 
 }
