@@ -260,12 +260,14 @@ object Quality {
     * [[xDriftPsi]] for the determinism discipline. */
   def driftPsi(base: DataFrame, cur: DataFrame, numericCols: Seq[String],
       categoricalCols: Seq[String], buckets: Int = PsiBuckets,
-      alert: Double = 0.2): DataFrame = {
+      alert: Double = 0.2, groupCols: Seq[String] = Nil): DataFrame = {
     val extents = psiExtents(base, numericCols)
     psiFromCounts(
-      psiBucketCounts(base, numericCols, categoricalCols, extents, buckets),
-      psiBucketCounts(cur, numericCols, categoricalCols, extents, buckets),
-      alert)
+      psiBucketCounts(base, numericCols, categoricalCols, extents, buckets,
+        groupCols),
+      psiBucketCounts(cur, numericCols, categoricalCols, extents, buckets,
+        groupCols),
+      alert, groupCols)
   }
 
   /** The per-numeric-column BASE extents the bucketing closes over —
@@ -286,13 +288,18 @@ object Quality {
     * extents — (column, bucket, n), the mergeable PSI state: counts
     * are additive, so a running version maintains by
     * [[RelationalExt.mergeAggStates]] instead of recount. One narrow
-    * scan fanning the columns out map-side. */
+    * scan fanning the columns out map-side. `groupCols` prepends
+    * SLICE keys (source, lang, shard …): every downstream statistic
+    * then reports per slice from the same single-scan state — the
+    * extents stay whole-column so slices bucket identically and stay
+    * comparable. */
   private[graft] def psiBucketCounts(df: DataFrame, numericCols: Seq[String],
       categoricalCols: Seq[String],
       extents: Map[String, (Option[Double], Option[Double])],
-      buckets: Int = PsiBuckets): DataFrame = {
+      buckets: Int = PsiBuckets, groupCols: Seq[String] = Nil): DataFrame = {
     def litOpt(o: Option[Double]) =
       o.map(lit(_)).getOrElse(lit(null).cast("double"))
+    val g = groupCols.map(col)
     val nums = numericCols.map { c =>
       val (mn, mx) = (litOpt(extents(c)._1), litOpt(extents(c)._2))
       // degenerate-extent guard (null-safe): a constant base column
@@ -300,16 +307,17 @@ object Quality {
       // 0/0 → null buckets, where Spark's null-skipping greatest and
       // DuckDB's null-propagating one diverge. Everything lands in
       // bucket 0 instead, mirrored verbatim in the oracle SQL.
-      df.select(lit(c).as("column"),
+      df.select(g :+ lit(c).as("column") :+
         when(mx <=> mn, lit(0))
           .otherwise(least(lit(buckets - 1), greatest(lit(0),
             floor((col(c) - mn) / (mx - mn)
-              * buckets).cast("int")))).cast("string").as("bucket"))
+              * buckets).cast("int")))).cast("string").as("bucket"): _*)
     }
-    val cats = categoricalCols.map(c => df.select(lit(c).as("column"),
-      coalesce(col(c).cast("string"), lit("<null>")).as("bucket")))
+    val cats = categoricalCols.map(c => df.select(g :+ lit(c).as("column") :+
+      coalesce(col(c).cast("string"), lit("<null>")).as("bucket"): _*))
     (nums ++ cats).reduce(_ unionByName _)
-      .groupBy(col("column"), col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(g :+ col("column") :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
   }
 
   /** PSI report from two (column, bucket, n) count frames — per-column
@@ -317,29 +325,32 @@ object Quality {
     * per column, so they equal the version's row count). Everything
     * here is bucket-count-sized. */
   private[graft] def psiFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
-      alert: Double = 0.2): DataFrame = {
-    val k = Window.partitionBy(col("column"))
+      alert: Double = 0.2, groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = groupCols :+ "column"
+    val g = keys.map(col)
+    val k = Window.partitionBy(g: _*)
     val alertNanos = math.round(alert * 1e9)
-    baseCounts.select(col("column"), col("bucket"), col("n").as("cb"))
-      .join(curCounts.select(col("column"), col("bucket"), col("n").as("cc")),
-        Seq("column", "bucket"), "full_outer")
-      .select(col("column"), col("bucket"),
-        coalesce(col("cb"), lit(0L)).as("cb"), coalesce(col("cc"), lit(0L)).as("cc"))
+    baseCounts.select(g :+ col("bucket") :+ col("n").as("cb"): _*)
+      .join(curCounts.select(g :+ col("bucket") :+ col("n").as("cc"): _*),
+        keys :+ "bucket", "full_outer")
+      .select(g :+ col("bucket") :+
+        coalesce(col("cb"), lit(0L)).as("cb") :+
+        coalesce(col("cc"), lit(0L)).as("cc"): _*)
       .withColumn("kk", count(lit(1)).over(k))
       .withColumn("nb", sum(col("cb")).over(k))
       .withColumn("nc", sum(col("cc")).over(k))
-      .select(col("column"), col("nb"), col("nc"),
+      .select(g :+ col("nb") :+ col("nc") :+
         floor(((col("cb") + lit(1.0)) / (col("nb") + col("kk"))
           - (col("cc") + lit(1.0)) / (col("nc") + col("kk")))
           * expr("ln(((cb + 1.0) / (nb + kk)) / ((cc + 1.0) / (nc + kk)))")
-          * lit(1e9)).cast("long").as("nano"))
-      .groupBy(col("column"))
+          * lit(1e9)).cast("long").as("nano"): _*)
+      .groupBy(g: _*)
       .agg(first(col("nb")).as("n_base"), first(col("nc")).as("n_cur"),
         sum(col("nano")).as("nanos"))
-      .select(col("column"), col("n_base"), col("n_cur"),
-        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("psi"),
-        (col("nanos") > alertNanos).as("drifted"))
-      .orderBy(col("column"))
+      .select(g :+ col("n_base") :+ col("n_cur") :+
+        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("psi") :+
+        (col("nanos") > alertNanos).as("drifted"): _*)
+      .orderBy(g: _*)
   }
 
   private def xDriftPsi: Q = (s, dir) => {
@@ -350,6 +361,72 @@ object Quality {
       numericCols = Seq("o_totalprice"),
       categoricalCols = Seq("o_orderstatus", "o_orderpriority"))
   }
+
+  /** `x_drift_psi_sliced` — the PSI report PER SLICE (here: per
+    * o_orderpriority), the production monitor shape: a whole-column
+    * drift report smears a shift confined to one source/lang slice
+    * below the alert threshold, so monitors slice first and alert per
+    * slice. Same single-scan mergeable state — the slice key is just
+    * an extra grouping column on [[psiBucketCounts]]; the extents stay
+    * whole-column so every slice buckets identically and the reports
+    * are comparable across slices. */
+  private def xDriftPsiSliced: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    driftPsi(
+      o.filter(col("o_orderdate") < lit(DriftCutoff)),
+      o.filter(col("o_orderdate") >= lit(DriftCutoff)),
+      numericCols = Seq("o_totalprice"),
+      categoricalCols = Seq("o_orderstatus"),
+      groupCols = Seq("o_orderpriority"))
+  }
+
+  private val xDriftPsiSlicedSql =
+    s"""WITH base AS (SELECT * FROM orders WHERE o_orderdate < '$DriftCutoff'),
+       |cur AS (SELECT * FROM orders WHERE o_orderdate >= '$DriftCutoff'),
+       |ext AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM base),
+       |bb AS (
+       |  SELECT o_orderpriority, 'o_totalprice' AS "column",
+       |    CAST(CASE WHEN mx IS NOT DISTINCT FROM mn THEN 0
+       |      ELSE least(${PsiBuckets - 1}, greatest(0,
+       |        CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) END AS VARCHAR) AS bucket
+       |  FROM base CROSS JOIN ext
+       |  UNION ALL SELECT o_orderpriority, 'o_orderstatus',
+       |    coalesce(o_orderstatus, '<null>') FROM base),
+       |cb2 AS (
+       |  SELECT o_orderpriority, 'o_totalprice' AS "column",
+       |    CAST(CASE WHEN mx IS NOT DISTINCT FROM mn THEN 0
+       |      ELSE least(${PsiBuckets - 1}, greatest(0,
+       |        CAST(floor((o_totalprice - mn) / (mx - mn) * $PsiBuckets) AS INT))) END AS VARCHAR) AS bucket
+       |  FROM cur CROSS JOIN ext
+       |  UNION ALL SELECT o_orderpriority, 'o_orderstatus',
+       |    coalesce(o_orderstatus, '<null>') FROM cur),
+       |bcnt AS (SELECT o_orderpriority, "column", bucket, count(*) AS cb
+       |         FROM bb GROUP BY 1, 2, 3),
+       |ccnt AS (SELECT o_orderpriority, "column", bucket, count(*) AS cc
+       |         FROM cb2 GROUP BY 1, 2, 3),
+       |j AS (SELECT coalesce(b.o_orderpriority, c.o_orderpriority) AS o_orderpriority,
+       |        coalesce(b."column", c."column") AS "column",
+       |        coalesce(b.bucket, c.bucket) AS bucket,
+       |        coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+       |      FROM bcnt b FULL OUTER JOIN ccnt c
+       |        ON b.o_orderpriority = c.o_orderpriority
+       |       AND b."column" = c."column" AND b.bucket = c.bucket),
+       |wk AS (SELECT *,
+       |        count(*) OVER (PARTITION BY o_orderpriority, "column") AS kk,
+       |        sum(cb) OVER (PARTITION BY o_orderpriority, "column") AS nb,
+       |        sum(cc) OVER (PARTITION BY o_orderpriority, "column") AS nc
+       |      FROM j),
+       |terms AS (SELECT o_orderpriority, "column", nb, nc,
+       |    CAST(floor(((cb + 1.0) / (nb + kk) - (cc + 1.0) / (nc + kk))
+       |      * ln(((cb + 1.0) / (nb + kk)) / ((cc + 1.0) / (nc + kk)))
+       |      * 1e9) AS BIGINT) AS nano
+       |  FROM wk)
+       |SELECT o_orderpriority, "column",
+       |       CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+       |       floor((CAST(sum(nano) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS psi,
+       |       sum(nano) > $PsiAlertNanos AS drifted
+       |FROM terms GROUP BY o_orderpriority, "column", nb, nc
+       |ORDER BY o_orderpriority, "column"""".stripMargin
 
   /** Where the IVM demo splits the current version into two "daily"
     * deltas. */
@@ -449,8 +526,10 @@ object Quality {
     * l_discount: ≤ 50 distinct) — a continuous column should be
     * quantized first or handed to [[driftPsi]], the `a14_winsorize`
     * cardinality argument. */
-  def driftKs(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame =
-    ksFromCounts(valueCounts(base, cols), valueCounts(cur, cols))
+  def driftKs(base: DataFrame, cur: DataFrame, cols: Seq[String],
+      groupCols: Seq[String] = Nil): DataFrame =
+    ksFromCounts(valueCounts(base, cols, groupCols),
+      valueCounts(cur, cols, groupCols), groupCols)
 
   /** Per-(column, value) occupancy of ONE table version — the
     * mergeable state of the VALUE-level drift statistics (KS, W1):
@@ -458,22 +537,28 @@ object Quality {
     * merge, the [[psiBucketCounts]] twin for distributions judged at
     * distinct values instead of fixed buckets (discrete/quantized
     * columns — the class-doc cardinality caveat). */
-  private[graft] def valueCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+  private[graft] def valueCounts(df: DataFrame, cols: Seq[String],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
     cols.map(c => df.filter(col(c).isNotNull)
-        .select(lit(c).as("column"), col(c).cast("double").as("v")))
+        .select(g :+ lit(c).as("column") :+ col(c).cast("double").as("v"): _*))
       .reduce(_ unionByName _)
-      .groupBy(col("column"), col("v")).agg(count(lit(1)).as("n"))
+      .groupBy(g :+ col("column") :+ col("v"): _*).agg(count(lit(1)).as("n"))
+  }
 
   /** The merged (column, v, ca, cb) frame both value-level statistics
     * score from. */
   private def mergedValueCounts(baseCounts: DataFrame,
-      curCounts: DataFrame): DataFrame =
-    baseCounts.select(col("column"), col("v"), col("n").as("ca"))
-      .join(curCounts.select(col("column"), col("v"), col("n").as("cb")),
-        Seq("column", "v"), "full_outer")
-      .select(col("column"), col("v"),
-        coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
+      curCounts: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = groupCols ++ Seq("column", "v")
+    val g = keys.map(col)
+    baseCounts.select(g :+ col("n").as("ca"): _*)
+      .join(curCounts.select(g :+ col("n").as("cb"): _*),
+        keys, "full_outer")
+      .select(g :+
+        coalesce(col("ca"), lit(0L)).as("ca") :+
+        coalesce(col("cb"), lit(0L)).as("cb"): _*)
+  }
 
   /** KS report from two (column, v, n) count frames — everything past
     * the counts is distinct-value-sized. The cross-multiplied products
@@ -482,29 +567,32 @@ object Quality {
     * side), the `bm25fSc` 128-bit discipline — mirrored as HUGEINT in
     * the oracle. */
   private[graft] def ksFromCounts(baseCounts: DataFrame,
-      curCounts: DataFrame): DataFrame = {
+      curCounts: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
     def big(c: Column): Column = c.cast("decimal(38,0)")
-    val perVal = mergedValueCounts(baseCounts, curCounts)
-    val totals = perVal.groupBy(col("column"))
+    val keys = groupCols :+ "column"
+    val g = keys.map(col)
+    val perVal = mergedValueCounts(baseCounts, curCounts, groupCols)
+    val totals = perVal.groupBy(g: _*)
       .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_cur"))
-    val cum = Window.partitionBy(col("column")).orderBy(col("v"))
+    val cum = Window.partitionBy(g: _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perVal
-      .select(col("column"),
-        sum(col("ca")).over(cum).as("cuma"), sum(col("cb")).over(cum).as("cumb"))
-      .join(broadcast(totals), "column")
-      .select(col("column"), col("n_base"), col("n_cur"),
+      .select(g :+
+        sum(col("ca")).over(cum).as("cuma") :+
+        sum(col("cb")).over(cum).as("cumb"): _*)
+      .join(broadcast(totals), keys)
+      .select(g :+ col("n_base") :+ col("n_cur") :+
         abs(big(col("cuma")) * col("n_cur")
-          - big(col("cumb")) * col("n_base")).as("dev"))
-      .groupBy(col("column"))
+          - big(col("cumb")) * col("n_base")).as("dev"): _*)
+      .groupBy(g: _*)
       .agg(first(col("n_base")).as("n_base"), first(col("n_cur")).as("n_cur"),
         max(col("dev")).as("mdev"))
-      .select(col("column"), col("n_base"), col("n_cur"),
+      .select(g :+ col("n_base") :+ col("n_cur") :+
         expr(TextAnalysis.r6("cast(mdev as double) / " +
-          "cast(cast(n_base as decimal(38,0)) * n_cur as double)")).as("ks"),
-        (col("mdev") * 10L > big(col("n_base")) * col("n_cur") * KsAlertTimes10)
-          .as("drifted"))
-      .orderBy(col("column"))
+          "cast(cast(n_base as decimal(38,0)) * n_cur as double)")).as("ks") :+
+        ((col("mdev") * 10L > big(col("n_base")) * col("n_cur") * KsAlertTimes10)
+          .as("drifted")): _*)
+      .orderBy(g: _*)
   }
 
   private def xDriftKs: Q = (s, dir) => {
@@ -571,46 +659,51 @@ object Quality {
     * multiplied counts times one double gap, normalized and floored
     * to nanos BEFORE the order-free sum, alert compared as integers —
     * the discrete/quantized-column caveat of KS applies. */
-  def driftW1(base: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame =
-    w1FromCounts(valueCounts(base, cols), valueCounts(cur, cols))
+  def driftW1(base: DataFrame, cur: DataFrame, cols: Seq[String],
+      groupCols: Seq[String] = Nil): DataFrame =
+    w1FromCounts(valueCounts(base, cols, groupCols),
+      valueCounts(cur, cols, groupCols), groupCols)
 
   /** W1 report from two (column, v, n) count frames — the
     * [[ksFromCounts]] twin; one incremental value-count state serves
     * both. */
   private[graft] def w1FromCounts(baseCounts: DataFrame,
-      curCounts: DataFrame): DataFrame = {
+      curCounts: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
     def big(c: Column): Column = c.cast("decimal(38,0)")
-    val perVal = mergedValueCounts(baseCounts, curCounts)
-    val totals = perVal.groupBy(col("column"))
+    val keys = groupCols :+ "column"
+    val g = keys.map(col)
+    val perVal = mergedValueCounts(baseCounts, curCounts, groupCols)
+    val totals = perVal.groupBy(g: _*)
       .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_cur"),
         min(when(col("ca") > 0, col("v"))).as("mn"),
         max(when(col("ca") > 0, col("v"))).as("mx"))
-    val cum = Window.partitionBy(col("column")).orderBy(col("v"))
+    val cum = Window.partitionBy(g: _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lead1 = Window.partitionBy(col("column")).orderBy(col("v"))
+    val lead1 = Window.partitionBy(g: _*).orderBy(col("v"))
     perVal
-      .select(col("column"), col("v"),
-        sum(col("ca")).over(cum).as("cuma"), sum(col("cb")).over(cum).as("cumb"))
+      .select(g :+ col("v") :+
+        sum(col("ca")).over(cum).as("cuma") :+
+        sum(col("cb")).over(cum).as("cumb"): _*)
       .withColumn("gap", coalesce(lead(col("v"), 1).over(lead1) - col("v"), lit(0.0)))
-      .join(broadcast(totals), "column")
-      .select(col("column"), col("n_base"), col("n_cur"),
+      .join(broadcast(totals), keys)
+      .select(g :+ col("n_base") :+ col("n_cur") :+
         // degenerate base extent (constant/empty) → zero contribution,
         // mirrored in the oracle (the driftPsi guard discipline)
-        when(col("mx") <=> col("mn"), lit(0L))
+        (when(col("mx") <=> col("mn"), lit(0L))
           .otherwise(floor(
             abs(big(col("cuma")) * col("n_cur")
                 - big(col("cumb")) * col("n_base"))
               .cast("double") * col("gap")
               / (big(col("n_base")) * col("n_cur")).cast("double")
               / (col("mx") - col("mn")) * lit(1e9)).cast("long"))
-          .as("nano"))
-      .groupBy(col("column"))
+          .as("nano")): _*)
+      .groupBy(g: _*)
       .agg(first(col("n_base")).as("n_base"), first(col("n_cur")).as("n_cur"),
         sum(col("nano")).as("nanos"))
-      .select(col("column"), col("n_base"), col("n_cur"),
-        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("w1_norm"),
-        (col("nanos") > W1AlertNanos).as("drifted"))
-      .orderBy(col("column"))
+      .select(g :+ col("n_base") :+ col("n_cur") :+
+        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("w1_norm") :+
+        (col("nanos") > W1AlertNanos).as("drifted"): _*)
+      .orderBy(g: _*)
   }
 
   private def xDriftW1: Q = (s, dir) => {
@@ -689,24 +782,31 @@ object Quality {
     * one narrow scan per version, bucket-count-sized everything
     * after. */
   def driftChi2(base: DataFrame, cur: DataFrame, numericCols: Seq[String],
-      categoricalCols: Seq[String], buckets: Int = PsiBuckets): DataFrame = {
+      categoricalCols: Seq[String], buckets: Int = PsiBuckets,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val extents = psiExtents(base, numericCols)
     chi2FromCounts(
-      psiBucketCounts(base, numericCols, categoricalCols, extents, buckets),
-      psiBucketCounts(cur, numericCols, categoricalCols, extents, buckets))
+      psiBucketCounts(base, numericCols, categoricalCols, extents, buckets,
+        groupCols),
+      psiBucketCounts(cur, numericCols, categoricalCols, extents, buckets,
+        groupCols),
+      groupCols)
   }
 
   /** Chi-square report from two (column, bucket, n) count frames —
     * the [[psiFromCounts]] twin, so a [[graft.streaming
     * .StreamingDriftMonitor]]-style incremental state serves both. */
   private[graft] def chi2FromCounts(baseCounts: DataFrame,
-      curCounts: DataFrame): DataFrame = {
-    val k = Window.partitionBy(col("column"))
-    baseCounts.select(col("column"), col("bucket"), col("n").as("cb"))
-      .join(curCounts.select(col("column"), col("bucket"), col("n").as("cc")),
-        Seq("column", "bucket"), "full_outer")
-      .select(col("column"), col("bucket"),
-        coalesce(col("cb"), lit(0L)).as("cb"), coalesce(col("cc"), lit(0L)).as("cc"))
+      curCounts: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = groupCols :+ "column"
+    val g = keys.map(col)
+    val k = Window.partitionBy(g: _*)
+    baseCounts.select(g :+ col("bucket") :+ col("n").as("cb"): _*)
+      .join(curCounts.select(g :+ col("bucket") :+ col("n").as("cc"): _*),
+        keys :+ "bucket", "full_outer")
+      .select(g :+ col("bucket") :+
+        coalesce(col("cb"), lit(0L)).as("cb") :+
+        coalesce(col("cc"), lit(0L)).as("cc"): _*)
       .withColumn("kk", count(lit(1)).over(k))
       .withColumn("nb", sum(col("cb")).over(k))
       .withColumn("nc", sum(col("cc")).over(k))
@@ -714,15 +814,15 @@ object Quality {
       // last ulp and NOT engine-portable at floor boundaries
       .withColumn("e", (col("cb") + lit(1.0)) * col("nc") / (col("nb") + col("kk")))
       .withColumn("d", col("cc") - col("e"))
-      .select(col("column"), col("nb"), col("nc"),
-        floor(col("d") * col("d") / col("e") * lit(1e9)).cast("long").as("nano"))
-      .groupBy(col("column"))
+      .select(g :+ col("nb") :+ col("nc") :+
+        floor(col("d") * col("d") / col("e") * lit(1e9)).cast("long").as("nano"): _*)
+      .groupBy(g: _*)
       .agg(first(col("nb")).as("n_base"), first(col("nc")).as("n_cur"),
         sum(col("nano")).as("nanos"))
-      .select(col("column"), col("n_base"), col("n_cur"),
-        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("chi2"),
-        (col("nanos") > col("n_cur") * Chi2Phi2AlertNanosPerRow).as("drifted"))
-      .orderBy(col("column"))
+      .select(g :+ col("n_base") :+ col("n_cur") :+
+        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("chi2") :+
+        (col("nanos") > col("n_cur") * Chi2Phi2AlertNanosPerRow).as("drifted"): _*)
+      .orderBy(g: _*)
   }
 
   private def xDriftChi2: Q = (s, dir) => {
@@ -1036,6 +1136,7 @@ object Quality {
     "x_expectations" -> xExpectations,
     "x_quarantine" -> xQuarantine,
     "x_drift_psi" -> xDriftPsi,
+    "x_drift_psi_sliced" -> xDriftPsiSliced,
     "x_drift_psi_ivm" -> xDriftPsiIvm,
     "x_drift_ks" -> xDriftKs,
     "x_drift_chi2" -> xDriftChi2,
@@ -1051,6 +1152,7 @@ object Quality {
     "x_expectations" -> xExpectationsSql,
     "x_quarantine" -> xQuarantineSql,
     "x_drift_psi" -> xDriftPsiSql,
+    "x_drift_psi_sliced" -> xDriftPsiSlicedSql,
     // the IVM variant must equal the full recompute — same oracle text
     "x_drift_psi_ivm" -> xDriftPsiSql,
     "x_drift_ks" -> xDriftKsSql,

@@ -490,6 +490,49 @@ class StreamingSpec extends SparkSpec {
       graft.operators.Quality.driftW1(base, cur, Seq("x")).collect().toSeq)
   }
 
+  test("sliced drift monitor: per-slice quartet reports equal the batch per-slice recompute; a shift confined to one slice alerts only there") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two sources; the planted numeric shift lives ONLY in source s2
+    val base = (0 until 400).map { i =>
+      (i % 100 * 1.0, if (i % 2 == 0) "a" else "b", if (i % 2 == 0) "s1" else "s2")
+    }.toDF("x", "c", "src")
+    val batch1 = (0 until 100).map(i => (i % 100 * 1.0, "a", "s1")) // s1: no shift
+    val batch2 = (0 until 100).map(i => ((i % 40) + 60.0, "b", "s2")) // s2: shifted up
+    val input = MemoryStream[(Double, String, String)]
+    val (q, m) = streaming.StreamingDriftMonitor.monitor(
+      input.toDF().toDF("x", "c", "src"), base, Seq("x"), Seq("c"),
+      valueCols = Seq("x"), sliceCol = Some("src"))
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cur = (batch1 ++ batch2).toDF("x", "c", "src")
+    val g = Seq("src")
+    // the law: every sliced monitor report equals its batch per-slice
+    // recompute exactly (integer counts — no association drift)
+    val wantPsi = graft.operators.Quality
+      .driftPsi(base, cur, Seq("x"), Seq("c"), groupCols = g).collect().toSeq
+    assert(m.report(spark).collect().toSeq == wantPsi)
+    assert(m.reportChi2(spark).collect().toSeq ==
+      graft.operators.Quality.driftChi2(base, cur, Seq("x"), Seq("c"),
+        groupCols = g).collect().toSeq)
+    assert(m.reportKs(spark).collect().toSeq ==
+      graft.operators.Quality.driftKs(base, cur, Seq("x"), groupCols = g)
+        .collect().toSeq)
+    assert(m.reportW1(spark).collect().toSeq ==
+      graft.operators.Quality.driftW1(base, cur, Seq("x"), groupCols = g)
+        .collect().toSeq)
+    // slice isolation: x drifted in s2, not in s1 — the per-slice
+    // report localizes what a whole-column report would smear
+    val psiBySlice = wantPsi.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Boolean]("drifted")).toMap
+    assert(psiBySlice(("s2", "x")), psiBySlice.toString)
+    assert(!psiBySlice(("s1", "x")), psiBySlice.toString)
+  }
+
   test("heavy-hitters monitor: never misses a global heavy hitter, even one spread thin across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
