@@ -715,6 +715,14 @@ object Graft {
         terms: Seq[String], k: Int = 20): DataFrame =
       operators.TextIndex.bm25TopkIndexed(spark, dir, terms, k)
 
+    /** BM25F top-k served from the SAME persisted index — the title
+      * components are denormalized onto the postings (body = total −
+      * title), so fielded scoring rides the identical bucket-pruned
+      * probes. Same scores as [[bm25fTopk]], spec-pinned. */
+    def bm25fTopkIndexed(spark: SparkSession, dir: String,
+        terms: Seq[String], k: Int = 20): DataFrame =
+      operators.TextIndex.bm25fTopkIndexed(spark, dir, terms, k)
+
     /** BATCH retrieval serving: a whole `(query_id, term)` frame
       * probes the index in ONE join (dynamic partition pruning from
       * the join on the bucket column); per-query top-k. Each query's
@@ -782,6 +790,15 @@ object Graft {
     def bm25TopkAt(spark: SparkSession, root: String, terms: Seq[String],
         k: Int = 20, asOf: Option[Long] = None): DataFrame =
       operators.TextIndex.bm25TopkAtRoot(spark, root, terms, k, asOf)
+
+    /** BM25F top-k from an explicit-root incremental index — the
+      * fielded [[bm25TopkAt]] twin: title components net across
+      * generations under the same signed-delta algebra as tf/dl, so
+      * fielded serving inherits upserts, deletes, compaction, and
+      * `asOf` snapshot pins with zero extra structures. */
+    def bm25fTopkAt(spark: SparkSession, root: String, terms: Seq[String],
+        k: Int = 20, asOf: Option[Long] = None): DataFrame =
+      operators.TextIndex.bm25fTopkAtRoot(spark, root, terms, k, asOf)
 
     /** The retained snapshot versions at a text-index root, ascending
       * (one per publish; expired by the sweep past its grace). */

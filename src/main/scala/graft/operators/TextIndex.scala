@@ -82,7 +82,7 @@ object TextIndex {
     * handle that within a partition. */
   val Buckets = 64
 
-  private val TextIndexVersion = 2 // v2: signed-delta gens + docs registry
+  private val TextIndexVersion = 3 // v2: signed-delta gens + docs registry; v3: fielded (title/body) postings
 
   /** Exact JVM twin of `graft_polyhash` ([[PortableHash.polyHash]]):
     * fold (acc·31 + codePOINT) mod P — code points, not UTF-16 units,
@@ -146,6 +146,41 @@ object TextIndex {
   def bm25TopkIndexed(s: SparkSession, dir: String, terms: Seq[String],
       k: Int): DataFrame =
     TextAnalysis.bm25TopkCut(bm25ScoredIndexed(s, dir, terms), k)
+
+  /** Per-(doc, query-term) BM25F partials served FROM THE INDEX — the
+    * fielded twin of [[bm25ScoredIndexed]]: the title components
+    * (tf_t, dl_t, s_dlt) are DENORMALIZED onto the same postings/stats
+    * the unfielded probe reads (body = total − title), so fielded
+    * scoring rides the identical bucket-pruned scan — no extra
+    * structure, no corpus touch, and the scores equal the in-query
+    * [[TextAnalysis.bm25fScoredOf]] exactly (same 128-bit-exact
+    * integer algebra, so `t_bm25f_indexed` shares `t_bm25f`'s oracle
+    * verbatim). */
+  private[graft] def bm25fScoredIndexed(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val root = textIndex(s, dir)
+    val buckets = terms.map(bucketOf).distinct
+    val post = s.read.schema(PostingsSchema).parquet(s"$root/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dfT = s.read.schema(DfSchema).parquet(s"$root/df")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+    val stats = s.read.schema(StatsSchema).parquet(s"$root/stats")
+    post.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tf_b", col("tf") - col("tf_t"))
+      .withColumn("dl_b", col("dl") - col("dl_t"))
+      .withColumn("s_b", col("s_dl") - col("s_dlt"))
+      .select(col("doc_id"), col("term").as("token"),
+        expr(TextAnalysis.bm25fSc("tf_t", "tf_b", "dl_t", "dl_b",
+          "df", "n_docs", "s_dlt", "s_b")).as("sc"))
+  }
+
+  /** Façade form: arbitrary-term fielded top-k from the persisted
+    * index. */
+  def bm25fTopkIndexed(s: SparkSession, dir: String, terms: Seq[String],
+      k: Int): DataFrame =
+    TextAnalysis.bm25TopkCut(bm25fScoredIndexed(s, dir, terms), k)
 
   // ----------------------------------------------------------------
   // Batch probes: many queries through the index in ONE join
@@ -270,11 +305,18 @@ object TextIndex {
   // and schema INFERENCE over a file-less dir throws — pinned schemas
   // make every generation readable regardless of its row count, and
   // skip the inference listing besides.
+  // The fielded (title/body) split rides the SAME postings: tf_t/dl_t
+  // are the title-field components (body = total − title, so only one
+  // extra pair is stored), additive under the signed-delta algebra
+  // exactly like tf/dl — which is what lets BM25F serve off the same
+  // bucket-pruned probes with zero extra structures.
   private val PostingsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf_t", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl_t", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
   private val DfSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
@@ -282,10 +324,12 @@ object TextIndex {
     org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
   private val StatsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("s_dl", org.apache.spark.sql.types.LongType)))
+    org.apache.spark.sql.types.StructField("s_dl", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("s_dlt", org.apache.spark.sql.types.LongType)))
   private val DocsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl_t", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.IntegerType)))
 
   /** Normalize a (doc_id, text) batch: long ids, null text ≡ '' (the
@@ -301,12 +345,21 @@ object TextIndex {
     docs.select(col("doc_id"),
       size(filter(TextAnalysis.tokens(col("text")), t => t =!= ""))
         .cast("long").as("dl"))
+      .withColumn("dl_t",
+        least(col("dl"), lit(TextAnalysis.Bm25fTitleLen.toLong)))
 
   private def tfOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // positions among the FILTERED (non-empty) tokens — the same
+      // coordinate system bm25fScoredOf's title slice uses, so the
+      // indexed fielded scores equal the in-query form exactly
+      .select(col("doc_id"),
+        posexplode(filter(TextAnalysis.tokens(col("text")), t => t =!= "")))
+      .toDF("doc_id", "pos", "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sum(when(col("pos") < TextAnalysis.Bm25fTitleLen, 1L).otherwise(0L))
+          .as("tf_t"))
       .withColumn("bucket",
         pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)).cast("int"))
 
@@ -321,7 +374,8 @@ object TextIndex {
   private def writeParts(postings: DataFrame, statsDelta: DataFrame,
       docsDelta: DataFrame, genDir: String): Unit = {
     postings
-      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("bucket"))
+      .select(col("doc_id"), col("term"), col("tf"), col("tf_t"),
+        col("dl"), col("dl_t"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/postings")
     // df delta per term = Σ row signs: +1 for each live (doc, term)
     // added, −1 for each cancelled — summed over generations this IS
@@ -330,9 +384,9 @@ object TextIndex {
       .agg(sum(when(col("tf") > 0, 1L).otherwise(-1L)).as("df"))
       .select(col("term"), col("df"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/df")
-    statsDelta.select(col("n_docs"), col("s_dl"))
+    statsDelta.select(col("n_docs"), col("s_dl"), col("s_dlt"))
       .write.mode("overwrite").parquet(s"$genDir/stats")
-    docsDelta.select(col("doc_id"), col("dl"), col("d"))
+    docsDelta.select(col("doc_id"), col("dl"), col("dl_t"), col("d"))
       .write.mode("overwrite").parquet(s"$genDir/docs")
   }
 
@@ -345,8 +399,9 @@ object TextIndex {
     try {
       writeParts(
         tf.join(dl, "doc_id"),
-        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl")),
-        dl.select(col("doc_id"), col("dl"), lit(1).as("d")),
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"),
+          sum(col("dl_t")).as("s_dlt")),
+        dl.select(col("doc_id"), col("dl"), col("dl_t"), lit(1).as("d")),
         genDir)
     } finally {
       tf.unpersist(); dl.unpersist(); ()
@@ -508,9 +563,10 @@ object TextIndex {
     gens.map(g => s.read.schema(DocsSchema).parquet(s"$root/$g/docs"))
       .reduce(_ unionByName _)
       .groupBy(col("doc_id"))
-      .agg(sum(col("d")).as("alive"), sum(col("d") * col("dl")).as("dl"))
+      .agg(sum(col("d")).as("alive"), sum(col("d") * col("dl")).as("dl"),
+        sum(col("d") * col("dl_t")).as("dl_t"))
       .filter(col("alive") === 1)
-      .select(col("doc_id"), col("dl"))
+      .select(col("doc_id"), col("dl"), col("dl_t"))
 
   /** The currently-live net postings of the given doc_ids: all
     * generations' postings semi-joined to the ids (column-pruned,
@@ -523,7 +579,8 @@ object TextIndex {
       .reduce(_ unionByName _)
       .join(broadcast(ids.select(col("doc_id"))), "doc_id")
       .groupBy(col("doc_id"), col("term"), col("bucket"))
-      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+      .agg(sum(col("tf")).as("tf"), sum(col("tf_t")).as("tf_t"),
+        sum(col("dl")).as("dl"), sum(col("dl_t")).as("dl_t"))
       .filter(col("tf") > 0)
 
   private def nextGenOf(gens: Seq[String]): String =
@@ -562,7 +619,7 @@ object TextIndex {
     val docs = normalized(batch)
     val dl = dlOf(docs).persist()
     val resent =
-      (if (assumeAppendOnly) dl.limit(0).select(col("doc_id"), col("dl"))
+      (if (assumeAppendOnly) dl.limit(0).select(col("doc_id"), col("dl"), col("dl_t"))
        else liveDocs(s, root, gens)
          .join(broadcast(dl.select(col("doc_id"))), "doc_id"))
         .persist()
@@ -584,19 +641,25 @@ object TextIndex {
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], PostingsSchema)
         else livePostingsOf(s, root, gens, resent)
           .select(col("doc_id"), col("term"), (-col("tf")).as("tf"),
-            (-col("dl")).as("dl"), col("bucket"))
-      val batchStats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"))
+            (-col("tf_t")).as("tf_t"), (-col("dl")).as("dl"),
+            (-col("dl_t")).as("dl_t"), col("bucket"))
+      val batchStats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"),
+        sum(col("dl_t")).as("s_dlt"))
       val resentStats = resent.agg(count(lit(1)).as("rn"),
-        coalesce(sum(col("dl")), lit(0L)).as("rs"))
+        coalesce(sum(col("dl")), lit(0L)).as("rs"),
+        coalesce(sum(col("dl_t")), lit(0L)).as("rst"))
       writeParts(
         tfOf(docs).join(dl, "doc_id")
-          .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("bucket"))
+          .select(col("doc_id"), col("term"), col("tf"), col("tf_t"),
+            col("dl"), col("dl_t"), col("bucket"))
           .unionByName(anti),
         batchStats.crossJoin(resentStats)
           .select((col("n_docs") - col("rn")).as("n_docs"),
-            (coalesce(col("s_dl"), lit(0L)) - col("rs")).as("s_dl")),
-        dl.select(col("doc_id"), col("dl"), lit(1).as("d"))
-          .unionByName(resent.select(col("doc_id"), col("dl"), lit(-1).as("d"))),
+            (coalesce(col("s_dl"), lit(0L)) - col("rs")).as("s_dl"),
+            (coalesce(col("s_dlt"), lit(0L)) - col("rst")).as("s_dlt")),
+        dl.select(col("doc_id"), col("dl"), col("dl_t"), lit(1).as("d"))
+          .unionByName(resent.select(col("doc_id"), col("dl"), col("dl_t"),
+            lit(-1).as("d"))),
         s"$root/$next")
       publish(s, root, lines ++ (next +: tag.map(t => s"batch:$t").toSeq))
       Seq((next.stripPrefix("gen-").toLong, nBatch, nBatch - nResent, nResent))
@@ -634,12 +697,14 @@ object TextIndex {
       else {
         val anti = livePostingsOf(s, root, gens, victims)
           .select(col("doc_id"), col("term"), (-col("tf")).as("tf"),
-            (-col("dl")).as("dl"), col("bucket"))
+            (-col("tf_t")).as("tf_t"), (-col("dl")).as("dl"),
+            (-col("dl_t")).as("dl_t"), col("bucket"))
         writeParts(
           anti,
           victims.agg((-count(lit(1))).as("n_docs"),
-            (-coalesce(sum(col("dl")), lit(0L))).as("s_dl")),
-          victims.select(col("doc_id"), col("dl"), lit(-1).as("d")),
+            (-coalesce(sum(col("dl")), lit(0L))).as("s_dl"),
+            (-coalesce(sum(col("dl_t")), lit(0L))).as("s_dlt")),
+          victims.select(col("doc_id"), col("dl"), col("dl_t"), lit(-1).as("d")),
           s"$root/$next")
         publish(s, root, (lines :+ next) ++ tag.map(t => s"batch:$t"))
         Seq((next.stripPrefix("gen-").toLong, n)).toDF("generation", "n_deleted")
@@ -673,14 +738,17 @@ object TextIndex {
         .map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings"))
         .reduce(_ unionByName _)
         .groupBy(col("doc_id"), col("term"), col("bucket"))
-        .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+        .agg(sum(col("tf")).as("tf"), sum(col("tf_t")).as("tf_t"),
+          sum(col("dl")).as("dl"), sum(col("dl_t")).as("dl_t"))
         .filter(col("tf") > 0)
-        .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("bucket"))
+        .select(col("doc_id"), col("term"), col("tf"), col("tf_t"),
+          col("dl"), col("dl_t"), col("bucket"))
       writeParts(
         postings,
         live.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("s_dl")),
-        live.select(col("doc_id"), col("dl"), lit(1).as("d")),
+          coalesce(sum(col("dl")), lit(0L)).as("s_dl"),
+          coalesce(sum(col("dl_t")), lit(0L)).as("s_dlt")),
+        live.select(col("doc_id"), col("dl"), col("dl_t"), lit(1).as("d")),
         s"$root/$next")
       publish(s, root, next +: lines.filter(_.startsWith("batch:")))
       Seq((n, gens.length.toLong)).toDF("n_live", "gens_folded")
@@ -852,6 +920,46 @@ object TextIndex {
       k: Int, asOf: Option[Long] = None): DataFrame =
     TextAnalysis.bm25TopkCut(scoredAtRoot(s, root, terms, asOf), k)
 
+  /** Fielded (BM25F) top-k from an explicit-root incremental index —
+    * the [[bm25TopkAtRoot]] twin: the title components net across
+    * generations with the same signed-delta sums as tf/dl (they are
+    * additive per doc version by construction), so fielded serving
+    * inherits the whole LSM lifecycle — upserts, deletes, compaction,
+    * `asOf` snapshot pins — with zero extra structures. */
+  def bm25fTopkAtRoot(s: SparkSession, root: String, terms: Seq[String],
+      k: Int, asOf: Option[Long] = None): DataFrame = {
+    val gens = asOf match {
+      case None => readManifest(s, root)
+      case Some(v) => manifestLinesAsOf(s, root, v).filter(_.startsWith("gen-"))
+    }
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    val buckets = terms.map(bucketOf).distinct
+    def pruned(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      gens.map(g =>
+        s.read.schema(schema).parquet(s"$root/$g/$sub")
+          .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)))
+      .reduce(_ unionByName _)
+    val post = pruned("postings", PostingsSchema)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sum(col("tf")).as("tf"), sum(col("tf_t")).as("tf_t"),
+        sum(col("dl")).as("dl"), sum(col("dl_t")).as("dl_t"))
+      .filter(col("tf") > 0)
+    val dfT = pruned("df", DfSchema).groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = gens.map(g => s.read.schema(StatsSchema).parquet(s"$root/$g/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_dl")).as("s_dl"),
+        sum(col("s_dlt")).as("s_dlt"))
+    val scored = post.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tf_b", col("tf") - col("tf_t"))
+      .withColumn("dl_b", col("dl") - col("dl_t"))
+      .withColumn("s_b", col("s_dl") - col("s_dlt"))
+      .select(col("doc_id"), col("term").as("token"),
+        expr(TextAnalysis.bm25fSc("tf_t", "tf_b", "dl_t", "dl_b",
+          "df", "n_docs", "s_dlt", "s_b")).as("sc"))
+    TextAnalysis.bm25TopkCut(scored, k)
+  }
+
   /** BATCH retrieval from an explicit-root incremental index — the
     * [[bm25TopkBatchIndexed]] serving shape over SIGNED delta
     * generations: one `(query_id, term)` frame, term buckets computed
@@ -928,13 +1036,23 @@ object TextIndex {
     TextAnalysis.bm25FixedPivot(
       bm25ScoredIndexed(s, dir, TextAnalysis.Bm25Terms, exactInt = true))
 
+  /** The fielded twin: identical output contract to `t_bm25f`, served
+    * from the index's denormalized title components — shares
+    * `t_bm25f`'s DuckDB oracle verbatim, which IS the spec that
+    * fielded index-serving loses nothing. */
+  private def tBm25fIndexed: Q = (s, dir) =>
+    TextAnalysis.bm25FixedPivot(
+      bm25fScoredIndexed(s, dir, TextAnalysis.Bm25Terms))
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "t_bm25_indexed" -> tBm25Indexed,
+    "t_bm25f_indexed" -> tBm25fIndexed,
     "t_bm25_batch" -> tBm25Batch)
 
   val oracles: Map[String, String] = Map(
     "t_bm25_indexed" -> TextAnalysis.oracles("t_bm25"),
+    "t_bm25f_indexed" -> TextAnalysis.oracles("t_bm25f"),
     "t_bm25_batch" -> tBm25BatchSql)
 }

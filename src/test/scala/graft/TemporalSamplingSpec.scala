@@ -109,6 +109,44 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(indexed == inQuery)
   }
 
+  test("bm25f index-serving parity: t_bm25f_indexed returns exactly t_bm25f's rows") {
+    val inQuery = TextAnalysis.queries("t_bm25f")(spark, sf).collect().toSeq
+    val indexed = operators.TextIndex.queries("t_bm25f_indexed")(spark, sf).collect().toSeq
+    assert(indexed == inQuery)
+  }
+
+  test("bm25f LSM law: fielded probes equal the in-query BM25F on the surviving corpus through upsert, supersede, delete, compact, and asOf pins") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_text_lsm_f").toString
+    val terms = Seq("vector", "hash")
+    def servedAt(asOf: Option[Long] = None) =
+      Graft.text.bm25fTopkAt(spark, root, terms, 10, asOf).collect().toSeq
+    def inQueryOf(docs: Seq[(Long, String)]) =
+      operators.TextAnalysis
+        .bm25fTopkOf(docs.toDF("doc_id", "text"), terms, 10).collect().toSeq
+    // > Bm25fTitleLen tokens in some docs so title/body genuinely split
+    val v1 = Seq(
+      (1L, "vector hash a b c d e f g h vector vector"),
+      (2L, "x y z q w e r t vector hash hash"),
+      (3L, "hash hash b c d e f g h i j"),
+      (4L, "plain body only m n o p q r s t u v"))
+    val v2New = Seq((5L, "vector k l m n o p q r vector"))
+    val v2Resend = Seq((2L, "hash now in title b c d e f g vector"))
+    operators.TextIndex.build(v1.toDF("doc_id", "text"), root)
+    assert(servedAt() == inQueryOf(v1))
+    val pin1 = Graft.text.bm25Snapshots(spark, root).max
+    operators.TextIndex.upsert((v2New ++ v2Resend).toDF("doc_id", "text"), root)
+    val afterUpsert = v1.filterNot(_._1 == 2L) ++ v2New ++ v2Resend
+    assert(servedAt() == inQueryOf(afterUpsert))
+    operators.TextIndex.delete(Seq(3L).toDF("doc_id"), root)
+    val afterDelete = afterUpsert.filterNot(_._1 == 3L)
+    assert(servedAt() == inQueryOf(afterDelete))
+    operators.TextIndex.compact(spark, root)
+    assert(servedAt() == inQueryOf(afterDelete))
+    // the snapshot pin replays the PRE-upsert fielded state
+    assert(servedAt(asOf = Some(pin1)) == inQueryOf(v1))
+  }
+
   test("text index incremental: build + upsert probes equal the in-query BM25 exactly") {
     val root = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
     val docs = Tables.documents(spark, sf)
