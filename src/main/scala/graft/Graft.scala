@@ -1098,6 +1098,16 @@ object Graft {
         maxCells: Int = operators.TimeSeries.MaxGridCells): DataFrame =
       operators.TimeSeries.resampleTruncationStats(df, keyCol, tsCol, maxCells)
 
+    /** Truncation + fill audit for [[interpolateHourly]]: `(key,
+      * span_hours, emitted_hours, truncated, event_hours,
+      * null_hours)` — what the cap dropped and what the fill could
+      * not bracket (leading hours before the first surviving
+      * anchor). */
+    def interpolateStats(df: DataFrame, keyCol: String, tsCol: String,
+        valueCol: String,
+        maxCells: Int = operators.TimeSeries.MaxGridCells): DataFrame =
+      operators.TimeSeries.interpolateTruncationStats(df, keyCol, tsCol, valueCol, maxCells)
+
     /** Weekly cohort retention matrix: (cohort, week_k, retained,
       * cohort_users, retention) — users cohort by the week of their
       * first event. The only event-volume shuffle is the (key, week)

@@ -251,43 +251,126 @@ object TimeSeries {
   /** Gap fill by LINEAR INTERPOLATION between the nearest observed
     * hours — the fill for continuously-varying signals where
     * [[resampleHourly]]'s forward-fill (right for step signals) makes
-    * a staircase. Per key: hourly means, the capped grid, then two
-    * windows (last-non-null back, first-non-null forward) give each
-    * gap hour its bracketing observations; observed hours keep their
-    * own mean EXACTLY (eh = eph branch), interior gaps interpolate,
-    * leading hours of a cap-truncated key stay null ("unknown", not
-    * fabricated). Same scale shape as resample: everything past the
-    * hourly partial-agg is grid-sized, windows partition per key. */
+    * a staircase. Observed hours keep their own mean EXACTLY (eh = eph
+    * branch), interior gaps interpolate, leading hours of a
+    * cap-truncated key stay null ("unknown", not fabricated).
+    *
+    * Plan (r12 — replaces the grid-join + two-grid-sized-window form
+    * the r11 sweep flagged at 7.25×/10×): the corpus is scanned ONCE
+    * into the hourly partial-agg; grid bounds, anchor brackets, and
+    * segment ends all come from ONE key-partitioned window chain over
+    * the OBSERVED hours (min/max + back/forward anchors + lead share
+    * the exchange and the sort — frames differ, ordering doesn't);
+    * gap hours are then GENERATED by exploding each
+    * [observed, next-observed) segment, carrying its precomputed
+    * bracket — the grid join disappears and the whole-partition
+    * window passes run over observed hours, never the dense grid.
+    * Exactly 2 exchanges at any scale (PlanSpec-pinned); explode
+    * output is grid-sized, bounded by `maxCells` per key. */
   def interpolateHourly(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, maxCells: Int = MaxGridCells): DataFrame = {
     val hourly = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("n_events"), avg(col(valueCol)).as("__hour_avg"))
-    val grid = df.groupBy(col(keyCol))
-      .agg(min(date_trunc("hour", col(tsCol))).as("h0"),
-        max(date_trunc("hour", col(tsCol))).as("h1"))
-      .select(col(keyCol),
-        explode(sequence(
-          greatest(col("h0"), col("h1") - expr(s"interval ${maxCells - 1} hours")),
-          col("h1"), expr("interval 1 hour"))).as("hour"))
-    val back = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+    val whole = byKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // grid start from the same pass — no second scan, no bounds join;
+    // anchors OUTSIDE the capped grid stay invisible (the truncated
+    // leading hours must read "unknown", not a carry-over)
+    val surviving = hourly
+      .withColumn("__grid0", greatest(min(col("hour")).over(whole),
+        max(col("hour")).over(whole) - expr(s"interval ${maxCells - 1} hours")))
+      .filter(col("hour") >= col("__grid0"))
+    val back = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdNext = byKey.rowsBetween(1, Window.unboundedFollowing)
     val obsHour = when(col("__hour_avg").isNotNull, col("hour"))
-    grid.join(hourly, Seq(keyCol, "hour"), "left")
+    // per observed hour: its backward anchor (itself when its mean is
+    // non-null), the next anchor STRICTLY after it (gap hours inside
+    // the segment bracket between the two), and the segment end
+    val seg = surviving.select(col(keyCol), col("n_events"), col("__grid0"),
+      col("hour").as("__head"),
+      last(col("__hour_avg"), ignoreNulls = true).over(back).as("pa0"),
+      unix_timestamp(last(obsHour, ignoreNulls = true).over(back)).as("eph"),
+      first(col("__hour_avg"), ignoreNulls = true).over(fwdNext).as("na"),
+      unix_timestamp(first(obsHour, ignoreNulls = true).over(fwdNext)).as("enh"),
+      lead(col("hour"), 1).over(byKey).as("__next"),
+      row_number().over(byKey).as("__rn"))
+    seg
+      .select(col(keyCol), col("n_events"), col("__head"), col("pa0"),
+        col("eph"), col("na"), col("enh"),
+        explode(sequence(
+          // the first segment extends back to the grid start: leading
+          // truncated hours ride it with a NULLed backward anchor
+          when(col("__rn") === 1, col("__grid0")).otherwise(col("__head")),
+          coalesce(col("__next") - expr("interval 1 hour"), col("__head")),
+          expr("interval 1 hour"))).as("hour"))
       .select(col(keyCol), col("hour"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("__hour_avg"), ignoreNulls = true).over(back).as("pa"),
-        unix_timestamp(last(obsHour, ignoreNulls = true).over(back)).as("eph"),
-        first(col("__hour_avg"), ignoreNulls = true).over(fwd).as("na"),
-        unix_timestamp(first(obsHour, ignoreNulls = true).over(fwd)).as("enh"),
+        when(col("hour") === col("__head"), col("n_events"))
+          .otherwise(lit(0L)).as("n_events"),
+        when(col("hour") < col("__head"), lit(null).cast("double"))
+          .otherwise(col("pa0")).as("pa"),
+        col("eph"), col("na"), col("enh"),
         unix_timestamp(col("hour")).as("eh"))
       .select(col(keyCol), col("hour"), col("n_events"),
         expr(interpExpr).as("interp_avg"))
   }
 
+  /** Truncation + fill accounting for [[interpolateHourly]] — one row
+    * per key: `(keyCol, span_hours, emitted_hours, truncated,
+    * event_hours, null_hours)`. `event_hours` = observed hours
+    * surviving the cap; `null_hours` = emitted grid hours the fill
+    * left null (leading hours before the first surviving anchor —
+    * the whole grid when no anchor survives). The
+    * `d_lsh_bucket_stats` discipline: a capped operator ships with
+    * the query that audits what the cap dropped and what the fill
+    * could not bracket. */
+  def interpolateTruncationStats(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxCells: Int = MaxGridCells): DataFrame = {
+    val hourly = df.groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(max(when(col(valueCol).isNotNull, 1).otherwise(0)).as("has_anchor"))
+    val whole = Window.partitionBy(col(keyCol))
+    val g = hourly.withColumn("__grid0",
+      greatest(min(col("hour")).over(whole),
+        max(col("hour")).over(whole) - expr(s"interval ${maxCells - 1} hours")))
+    val span = ((unix_timestamp(max(col("hour"))) - unix_timestamp(min(col("hour")))) / 3600 + 1)
+      .cast("long")
+    val firstAnchor = min(when(col("has_anchor") === 1 && col("hour") >= col("__grid0"),
+      col("hour")))
+    g.groupBy(col(keyCol)).agg(
+      span.as("span_hours"),
+      least(span, lit(maxCells.toLong)).as("emitted_hours"),
+      (span > maxCells).as("truncated"),
+      sum(when(col("hour") >= col("__grid0"), 1L).otherwise(0L)).as("event_hours"),
+      when(firstAnchor.isNull, least(span, lit(maxCells.toLong)))
+        .otherwise(((unix_timestamp(firstAnchor) - unix_timestamp(min(col("__grid0")))) / 3600)
+          .cast("long")).as("null_hours"))
+  }
+
   private def tsInterpolate: Q = (s, dir) =>
     interpolateHourly(Tables.events(s, dir), "user_id", "ts", "value", DemoGridCap)
+
+  private def tsInterpolateStats: Q = (s, dir) =>
+    interpolateTruncationStats(Tables.events(s, dir), "user_id", "ts", "value", DemoGridCap)
+
+  private val tsInterpolateStatsSql =
+    s"""WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |         max(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS has_anchor
+      |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+      |g AS (
+      |  SELECT user_id, hour, has_anchor,
+      |         greatest(min(hour) OVER (PARTITION BY user_id),
+      |                  max(hour) OVER (PARTITION BY user_id) - INTERVAL ${DemoGridCap - 1} HOUR) AS grid0
+      |  FROM hourly)
+      |SELECT user_id,
+      |  ((epoch(max(hour)) - epoch(min(hour))) // 3600 + 1)::BIGINT AS span_hours,
+      |  least(((epoch(max(hour)) - epoch(min(hour))) // 3600 + 1)::BIGINT, $DemoGridCap)::BIGINT AS emitted_hours,
+      |  ((epoch(max(hour)) - epoch(min(hour))) // 3600 + 1)::BIGINT > $DemoGridCap AS truncated,
+      |  CAST(sum(CASE WHEN hour >= grid0 THEN 1 ELSE 0 END) AS BIGINT) AS event_hours,
+      |  CASE WHEN min(CASE WHEN has_anchor = 1 AND hour >= grid0 THEN hour END) IS NULL
+      |       THEN least(((epoch(max(hour)) - epoch(min(hour))) // 3600 + 1)::BIGINT, $DemoGridCap)::BIGINT
+      |       ELSE ((epoch(min(CASE WHEN has_anchor = 1 AND hour >= grid0 THEN hour END)) - epoch(min(grid0))) // 3600)::BIGINT
+      |  END AS null_hours
+      |FROM g GROUP BY user_id""".stripMargin
 
   private val tsInterpolateSql =
     s"""WITH hourly AS (
@@ -433,6 +516,7 @@ object TimeSeries {
     "ts_resample_capped" -> tsResampleCapped,
     "ts_resample_stats" -> tsResampleStats,
     "ts_interpolate" -> tsInterpolate,
+    "ts_interpolate_stats" -> tsInterpolateStats,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention)
 
@@ -443,6 +527,7 @@ object TimeSeries {
     "ts_resample_capped" -> tsResampleCappedSql,
     "ts_resample_stats" -> tsResampleStatsSql,
     "ts_interpolate" -> tsInterpolateSql,
+    "ts_interpolate_stats" -> tsInterpolateStatsSql,
     "ts_funnel" -> tsFunnelSql,
     "ts_retention" -> tsRetentionSql)
 }

@@ -265,6 +265,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(quota).length == 1, quota)
   }
 
+  test("ts_interpolate: ONE scan, TWO exchanges, no join — segments explode the grid") {
+    val p = plan("ts_interpolate")
+    // r12 shape: hourly agg exchange + one key-window exchange; the
+    // r11 grid-join (2nd events scan + SMJ) is gone, and every window
+    // (bounds, anchors, lead) shares the single key sort
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert("(?m)^\\s*\\+- Sort ".r.findAllIn(p).length == 1, p)
+  }
+
   test("p16: TWO corpus scans (weights agg + prefix window), budgets broadcast") {
     val p = plan("p16_temperature_sample")
     assert("Scan parquet".r.findAllIn(p).length == 2, p)
