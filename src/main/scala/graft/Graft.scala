@@ -1267,5 +1267,20 @@ object Graft {
   object media {
     def decodePartitions(records: Dataset[Multimodal.MediaRecord]): Dataset[Multimodal.MediaFeatures] =
       Multimodal.decodePartitions(records)
+
+    /** Near-dup image pairs from a `(doc_id, ahash, dhash)` frame —
+      * the SimHash Hamming-band machinery fed by perceptual image
+      * hashes (compute them with [[phashOf]] inside a partition-batch
+      * decode): candidates from 16-bit aHash bands (exact recall at
+      * Hamming ≤ 3 by pigeonhole), occupancy-capped buckets, never
+      * all-pairs. Returns (a_id, b_id, hamming_a, hamming_d). */
+    def phashPairs(hashes: DataFrame,
+        maxHamming: Int = Multimodal.PhashMaxHamming): DataFrame =
+      Multimodal.phashPairsOf(hashes, maxHamming)
+
+    /** aHash + dHash of one encoded image via a REAL `ImageIO`
+      * decode — the per-record hash for [[phashPairs]]. */
+    def phashOf(imageBytes: Array[Byte]): (Long, Long) =
+      Multimodal.phashOf(imageBytes)
   }
 }

@@ -667,6 +667,139 @@ object Multimodal {
        |FROM sc ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin
 
   // ----------------------------------------------------------------
+  // Perceptual-hash image dedup (aHash + dHash, Hamming-band LSH)
+  // ----------------------------------------------------------------
+
+  private[graft] val PhashBandBits = 16
+  private[graft] val PhashBands = 4
+  /** Hamming ≤ 3 over 4 × 16-bit bands pigeonholes EXACTLY: 3 flipped
+    * bits dirty at most 3 bands, so near-dups at the threshold always
+    * share ≥ 1 band bucket — the [[Dedup.SimBands]] recall discipline
+    * applied to the 64-bit image hash. */
+  private[graft] val PhashMaxHamming = 3
+
+  /** aHash + dHash from a REAL decoded raster: the image goes through
+    * `ImageIO.read`, then an 8×8 POINT-SAMPLED grid (nearest-neighbor
+    * resize — exact integers, no float pooling, so the oracle can
+    * recompute both hashes from the closed-form pixel function, the
+    * `m_image_embed_topk` discipline). aHash bit(i,j) = 64·p(i,j) >
+    * Σ grid (integer cross-multiplied mean compare); dHash bit(i,j) =
+    * p(i,j) > p(i+1,j) on a 9-column gradient grid. Bit k of the
+    * packed long is grid cell (j, i) with k = 8j + i. */
+  private[graft] def phashOf(png: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "payload is not a decodable image")
+    val r = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    val ga = Array.tabulate(8, 8)((j, i) => r.getSample(i * w / 8, j * h / 8, 0))
+    var sum = 0L
+    var j = 0
+    while (j < 8) { var i = 0; while (i < 8) { sum += ga(j)(i); i += 1 }; j += 1 }
+    var a = 0L; var d = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (ga(j)(i) * 64L > sum) a |= 1L << (j * 8 + i)
+        if (r.getSample(i * w / 9, j * h / 8, 0) >
+            r.getSample((i + 1) * w / 9, j * h / 8, 0)) d |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    (a, d)
+  }
+
+  /** Per-document perceptual hashes over the corpus images — one
+    * map-side decode scan, the [[mFeatures]] batching discipline. */
+  private def phashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dims(Tables.documents(s, dir))
+      .select(col("doc_id"), col("width").cast("int"), col("height").cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, w, h) =>
+          val (a, d) = phashOf(synthPng(id, w, h))
+          (id, a, d)
+        }
+      }
+      .toDF("doc_id", "ahash", "dhash")
+  }
+
+  /** Near-dup image pairs from a precomputed `(doc_id, ahash, dhash)`
+    * frame: candidates from the aHash's four 16-bit Hamming bands
+    * (exact recall at the ≤ 3 threshold by pigeonhole), the
+    * [[Dedup.MaxBucketOccupancy]] representative cap bounding the
+    * per-bucket pair space on hash-collapsing corpora, confirm on
+    * `bit_count(xor)` — the [[Dedup]] SimHash machinery fed by image
+    * hashes instead of text fingerprints. Output: (a_id, b_id,
+    * hamming_a, hamming_d); pair space O(n·cap·bands), never
+    * all-pairs. */
+  def phashPairsOf(hashes: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame = {
+    val bandArr = (0 until PhashBands)
+      .map(b => s"shiftright(ahash, ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")
+      .mkString("array(", ", ", ")")
+    val banded = hashes.select(col("doc_id"), col("ahash"), col("dhash"),
+      posexplode(expr(bandArr)).as(Seq("band", "bucket")))
+    val kept = Dedup.keptBandedOf(banded, Dedup.MaxBucketOccupancy)
+    kept.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.ahash ^ y.ahash)").cast("long").as("hamming_a"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("long").as("hamming_d"))
+      .filter(col("hamming_a") <= maxHamming)
+      .distinct()
+  }
+
+  private def mPhashDedup: Q = (s, dir) => phashPairsOf(phashes(s, dir))
+
+  /** The oracle recomputes both hashes arithmetically from the
+    * closed-form pixel function (no codec in DuckDB — a decode bug on
+    * the Spark side breaks parity). Bit 63 is packed by adding the
+    * signed minimum (1<<63 overflows DuckDB's left shift); `>> k &
+    * mask` band extraction agrees across the engines' logical vs
+    * arithmetic shift because the mask discards the sign fill. */
+  private val mPhashDedupSql = {
+    val bit63 = "(-9223372036854775807 - 1)"
+    def packed(bitCond: String) =
+      s"""CAST(sum(CASE WHEN $bitCond AND NOT (s.j = 7 AND s.i = 7)
+         |  THEN 1::BIGINT << (s.j * 8 + s.i)::INT ELSE 0 END) AS BIGINT)
+         |  + CASE WHEN max(CASE WHEN s.j = 7 AND s.i = 7 AND $bitCond THEN 1 ELSE 0 END) = 1
+         |         THEN $bit63 ELSE 0 END""".stripMargin
+    val bandList = (0 until PhashBands)
+      .map(b => s"(ahash >> ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, 16 + doc_id % 64 AS w,
+       |                  16 + (doc_id * 7) % 64 AS h FROM documents),
+       |ij AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM d),
+       |cell AS (SELECT doc_id, w, h, j, unnest(range(0, 8)) AS i FROM ij),
+       |samp AS (SELECT doc_id, j, i,
+       |           (((i * w // 8) * 7 + (j * h // 8) * 13 + doc_id * 31) % 256) AS pa,
+       |           (((i * w // 9) * 7 + (j * h // 8) * 13 + doc_id * 31) % 256) AS pd1,
+       |           ((((i + 1) * w // 9) * 7 + (j * h // 8) * 13 + doc_id * 31) % 256) AS pd2
+       |         FROM cell),
+       |tot AS (SELECT doc_id, sum(pa) AS s64 FROM samp GROUP BY doc_id),
+       |hs AS (SELECT s.doc_id,
+       |         ${packed("s.pa * 64 > t.s64")} AS ahash,
+       |         ${packed("s.pd1 > s.pd2")} AS dhash
+       |       FROM samp s JOIN tot t ON s.doc_id = t.doc_id GROUP BY s.doc_id),
+       |banded AS (SELECT doc_id, ahash, dhash, unnest(range(0, $PhashBands)) AS band,
+       |                  unnest($bandList) AS bucket
+       |           FROM hs),
+       |kept AS (SELECT doc_id, ahash, dhash, band, bucket FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) rn
+       |           FROM banded) WHERE rn <= ${Dedup.MaxBucketOccupancy})
+       |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |       bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming_a,
+       |       bit_count(xor(x.dhash, y.dhash))::BIGINT AS hamming_d
+       |FROM kept x JOIN banded y
+       |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.ahash, y.ahash)) <= $PhashMaxHamming""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Per-partition batch decode plumbing (Dataset + mapPartitions)
   // ----------------------------------------------------------------
 
@@ -748,7 +881,8 @@ object Multimodal {
     "m_audio_features" -> mAudioFeatures,
     "m_video_features" -> mVideoFeatures,
     "m_patches" -> mPatches,
-    "m_image_embed_topk" -> mImageEmbedTopk)
+    "m_image_embed_topk" -> mImageEmbedTopk,
+    "m_phash_dedup" -> mPhashDedup)
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
@@ -757,5 +891,6 @@ object Multimodal {
     "m_audio_features" -> mAudioFeaturesSql,
     "m_video_features" -> mVideoFeaturesSql,
     "m_patches" -> mPatchesSql,
-    "m_image_embed_topk" -> mImageEmbedTopkSql)
+    "m_image_embed_topk" -> mImageEmbedTopkSql,
+    "m_phash_dedup" -> mPhashDedupSql)
 }

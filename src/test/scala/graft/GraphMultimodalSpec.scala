@@ -172,6 +172,36 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(card.min == vals.min && card.max == vals.max)
   }
 
+  test("phash dedup: planted exact and near dup pair with the base; unrelated image does not") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 32; x <- 0 until 32) img.getRaster.setSample(x, y, 0, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base: (Int, Int) => Int = (x, y) => (x * 7 + y * 13) % 256
+    // near dup: one bright spot at the origin — the aHash grid moves by
+    // at most a few marginal bits, the dHash gradient flips at (0,0)
+    val near: (Int, Int) => Int = (x, y) => if (x == 0 && y == 0) 64 else base(x, y)
+    // unrelated content: far in Hamming, must not pair with the base
+    val far: (Int, Int) => Int = (x, y) => (x * 31 + y * 3 + 77) % 256
+    val hashes = Seq(1L -> base, 2L -> near, 3L -> far, 4L -> base).map {
+      case (id, f) => val (a, d) = Graft.media.phashOf(png(f)); (id, a, d)
+    }.toDF("doc_id", "ahash", "dhash")
+    val pairs = Graft.media.phashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // exact dup: both distances 0
+    assert(pairs.get((1L, 4L)).contains((0L, 0L)), s"$pairs")
+    // planted near dup: recalled through the bands, dHash sees the spot
+    val nd = pairs.get((1L, 2L))
+    assert(nd.nonEmpty && nd.get._1 <= 3L && nd.get._2 >= 1L, s"$pairs")
+    // unrelated image pairs with nothing
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), s"$pairs")
+  }
+
   test("m_frame_sample only emits every 4th frame") {
     val df = Multimodal.queries("m_frame_sample")(spark, sf)
     assert(df.filter(col("frame_idx") % 4 =!= 0).count() == 0)
