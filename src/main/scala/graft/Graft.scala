@@ -1003,6 +1003,15 @@ object Graft {
         damping: Double = 0.85): DataFrame =
       Graph.pageRank(links, nodes, iters, damping)
 
+    /** Seed-restarted (personalized) PageRank: `nodes(node, seed)`
+      * carries the restart weights (1/|S| on the roots, 0 elsewhere);
+      * pages unreachable from the seeds score exactly 0 — the crawl
+      * frontier-prioritization signal. Same per-round shape as
+      * [[pageRank]]. */
+    def personalizedPageRank(links: DataFrame, nodes: DataFrame,
+        iters: Int = 3, damping: Double = 0.85): DataFrame =
+      Graph.personalizedPageRank(links, nodes, iters, damping)
+
     /** k-core by iterative peeling to fixpoint: surviving
       * (node, core_degree) of the maximal subgraph where every node
       * keeps degree ≥ k. `und` must hold BOTH edge directions, no

@@ -482,6 +482,73 @@ object Graph {
     pr
   }
 
+  /** PERSONALIZED PageRank — seed-restarted (Haveliwala 2002): the
+    * teleport mass lands on the SEED pages instead of uniformly, so
+    * scores measure proximity-weighted authority relative to the
+    * crawl roots — the frontier-prioritization signal one step past
+    * [[s5CrawlSchedule]]'s raw in-degree: schedule high-PPR uncrawled
+    * pages first and the crawler spends its budget near the roots it
+    * cares about (the Level/IN columns' purpose in the reference's
+    * Rcrawler INDEX, hi-csa-db.Rmd:111-119, made quantitative).
+    * `nodes` carries a `seed` restart-weight column (typically 1/|S|
+    * on the roots, 0 elsewhere); update pr = (1−d)·seed + d·Σ in/out.
+    * Teleport mass never reaches pages unreachable from the seeds, so
+    * they score EXACTLY 0 — the frontier-ordering law the spec pins.
+    * Same fixed-iteration discipline and per-round scale shape as
+    * [[pageRank]]; the oracle unrolls identical rounds. */
+  def personalizedPageRank(links: DataFrame, nodes: DataFrame,
+      iters: Int = PrIters, damping: Double = Damping): DataFrame = {
+    val outDeg = links.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    var pr = nodes.select(col("node"), col("seed").cast("double").as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = links
+        .join(outDeg, "src")
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"), (col("pr") / col("out_deg")).as("c"))
+      pr = nodes
+        .join(contribs.groupBy("node").agg(sum(col("c")).as("in_sum")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - damping) * col("seed")
+            + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+
+  /** `g_ppr` — personalized PageRank from the crawl root (page 0, the
+    * same seed [[s2Crawl]] walks from). */
+  private def gPpr: Q = (s, dir) => {
+    val links = pageLinks(s, dir).filter(col("is_internal"))
+      .select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("node"),
+      when(col("doc_id") === 0L, lit(1.0)).otherwise(lit(0.0)).as("seed"))
+    personalizedPageRank(links, nodes)
+      .select(col("node").as("page_id"), round(col("pr"), 6).as("ppr"))
+  }
+
+  /** Oracle: [[gPagerankSql]]'s unrolled rounds with the teleport term
+    * seeded at page 0. */
+  private val gPprSql = {
+    val rounds = (1 to PrIters).map { k =>
+      s"""p$k AS (
+         |  SELECT n.node, 0.15 * n.seed + 0.85 * coalesce(s.in_sum, 0) AS pr, n.seed
+         |  FROM p${k - 1} n LEFT JOIN (
+         |    SELECT il.dst AS node, sum(p.pr / o.out_deg) AS in_sum
+         |    FROM il JOIN odeg o ON il.src = o.src
+         |            JOIN p${k - 1} p ON il.src = p.node
+         |    GROUP BY il.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckPageLinksCte,
+       |il AS (SELECT src, dst FROM links WHERE is_internal),
+       |odeg AS (SELECT src, count(*) AS out_deg FROM il GROUP BY src),
+       |p0 AS (SELECT doc_id AS node,
+       |         CASE WHEN doc_id = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS pr,
+       |         CASE WHEN doc_id = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS seed
+       |       FROM documents),
+       |$rounds
+       |SELECT node AS page_id, round(pr, 6) AS ppr FROM p$PrIters""".stripMargin
+  }
+
   private def gPagerank: Q = (s, dir) => {
     val links = pageLinks(s, dir).filter(col("is_internal"))
       .select(col("src"), col("dst"))
@@ -974,6 +1041,7 @@ object Graph {
     "g_kcore" -> gKcore,
     "g_sssp" -> gSssp,
     "g_pagerank" -> gPagerank,
+    "g_ppr" -> gPpr,
     "g_hits" -> gHits,
     "s2_crawl" -> s2Crawl,
     "s5_crawl_schedule" -> s5CrawlSchedule)
@@ -989,6 +1057,7 @@ object Graph {
     "g_kcore" -> gKcoreSql,
     "g_sssp" -> gSsspSql,
     "g_pagerank" -> gPagerankSql,
+    "g_ppr" -> gPprSql,
     "g_hits" -> gHitsSql,
     "s2_crawl" -> s2CrawlSql,
     "s5_crawl_schedule" -> s5CrawlScheduleSql)

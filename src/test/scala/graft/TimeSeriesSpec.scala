@@ -169,6 +169,38 @@ class TimeSeriesSpec extends SparkSpec {
     pr.unpersist()
   }
 
+  test("g_ppr frontier law: chain decays monotonically from the seed; unreachable pages score exactly 0") {
+    import spark.implicits._
+    // chain 0 -> 1 -> 2 -> 3, a side page 4 the seed also links to,
+    // and 8 -> 9 in a component unreachable from the seed
+    val links = Seq((0L, 1L), (0L, 4L), (1L, 2L), (2L, 3L), (8L, 9L))
+      .toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L).toDF("node")
+      .withColumn("seed", when(col("node") === 0L, 1.0).otherwise(0.0))
+    // enough rounds to pass the transient pulse: near-stationary scores
+    val pr = Graft.graphs.personalizedPageRank(links, nodes, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // frontier ordering: one hop from the seed outranks two, two
+    // outrank three — the crawl scheduler's priority signal
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L) && pr(3L) > 0.0, s"$pr")
+    // seed's two children split its mass equally
+    assert(pr(1L) == pr(4L), s"$pr")
+    // teleport mass never reaches the other component: EXACT zeros
+    // (uniform PageRank gives every page >= 0.15 — this is the
+    // difference that makes PPR a frontier prioritizer)
+    assert(pr(8L) == 0.0 && pr(9L) == 0.0, s"$pr")
+  }
+
+  test("g_ppr oracle query: seed page present, scores nonnegative, unlinked pages zero") {
+    val pr = Graph.queries("g_ppr")(spark, sf).cache()
+    assert(pr.count() == Tables.documents(spark, sf).count())
+    assert(pr.filter(col("ppr") < 0.0).count() == 0)
+    // unlike g_pagerank's uniform 0.15 floor, most pages sit at 0
+    assert(pr.filter(col("ppr") === 0.0).count() > 0)
+    assert(pr.filter(col("page_id") === 0L && col("ppr") >= 0.15).count() == 1)
+    pr.unpersist()
+  }
+
   test("ts_retention: week-0 cell retains the whole cohort; retained never exceeds cohort size") {
     val out = operators.TimeSeries.queries("ts_retention")(spark, sf)
     // every user is active in their own first week
