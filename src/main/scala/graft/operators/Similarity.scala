@@ -156,6 +156,19 @@ object Similarity {
       .getOrElse(8)
   }
 
+  /** The stored per-bucket occupancies of a built LSH index (empty map
+    * on an old meta without `cnt:` lines — a missing count reads as 0,
+    * which makes the budget rule keep every probe: graceful fallback
+    * to the full radius-1 ball). */
+  private[graft] def annLshBucketCounts(root: String): Map[Int, Long] = {
+    val f = new java.io.File(root, LshMetaName)
+    if (!f.isFile) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").filter(_.startsWith("cnt:")).map(_.split(":")).collect {
+        case Array(_, b, c) => b.trim.toInt -> c.trim.toLong
+      }.toMap
+  }
+
   // ----------------------------------------------------------------
   // Brute-force cosine top-k (exact baseline)
   // ----------------------------------------------------------------
@@ -191,7 +204,7 @@ object Similarity {
   /** Bump when an index layout/bucketing expression changes: the
     * version joins the fingerprint, so a code upgrade can never
     * silently reuse an index built by older code. */
-  private val IndexFormatVersion = 4 // v3: auto width + meta; v4: occupancy 256, one file/bucket
+  private val IndexFormatVersion = 5 // v3: auto width + meta; v4: occupancy 256, one file/bucket; v5: bucket counts in meta (budget-bounded multi-probe)
   private val IvfIndexVersion = 1
 
   /** Shared cached-index machinery (LSH bucket index + IVF cell
@@ -280,9 +293,15 @@ object Similarity {
       v.withColumn("bucket", expr(bucketExprFor(bits)))
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(path)
+      // per-bucket occupancy into the meta (≤ 4096 lines — model-sized
+      // driver collect): the probe planner's budget arithmetic reads
+      // these instead of scanning the index to count
+      val counts = s.read.parquet(path).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => s"cnt:${r.get(0)}:${r.getLong(1)}").sorted
       java.nio.file.Files.write(
         java.nio.file.Paths.get(path, LshMetaName),
-        s"bits:$bits".getBytes("UTF-8"))
+        (s"bits:$bits" +: counts).mkString("\n").getBytes("UTF-8"))
       ()
     }
 
@@ -373,43 +392,110 @@ object Similarity {
     * facade path (`ivfpqBatchTopk` takes any frame). */
   private val PanelCap = 5000L
 
-  /** BATCH ANN probe — the production shape (VERDICT r4 #4): a whole
-    * frame of query vectors probes the bucket-partitioned [[annIndex]]
-    * in ONE join. Per query, the Hamming-≤1 probe buckets (query
-    * bucket XOR each single-bit mask, plus itself — 9 of 256) are
-    * computed AS A COLUMN and exploded to (query, probe_bucket) rows;
-    * the index joins on its PARTITION column `bucket`, so partition
-    * pruning comes from the JOIN — Spark plans a broadcast hash join
-    * with a dynamic-partition-pruning subquery on the scan
-    * (PlanSpec-asserted), not from driver-side literals like the
-    * 1-query [[annLshTopk]]. A candidate lives in exactly one bucket
-    * and the probe buckets per query are distinct, so no (query,
-    * candidate) pair arises twice — no dedup pass. Per-query top-K is
-    * a qid-partitioned window (each query's candidate set is
-    * bucket-bounded, so the sort is per-group tiny).
-    *
-    * Scale: probe rows = 9 × |batch| (broadcastable for any sane
-    * batch); scanned index fraction ≤ |∪ probe buckets|/256 of the
-    * corpus regardless of corpus size. */
-  private def sAnnLshBatch: Q = (s, dir) => {
-    org.apache.spark.sql.graft.GraftFunctions.register(s)
-    // geometry from the index meta (auto-dimensioned width) — the
-    // radius-1 ball is qbucket plus its `bits` single-bit flips
-    val root = annIndex(s, dir)
-    val bits = annLshBits(root)
+  /** Per-query candidate budget for the batch probe (r12 — VERDICT
+    * r11 #3): the radius-1 ball probes bits+1 buckets whatever they
+    * hold, so its per-query work grows with occupancy until the
+    * 12-bit ceiling (~13·256 candidates — the 4.53× row in the r11
+    * 100× sweep). The budget rule keeps per-query candidates bounded
+    * BELOW that plateau at any corpus size; 1536 = 6 target-occupancy
+    * buckets, chosen to NOT bind at harness fixture scale (the whole
+    * radius-1 ball is ≲ 1k candidates there), so the oracle and the
+    * batch==single spec see the identical full ball. */
+  private[graft] val AnnProbeBudget = 1536L
+
+  /** Budget-bounded multi-probe planning (Lv et al. 2007's multi-probe
+    * LSH, with an occupancy budget): the query's own bucket is always
+    * probed; its `bits` single-bit flips are ordered by PROJECTION
+    * MARGIN — bit j of the sign bucket is sign(e[j+1]), so |e[j+1]| is
+    * the distance to that hyperplane and the SMALLEST margin is the
+    * flip most likely to hold true neighbours — and kept while the
+    * cumulative occupancy (exact bucket first, then flips in margin
+    * order, from the build-time `cnt:` meta) stays ≤ `budget`.
+    * Occupancy is monotone-cumulated over the FULL margin order, so
+    * the kept set is a prefix — deterministic, and expressible
+    * verbatim in the DuckDB oracle. Input `(qid, qe, qnrm, qbucket)`
+    * → output `(qid, qe, qnrm, bucket)` probe rows. */
+  private[graft] def budgetProbesOf(q: DataFrame, bits: Int,
+      counts: Map[Int, Long], budget: Long): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val cnt = counts.toSeq.toDF("bucket", "cnt")
     // int-typed probe ids to match the index's inferred partition
     // column — a bigint probe side would push the cast onto the scan
-    // and defeat dynamic partition pruning
-    val probeArray = (Seq(0) ++ (0 until bits).map(1 << _))
-      .map(m => s"cast(qbucket ^ $m as int)").mkString("array(", ", ", ")")
-    val probes = withNorm(Tables.embeddings(s, dir)
+    // and defeat dynamic partition pruning. The exact bucket rides
+    // with margin −1 so it sorts first and is charged first.
+    val flipArr = (0 until bits).map(j =>
+        s"struct(cast(qbucket ^ ${1 << j} as int) as bucket, " +
+          s"abs(cast(element_at(qe, ${j + 1}) as double)) as margin)")
+      .mkString(", ")
+    val ball = s"concat(array(struct(cast(qbucket as int) as bucket, " +
+      s"cast(-1.0 as double) as margin)), array($flipArr))"
+    val cum = Window.partitionBy(col("qid"))
+      .orderBy(col("margin").asc, col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.select(col("qid"), col("qe"), col("qnrm"), explode(expr(ball)).as("p"))
+      .select(col("qid"), col("qe"), col("qnrm"),
+        col("p.bucket").as("bucket"), col("p.margin").as("margin"))
+      .join(broadcast(cnt), Seq("bucket"), "left")
+      .withColumn("cum", sum(coalesce(col("cnt"), lit(0L))).over(cum))
+      .filter(col("margin") < 0 || col("cum") <= budget)
+      .select(col("qid"), col("qe"), col("qnrm"), col("bucket"))
+  }
+
+  /** BATCH ANN probe — the production shape (VERDICT r4 #4): a whole
+    * frame of query vectors probes the bucket-partitioned [[annIndex]]
+    * in ONE join. Per query, the probe buckets come from
+    * [[budgetProbesOf]] — the query's bucket plus its single-bit
+    * flips in projection-margin order, cut at the occupancy budget
+    * (at fixture scale the budget doesn't bind and this IS the full
+    * Hamming-≤1 ball; at plateau corpora it bounds per-query work) —
+    * exploded to (query, probe_bucket) rows; the index joins on its
+    * PARTITION column `bucket` for the per-query fan-out. The batch's
+    * BUCKET UNION — bounded by (bits+1)·|batch| ints, never by the
+    * corpus — is collected once and the scan reads ONLY those
+    * partition dirs ([[annLshTopk]]'s r11 path-pruning discipline,
+    * the `bm25TopkBatchAtRoot` shape for vectors): a full-root read
+    * pays partition DISCOVERY over every bucket dir before pruning a
+    * single row (a distributed-listing job past the discovery
+    * threshold — measured ~2 s at a 1024-dir index, the r12 100×
+    * sweep's dominant term, and it grows with the BUCKET COUNT, i.e.
+    * with corpus size, no matter what the probes touch). A candidate
+    * lives in exactly one bucket and the probe buckets per query are
+    * distinct, so no (query, candidate) pair arises twice — no dedup
+    * pass. Per-query top-K is a qid-partitioned window (each query's
+    * candidate set is budget-bounded, so the sort is per-group tiny).
+    *
+    * Scale: probe rows ≤ (bits+1) × |batch| (broadcastable for any
+    * sane batch); scanned candidates ≤ budget per query and listed
+    * dirs ≤ the probe-bucket union REGARDLESS of corpus size — the
+    * flat-serving property the 100× sweep checks. */
+  private[graft] def testProbeFrame(s: SparkSession, dir: String, bits: Int): DataFrame =
+    withNorm(Tables.embeddings(s, dir)
         .filter(col("vec_id") % BatchMod === 0 && col("vec_id") < PanelCap))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"),
         expr(bucketExprFor(bits)).as("qbucket"))
-      .select(col("qid"), col("qe"), col("qnrm"),
-        explode(expr(probeArray)).as("bucket"))
+
+  private def sAnnLshBatch: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    // geometry + occupancy from the index meta (auto-dimensioned width)
+    val root = annIndex(s, dir)
+    val bits = annLshBits(root)
+    val q = testProbeFrame(s, dir, bits)
+    // persisted: the probe plan feeds the driver-side bucket union AND
+    // the broadcast build — one panel scan, not two
+    val probes = budgetProbesOf(q, bits, annLshBucketCounts(root), AnnProbeBudget)
+      .persist()
+    val buckets = probes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // empty buckets have no dir; read what exists under basePath so
+    // the bucket partition column survives
+    val probeDirs = buckets.map(b => new java.io.File(root, s"bucket=$b"))
+      .filter(_.isDirectory).map(_.toString)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    s.read.parquet(root)
+    val index =
+      if (probeDirs.isEmpty) s.read.parquet(root).limit(0)
+      else s.read.option("basePath", root).parquet(probeDirs.toIndexedSeq: _*)
+    index
       .withColumn("bucket", col("bucket").cast("int"))
       .join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("qid"))
@@ -421,16 +507,35 @@ object Similarity {
         col("vec_id"), col("label"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** The budget rule verbatim: flips margin-ordered, occupancy
+    * cumulated over the full order, kept while cum ≤ budget (the
+    * budget does not bind at oracle scale, so this equals the full
+    * radius-1 ball there — but the RULE is what both engines run). */
   private val sAnnLshBatchSql =
     s"""WITH $duckBitsCte,
        |v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
        |             $duckBucketExprDyn AS bucket FROM embeddings CROSS JOIN nb),
        |q AS (SELECT vec_id qid, embedding qe, nrm qnrm, bucket qbucket
        |      FROM v WHERE vec_id % $BatchMod = 0 AND vec_id < $PanelCap),
-       |cands AS (SELECT q.qid, v.vec_id, v.label,
+       |counts AS (SELECT bucket, count(*) AS c FROM v GROUP BY bucket),
+       |pf AS (SELECT qid, qe, qnrm,
+       |         unnest([qbucket] || list_transform(range(0, bits),
+       |           j -> xor(qbucket, (1::BIGINT << j::INT)))) AS bucket,
+       |         unnest([-1.0::DOUBLE] || list_transform(range(0, bits),
+       |           j -> abs(qe[j + 1])::DOUBLE)) AS margin
+       |       FROM q CROSS JOIN nb),
+       |pc AS (SELECT pf.*, coalesce(c.c, 0) AS cnt
+       |       FROM pf LEFT JOIN counts c USING (bucket)),
+       |pp AS (SELECT *, sum(cnt) OVER (PARTITION BY qid
+       |         ORDER BY margin, bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM pc),
+       |probes AS (SELECT qid, qe, qnrm, bucket FROM pp
+       |           WHERE margin < 0 OR cum <= $AnnProbeBudget),
+       |cands AS (SELECT p.qid, v.vec_id, v.label,
        |            ${duckCosExpr("v.embedding", "qe", "v.nrm", "qnrm")} AS cos
-       |          FROM v CROSS JOIN q
-       |          WHERE bit_count(xor(v.bucket, q.qbucket)) <= 1 AND v.vec_id <> q.qid)
+       |          FROM v JOIN probes p ON v.bucket = p.bucket
+       |          WHERE v.vec_id <> p.qid)
        |SELECT qid AS query_id, rank, vec_id, label, round(cos, 6) AS cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
        |        ORDER BY cos DESC, vec_id) AS rank FROM cands)

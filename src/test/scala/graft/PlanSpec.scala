@@ -151,14 +151,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("bit_count"), p)
   }
 
-  test("s_ann_lsh_batch: index partitions pruned DYNAMICALLY by the probe join (no full-index scan)") {
+  test("s_ann_lsh_batch: index scan reads ONLY the probe buckets' partition dirs (no full-index listing)") {
     val q = SparkEntry.queries("s_ann_lsh_batch")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
-    // the probe side is broadcast and the index scan's PartitionFilters
-    // carry a dynamic-pruning subquery on the bucket partition column —
-    // pruning comes from the JOIN, not driver-side literals
-    assert(p.contains("dynamicpruningexpression"), p)
-    assert(p.contains("PartitionFilters: [isnotnull(bucket"), p)
+    // r12: the batch's bucket union is collected driver-side and the
+    // scan is constructed FROM those partition dirs (basePath read) —
+    // partition DISCOVERY cost tracks the probe ball, not the bucket
+    // count (a full-root read pays a distributed listing job at a
+    // 1024-dir index before pruning a row). The location itself names
+    // a bucket dir; the probe join still fans candidates per query.
+    assert(p.contains("/bucket="), p)
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
     // and no post-hoc Hamming filter over a full scan remains
     assert(!p.contains("bit_count"), p)
   }

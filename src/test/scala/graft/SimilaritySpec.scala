@@ -202,6 +202,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("budget-bounded multi-probe: margin order, monotone prefix cut, exact bucket always kept") {
+    import spark.implicits._
+    // bits = 4, query e = [0.9, -0.1, 0.5, -0.3] → qbucket = 0101b = 5;
+    // flips by ascending |margin|: j1 (0.1) → 7, j3 (0.3) → 13,
+    // j2 (0.5) → 1, j0 (0.9) → 4
+    val q = Seq((1L, Array(0.9f, -0.1f, 0.5f, -0.3f), 1.0, 5))
+      .toDF("qid", "qe", "qnrm", "qbucket")
+    val counts = Map(5 -> 100L, 7 -> 500L, 13 -> 200L, 1 -> 50L, 4 -> 50L)
+    def probesAt(budget: Long) =
+      Similarity.budgetProbesOf(q, bits = 4, counts, budget)
+        .select("bucket").collect().map(_.getInt(0)).toSet
+    // budget 700: exact (cum 100) + flip 7 (cum 600); 13 overflows at
+    // 800 and the cut is a PREFIX — later cheaper flips stay excluded
+    assert(probesAt(700L) == Set(5, 7))
+    // the exact bucket survives even a budget its own occupancy busts
+    assert(probesAt(10L) == Set(5))
+    // an unbinding budget keeps the whole radius-1 ball
+    assert(probesAt(1000000L) == Set(5, 7, 13, 1, 4))
+    // unknown occupancies (old meta) read as 0 → full ball fallback
+    assert(Similarity.budgetProbesOf(q, 4, Map.empty, 1L)
+      .select("bucket").collect().map(_.getInt(0)).toSet == Set(5, 7, 13, 1, 4))
+  }
+
   test("s_ann_lsh_batch agrees with the single-query probe for query 0") {
     // query 0 is in the batch (0 % 100 == 0) and both paths probe the
     // same index at Hamming radius 1 — identical candidates, ranks,
