@@ -800,6 +800,24 @@ object Graft {
         k: Int = 20, asOf: Option[Long] = None): DataFrame =
       operators.TextIndex.bm25fTopkAtRoot(spark, root, terms, k, asOf)
 
+    /** Phrase-constrained BM25 top-k served from the persisted
+      * index's POSITIONAL postings (v4): candidates from the
+      * bucket-pruned term intersection, adjacency from stored
+      * positions — the corpus is never touched. Same scores as
+      * [[phraseBm25Topk]], spec-pinned. */
+    def phraseBm25Indexed(spark: SparkSession, dir: String,
+        phrase: Seq[String], k: Int = 20): DataFrame =
+      operators.TextIndex.phraseBm25Indexed(spark, dir, phrase, k)
+
+    /** Phrase retrieval from an explicit-root incremental index:
+      * tf/df/stats net across signed-delta generations; positions
+      * (not additive) come from each doc's latest positive row, so
+      * phrase serving inherits upserts (with changed positions),
+      * deletes, compaction, and `asOf` snapshot pins. */
+    def phraseBm25At(spark: SparkSession, root: String, phrase: Seq[String],
+        k: Int = 20, asOf: Option[Long] = None): DataFrame =
+      operators.TextIndex.phraseBm25AtRoot(spark, root, phrase, k, asOf)
+
     /** The retained snapshot versions at a text-index root, ascending
       * (one per publish; expired by the sweep past its grace). */
     def bm25Snapshots(spark: SparkSession, root: String): Seq[Long] =

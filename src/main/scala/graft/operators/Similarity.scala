@@ -507,12 +507,13 @@ object Similarity {
         col("vec_id"), col("label"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** The budget rule verbatim: flips margin-ordered, occupancy
-    * cumulated over the full order, kept while cum ≤ budget (the
-    * budget does not bind at oracle scale, so this equals the full
-    * radius-1 ball there — but the RULE is what both engines run). */
-  private val sAnnLshBatchSql =
-    s"""WITH $duckBitsCte,
+  /** The budget rule verbatim (shared by the batch probe and the
+    * panel recall eval): flips margin-ordered, occupancy cumulated
+    * over the full order, kept while cum ≤ budget (the budget does
+    * not bind at oracle scale, so this equals the full radius-1 ball
+    * there — but the RULE is what both engines run). */
+  private val annBatchCandsCte =
+    s"""$duckBitsCte,
        |v AS (SELECT vec_id, label, embedding, $duckNormExpr AS nrm,
        |             $duckBucketExprDyn AS bucket FROM embeddings CROSS JOIN nb),
        |q AS (SELECT vec_id qid, embedding qe, nrm qnrm, bucket qbucket
@@ -535,7 +536,10 @@ object Similarity {
        |cands AS (SELECT p.qid, v.vec_id, v.label,
        |            ${duckCosExpr("v.embedding", "qe", "v.nrm", "qnrm")} AS cos
        |          FROM v JOIN probes p ON v.bucket = p.bucket
-       |          WHERE v.vec_id <> p.qid)
+       |          WHERE v.vec_id <> p.qid)""".stripMargin
+
+  private val sAnnLshBatchSql =
+    s"""WITH $annBatchCandsCte
        |SELECT qid AS query_id, rank, vec_id, label, round(cos, 6) AS cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
        |        ORDER BY cos DESC, vec_id) AS rank FROM cands)
@@ -596,6 +600,66 @@ object Similarity {
        |       count(*) AS n_hits,
        |       round(count(*)::DOUBLE / $K, 6) AS recall
        |FROM exactk JOIN annk USING (vec_id)""".stripMargin
+
+  /** `s_ann_recall_panel` — the PANEL form [[sAnnRecall]]'s scaladoc
+    * promises: every batch-serving query evaluated against its exact
+    * cosine top-K, one row per query (query_id, k, n_hits, recall).
+    * The approximate side IS the production batch probe
+    * ([[sAnnLshBatch]] — budget-bounded multi-probe over the
+    * persisted index), so this report regression-gates exactly what
+    * serving runs, including the budget rule; deterministic both
+    * sides, so the recall numbers are oracle-exact.
+    *
+    * Scale shape: the exact side is the one corpus-volume stage — a
+    * broadcast panel × corpus fold with per-partition partial top-K
+    * (WindowGroupLimit before the qid exchange); the approximate side
+    * reads its probe partitions; the hit join carries K·|panel| rows. */
+  private def sAnnRecallPanel: Q = (s, dir) => {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val root = annIndex(s, dir)
+    val bits = annLshBits(root)
+    val panel = testProbeFrame(s, dir, bits)
+      .select(col("qid"), col("qe"), col("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    val exactk = withNorm(Tables.embeddings(s, dir))
+      .crossJoin(broadcast(panel))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr(cosExpr("embedding", "qe", "nrm", "qnrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("vec_id"))
+    val annk = sAnnLshBatch(s, dir)
+      .select(col("query_id").as("qid"), col("vec_id"))
+    panel.select(col("qid"))
+      .join(exactk.join(annk, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits")), Seq("qid"), "left")
+      .select(col("qid").as("query_id"), lit(K.toLong).as("k"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / lit(K.toDouble), 6)
+          .as("recall"))
+  }
+
+  private val sAnnRecallPanelSql =
+    s"""WITH $annBatchCandsCte,
+       |annk AS (SELECT qid, vec_id
+       |         FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |                 ORDER BY cos DESC, vec_id) AS rank FROM cands)
+       |         WHERE rank <= $K),
+       |exacts AS (SELECT q.qid, v.vec_id,
+       |             ${duckCosExpr("v.embedding", "qe", "v.nrm", "qnrm")} AS cos
+       |           FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+       |exactk AS (SELECT qid, vec_id
+       |           FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |                   ORDER BY cos DESC, vec_id) AS rank FROM exacts)
+       |           WHERE rank <= $K),
+       |hits AS (SELECT e.qid, count(*) AS h
+       |         FROM exactk e JOIN annk a ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |         GROUP BY e.qid)
+       |SELECT q.qid AS query_id, CAST($K AS BIGINT) AS k,
+       |       CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+       |       round(coalesce(h.h, 0)::DOUBLE / $K, 6) AS recall
+       |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
 
   // ----------------------------------------------------------------
   // Matryoshka truncation eval (MRL prefix-dim retrieval quality)
@@ -2467,6 +2531,7 @@ object Similarity {
     "s_cosine_topk" -> sCosineTopk,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_recall" -> sAnnRecall,
+    "s_ann_recall_panel" -> sAnnRecallPanel,
     "s_matryoshka_recall" -> sMatryoshkaRecall,
     "s_ann_lsh_batch" -> sAnnLshBatch,
     "s_ivf_ann" -> sIvfAnn,
@@ -2494,6 +2559,7 @@ object Similarity {
     "s_cosine_topk" -> sCosineTopkSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_recall" -> sAnnRecallSql,
+    "s_ann_recall_panel" -> sAnnRecallPanelSql,
     "s_matryoshka_recall" -> sMatryoshkaRecallSql,
     "s_ann_lsh_batch" -> sAnnLshBatchSql,
     "s_ivf_ann" -> sIvfAnnSql,

@@ -82,7 +82,7 @@ object TextIndex {
     * handle that within a partition. */
   val Buckets = 64
 
-  private val TextIndexVersion = 3 // v2: signed-delta gens + docs registry; v3: fielded (title/body) postings
+  private val TextIndexVersion = 4 // v2: signed-delta gens + docs registry; v3: fielded (title/body) postings; v4: positional postings (indexed phrase)
 
   /** Exact JVM twin of `graft_polyhash` ([[PortableHash.polyHash]]):
     * fold (acc·31 + codePOINT) mod P — code points, not UTF-16 units,
@@ -181,6 +181,124 @@ object TextIndex {
   def bm25fTopkIndexed(s: SparkSession, dir: String, terms: Seq[String],
       k: Int): DataFrame =
     TextAnalysis.bm25TopkCut(bm25fScoredIndexed(s, dir, terms), k)
+
+  // ----------------------------------------------------------------
+  // Phrase retrieval FROM the index (positional postings, v4)
+  // ----------------------------------------------------------------
+
+  /** The adjacency confirm over pivoted per-slot position arrays:
+    * ∃ x ∈ pos(t₀) with x+i ∈ pos(tᵢ) for every later slot — exactly
+    * the `" t₀ t₁ … "` substring match on the space-joined filtered
+    * token stream ([[TextAnalysis.phraseBm25Of]]), restated over the
+    * SAME position coordinate system the index stores. One codegen'd
+    * boolean; cost ∝ |pos(t₀)| per candidate doc. */
+  private def phraseAdjacencyExpr(phrase: Seq[String]): String = {
+    val rest = (1 until phrase.length).map(i => s"array_contains(p$i, x + $i)")
+    if (rest.isEmpty) "p0 IS NOT NULL" else s"exists(p0, x -> ${rest.mkString(" AND ")})"
+  }
+
+  /** Two-stage phrase top-k over a scored-with-positions frame
+    * `(doc_id, term, sc, pos)` restricted to the phrase's terms:
+    * candidates must match EVERY distinct term (the index
+    * intersection), only candidates pay the position-adjacency
+    * confirm, scoring keeps the filter-query convention (global idf;
+    * nano-integer order-free partials) — the exact
+    * [[TextAnalysis.phraseBm25Of]] contract, corpus never touched. */
+  private def phraseTopkOf(scored: DataFrame, phrase: Seq[String],
+      k: Int): DataFrame = {
+    val aggs = Seq(
+      countDistinct(col("term")).as("nt"),
+      sum(floor(col("sc") * lit(1e9) + lit(0.5)).cast("long")).as("nanos")) ++
+      phrase.indices.map(i =>
+        first(when(col("term") === phrase(i), col("pos")), ignoreNulls = true)
+          .as(s"p$i"))
+    scored.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("nt") === phrase.distinct.length)
+      .filter(expr(phraseAdjacencyExpr(phrase)))
+      .orderBy(col("nanos").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        expr(TextAnalysis.r6("cast(nanos as double) / 1e9")).as("bm25"))
+  }
+
+  /** `(doc_id, term, sc, pos)` from the cached single-generation
+    * index — [[bm25ScoredIndexed]] with the positional column carried
+    * (exact-integer scoring, the phrase contract). */
+  private def indexedScoredWithPos(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val root = textIndex(s, dir)
+    val buckets = terms.map(bucketOf).distinct
+    val post = s.read.schema(PostingsSchema).parquet(s"$root/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dfT = s.read.schema(DfSchema).parquet(s"$root/df")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+    val stats = s.read.schema(StatsSchema).parquet(s"$root/stats")
+    post.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        expr(TextAnalysis.bm25Sc("tf", "df", "dl", "n_docs", "s_dl")).as("sc"),
+        col("pos"))
+  }
+
+  /** Phrase-constrained BM25 top-k SERVED FROM THE INDEX — the
+    * two-stage Lucene shape with both stages on index structures:
+    * candidates from the bucket-pruned postings intersection,
+    * adjacency from the STORED positions (the corpus is never
+    * touched — [[TextAnalysis.phraseBm25Of]] re-reads and re-joins
+    * every candidate's text; at serving scale that is the difference
+    * between a positional-postings read and a corpus scan). Shares
+    * `t_bm25_phrase`'s oracle verbatim. */
+  def phraseBm25Indexed(s: SparkSession, dir: String, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      "phrase must be non-empty tokens")
+    phraseTopkOf(indexedScoredWithPos(s, dir, phrase), phrase, k)
+  }
+
+  /** Phrase retrieval from an explicit-root incremental index — the
+    * LSM form: tf/dl/df/stats net across signed-delta generations as
+    * always; POSITIONS are not additive, so the live positions are
+    * the latest POSITIVE row's (a doc version lives whole in one
+    * generation; anti rows carry NULL), selected by `max_by` over the
+    * generation number. Inherits upserts, supersedes (with CHANGED
+    * positions — spec-pinned), deletes, compaction, and `asOf`
+    * snapshot pins. */
+  def phraseBm25AtRoot(s: SparkSession, root: String, phrase: Seq[String],
+      k: Int, asOf: Option[Long] = None): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      "phrase must be non-empty tokens")
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val gens = asOf match {
+      case None => readManifest(s, root)
+      case Some(v) => manifestLinesAsOf(s, root, v).filter(_.startsWith("gen-"))
+    }
+    require(gens.nonEmpty, s"no text index at $root — build() first")
+    val buckets = phrase.map(bucketOf).distinct
+    def pruned(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      gens.map(g =>
+        s.read.schema(schema).parquet(s"$root/$g/$sub")
+          .filter(col("bucket").isin(buckets: _*) && col("term").isin(phrase.distinct: _*))
+          .withColumn("gen", lit(g.stripPrefix("gen-").toLong)))
+      .reduce(_ unionByName _)
+    val post = pruned("postings", PostingsSchema)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"),
+        max_by(col("pos"), when(col("tf") > 0, col("gen")).otherwise(lit(-1L)))
+          .as("pos"))
+      .filter(col("tf") > 0)
+    val dfT = pruned("df", DfSchema).groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = gens.map(g => s.read.schema(StatsSchema).parquet(s"$root/$g/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_dl")).as("s_dl"))
+    val scored = post.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        expr(TextAnalysis.bm25Sc("tf", "df", "dl", "n_docs", "s_dl")).as("sc"),
+        col("pos"))
+    phraseTopkOf(scored, phrase, k)
+  }
 
   // ----------------------------------------------------------------
   // Batch probes: many queries through the index in ONE join
@@ -317,6 +435,15 @@ object TextIndex {
     org.apache.spark.sql.types.StructField("tf_t", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("dl_t", org.apache.spark.sql.types.LongType),
+    // positions of the term among the doc's filtered tokens, sorted —
+    // NOT additive across generations (unlike tf/dl): a doc's live
+    // positions are its latest POSITIVE row's (a doc version lives
+    // whole in one generation; anti rows carry NULL), selected by
+    // max_by(pos, gen) wherever generations net. Probes that don't
+    // need positions never project the column, so it costs them
+    // nothing at the parquet reader.
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
     org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
   private val DfSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
@@ -359,7 +486,8 @@ object TextIndex {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"),
         sum(when(col("pos") < TextAnalysis.Bm25fTitleLen, 1L).otherwise(0L))
-          .as("tf_t"))
+          .as("tf_t"),
+        sort_array(collect_list(col("pos").cast("int"))).as("pos"))
       .withColumn("bucket",
         pmod(PortableHash.polyHash(col("term")), lit(Buckets.toLong)).cast("int"))
 
@@ -375,7 +503,7 @@ object TextIndex {
       docsDelta: DataFrame, genDir: String): Unit = {
     postings
       .select(col("doc_id"), col("term"), col("tf"), col("tf_t"),
-        col("dl"), col("dl_t"), col("bucket"))
+        col("dl"), col("dl_t"), col("pos"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/postings")
     // df delta per term = Σ row signs: +1 for each live (doc, term)
     // added, −1 for each cancelled — summed over generations this IS
@@ -642,7 +770,8 @@ object TextIndex {
         else livePostingsOf(s, root, gens, resent)
           .select(col("doc_id"), col("term"), (-col("tf")).as("tf"),
             (-col("tf_t")).as("tf_t"), (-col("dl")).as("dl"),
-            (-col("dl_t")).as("dl_t"), col("bucket"))
+            (-col("dl_t")).as("dl_t"),
+            lit(null).cast("array<int>").as("pos"), col("bucket"))
       val batchStats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_dl"),
         sum(col("dl_t")).as("s_dlt"))
       val resentStats = resent.agg(count(lit(1)).as("rn"),
@@ -651,7 +780,7 @@ object TextIndex {
       writeParts(
         tfOf(docs).join(dl, "doc_id")
           .select(col("doc_id"), col("term"), col("tf"), col("tf_t"),
-            col("dl"), col("dl_t"), col("bucket"))
+            col("dl"), col("dl_t"), col("pos"), col("bucket"))
           .unionByName(anti),
         batchStats.crossJoin(resentStats)
           .select((col("n_docs") - col("rn")).as("n_docs"),
@@ -698,7 +827,8 @@ object TextIndex {
         val anti = livePostingsOf(s, root, gens, victims)
           .select(col("doc_id"), col("term"), (-col("tf")).as("tf"),
             (-col("tf_t")).as("tf_t"), (-col("dl")).as("dl"),
-            (-col("dl_t")).as("dl_t"), col("bucket"))
+            (-col("dl_t")).as("dl_t"),
+            lit(null).cast("array<int>").as("pos"), col("bucket"))
         writeParts(
           anti,
           victims.agg((-count(lit(1))).as("n_docs"),
@@ -734,15 +864,21 @@ object TextIndex {
     val live = liveDocs(s, root, gens).persist()
     try {
       val n = live.count()
+      // positions are NOT additive: the live positions are the latest
+      // POSITIVE row's (anti rows rank -1), selected by max_by over the
+      // generation number attached per scan
       val postings = gens
-        .map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings"))
+        .map(g => s.read.schema(PostingsSchema).parquet(s"$root/$g/postings")
+          .withColumn("gen", lit(g.stripPrefix("gen-").toLong)))
         .reduce(_ unionByName _)
         .groupBy(col("doc_id"), col("term"), col("bucket"))
         .agg(sum(col("tf")).as("tf"), sum(col("tf_t")).as("tf_t"),
-          sum(col("dl")).as("dl"), sum(col("dl_t")).as("dl_t"))
+          sum(col("dl")).as("dl"), sum(col("dl_t")).as("dl_t"),
+          max_by(col("pos"), when(col("tf") > 0, col("gen")).otherwise(lit(-1L)))
+            .as("pos"))
         .filter(col("tf") > 0)
         .select(col("doc_id"), col("term"), col("tf"), col("tf_t"),
-          col("dl"), col("dl_t"), col("bucket"))
+          col("dl"), col("dl_t"), col("pos"), col("bucket"))
       writeParts(
         postings,
         live.agg(count(lit(1)).as("n_docs"),
@@ -1046,13 +1182,23 @@ object TextIndex {
 
   // ----------------------------------------------------------------
 
+  /** The positional twin: identical output contract to
+    * `t_bm25_phrase`, served from the index's stored positions —
+    * shares its DuckDB oracle verbatim, which IS the spec that the
+    * positional postings lose nothing (including the adjacency
+    * semantics restated from substring match to position chains). */
+  private def tBm25PhraseIndexed: Q = (s, dir) =>
+    phraseBm25Indexed(s, dir, TextAnalysis.Bm25Phrase, 20)
+
   val queries: Map[String, Q] = Map(
     "t_bm25_indexed" -> tBm25Indexed,
     "t_bm25f_indexed" -> tBm25fIndexed,
+    "t_bm25_phrase_indexed" -> tBm25PhraseIndexed,
     "t_bm25_batch" -> tBm25Batch)
 
   val oracles: Map[String, String] = Map(
     "t_bm25_indexed" -> TextAnalysis.oracles("t_bm25"),
     "t_bm25f_indexed" -> TextAnalysis.oracles("t_bm25f"),
+    "t_bm25_phrase_indexed" -> TextAnalysis.oracles("t_bm25_phrase"),
     "t_bm25_batch" -> tBm25BatchSql)
 }

@@ -147,6 +147,49 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(servedAt(asOf = Some(pin1)) == inQueryOf(v1))
   }
 
+  test("phrase index parity: t_bm25_phrase_indexed returns exactly t_bm25_phrase's rows") {
+    val inQuery = TextAnalysis.queries("t_bm25_phrase")(spark, sf).collect().toSeq
+    val indexed = operators.TextIndex.queries("t_bm25_phrase_indexed")(spark, sf).collect().toSeq
+    assert(indexed == inQuery)
+  }
+
+  test("phrase LSM law: positional probes equal the in-query phrase scorer through upserts that MOVE the phrase, deletes, compaction, and asOf pins") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_text_lsm_ph").toString
+    val phrase = Seq("vector", "hash")
+    def servedAt(asOf: Option[Long] = None) =
+      Graft.text.phraseBm25At(spark, root, phrase, 10, asOf).collect().toSeq
+    def inQueryOf(docs: Seq[(Long, String)]) =
+      operators.TextAnalysis
+        .phraseBm25Of(docs.toDF("doc_id", "text"), phrase, 10).collect().toSeq
+    val v1 = Seq(
+      (1L, "alpha vector hash beta"),          // phrase present
+      (2L, "vector beta hash"),                // both terms, NOT adjacent
+      (3L, "hash vector gamma"),               // both terms, wrong order
+      (4L, "vector hash vector hash"),         // present twice
+      (5L, "delta epsilon"))
+    operators.TextIndex.build(v1.toDF("doc_id", "text"), root)
+    assert(servedAt() == inQueryOf(v1))
+    val pin1 = Graft.text.bm25Snapshots(spark, root).max
+    // the re-send MOVES the phrase: doc 2 gains adjacency, doc 1 loses
+    // it — stale positions from the superseded generation would get
+    // both wrong
+    val v2 = Seq(
+      (1L, "alpha vector beta hash"),
+      (2L, "zeta vector hash"),
+      (6L, "vector hash eta"))
+    operators.TextIndex.upsert(v2.toDF("doc_id", "text"), root)
+    val after = v1.filterNot(d => Set(1L, 2L)(d._1)) ++ v2
+    assert(servedAt() == inQueryOf(after))
+    operators.TextIndex.delete(Seq(4L).toDF("doc_id"), root)
+    val afterDel = after.filterNot(_._1 == 4L)
+    assert(servedAt() == inQueryOf(afterDel))
+    operators.TextIndex.compact(spark, root)
+    assert(servedAt() == inQueryOf(afterDel))
+    // the pin replays the ORIGINAL positions (doc 1 adjacent, doc 2 not)
+    assert(servedAt(asOf = Some(pin1)) == inQueryOf(v1))
+  }
+
   test("text index incremental: build + upsert probes equal the in-query BM25 exactly") {
     val root = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
     val docs = Tables.documents(spark, sf)
