@@ -1310,4 +1310,27 @@ object Graft {
     def phashOf(imageBytes: Array[Byte]): (Long, Long) =
       Multimodal.phashOf(imageBytes)
   }
+
+  /** The manifest-versioned document lake — time travel on the corpus
+    * itself (see [[sources.CorpusStore]]): immutable segments, atomic
+    * versioned publishes, `asOf` reads, doc-level diffs, copy-on-write
+    * erasure with an auditable version-pair certificate, rollback. */
+  object corpus {
+    def create(docs: DataFrame, root: String): Long =
+      sources.CorpusStore.create(docs, root)
+    def append(docs: DataFrame, root: String): Long =
+      sources.CorpusStore.append(docs, root)
+    def read(spark: SparkSession, root: String): DataFrame =
+      sources.CorpusStore.read(spark, root)
+    def asOf(spark: SparkSession, root: String, v: Long): DataFrame =
+      sources.CorpusStore.asOf(spark, root, v)
+    def snapshots(spark: SparkSession, root: String): Seq[Long] =
+      sources.CorpusStore.snapshots(spark, root)
+    def snapshotDiff(spark: SparkSession, root: String, v1: Long, v2: Long): DataFrame =
+      sources.CorpusStore.snapshotDiff(spark, root, v1, v2)
+    def forget(spark: SparkSession, root: String, ids: DataFrame): DataFrame =
+      sources.CorpusStore.forget(spark, root, ids)
+    def rollbackTo(spark: SparkSession, root: String, v: Long): Unit =
+      sources.CorpusStore.rollbackTo(spark, root, v)
+  }
 }

@@ -143,17 +143,26 @@ object CorpusStore {
 
   /** Append a batch as one new immutable segment; every existing
     * segment is carried by reference (zero rewrite). Returns the new
-    * version. */
-  def append(docs: DataFrame, root: String): Long = {
+    * version. `tag` (streaming ingest) rides the same atomic publish
+    * as the segment, forming the replay-idempotence ledger — the
+    * [[graft.operators.TextIndex]] `batch:` discipline on the corpus
+    * manifest (readers ignore unknown prefixes). */
+  def append(docs: DataFrame, root: String, tag: Option[String] = None): Long = {
     val s = docs.sparkSession
     PublishLock.withLock(s, root) {
       val lines = manifestLines(s, root)
       require(lines.nonEmpty, s"no corpus store at $root — create() first")
       val seg = s"seg-${nextSegOf(lines)}"
       docs.write.mode("overwrite").parquet(s"$root/$seg")
-      publish(s, root, lines :+ seg)
+      publish(s, root, (lines :+ seg) ++ tag.map(t => s"batch:$t"))
     }
   }
+
+  /** Has a streamed batch's tag already ridden a published corpus
+    * manifest? The exactly-once check for foreachBatch replays. */
+  private[graft] def batchApplied(s: SparkSession, root: String,
+      tag: String): Boolean =
+    manifestLines(s, root).contains(s"batch:$tag")
 
   private def readSegs(s: SparkSession, root: String,
       segs: Seq[String]): DataFrame = {
@@ -203,7 +212,8 @@ object CorpusStore {
     * no longer serves these ids" is a replayable claim via [[asOf]].
     * A request matching nothing publishes nothing (no-op, v_after =
     * v_before). */
-  def forget(s: SparkSession, root: String, ids: DataFrame): DataFrame = {
+  def forget(s: SparkSession, root: String, ids: DataFrame,
+      tag: Option[String] = None): DataFrame = {
     import s.implicits._
     PublishLock.withLock(s, root) {
       val lines = manifestLines(s, root)
@@ -233,7 +243,7 @@ object CorpusStore {
             fresh
           }
           val kept = lines.filterNot(touched.contains)
-          val vAfter = publish(s, root, kept ++ rewritten)
+          val vAfter = publish(s, root, kept ++ rewritten ++ tag.map(t => s"batch:$t"))
           Seq((vBefore, vAfter, segs.size.toLong, touched.size.toLong, deleted))
             .toDF("v_before", "v_after", "n_segments", "n_touched", "n_deleted")
         }
@@ -250,7 +260,14 @@ object CorpusStore {
     * [[asOf]]. */
   def rollbackTo(s: SparkSession, root: String, v: Long): Unit =
     PublishLock.withLock(s, root) {
-      val lines = segsAsOf(s, root, v)
+      // restore the FULL snapshot lines — the batch: idempotence
+      // ledger as of v must survive the restore (the TextIndex
+      // rollback rationale: a post-rollback crash replay of a batch
+      // applied before v must still skip)
+      require(segsAsOf(s, root, v).nonEmpty, s"snapshot v$v at $root is empty")
+      val (rp0, fs0) = fsOf(s, root)
+      val lines = readLines(s,
+        new org.apache.hadoop.fs.Path(rp0, versionName(v)), fs0)
       val (rootPath, fs) = fsOf(s, root)
       // restore makes snapshot v ITSELF the live state — the live
       // manifest is written directly, no new .v copy is minted

@@ -330,6 +330,60 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact == expected)
   }
 
+  test("dual-surface CDC: corpus store and text index stay consistent per batch; mid-stream (corpus v, index v) pin replays retrieval over the pinned documents") {
+    import spark.implicits._
+    val corpus = java.nio.file.Files.createTempDirectory("graft-dual-corpus").toString
+    val index = java.nio.file.Files.createTempDirectory("graft-dual-index").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dual-ck").toString
+    val terms = Seq("vector", "hash", "stream")
+    val v1 = Seq(
+      (1L, "vector hash stream alpha"), (2L, "vector vector beta"),
+      (3L, "hash gamma"), (4L, "stream delta"), (5L, "epsilon"),
+      (6L, "vector stream eta")).toDF("doc_id", "text")
+    sources.CorpusStore.create(v1, corpus)
+    graft.operators.TextIndex.build(v1, index)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val q = streaming.StreamingCorpusIngest.cdc(
+      input.toDF().toDF("op", "doc_id", "text"), corpus, index, ckpt)
+    def servedNow() = Graft.text.bm25TopkAt(spark, index, terms, 10).collect().toSeq
+    def inQueryOf(docs: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.bm25TopkOf(docs, terms, 10).collect().toSeq
+    try {
+      input.addData(Seq(("upsert", 2L, "beta beta hash"),
+        ("upsert", 7L, "vector theta"), ("delete", 3L, "")))
+      q.processAllAvailable()
+      // a consistent pin taken between batches
+      val vc0 = sources.CorpusStore.currentVersion(spark, corpus)
+      val vi0 = Graft.text.bm25Snapshots(spark, index).max
+      val expected0 = inQueryOf(sources.CorpusStore.read(spark, corpus))
+      assert(servedNow() == expected0)
+      input.addData(Seq(("delete", 4L, ""), ("upsert", 3L, "hash hash vector")))
+      q.processAllAvailable()
+      // live surfaces agree after every batch
+      val live = sources.CorpusStore.read(spark, corpus)
+      assert(live.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L, 5L, 6L, 7L))
+      assert(servedNow() == inQueryOf(live))
+      // the mid-stream pin replays: index served AS OF vi0 equals the
+      // in-query scorer over the corpus AS OF vc0 — the training-run
+      // pin held across a later revision that MOVED doc 3's content
+      assert(Graft.text.bm25TopkAt(spark, index, terms, 10, asOf = Some(vi0))
+        .collect().toSeq
+        == inQueryOf(sources.CorpusStore.asOf(spark, corpus, vc0)))
+      // both ledgers carry both batches — a full replay skips whole
+      assert(sources.CorpusStore.batchApplied(spark, corpus, "cdc-0"))
+      assert(sources.CorpusStore.batchApplied(spark, corpus, "cdc-1"))
+      assert(graft.operators.TextIndex.batchApplied(spark, index, "cdc-0"))
+      assert(graft.operators.TextIndex.batchApplied(spark, index, "cdc-1"))
+      // the crash-between-publishes replay half: re-erasing dead ids
+      // publishes nothing on the corpus (no-op certificate)
+      val re = sources.CorpusStore.forget(spark, corpus, Seq(4L).toDF("doc_id"))
+        .collect()(0)
+      assert(re.getLong(0) == re.getLong(1) && re.getLong(4) == 0L)
+    } finally q.stop()
+  }
+
   test("CDC batch reduction: seq orders multiple events per key within one micro-batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-text-cdc-seq").toString
