@@ -736,12 +736,35 @@ object Multimodal {
     * hashes instead of text fingerprints. Output: (a_id, b_id,
     * hamming_a, hamming_d); pair space O(n·cap·bands), never
     * all-pairs. */
-  def phashPairsOf(hashes: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame = {
+  private def phashBanded(hashes: DataFrame): DataFrame = {
     val bandArr = (0 until PhashBands)
       .map(b => s"shiftright(ahash, ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")
       .mkString("array(", ", ", ")")
-    val banded = hashes.select(col("doc_id"), col("ahash"), col("dhash"),
+    hashes.select(col("doc_id"), col("ahash"), col("dhash"),
       posexplode(expr(bandArr)).as(Seq("band", "bucket")))
+  }
+
+  /** Band-bucket occupancy audit for [[phashPairsOf]] — the
+    * `d_lsh_bucket_stats` discipline: a capped candidate generator
+    * ships with the query that reports what the cap truncated. Per
+    * band: bucket count, max occupancy, docs kept vs
+    * representative-mediated under the cap. Image corpora COLLAPSE
+    * hash classes (boilerplate frames, test cards, letterboxing), so
+    * this is the dial that says when the pair space went
+    * representative-mediated. */
+  def phashBucketStats(hashes: DataFrame,
+      cap: Int = Dedup.MaxBucketOccupancy): DataFrame =
+    phashBanded(hashes)
+      .groupBy(col("band").cast("long").as("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occupancy"),
+        sum(least(col("occ"), lit(cap.toLong))).as("docs_kept"),
+        sum(greatest(col("occ") - cap, lit(0L))).as("docs_truncated"))
+
+  def phashPairsOf(hashes: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame = {
+    val banded = phashBanded(hashes)
     val kept = Dedup.keptBandedOf(banded, Dedup.MaxBucketOccupancy)
     kept.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -755,13 +778,18 @@ object Multimodal {
 
   private def mPhashDedup: Q = (s, dir) => phashPairsOf(phashes(s, dir))
 
+  private def mPhashBucketStats: Q = (s, dir) =>
+    phashBucketStats(phashes(s, dir))
+
   /** The oracle recomputes both hashes arithmetically from the
     * closed-form pixel function (no codec in DuckDB — a decode bug on
     * the Spark side breaks parity). Bit 63 is packed by adding the
     * signed minimum (1<<63 overflows DuckDB's left shift); `>> k &
     * mask` band extraction agrees across the engines' logical vs
     * arithmetic shift because the mask discards the sign fill. */
-  private val mPhashDedupSql = {
+  /** Shared oracle CTEs through `banded` — the closed-form hash
+    * recomputation both phash queries judge against. */
+  private val phashBandedCte = {
     val bit63 = "(-9223372036854775807 - 1)"
     def packed(bitCond: String) =
       s"""CAST(sum(CASE WHEN $bitCond AND NOT (s.j = 7 AND s.i = 7)
@@ -771,7 +799,7 @@ object Multimodal {
     val bandList = (0 until PhashBands)
       .map(b => s"(ahash >> ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")
       .mkString("[", ", ", "]")
-    s"""WITH d AS (SELECT doc_id, 16 + doc_id % 64 AS w,
+    s"""d AS (SELECT doc_id, 16 + doc_id % 64 AS w,
        |                  16 + (doc_id * 7) % 64 AS h FROM documents),
        |ij AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM d),
        |cell AS (SELECT doc_id, w, h, j, unnest(range(0, 8)) AS i FROM ij),
@@ -787,7 +815,11 @@ object Multimodal {
        |       FROM samp s JOIN tot t ON s.doc_id = t.doc_id GROUP BY s.doc_id),
        |banded AS (SELECT doc_id, ahash, dhash, unnest(range(0, $PhashBands)) AS band,
        |                  unnest($bandList) AS bucket
-       |           FROM hs),
+       |           FROM hs)""".stripMargin
+  }
+
+  private val mPhashDedupSql =
+    s"""WITH $phashBandedCte,
        |kept AS (SELECT doc_id, ahash, dhash, band, bucket FROM (
        |           SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) rn
        |           FROM banded) WHERE rn <= ${Dedup.MaxBucketOccupancy})
@@ -797,7 +829,15 @@ object Multimodal {
        |FROM kept x JOIN banded y
        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.ahash, y.ahash)) <= $PhashMaxHamming""".stripMargin
-  }
+
+  private val mPhashBucketStatsSql =
+    s"""WITH $phashBandedCte,
+       |occ AS (SELECT band, bucket, count(*) AS occ FROM banded GROUP BY band, bucket)
+       |SELECT band, count(*)::BIGINT AS n_buckets,
+       |       CAST(max(occ) AS BIGINT) AS max_occupancy,
+       |       CAST(sum(least(occ, ${Dedup.MaxBucketOccupancy})) AS BIGINT) AS docs_kept,
+       |       CAST(sum(greatest(occ - ${Dedup.MaxBucketOccupancy}, 0)) AS BIGINT) AS docs_truncated
+       |FROM occ GROUP BY band""".stripMargin
 
   // ----------------------------------------------------------------
   // Per-partition batch decode plumbing (Dataset + mapPartitions)
@@ -882,7 +922,8 @@ object Multimodal {
     "m_video_features" -> mVideoFeatures,
     "m_patches" -> mPatches,
     "m_image_embed_topk" -> mImageEmbedTopk,
-    "m_phash_dedup" -> mPhashDedup)
+    "m_phash_dedup" -> mPhashDedup,
+    "m_phash_bucket_stats" -> mPhashBucketStats)
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
@@ -892,5 +933,6 @@ object Multimodal {
     "m_video_features" -> mVideoFeaturesSql,
     "m_patches" -> mPatchesSql,
     "m_image_embed_topk" -> mImageEmbedTopkSql,
-    "m_phash_dedup" -> mPhashDedupSql)
+    "m_phash_dedup" -> mPhashDedupSql,
+    "m_phash_bucket_stats" -> mPhashBucketStatsSql)
 }

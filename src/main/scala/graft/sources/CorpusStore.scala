@@ -305,8 +305,8 @@ object CorpusStore {
     * removed = in v1 ∧ ∉ v3 = (%3≠0 ∧ %97=0). The store is built once
     * per source fingerprint through the shared [[Similarity.cachedIndex]]
     * memo (the persisted-index discipline). */
-  private def vCorpusDiff: Q = (s, dir) => {
-    val root = Similarity.cachedIndex(s, dir, "corpusver", 1,
+  private[graft] def demoStore(s: SparkSession, dir: String): String =
+    Similarity.cachedIndex(s, dir, "corpusver", 1,
         "documents.parquet") { path =>
       val docs = Tables.documents(s, dir)
       create(docs.filter(col("doc_id") % 3 =!= 0), path)
@@ -318,8 +318,65 @@ object CorpusStore {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
     }
-    snapshotDiff(s, root, 1L, 3L)
+
+  private def vCorpusDiff: Q = (s, dir) =>
+    snapshotDiff(s, demoStore(s, dir), 1L, 3L)
+
+  // ----------------------------------------------------------------
+  // Incremental corpus statistics (manifest-diff maintenance)
+  // ----------------------------------------------------------------
+
+  /** Signed per-language statistics over a set of segments. Segments
+    * are IMMUTABLE, so a segment's stats row set is a pure function of
+    * the segment — cacheable forever (the Iceberg manifest-stats
+    * shape); a VERSION's stats are the monoid-sum over its manifest's
+    * segments. */
+  private def statsOfSegs(s: SparkSession, root: String,
+      segs: Seq[String], sign: Int): DataFrame =
+    readSegs(s, root, segs).groupBy(col("lang"))
+      .agg((count(lit(1)) * sign).cast("long").as("n_docs"),
+        (coalesce(sum(col("n_chars")), lit(0L)) * sign).cast("long").as("sum_chars"))
+
+  /** Per-language corpus statistics of retained version `v` — reads
+    * only `v`'s member segments. */
+  def statsAsOf(s: SparkSession, root: String, v: Long): DataFrame =
+    statsOfSegs(s, root, segsAsOf(s, root, v), 1)
+
+  /** Stats of `v2` MAINTAINED from `v1`'s: base stats ⊕ segments only
+    * in v2 ⊖ segments only in v1 — the manifest-diff IVM identity.
+    * Only the symmetric difference is scanned beyond the (cacheable)
+    * base, so maintaining stats across an append or an erasure costs
+    * what changed, not what exists — at a 100 TB lake with per-segment
+    * stats cached, a version's stats are a metadata-sized signed sum,
+    * no segment read at all. Equals [[statsAsOf]]`(v2)` exactly
+    * (oracle-pinned). */
+  def statsIncremental(s: SparkSession, root: String,
+      v1: Long, v2: Long): DataFrame = {
+    val a = segsAsOf(s, root, v1).toSet
+    val b = segsAsOf(s, root, v2).toSet
+    val parts = Seq((a.toSeq.sorted, 1), ((b -- a).toSeq.sorted, 1),
+        ((a -- b).toSeq.sorted, -1))
+      .filter(_._1.nonEmpty)
+      .map { case (segs, sign) => statsOfSegs(s, root, segs, sign) }
+    parts.reduce(_ unionByName _)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_chars")).cast("long").as("sum_chars"))
+      .filter(col("n_docs") > 0)
   }
+
+  /** `v_corpus_stats_ivm` — the incremental stats of v3 maintained
+    * from v1's over the [[demoStore]] fixture; the oracle recomputes
+    * v3's stats directly from the closed-form membership (v3 = all
+    * docs except id % 97 = 0), so a hash match proves the signed
+    * manifest-diff merge identity, not just plausibility. */
+  private def vCorpusStatsIvm: Q = (s, dir) =>
+    statsIncremental(s, demoStore(s, dir), 1L, 3L)
+
+  private val vCorpusStatsIvmSql =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang""".stripMargin
 
   private val vCorpusDiffSql =
     """SELECT doc_id, 'added' AS change FROM documents
@@ -328,6 +385,10 @@ object CorpusStore {
       |SELECT doc_id, 'removed' FROM documents
       |WHERE doc_id % 3 <> 0 AND doc_id % 97 = 0""".stripMargin
 
-  def queries: Map[String, Q] = Map("v_corpus_diff" -> vCorpusDiff)
-  def oracles: Map[String, String] = Map("v_corpus_diff" -> vCorpusDiffSql)
+  def queries: Map[String, Q] = Map(
+    "v_corpus_diff" -> vCorpusDiff,
+    "v_corpus_stats_ivm" -> vCorpusStatsIvm)
+  def oracles: Map[String, String] = Map(
+    "v_corpus_diff" -> vCorpusDiffSql,
+    "v_corpus_stats_ivm" -> vCorpusStatsIvmSql)
 }
