@@ -1332,5 +1332,12 @@ object Graft {
       sources.CorpusStore.forget(spark, root, ids)
     def rollbackTo(spark: SparkSession, root: String, v: Long): Unit =
       sources.CorpusStore.rollbackTo(spark, root, v)
+    def statsAsOf(spark: SparkSession, root: String, v: Long): DataFrame =
+      sources.CorpusStore.statsAsOf(spark, root, v)
+    def statsIncremental(spark: SparkSession, root: String, v1: Long, v2: Long): DataFrame =
+      sources.CorpusStore.statsIncremental(spark, root, v1, v2)
+    def sweep(spark: SparkSession, root: String,
+        graceMs: Long = 30L * 60 * 1000): Seq[String] =
+      sources.CorpusStore.sweepUnreferenced(spark, root, graceMs)
   }
 }

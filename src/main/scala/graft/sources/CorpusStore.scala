@@ -322,6 +322,40 @@ object CorpusStore {
   private def vCorpusDiff: Q = (s, dir) =>
     snapshotDiff(s, demoStore(s, dir), 1L, 3L)
 
+  /** GC for the corpus root — the [[graft.operators.TextIndex
+    * .sweepUnreferenced]] discipline: expire retained snapshots past
+    * the grace window (the Delta-VACUUM retention knob; the CURRENT
+    * version is always kept, so version numbering stays monotone and
+    * a fresh pin is never invalidated by a concurrent sweep), then
+    * delete segment dirs referenced by neither the live manifest nor
+    * any surviving snapshot, plus stale temp manifests. Erasure
+    * rewrites ([[forget]]) orphan their superseded segments into
+    * exactly this path — without the sweep a churning lake's storage
+    * grows with its history, not its size. Returns deleted names. */
+  def sweepUnreferenced(s: SparkSession, root: String,
+      graceMs: Long = 30L * 60 * 1000): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val (rootPath, fs) = fsOf(s, root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val current = snapshots(s, root).lastOption
+    val snapPattern = java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"
+    val expired = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches(snapPattern) &&
+        !current.map(versionName).contains(st.getPath.getName) &&
+        now - st.getModificationTime > graceMs)
+      .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+    val keep = (liveSegs(s, root) ++ snapshots(s, root)
+      .flatMap(v => segsAsOf(s, root, v))).toSet
+    expired ++ fs.listStatus(rootPath).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        val stale = now - st.getModificationTime > graceMs
+        (st.isDirectory && n.matches("seg-\\d+") && !keep(n) && stale) ||
+          (st.isFile && n.startsWith(".manifest-") && stale)
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+  }
+
   // ----------------------------------------------------------------
   // Incremental corpus statistics (manifest-diff maintenance)
   // ----------------------------------------------------------------

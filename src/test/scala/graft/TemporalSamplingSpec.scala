@@ -549,6 +549,36 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(CorpusStore.read(spark, corpusRoot).count() == 81L)
   }
 
+  test("corpus retention sweep: expired snapshots drop, current + live survive, orphaned segments GC'd, referenced ones kept") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_sweep").toString
+    def doc(i: Long) = (i, s"doc body $i", "en", "web", (10 + i))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    sources.CorpusStore.create((1L to 4L).map(doc).toDF(cols: _*), root)   // v1: seg-0
+    sources.CorpusStore.append((5L to 6L).map(doc).toDF(cols: _*), root)   // v2: +seg-1
+    // v3: forget ids living in seg-0 → seg-0 superseded by a rewrite
+    sources.CorpusStore.forget(spark, root, Seq(1L, 2L).toDF("doc_id"))
+    assert(sources.CorpusStore.snapshots(spark, root) == Seq(1L, 2L, 3L))
+    val seg0 = new java.io.File(root, "seg-0")
+    assert(seg0.isDirectory)
+    val liveBefore = Graft.corpus.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val deleted = Graft.corpus.sweep(spark, root, graceMs = 0L)
+    // snapshots 1 and 2 expired; the CURRENT version always survives
+    assert(sources.CorpusStore.snapshots(spark, root) == Seq(3L), s"$deleted")
+    // seg-0 was referenced only by the expired snapshots — GC'd;
+    // live members survive and the live read is unchanged
+    assert(!seg0.isDirectory, s"$deleted")
+    assert(new java.io.File(root, "seg-1").isDirectory)
+    assert(Graft.corpus.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == liveBefore)
+    assert(Graft.corpus.asOf(spark, root, 3L).count() == liveBefore.length)
+    intercept[IllegalArgumentException] { Graft.corpus.asOf(spark, root, 1L) }
+    // stats still serve from the surviving version
+    val st = Graft.corpus.statsAsOf(spark, root, 3L).collect()
+    assert(st.map(_.getLong(1)).sum == liveBefore.length)
+  }
+
   test("publish lock: two interleaved writers serialize — both upserts land (text + ann)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
