@@ -572,6 +572,14 @@ object Graft {
     def profile(df: DataFrame, exact: Boolean = true): DataFrame =
       operators.Quality.profile(df, exact)
 
+    /** Declarative expectation report over arbitrary named rules, one
+      * aggregate pass, optionally SLICED by `groupCols` (e.g. the
+      * ingest feed): `(groupCols…, rule, n_checked, n_violations,
+      * pass)`. NULL predicate results count as violations. */
+    def expectations(df: DataFrame, rules: Seq[(String, Column)],
+        groupCols: Seq[String] = Nil): DataFrame =
+      operators.Quality.expectationsOf(df, rules, groupCols)
+
     /** Population-stability-index drift report between two versions
       * of a table: per column (column, n_base, n_cur, psi, drifted) —
       * numeric columns bucket equal-width over the BASE extent,

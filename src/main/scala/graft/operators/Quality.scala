@@ -141,6 +141,63 @@ object Quality {
         col("n_violations").cast("long").as("n_violations"), col("pass"))
   }
 
+  /** Declarative expectation report over ARBITRARY rules and an
+    * optional slice — the generic, sliceable form of the fixed
+    * [[xExpectations]] demo (the sliced-drift discipline applied to
+    * data-quality gates): every rule's violation indicator is one
+    * conditional sum in ONE narrow aggregate pass over the frame,
+    * grouped by `groupCols` (empty = whole-frame), then unpivoted to
+    * `(groupCols…, rule, n_checked, n_violations, pass)`. A
+    * production gate slices by ingest feed: "which SOURCE broke the
+    * contract?" is answered by the same single pass that says
+    * whether anything did. NULL predicate results count as
+    * violations (the [[quarantine]] convention). Map-side combine
+    * does the heavy lifting; output is |slices|·|rules| rows. */
+  def expectationsOf(df: DataFrame, rules: Seq[(String, Column)],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(rules.nonEmpty, "expectationsOf: no rules given")
+    val aggs = count(lit(1)).as("n_checked") +: rules.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+    }
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(groupCols.map(col): _*)
+    val wide = grouped.agg(aggs.head, aggs.tail: _*)
+    // unpivot via explode(array(struct(...))) — identical field names
+    // per element (the stack() differing-names gotcha)
+    val entries = rules.map { case (name, _) =>
+      s"struct('$name' as rule, __v_$name as n_violations)"
+    }.mkString("array(", ", ", ")")
+    wide
+      .select((groupCols.map(col) :+ col("n_checked")
+        :+ explode(expr(entries)).as("e")): _*)
+      .select((groupCols.map(col) :+ col("e.rule").as("rule")
+        :+ col("n_checked") :+ col("e.n_violations").as("n_violations")): _*)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** `x_expectations_sliced` — the per-language gate over documents:
+    * three named rules × every lang slice from one aggregate pass.
+    * `lang_latin` fails exactly on the zh slice — the per-feed
+    * contract-breach localization the slice buys. */
+  private def xExpectationsSliced: Q = (s, dir) =>
+    expectationsOf(Tables.documents(s, dir), Seq(
+      "chars_le_400" -> (col("n_chars") <= 400),
+      "lang_latin" -> col("lang").isin("en", "de", "fr", "es"),
+      "text_min_100" -> (col("n_chars") >= 100)), Seq("lang"))
+
+  private val xExpectationsSlicedSql =
+    """WITH g AS (SELECT lang, count(*) AS n,
+      |  CAST(sum(CASE WHEN NOT coalesce(n_chars <= 400, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_chars,
+      |  CAST(sum(CASE WHEN NOT coalesce(lang IN ('en','de','fr','es'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+      |  CAST(sum(CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_min
+      |FROM documents GROUP BY lang)
+      |SELECT lang, r.rule, CAST(n AS BIGINT) AS n_checked, r.n_violations,
+      |       r.n_violations = 0 AS pass
+      |FROM g, LATERAL (SELECT * FROM (VALUES
+      |  ('chars_le_400', v_chars), ('lang_latin', v_lang),
+      |  ('text_min_100', v_min)) AS t(rule, n_violations)) r""".stripMargin
+
   /** Row-level quality gate with quarantine — the other half of the
     * aggregate [[xExpectations]] report: evaluate named per-row rules
     * in ONE narrow projection and split the frame into (pass,
@@ -1134,6 +1191,7 @@ object Quality {
     "x_profile" -> xProfile,
     "x_profile_approx" -> xProfileApprox,
     "x_expectations" -> xExpectations,
+    "x_expectations_sliced" -> xExpectationsSliced,
     "x_quarantine" -> xQuarantine,
     "x_drift_psi" -> xDriftPsi,
     "x_drift_psi_sliced" -> xDriftPsiSliced,
@@ -1150,6 +1208,7 @@ object Quality {
     "x_profile" -> xProfileSql,
     "x_profile_approx" -> xProfileApproxSql,
     "x_expectations" -> xExpectationsSql,
+    "x_expectations_sliced" -> xExpectationsSlicedSql,
     "x_quarantine" -> xQuarantineSql,
     "x_drift_psi" -> xDriftPsiSql,
     "x_drift_psi_sliced" -> xDriftPsiSlicedSql,

@@ -519,6 +519,33 @@ class GraftApiSpec extends SparkSpec {
     assert(same(0).getDouble(3) == 0.0 && !same(0).getBoolean(4))
   }
 
+  test("expectations: sliced report equals per-slice recompute; whole-frame equals the slice sum; null predicates violate") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10, Option(1.0)), ("a", 60, Option(2.0)), ("a", 20, None),
+      ("b", 5, Option(0.5)), ("b", 70, Option(3.0))).toDF("src", "n", "v")
+    val rules = Seq(
+      "n_le_50" -> (col("n") <= 50),
+      "v_not_null" -> col("v").isNotNull)
+    val sliced = Graft.quality.expectations(df, rules, Seq("src"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // per-slice equals the filtered recompute (the sliced-drift law)
+    for (s0 <- Seq("a", "b")) {
+      val solo = Graft.quality.expectations(df.filter(col("src") === s0), rules)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      rules.foreach { case (name, _) =>
+        assert(sliced((s0, name)) == solo(name), s"$s0/$name") }
+    }
+    // whole-frame counts = slice sums; a NULL predicate result violates
+    val whole = Graft.quality.expectations(df, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(whole("n_le_50") == 2L && whole("v_not_null") == 1L)
+    assert(sliced(("a", "v_not_null"))._2 == 1L && sliced(("b", "v_not_null"))._2 == 0L)
+    assert(!sliced(("a", "v_not_null"))._3 && sliced(("b", "v_not_null"))._3)
+  }
+
   test("quarantine: pass+bad partition the input; null rules violate; sinks round-trip with reasons") {
     import spark.implicits._
     val df = Seq(
