@@ -137,6 +137,7 @@ object CorpusStore {
       require(manifestLines(s, root).isEmpty,
         s"corpus store already exists at $root — use append/forget")
       docs.write.mode("overwrite").parquet(s"$root/seg-0")
+      writeSegStats(s, root, "seg-0")
       publish(s, root, Seq("seg-0"))
     }
   }
@@ -154,6 +155,7 @@ object CorpusStore {
       require(lines.nonEmpty, s"no corpus store at $root — create() first")
       val seg = s"seg-${nextSegOf(lines)}"
       docs.write.mode("overwrite").parquet(s"$root/$seg")
+      writeSegStats(s, root, seg)
       publish(s, root, (lines :+ seg) ++ tag.map(t => s"batch:$t"))
     }
   }
@@ -239,6 +241,7 @@ object CorpusStore {
             val fresh = s"seg-$next"; next += 1
             old.join(idsB, Seq("doc_id"), "left_anti")
               .write.mode("overwrite").parquet(s"$root/$fresh")
+            writeSegStats(s, root, fresh)
             deleted += nOld - s.read.parquet(s"$root/$fresh").count()
             fresh
           }
@@ -306,7 +309,7 @@ object CorpusStore {
     * per source fingerprint through the shared [[Similarity.cachedIndex]]
     * memo (the persisted-index discipline). */
   private[graft] def demoStore(s: SparkSession, dir: String): String =
-    Similarity.cachedIndex(s, dir, "corpusver", 1,
+    Similarity.cachedIndex(s, dir, "corpusver", 2, // v2: _stats sidecars
         "documents.parquet") { path =>
       val docs = Tables.documents(s, dir)
       create(docs.filter(col("doc_id") % 3 =!= 0), path)
@@ -353,28 +356,77 @@ object CorpusStore {
         (st.isDirectory && n.matches("seg-\\d+") && !keep(n) && stale) ||
           (st.isFile && n.startsWith(".manifest-") && stale)
       }
-      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+      .map { st =>
+        val n = st.getPath.getName
+        if (n.matches("seg-\\d+"))
+          fs.delete(new org.apache.hadoop.fs.Path(statsPath(root, n)), true)
+        fs.delete(st.getPath, true); n
+      }
   }
 
   // ----------------------------------------------------------------
   // Incremental corpus statistics (manifest-diff maintenance)
   // ----------------------------------------------------------------
 
+  private val StatsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sum_chars", org.apache.spark.sql.types.LongType)))
+
+  private def statsPath(root: String, seg: String) = s"$root/_stats/$seg"
+
+  /** Per-segment stats of ONE segment, computed from its rows — the
+    * writer-side function whose output the `_stats/` sidecar caches. */
+  private def computeSegStats(s: SparkSession, root: String,
+      seg: String): DataFrame =
+    readSegs(s, root, Seq(seg)).groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("sum_chars"))
+
+  /** Materialize a fresh segment's stats sidecar. Called by every
+    * segment writer BEFORE its publish, so any PUBLISHED segment has
+    * its stats beside it (a crash in between leaves an unpublished
+    * segment whose replay overwrites both); readers still fall back to
+    * computing for sidecar-less segments (pre-sidecar stores). The
+    * store itself is schema-generic — a corpus without the documents
+    * shape (lang, n_chars) simply carries no sidecar, and the stats
+    * surface (which needs those columns) is not meaningful for it. */
+  private def writeSegStats(s: SparkSession, root: String, seg: String): Unit = {
+    val df = readSegs(s, root, Seq(seg))
+    if (Seq("lang", "n_chars").forall(df.columns.contains))
+      computeSegStats(s, root, seg)
+        .write.mode("overwrite").parquet(statsPath(root, seg))
+  }
+
   /** Signed per-language statistics over a set of segments. Segments
     * are IMMUTABLE, so a segment's stats row set is a pure function of
-    * the segment — cacheable forever (the Iceberg manifest-stats
-    * shape); a VERSION's stats are the monoid-sum over its manifest's
-    * segments. */
+    * the segment, cached in the `_stats/` sidecar at WRITE time (the
+    * Iceberg manifest-stats shape): a VERSION's stats are the
+    * monoid-sum over metadata-sized sidecar rows — no segment data
+    * read at all (read-path preference spec-pinned; segments from
+    * pre-sidecar stores fall back to a compute). */
   private def statsOfSegs(s: SparkSession, root: String,
-      segs: Seq[String], sign: Int): DataFrame =
-    readSegs(s, root, segs).groupBy(col("lang"))
-      .agg((count(lit(1)) * sign).cast("long").as("n_docs"),
-        (coalesce(sum(col("n_chars")), lit(0L)) * sign).cast("long").as("sum_chars"))
+      segs: Seq[String], sign: Int): DataFrame = {
+    val (_, fs) = fsOf(s, root)
+    val (cached, missing) = segs.partition(g =>
+      fs.exists(new org.apache.hadoop.fs.Path(statsPath(root, g))))
+    val frames =
+      (if (cached.nonEmpty)
+        Seq(s.read.schema(StatsSchema).parquet(cached.map(statsPath(root, _)): _*))
+       else Seq.empty) ++ missing.map(g => computeSegStats(s, root, g))
+    frames.reduce(_ unionByName _)
+      .select(col("lang"), (col("n_docs") * sign).cast("long").as("n_docs"),
+        (col("sum_chars") * sign).cast("long").as("sum_chars"))
+  }
 
-  /** Per-language corpus statistics of retained version `v` — reads
-    * only `v`'s member segments. */
+  /** Per-language corpus statistics of retained version `v` — a
+    * monoid-sum over its member segments' sidecar rows (metadata-sized
+    * when every member carries one). */
   def statsAsOf(s: SparkSession, root: String, v: Long): DataFrame =
     statsOfSegs(s, root, segsAsOf(s, root, v), 1)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_chars")).cast("long").as("sum_chars"))
 
   /** Stats of `v2` MAINTAINED from `v1`'s: base stats ⊕ segments only
     * in v2 ⊖ segments only in v1 — the manifest-diff IVM identity.

@@ -579,6 +579,34 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(st.map(_.getLong(1)).sum == liveBefore.length)
   }
 
+  test("corpus stats sidecar: version stats serve from _stats metadata, not segment data; fallback computes for sidecar-less segments") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_stats").toString
+    def doc(i: Long, lang: String) = (i, s"body $i", lang, "web", 100L + i)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    sources.CorpusStore.create(
+      Seq(doc(1, "en"), doc(2, "en"), doc(3, "de")).toDF(cols: _*), root)
+    sources.CorpusStore.append(Seq(doc(4, "de")).toDF(cols: _*), root)
+    // sidecars exist for both segments and the stats agree with a
+    // direct recompute over the corpus
+    assert(new java.io.File(root, "_stats/seg-0").isDirectory)
+    assert(new java.io.File(root, "_stats/seg-1").isDirectory)
+    def statsMap() = Graft.corpus.statsAsOf(spark, root, 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(statsMap() == Map("en" -> ((2L, 203L)), "de" -> ((2L, 207L))))
+    // read-path preference: plant a SENTINEL sidecar for seg-1 and the
+    // served stats move with it — proof the metadata is what's read
+    Seq(("zz", 7L, 777L)).toDF("lang", "n_docs", "sum_chars")
+      .write.mode("overwrite").parquet(s"$root/_stats/seg-1")
+    assert(statsMap() == Map("en" -> ((2L, 203L)), "de" -> ((1L, 103L)),
+      "zz" -> ((7L, 777L))))
+    // fallback: a sidecar-less segment (pre-sidecar store) computes
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_stats/seg-1"), true)
+    assert(statsMap() == Map("en" -> ((2L, 203L)), "de" -> ((2L, 207L))))
+  }
+
   test("publish lock: two interleaved writers serialize — both upserts land (text + ann)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
