@@ -817,6 +817,14 @@ object Graft {
         phrase: Seq[String], k: Int = 20): DataFrame =
       operators.TextIndex.phraseBm25Indexed(spark, dir, phrase, k)
 
+    /** Snippets for phrase hits `(doc_id, bm25)`: each hit reduces to
+      * the ±`context` tokens around its first phrase occurrence —
+      * the highlight stage after [[phraseBm25Indexed]]; the corpus
+      * join is hit-count-sized (broadcast). */
+    def phraseSnippets(docs: DataFrame, hits: DataFrame,
+        phrase: Seq[String], context: Int = 3): DataFrame =
+      operators.TextAnalysis.phraseSnippetsOf(docs, hits, phrase, context)
+
     /** Phrase retrieval from an explicit-root incremental index:
       * tf/df/stats net across signed-delta generations; positions
       * (not additive) come from each doc's latest positive row, so

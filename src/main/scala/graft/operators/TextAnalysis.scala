@@ -975,6 +975,31 @@ object TextAnalysis {
   private def tBm25Phrase: Q = (s, dir) =>
     phraseBm25Of(Tables.documents(s, dir), Bm25Phrase, 20)
 
+  /** Snippets for phrase hits — the serving layer's highlight stage:
+    * each hit doc's text reduces to the ±`context` tokens around its
+    * FIRST phrase occurrence (first = lowest position in the same
+    * filtered-token coordinate system the index stores). `hits` is
+    * `(doc_id, bm25)` (any phrase scorer — the indexed probe in
+    * production) and is hit-count-sized, so the corpus join is a
+    * broadcast and the token work touches only hit docs. One
+    * codegen'd projection: position scan + slice + join, no UDF. */
+  private[graft] def phraseSnippetsOf(docs: DataFrame, hits: DataFrame,
+      phrase: Seq[String], context: Int = 3): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty))
+    val k = phrase.length
+    val conds = phrase.zipWithIndex.map { case (t, i) =>
+      s"element_at(tk, CAST(p + $i AS INT)) = '$t'" }.mkString(" AND ")
+    docs.join(broadcast(hits), "doc_id")
+      .select(col("doc_id"), col("bm25"),
+        filter(tokens(coalesce(col("text"), lit(""))), t => t =!= "").as("tk"))
+      .withColumn("start",
+        expr(s"element_at(filter(sequence(1, size(tk) - ${k - 1}), p -> $conds), 1)"))
+      .select(col("doc_id"), col("bm25"),
+        expr(s"array_join(slice(tk, greatest(start - $context, 1), " +
+          s"start + ${k + context} - greatest(start - $context, 1)), ' ')")
+          .as("snippet"))
+  }
+
   private val tBm25PhraseSql = {
     val toks = duckTokens("coalesce(text, '')")
     val terms = Bm25Phrase.map(t => s"'$t'").mkString(", ")

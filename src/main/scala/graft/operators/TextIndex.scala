@@ -1190,13 +1190,43 @@ object TextIndex {
   private def tBm25PhraseIndexed: Q = (s, dir) =>
     phraseBm25Indexed(s, dir, TextAnalysis.Bm25Phrase, 20)
 
+  /** Snippets over the INDEX-SERVED phrase hits — retrieval from the
+    * positional postings, highlight from a hit-count-sized corpus
+    * join: the full serving composition (probe → rank → present). */
+  private def tPhraseSnippets: Q = (s, dir) =>
+    TextAnalysis.phraseSnippetsOf(graft.Tables.documents(s, dir),
+      phraseBm25Indexed(s, dir, TextAnalysis.Bm25Phrase, 20),
+      TextAnalysis.Bm25Phrase)
+
+  private val tPhraseSnippetsSql = {
+    val phrase = TextAnalysis.Bm25Phrase
+    val k = phrase.length
+    val c = 3
+    val toks = TextAnalysis.duckTokens("coalesce(text, '')")
+    val conds = phrase.zipWithIndex.map { case (t, i) =>
+      s"tk[(p + $i)::INT] = '$t'" }.mkString(" AND ")
+    s"""WITH hits AS (
+       |${TextAnalysis.oracles("t_bm25_phrase")}
+       |),
+       |tkt AS (SELECT doc_id, list_filter($toks, t -> t <> '') AS tk FROM documents),
+       |st AS (SELECT h.doc_id, h.bm25, tkt.tk,
+       |         list_filter(range(1, len(tkt.tk) - ${k - 1} + 1),
+       |                     p -> $conds)[1] AS start
+       |       FROM hits h JOIN tkt ON h.doc_id = tkt.doc_id)
+       |SELECT doc_id, bm25,
+       |  array_to_string(tk[greatest(start - $c, 1) : (start + ${k + c - 1})::INT], ' ') AS snippet
+       |FROM st""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_phrase_snippets" -> tPhraseSnippets,
     "t_bm25_indexed" -> tBm25Indexed,
     "t_bm25f_indexed" -> tBm25fIndexed,
     "t_bm25_phrase_indexed" -> tBm25PhraseIndexed,
     "t_bm25_batch" -> tBm25Batch)
 
   val oracles: Map[String, String] = Map(
+    "t_phrase_snippets" -> tPhraseSnippetsSql,
     "t_bm25_indexed" -> TextAnalysis.oracles("t_bm25"),
     "t_bm25f_indexed" -> TextAnalysis.oracles("t_bm25f"),
     "t_bm25_phrase_indexed" -> TextAnalysis.oracles("t_bm25_phrase"),

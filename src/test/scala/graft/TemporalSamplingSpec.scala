@@ -190,6 +190,20 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(servedAt(asOf = Some(pin1)) == inQueryOf(v1))
   }
 
+  test("phrase snippets: first occurrence bracketed by the context window, start/end clamped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b vector hash c d e f"),         // interior match
+      (2L, "vector hash x y z"),               // match at the start
+      (3L, "p q r s t u vector hash")).toDF("doc_id", "text") // match at the end
+    val hits = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("doc_id", "bm25")
+    val out = Graft.text.phraseSnippets(docs, hits, Seq("vector", "hash"), context = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "a b vector hash c d e")
+    assert(out(2L) == "vector hash x y z")
+    assert(out(3L) == "s t u vector hash")
+  }
+
   test("text index incremental: build + upsert probes equal the in-query BM25 exactly") {
     val root = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
     val docs = Tables.documents(spark, sf)
