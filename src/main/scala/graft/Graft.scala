@@ -542,6 +542,15 @@ object Graft {
         graceMs: Long = 30L * 60 * 1000): Seq[String] =
       operators.AnnIndex.sweepUnreferenced(spark, root, graceMs)
 
+    /** Training-run pin registry: a pinned version never expires from
+      * the retention sweep until unpinned. */
+    def pin(spark: SparkSession, root: String, tag: String, v: Long): Unit =
+      operators.AnnIndex.pin(spark, root, tag, v)
+    def unpin(spark: SparkSession, root: String, tag: String): Unit =
+      operators.AnnIndex.unpin(spark, root, tag)
+    def pins(spark: SparkSession, root: String): Map[String, Long] =
+      operators.AnnIndex.pins(spark, root)
+
     /** The maintenance policy loop: compact iff the superseded
       * fraction of the running stats exceeds the budget. Returns
       * Some(compaction accounting) if it compacted. */
@@ -844,6 +853,15 @@ object Graft {
       * [[operators.TextIndex.rollbackTo]]). */
     def bm25RollbackTo(spark: SparkSession, root: String, v: Long): Unit =
       operators.TextIndex.rollbackTo(spark, root, v)
+
+    /** Training-run pin registry: a pinned version never expires from
+      * the retention sweep until unpinned. */
+    def bm25Pin(spark: SparkSession, root: String, tag: String, v: Long): Unit =
+      operators.TextIndex.pin(spark, root, tag, v)
+    def bm25Unpin(spark: SparkSession, root: String, tag: String): Unit =
+      operators.TextIndex.unpin(spark, root, tag)
+    def bm25Pins(spark: SparkSession, root: String): Map[String, Long] =
+      operators.TextIndex.pins(spark, root)
 
     /** Docs added/removed/updated between two retained snapshots —
       * the repin audit; see [[operators.TextIndex.snapshotDiff]]. */
@@ -1355,5 +1373,23 @@ object Graft {
     def sweep(spark: SparkSession, root: String,
         graceMs: Long = 30L * 60 * 1000): Seq[String] =
       sources.CorpusStore.sweepUnreferenced(spark, root, graceMs)
+    /** Ranged read with manifest-level segment skipping off the
+      * `_ranges/` sidecars (PlanSpec-pinned: only intersecting
+      * segments are listed). */
+    def readRanged(spark: SparkSession, root: String, lo: Long, hi: Long): DataFrame =
+      sources.CorpusStore.readRanged(spark, root, lo, hi)
+    /** Bin-pack small (streamed) segments into one republished
+      * segment; ledger and earlier snapshots survive. */
+    def compact(spark: SparkSession, root: String,
+        smallSegBytes: Long = 64L * 1024 * 1024): DataFrame =
+      sources.CorpusStore.compact(spark, root, smallSegBytes)
+    /** Training-run pin registry: a pinned version never expires from
+      * the retention sweep until unpinned. */
+    def pin(spark: SparkSession, root: String, tag: String, v: Long): Unit =
+      sources.CorpusStore.pin(spark, root, tag, v)
+    def unpin(spark: SparkSession, root: String, tag: String): Unit =
+      sources.CorpusStore.unpin(spark, root, tag)
+    def pins(spark: SparkSession, root: String): Map[String, Long] =
+      sources.CorpusStore.pins(spark, root)
   }
 }

@@ -958,6 +958,7 @@ object AnnIndex {
     * re-applies them, by design. */
   def rollbackTo(s: SparkSession, root: String, v: Long): Unit =
     PublishLock.withLock(s, root) {
+      Pins.requireUnpinned(s, root, snapshots(s, root).filter(_ > v))
       val (gen, lines) = readManifestAsOf(s, root, v)
       writeManifest(s, root, gen, lines)
       val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -986,10 +987,15 @@ object AnnIndex {
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val now = System.currentTimeMillis()
-        // pass 1: expire SNAPSHOT manifests past the retention grace
+        // pass 1: expire SNAPSHOT manifests past the retention grace —
+        // except PINNED versions ([[pin]]): a registered training run
+        // outlives the grace window until unpinned, and its dirs
+        // survive via pass 2's retained-snapshot keep set
+        val pinned = Pins.pinnedVersions(s, root).map(versionName)
         val snapPattern = java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"
         val expired = fs.listStatus(rootPath).toSeq
           .filter(st => st.isFile && st.getPath.getName.matches(snapPattern) &&
+            !pinned(st.getPath.getName) &&
             now - st.getModificationTime > graceMs)
           .map { st => fs.delete(st.getPath, false); st.getPath.getName }
         // pass 2: keep = the live manifest's references plus every
@@ -1011,6 +1017,20 @@ object AnnIndex {
           .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     }
   }
+
+  /** Pin retained snapshot `v` under `tag` — the [[Pins]] training-run
+    * registry: [[sweepUnreferenced]] never expires a pinned version or
+    * GCs its data/code/tomb/quantizer dirs until [[unpin]]. */
+  def pin(s: SparkSession, root: String, tag: String, v: Long): Unit =
+    Pins.pin(s, root, tag, v, x => snapshots(s, root).contains(x))
+
+  /** Release `tag`'s pin; the next sweep past grace may reclaim. */
+  def unpin(s: SparkSession, root: String, tag: String): Unit =
+    Pins.unpin(s, root, tag)
+
+  /** The live pin registry at `root`: tag → version. */
+  def pins(s: SparkSession, root: String): Map[String, Long] =
+    Pins.pins(s, root)
 
   /** One deterministic Lloyd refinement of the coarse quantizer over
     * the SURVIVING corpus (the retrain path of [[compact]]): init =

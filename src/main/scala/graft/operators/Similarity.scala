@@ -481,12 +481,19 @@ object Similarity {
     val root = annIndex(s, dir)
     val bits = annLshBits(root)
     val q = testProbeFrame(s, dir, bits)
-    // persisted: the probe plan feeds the driver-side bucket union AND
-    // the broadcast build — one panel scan, not two
-    val probes = budgetProbesOf(q, bits, annLshBucketCounts(root), AnnProbeBudget)
-      .persist()
-    val buckets = probes.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // the probe PLAN is model-sized by construction (≤ (bits+1)·|panel|
+    // rows, each budget-bounded), so it is collected ONCE and replayed
+    // as a local frame: one panel scan feeds both the driver-side
+    // bucket union and the broadcast build, with no persist() left in
+    // the session cache afterwards (the r12 leak: persist with no
+    // owner to unpersist — the recall panel re-enters this builder, so
+    // each call parked another cached plan for the process lifetime)
+    val probePlan = budgetProbesOf(q, bits, annLshBucketCounts(root), AnnProbeBudget)
+    val probeRows = probePlan.collect()
+    val probes = s.createDataFrame(
+      s.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probePlan.schema)
+    val buckets = probeRows.map(_.getInt(probePlan.schema.fieldIndex("bucket")))
+      .distinct.sorted
     // empty buckets have no dir; read what exists under basePath so
     // the bucket partition column survives
     val probeDirs = buckets.map(b => new java.io.File(root, s"bucket=$b"))

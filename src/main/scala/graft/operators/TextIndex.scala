@@ -418,6 +418,27 @@ object TextIndex {
 
   private val ManifestName = "_GRAFT_TEXT_MANIFEST"
 
+  /** Format stamp carried by every published explicit-root manifest
+    * (`format:<TextIndexVersion>`). The memo-cached form already keys
+    * its path on the version; the explicit-root form did NOT, so a
+    * pre-v4 root read with the v4 pinned schemas silently yielded NULL
+    * tf_t/dl_t/pos — null/wrong BM25F and phrase scores, and an upsert
+    * interleaving mixed-schema generations. Readers now require the
+    * stamp to match and error with a rebuild hint instead. */
+  private val FormatLine = s"format:$TextIndexVersion"
+
+  private def requireFormat(lines: Seq[String], root: String): Unit =
+    if (lines.nonEmpty) {
+      val fmt = lines.find(_.startsWith("format:"))
+        .map(_.stripPrefix("format:").trim).getOrElse("pre-4 (unstamped)")
+      require(fmt == TextIndexVersion.toString,
+        s"text index at $root has format $fmt but this reader requires " +
+          s"format $TextIndexVersion — its generations lack (or mis-lay) the " +
+          "v4 positional/fielded posting columns and would score null/wrong; " +
+          "rebuild the index (TextIndex.build) or read it with a matching " +
+          "library version")
+    }
+
   // Explicit read schemas: an empty generation (e.g. an empty upsert
   // batch, or a bucket no query term hashes to) writes no part files,
   // and schema INFERENCE over a file-less dir throws — pinned schemas
@@ -557,8 +578,11 @@ object TextIndex {
     }
   }
 
-  private def readManifest(s: SparkSession, root: String): Seq[String] =
-    manifestLines(s, root).filter(_.startsWith("gen-"))
+  private def readManifest(s: SparkSession, root: String): Seq[String] = {
+    val lines = manifestLines(s, root)
+    requireFormat(lines, root)
+    lines.filter(_.startsWith("gen-"))
+  }
 
   /** SNAPSHOT manifests: every publish also writes an immutable
     * `_GRAFT_TEXT_MANIFEST.v<N>` copy (N = the publish's generation
@@ -581,7 +605,9 @@ object TextIndex {
     val in = fs.open(p)
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
       finally in.close()
-    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    requireFormat(lines, root)
+    lines
   }
 
   /** The retained snapshot versions at `root`, ascending. */
@@ -609,6 +635,7 @@ object TextIndex {
     * or replay re-applies them. */
   def rollbackTo(s: SparkSession, root: String, v: Long): Unit =
     PublishLock.withLock(s, root) {
+      Pins.requireUnpinned(s, root, snapshots(s, root).filter(_ > v))
       val lines = manifestLinesAsOf(s, root, v)
       publish(s, root, lines)
       val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -647,7 +674,12 @@ object TextIndex {
     * — a concurrent publisher whose move landed after ours silently
     * dropped our generation line (lost documents), and this check
     * turns that silence into an error naming the race. */
-  private def publish(s: SparkSession, root: String, gens: Seq[String]): Unit = {
+  private def publish(s: SparkSession, root: String, gens0: Seq[String]): Unit = {
+    // every publish stamps the manifest with the writer's format
+    // version (idempotent — republished lines already carry it), so
+    // explicit-root readers can refuse incompatible roots loudly
+    val gens =
+      if (gens0.exists(_.startsWith("format:"))) gens0 else FormatLine +: gens0
     val conf = s.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -991,10 +1023,15 @@ object TextIndex {
     if (!fs.exists(rootPath)) return Seq.empty
     // pass 1: expire SNAPSHOT manifests past the retention grace —
     // this is the snapshot-retention knob (the Delta VACUUM shape):
-    // a snapshot keeps its generations replayable until it expires
+    // a snapshot keeps its generations replayable until it expires.
+    // PINNED versions ([[pin]]) never expire whatever the grace — a
+    // registered training run outlives retention until unpinned, and
+    // its generations survive via pass 2's retained-snapshot keep set.
+    val pinned = Pins.pinnedVersions(s, root).map(versionName)
     val snapPattern = java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"
     val expired = fs.listStatus(rootPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.matches(snapPattern) &&
+        !pinned(st.getPath.getName) &&
         now - st.getModificationTime > graceMs)
       .map { st => fs.delete(st.getPath, false); st.getPath.getName }
     // pass 2: keep = live manifest ∪ every RETAINED snapshot's gens
@@ -1010,6 +1047,21 @@ object TextIndex {
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }
+
+  /** Pin retained snapshot `v` under `tag`: [[sweepUnreferenced]] will
+    * never expire it (nor GC its generations) until [[unpin]] — the
+    * training-run registry ([[Pins]]), so `asOf = Some(v)` probes stay
+    * replayable for the run's whole life, not just the grace window. */
+  def pin(s: SparkSession, root: String, tag: String, v: Long): Unit =
+    Pins.pin(s, root, tag, v, x => snapshots(s, root).contains(x))
+
+  /** Release `tag`'s pin; the next sweep past grace may reclaim. */
+  def unpin(s: SparkSession, root: String, tag: String): Unit =
+    Pins.unpin(s, root, tag)
+
+  /** The live pin registry at `root`: tag → version. */
+  def pins(s: SparkSession, root: String): Map[String, Long] =
+    Pins.pins(s, root)
 
   /** BM25 partials over every published generation: postings union
     * bucket-pruned per gen and NETTED per (doc, term) (signed deltas —

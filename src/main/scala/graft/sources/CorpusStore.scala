@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{PublishLock, Similarity}
+import graft.operators.{Pins, PublishLock, Similarity}
 
 /** Manifest-versioned document lake — the [[graft.operators.TextIndex]]
   * snapshot discipline applied to the CORPUS itself, so a training run
@@ -177,6 +177,43 @@ object CorpusStore {
   def read(s: SparkSession, root: String): DataFrame =
     readSegs(s, root, liveSegs(s, root))
 
+  /** The live corpus restricted to `doc_id ∈ [lo, hi]` with
+    * MANIFEST-LEVEL data skipping (the Iceberg metadata-pruning shape,
+    * r12's path-pruned ANN scan applied to the lake): the per-segment
+    * `_ranges/` sidecars (cached min/max doc_id, written beside every
+    * segment) are consulted in ONE metadata-sized job and only
+    * intersecting segments are handed to Spark at all — a ranged read
+    * of a date/shard-aligned 100 TB lake lists a handful of segment
+    * dirs instead of paying partition discovery over the whole root
+    * (>~32 dirs triggers the distributed-listing job; see the ANN
+    * probe fix). Segments without a sidecar (pre-sidecar stores) are
+    * read conservatively; the row-level `BETWEEN` stays on top, so
+    * skipping is a pure pruning optimization, never a semantics
+    * change. */
+  def readRanged(s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty doc_id range [$lo, $hi]")
+    val (_, fs) = fsOf(s, root)
+    val segs = liveSegs(s, root)
+    require(segs.nonEmpty, s"corpus at $root has no segments")
+    val (cached, blind) = segs.partition(g =>
+      fs.exists(new org.apache.hadoop.fs.Path(rangesPath(root, g))))
+    // one job over all sidecars (tiny single-row parquets), never one
+    // per segment — the forget() pruning lesson
+    val hit =
+      if (cached.isEmpty) Set.empty[String]
+      else s.read.schema(RangesSchema)
+        .parquet(cached.map(rangesPath(root, _)): _*)
+        .select(input_file_name().as("__f"), col("min_id"), col("max_id"))
+        .filter(col("min_id") <= hi && col("max_id") >= lo)
+        .select(element_at(split(col("__f"), "/"), -2).as("seg"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val kept = segs.filter(g => hit(g) || blind.contains(g))
+    // every segment skipped: serve the empty result off one segment's
+    // schema rather than an unprunable full-root plan
+    val use = if (kept.isEmpty) segs.take(1) else kept
+    readSegs(s, root, use).filter(col("doc_id").between(lo, hi))
+  }
+
   /** The corpus exactly as retained snapshot `v` read it — the
     * training-run pin. */
   def asOf(s: SparkSession, root: String, v: Long): DataFrame =
@@ -213,7 +250,12 @@ object CorpusStore {
     * version pair is what makes the certificate auditable: "v_after
     * no longer serves these ids" is a replayable claim via [[asOf]].
     * A request matching nothing publishes nothing (no-op, v_after =
-    * v_before). */
+    * v_before) — UNLESS a `tag` is supplied: a tagged no-op publishes a
+    * tag-only manifest update (same segments, one `batch:` line), so a
+    * streamed delete-only batch whose victims matched nothing still
+    * lands in the idempotence ledger and its crash replay SKIPS instead
+    * of re-running the pruning scan (the ledger's exactly-once
+    * invariant holds by record, not by accidental rescan-idempotence). */
   def forget(s: SparkSession, root: String, ids: DataFrame,
       tag: Option[String] = None): DataFrame = {
     import s.implicits._
@@ -223,14 +265,27 @@ object CorpusStore {
       val vBefore = snapshots(s, root).max
       val idsB = broadcast(ids.select(col("doc_id")).distinct()).persist()
       try {
-        // segment pruning: which segments hold any requested id —
-        // request-sized result, one semi-joined scan of doc_id only
-        val touched = segs.filter { g =>
-          !readSegs(s, root, Seq(g)).select(col("doc_id"))
-            .join(idsB, Seq("doc_id"), "left_semi").isEmpty
+        // segment pruning in ONE job: every segment's doc_id column in
+        // one multi-dir scan, semi-joined to the broadcast ids, touched
+        // segment names recovered from the file paths — per-batch
+        // latency is one Spark action regardless of segment count (the
+        // r12 shape ran one driver-blocking job PER segment, so a
+        // streaming ingest's forget grew linearly with manifest length)
+        val touched = {
+          val hit = readSegs(s, root, segs)
+            .select(col("doc_id"), input_file_name().as("__f"))
+            .join(idsB, Seq("doc_id"), "left_semi")
+            .select(element_at(split(col("__f"), "/"), -2).as("seg"))
+            .distinct()
+            .collect().map(_.getString(0)).toSet // request-sized
+          segs.filter(hit)
         }
         if (touched.isEmpty) {
-          Seq((vBefore, vBefore, segs.size.toLong, 0L, 0L))
+          val vAfter = tag match {
+            case Some(t) => publish(s, root, lines :+ s"batch:$t")
+            case None => vBefore
+          }
+          Seq((vBefore, vAfter, segs.size.toLong, 0L, 0L))
             .toDF("v_before", "v_after", "n_segments", "n_touched", "n_deleted")
         } else {
           var next = nextSegOf(lines)
@@ -263,6 +318,9 @@ object CorpusStore {
     * [[asOf]]. */
   def rollbackTo(s: SparkSession, root: String, v: Long): Unit =
     PublishLock.withLock(s, root) {
+      // a rollback may not silently destroy a registered training
+      // run's replay — the pin registry must release the suffix first
+      Pins.requireUnpinned(s, root, snapshots(s, root).filter(_ > v))
       // restore the FULL snapshot lines — the batch: idempotence
       // ledger as of v must survive the restore (the TextIndex
       // rollback rationale: a post-rollback crash replay of a batch
@@ -289,6 +347,12 @@ object CorpusStore {
       fs.listStatus(rootPath).toSeq.foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.matches("seg-\\d+") && !keep(n)) {
+          // sidecars die with their segment (the sweepUnreferenced
+          // discipline): the next append REUSES this segment number,
+          // and if its frame lacks the stats columns writeSegStats
+          // skips — a surviving stale sidecar would then serve the
+          // DELETED segment's stats under the new segment's name
+          deleteSegMeta(fs, root, n)
           fs.delete(st.getPath, true); ()
         }
       }
@@ -300,22 +364,25 @@ object CorpusStore {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  /** `v_corpus_diff` — a three-version store built from `documents`
+  /** `v_corpus_diff` — a four-version store built from `documents`
     * (v1: docs with id % 3 ≠ 0; v2: append the id % 3 = 0 batch;
-    * v3: forget ids with id % 97 = 0), then the doc-level
+    * v3: forget ids with id % 97 = 0; v4: compact), then the doc-level
     * [[snapshotDiff]] v1 → v3. Set semantics make the oracle exact
     * and layout-independent: added = in v3 ∧ ∉ v1 = (%97≠0 ∧ %3=0),
-    * removed = in v1 ∧ ∉ v3 = (%3≠0 ∧ %97=0). The store is built once
-    * per source fingerprint through the shared [[Similarity.cachedIndex]]
+    * removed = in v1 ∧ ∉ v3 = (%3≠0 ∧ %97=0) — and because v4 only
+    * re-bins, the SAME oracle judges the pre-compaction diff read
+    * against post-compaction storage. The store is built once per
+    * source fingerprint through the shared [[Similarity.cachedIndex]]
     * memo (the persisted-index discipline). */
   private[graft] def demoStore(s: SparkSession, dir: String): String =
-    Similarity.cachedIndex(s, dir, "corpusver", 2, // v2: _stats sidecars
+    Similarity.cachedIndex(s, dir, "corpusver", 3, // v3: compaction + _ranges sidecars
         "documents.parquet") { path =>
       val docs = Tables.documents(s, dir)
       create(docs.filter(col("doc_id") % 3 =!= 0), path)
       append(docs.filter(col("doc_id") % 3 === 0), path)
       forget(s, path,
         docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))).collect()
+      compact(s, path).collect()
       // cachedIndex's sweep completion marker
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -324,6 +391,54 @@ object CorpusStore {
 
   private def vCorpusDiff: Q = (s, dir) =>
     snapshotDiff(s, demoStore(s, dir), 1L, 3L)
+
+  /** `v_corpus_compact` — the compaction-transparency law as an oracle
+    * row set: over the [[demoStore]] fixture's compaction boundary
+    * (v3 → v4), the per-language stats of the COMPACTED version carry
+    * an `n_diff` column = |[[snapshotDiff]](v3, v4)|. The oracle
+    * recomputes v3's stats from the closed-form membership with a
+    * literal 0 — a hash match proves compaction re-binned every doc
+    * and invented/lost none, at doc granularity. */
+  private def vCorpusCompact: Q = (s, dir) => {
+    val root = demoStore(s, dir)
+    val vPost = currentVersion(s, root)
+    val nDiff = snapshotDiff(s, root, vPost - 1, vPost)
+      .agg(count(lit(1)).cast("long").as("n_diff"))
+    statsAsOf(s, root, vPost).crossJoin(broadcast(nDiff))
+  }
+
+  private val vCorpusCompactSql =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang""".stripMargin
+
+  /** Range-partitioned demo store for [[readRanged]] — three appends
+    * with disjoint doc_id thirds, the date/shard-aligned segment shape
+    * a real ingest produces (and the one manifest-level skipping pays
+    * off on). */
+  private[graft] def rangedDemoStore(s: SparkSession, dir: String): String =
+    Similarity.cachedIndex(s, dir, "corpusrng", 1, "documents.parquet") { path =>
+      val docs = Tables.documents(s, dir)
+      create(docs.filter(col("doc_id") < 200), path)
+      append(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400), path)
+      append(docs.filter(col("doc_id") >= 400), path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
+    }
+
+  /** `v_corpus_ranged` — a ranged read whose answer the oracle
+    * recomputes as a plain BETWEEN over the source table; the
+    * manifest-level skipping itself (only the middle segment listed)
+    * is PlanSpec-pinned via `inputFiles`. */
+  private def vCorpusRanged: Q = (s, dir) =>
+    readRanged(s, rangedDemoStore(s, dir), 250L, 370L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  private val vCorpusRangedSql =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id BETWEEN 250 AND 370""".stripMargin
 
   /** GC for the corpus root — the [[graft.operators.TextIndex
     * .sweepUnreferenced]] discipline: expire retained snapshots past
@@ -341,10 +456,16 @@ object CorpusStore {
     val (rootPath, fs) = fsOf(s, root)
     if (!fs.exists(rootPath)) return Seq.empty
     val current = snapshots(s, root).lastOption
+    // PINNED versions never expire, whatever the grace window: a
+    // registered training run's (corpus v, index v) replay outlives
+    // retention until its pin is released ([[pin]]/[[unpin]]). Their
+    // segments survive via pass 2's retained-snapshot keep set.
+    val pinned = Pins.pinnedVersions(s, root).map(versionName(_))
     val snapPattern = java.util.regex.Pattern.quote(ManifestName) + "\\.v\\d+"
     val expired = fs.listStatus(rootPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.matches(snapPattern) &&
         !current.map(versionName).contains(st.getPath.getName) &&
+        !pinned(st.getPath.getName) &&
         now - st.getModificationTime > graceMs)
       .map { st => fs.delete(st.getPath, false); st.getPath.getName }
     val keep = (liveSegs(s, root) ++ snapshots(s, root)
@@ -358,11 +479,83 @@ object CorpusStore {
       }
       .map { st =>
         val n = st.getPath.getName
-        if (n.matches("seg-\\d+"))
-          fs.delete(new org.apache.hadoop.fs.Path(statsPath(root, n)), true)
+        if (n.matches("seg-\\d+")) deleteSegMeta(fs, root, n)
         fs.delete(st.getPath, true); n
       }
   }
+
+  // ----------------------------------------------------------------
+  // Segment compaction (streaming ingest writes one segment per
+  // micro-batch — without this, manifest length, read fan-out, and
+  // forget's pruning scan grow with HISTORY instead of corpus size)
+  // ----------------------------------------------------------------
+
+  /** Bin-pack small segments into ONE rewritten segment, published as
+    * a new version — the [[graft.operators.TextIndex.compact]]
+    * discipline on the lake: `batch:` ledger lines ride the republish
+    * untouched (a crash replay of a streamed batch must still skip
+    * after an in-cadence compaction), earlier snapshots keep their old
+    * manifests, so a pin taken BEFORE compaction replays byte-identical
+    * reads from the superseded segments until retention (or a pin
+    * release) lets [[sweepUnreferenced]] reclaim them. Docs are only
+    * re-binned, never changed: `snapshotDiff(v_pre, v_post)` is empty
+    * by construction (oracle-pinned via `v_corpus_compact`).
+    *
+    * Victims are the live segments under `smallSegBytes` on disk; at
+    * least two must qualify or the call is a no-op (folding one
+    * segment into itself buys nothing). Scale shape: one read+write of
+    * the victim bytes; big settled segments are carried by reference
+    * and never rewritten — compaction cost tracks the STREAMED TAIL,
+    * not the lake. Returns `(v_before, v_after, segs_folded, n_docs)`. */
+  def compact(s: SparkSession, root: String,
+      smallSegBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    import s.implicits._
+    PublishLock.withLock(s, root) {
+      val lines = manifestLines(s, root)
+      val segs = lines.filter(_.startsWith("seg-"))
+      require(segs.nonEmpty, s"no corpus store at $root — create() first")
+      val vBefore = snapshots(s, root).max
+      val (rootPath, fs) = fsOf(s, root)
+      val victims = segs.filter { g =>
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(rootPath, g))
+          .getLength < smallSegBytes
+      }
+      if (victims.length < 2)
+        Seq((vBefore, vBefore, 0L, 0L))
+          .toDF("v_before", "v_after", "segs_folded", "n_docs")
+      else {
+        val fresh = s"seg-${nextSegOf(lines)}"
+        readSegs(s, root, victims)
+          .write.mode("overwrite").parquet(s"$root/$fresh")
+        writeSegStats(s, root, fresh)
+        val n = s.read.parquet(s"$root/$fresh").count()
+        // filterNot keeps every non-victim line — surviving big
+        // segments AND the batch: ledger — in original order
+        val vAfter = publish(s, root, lines.filterNot(victims.contains) :+ fresh)
+        Seq((vBefore, vAfter, victims.length.toLong, n))
+          .toDF("v_before", "v_after", "segs_folded", "n_docs")
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // Training-run pin registry (shared Pins discipline — see
+  // graft.operators.Pins)
+  // ----------------------------------------------------------------
+
+  /** Pin retained version `v` under `tag`: [[sweepUnreferenced]] will
+    * never expire it (nor GC its segments) until [[unpin]], however
+    * long the training run outlives the grace window. */
+  def pin(s: SparkSession, root: String, tag: String, v: Long): Unit =
+    Pins.pin(s, root, tag, v, x => snapshots(s, root).contains(x))
+
+  /** Release `tag`'s pin; the next sweep past grace may reclaim. */
+  def unpin(s: SparkSession, root: String, tag: String): Unit =
+    Pins.unpin(s, root, tag)
+
+  /** The live pin registry at `root`: tag → version. */
+  def pins(s: SparkSession, root: String): Map[String, Long] =
+    Pins.pins(s, root)
 
   // ----------------------------------------------------------------
   // Incremental corpus statistics (manifest-diff maintenance)
@@ -374,6 +567,22 @@ object CorpusStore {
     org.apache.spark.sql.types.StructField("sum_chars", org.apache.spark.sql.types.LongType)))
 
   private def statsPath(root: String, seg: String) = s"$root/_stats/$seg"
+
+  // per-segment doc_id min/max sidecar — the [[readRanged]] skipping
+  // substrate. Unlike the (lang, n_chars) stats, doc_id is the store's
+  // CONTRACT column, so every segment gets one.
+  private val RangesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("min_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_id", org.apache.spark.sql.types.LongType)))
+
+  private def rangesPath(root: String, seg: String) = s"$root/_ranges/$seg"
+
+  private def deleteSegMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, seg: String): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(statsPath(root, seg)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rangesPath(root, seg)), true)
+    ()
+  }
 
   /** Per-segment stats of ONE segment, computed from its rows — the
     * writer-side function whose output the `_stats/` sidecar caches. */
@@ -396,6 +605,13 @@ object CorpusStore {
     if (Seq("lang", "n_chars").forall(df.columns.contains))
       computeSegStats(s, root, seg)
         .write.mode("overwrite").parquet(statsPath(root, seg))
+    // the ranges sidecar rides the same writer slot: a 1-row (min, max)
+    // over the contract column, a fraction of the segment write it
+    // follows. An empty segment writes (null, null) — readRanged skips
+    // it (no row can match any range).
+    df.agg(min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"))
+      .write.mode("overwrite").parquet(rangesPath(root, seg))
   }
 
   /** Signed per-language statistics over a set of segments. Segments
@@ -473,8 +689,12 @@ object CorpusStore {
 
   def queries: Map[String, Q] = Map(
     "v_corpus_diff" -> vCorpusDiff,
-    "v_corpus_stats_ivm" -> vCorpusStatsIvm)
+    "v_corpus_stats_ivm" -> vCorpusStatsIvm,
+    "v_corpus_compact" -> vCorpusCompact,
+    "v_corpus_ranged" -> vCorpusRanged)
   def oracles: Map[String, String] = Map(
     "v_corpus_diff" -> vCorpusDiffSql,
-    "v_corpus_stats_ivm" -> vCorpusStatsIvmSql)
+    "v_corpus_stats_ivm" -> vCorpusStatsIvmSql,
+    "v_corpus_compact" -> vCorpusCompactSql,
+    "v_corpus_ranged" -> vCorpusRangedSql)
 }

@@ -381,6 +381,31 @@ class StreamingSpec extends SparkSpec {
       val re = sources.CorpusStore.forget(spark, corpus, Seq(4L).toDF("doc_id"))
         .collect()(0)
       assert(re.getLong(0) == re.getLong(1) && re.getLong(4) == 0L)
+      // …but a TAGGED no-match erase records its ledger line (the
+      // delete-only CDC batch shape): replay skips by record, not by
+      // accidental rescan-idempotence
+      val reTagged = sources.CorpusStore.forget(spark, corpus,
+        Seq(4L).toDF("doc_id"), Some("cdc-9")).collect()(0)
+      assert(reTagged.getLong(4) == 0L &&
+        reTagged.getLong(1) == reTagged.getLong(0) + 1)
+      assert(sources.CorpusStore.batchApplied(spark, corpus, "cdc-9"))
+      // COMPACTION LAW: bin-packing the streamed micro-batch segments
+      // must not move the ledger (a crash replay still skips), the
+      // live read, or the MID-STREAM PIN — the pinned (vc0, vi0) pair
+      // taken BEFORE compaction replays byte-identically after it
+      val preCompactLive = sources.CorpusStore.read(spark, corpus)
+        .orderBy("doc_id").collect().toSeq
+      val acct = Graft.corpus.compact(spark, corpus).collect()(0)
+      assert(acct.getAs[Long]("segs_folded") >= 2L)
+      assert(sources.CorpusStore.snapshotDiff(spark, corpus,
+        acct.getAs[Long]("v_before"), acct.getAs[Long]("v_after")).isEmpty)
+      assert(sources.CorpusStore.batchApplied(spark, corpus, "cdc-0"))
+      assert(sources.CorpusStore.batchApplied(spark, corpus, "cdc-1"))
+      assert(sources.CorpusStore.read(spark, corpus)
+        .orderBy("doc_id").collect().toSeq == preCompactLive)
+      assert(Graft.text.bm25TopkAt(spark, index, terms, 10, asOf = Some(vi0))
+        .collect().toSeq
+        == inQueryOf(sources.CorpusStore.asOf(spark, corpus, vc0)))
     } finally q.stop()
   }
 

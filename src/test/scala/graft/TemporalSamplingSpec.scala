@@ -831,4 +831,195 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(harness.count() < Tables.documents(spark, sf).count()) // cutoff fires
   }
 
+  test("corpus compaction: micro-segments fold into one, ledger + snapshots + ranged sidecars survive, big segments are carried by reference") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_cmp").toString + "/c"
+    def doc(i: Long) = (i, s"doc body $i", "en", "web", 10 + i)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    sources.CorpusStore.create((1L to 3L).map(doc).toDF(cols: _*), root)             // v1 seg-0
+    sources.CorpusStore.append((4L to 5L).map(doc).toDF(cols: _*), root, Some("b1")) // v2 seg-1
+    sources.CorpusStore.append((6L to 8L).map(doc).toDF(cols: _*), root, Some("b2")) // v3 seg-2
+    val vPre = sources.CorpusStore.snapshots(spark, root).max
+    val pinRows = Graft.corpus.asOf(spark, root, 2L).orderBy("doc_id").collect().toSeq
+    val acct = Graft.corpus.compact(spark, root).collect()(0)
+    assert(acct.getAs[Long]("segs_folded") == 3L && acct.getAs[Long]("n_docs") == 8L)
+    assert(acct.getAs[Long]("v_after") == vPre + 1)
+    // doc-level transparency across the boundary
+    assert(sources.CorpusStore.snapshotDiff(spark, root, vPre, vPre + 1).isEmpty)
+    // the ledger survives the republish — a crash replay still skips
+    assert(sources.CorpusStore.batchApplied(spark, root, "b1"))
+    assert(sources.CorpusStore.batchApplied(spark, root, "b2"))
+    // a pre-compaction snapshot still replays byte-identically
+    assert(Graft.corpus.asOf(spark, root, 2L).orderBy("doc_id").collect().toSeq
+      == pinRows)
+    // read fan-out really shrank: the live read lists ONE segment
+    val files = Graft.corpus.read(spark, root).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/seg-3/")), files.mkString(","))
+    // the folded segment has working meta: stats and ranged reads serve
+    assert(Graft.corpus.statsAsOf(spark, root, vPre + 1)
+      .collect()(0).getLong(1) == 8L)
+    assert(Graft.corpus.readRanged(spark, root, 4L, 6L).count() == 3L)
+    // a single surviving segment is nothing to fold: no-op, no publish
+    val acct2 = Graft.corpus.compact(spark, root).collect()(0)
+    assert(acct2.getAs[Long]("segs_folded") == 0L &&
+      acct2.getAs[Long]("v_after") == acct2.getAs[Long]("v_before"))
+    // a BIG settled segment is never rewritten: grow a genuinely big
+    // segment (long texts), stream two small ones after it, and compact
+    // with a threshold between the sizes — only the small tail folds
+    def bigDoc(i: Long) = (i, ("body " * 2000) + i, "en", "web", 10 + i)
+    sources.CorpusStore.append((100L to 160L).map(bigDoc).toDF(cols: _*), root) // seg-4
+    sources.CorpusStore.append((9L to 10L).map(doc).toDF(cols: _*), root)       // seg-5
+    sources.CorpusStore.append((11L to 12L).map(doc).toDF(cols: _*), root)      // seg-6
+    val fsc = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizeOfBig = fsc.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$root/seg-4")).getLength
+    val acct3 = Graft.corpus.compact(spark, root,
+      smallSegBytes = sizeOfBig / 2).collect()(0)
+    // seg-3 (8 tiny docs), seg-5, seg-6 fold; seg-4 carried by reference
+    assert(acct3.getAs[Long]("segs_folded") == 3L, acct3.toString)
+    val segsNow = Graft.corpus.read(spark, root).inputFiles
+      .map(_.split("/").takeRight(2)(0)).distinct.sorted
+    assert(segsNow.contains("seg-4") && segsNow.length == 2, segsNow.mkString(","))
+  }
+
+  test("ranged corpus read: manifest-level skipping lists only intersecting segments; sidecar-less segments read conservatively") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_rng").toString + "/c"
+    def doc(i: Long) = (i, s"doc body $i", "en", "web", 10 + i)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    sources.CorpusStore.create((0L to 99L).map(doc).toDF(cols: _*), root)     // seg-0
+    sources.CorpusStore.append((100L to 199L).map(doc).toDF(cols: _*), root)  // seg-1
+    sources.CorpusStore.append((200L to 299L).map(doc).toDF(cols: _*), root)  // seg-2
+    // PLAN PIN: the ranged read's file index holds ONLY the matching
+    // segment — manifest-level skipping before Spark sees a path
+    val ranged = Graft.corpus.readRanged(spark, root, 120L, 150L)
+    assert(ranged.inputFiles.nonEmpty &&
+      ranged.inputFiles.forall(_.contains("/seg-1/")),
+      ranged.inputFiles.mkString(","))
+    assert(ranged.count() == 31L)
+    // spanning two segments lists exactly those two
+    val ranged2 = Graft.corpus.readRanged(spark, root, 90L, 110L)
+    val segs2 = ranged2.inputFiles.map(_.split("/").takeRight(2)(0)).distinct.sorted
+    assert(segs2.toSeq == Seq("seg-0", "seg-1"), segs2.mkString(","))
+    assert(ranged2.count() == 21L)
+    // no segment matches → empty result (served off a pruned plan)
+    assert(Graft.corpus.readRanged(spark, root, 5000L, 6000L).count() == 0L)
+    // a sidecar-less segment (pre-sidecar store) is read conservatively:
+    // delete seg-2's ranges sidecar; a range outside it still answers
+    // correctly WITH seg-2 listed (no skip evidence → no skip)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_ranges/seg-2"), true)
+    val ranged3 = Graft.corpus.readRanged(spark, root, 120L, 150L)
+    val segs3 = ranged3.inputFiles.map(_.split("/").takeRight(2)(0)).distinct.sorted
+    assert(segs3.toSeq == Seq("seg-1", "seg-2"), segs3.mkString(","))
+    assert(ranged3.count() == 31L)
+  }
+
+  test("pin registry: pinned versions survive a zero-grace sweep on all three surfaces and replay byte-identically; unpin + sweep reclaims; rollback refuses pinned suffixes") {
+    import spark.implicits._
+    val cRoot = java.nio.file.Files.createTempDirectory("graft_pins_c").toString + "/c"
+    val tRoot = java.nio.file.Files.createTempDirectory("graft_pins_t").toString
+    val aRoot = java.nio.file.Files.createTempDirectory("graft_pins_a").toString
+    def doc(i: Long) = (i, s"vector doc body $i", "en", "web", 10 + i)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val terms = Seq("vector", "hash")
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+
+    // v1 on each surface, then a mutation so v1 is NOT current
+    sources.CorpusStore.create((1L to 5L).map(doc).toDF(cols: _*), cRoot)
+    operators.TextIndex.build(
+      (1L to 5L).map(i => (i, s"vector hash doc $i")).toDF("doc_id", "text"), tRoot)
+    operators.AnnIndex.build(emb, aRoot)
+    val cV = sources.CorpusStore.snapshots(spark, cRoot).max
+    val tV = operators.TextIndex.snapshots(spark, tRoot).max
+    val aV = operators.AnnIndex.snapshots(spark, aRoot).max
+    sources.CorpusStore.append(Seq(doc(6L)).toDF(cols: _*), cRoot)
+    operators.TextIndex.upsert(
+      Seq((6L, "hash later doc")).toDF("doc_id", "text"), tRoot)
+    operators.AnnIndex.delete(Seq(3L).toDF("vec_id"), aRoot)
+
+    // the pinned replays, captured before any sweep
+    val cPinned = Graft.corpus.asOf(spark, cRoot, cV).orderBy("doc_id").collect().toSeq
+    val tPinned = Graft.text.bm25TopkAt(spark, tRoot, terms, 10, asOf = Some(tV))
+      .collect().toSeq
+    val qv = emb.filter(col("vec_id") === 3L).select("embedding")
+      .as[Array[Float]].collect()(0)
+    val aPinned = operators.AnnIndex.probe(spark, aRoot, qv, nprobe = 8, k = 10,
+      asOf = Some(aV)).collect().toSeq
+
+    Graft.corpus.pin(spark, cRoot, "run-42", cV)
+    Graft.text.bm25Pin(spark, tRoot, "run-42", tV)
+    Graft.ann.pin(spark, aRoot, "run-42", aV)
+    assert(Graft.corpus.pins(spark, cRoot) == Map("run-42" -> cV))
+
+    // a zero-grace sweep — everything past retention — keeps the pins
+    Graft.corpus.sweep(spark, cRoot, graceMs = -1L)
+    operators.TextIndex.sweepUnreferenced(spark, tRoot, graceMs = -1L)
+    operators.AnnIndex.sweepUnreferenced(spark, aRoot, graceMs = -1L)
+    assert(Graft.corpus.asOf(spark, cRoot, cV).orderBy("doc_id").collect().toSeq
+      == cPinned)
+    assert(Graft.text.bm25TopkAt(spark, tRoot, terms, 10, asOf = Some(tV))
+      .collect().toSeq == tPinned)
+    assert(operators.AnnIndex.probe(spark, aRoot, qv, nprobe = 8, k = 10,
+      asOf = Some(aV)).collect().toSeq == aPinned)
+
+    // rollback below a pinned version refuses until unpinned — a
+    // registered run's replay can't be destroyed in one step
+    // (corpus current is cV+1; rolling to cV would drop... nothing
+    // pinned; pin the CURRENT-1 and roll below it instead)
+    intercept[IllegalArgumentException] {
+      sources.CorpusStore.rollbackTo(spark, cRoot, cV - 1)
+    }
+
+    // unpin + sweep reclaims: the snapshot expires and replay fails loudly
+    Graft.corpus.unpin(spark, cRoot, "run-42")
+    Graft.text.bm25Unpin(spark, tRoot, "run-42")
+    Graft.ann.unpin(spark, aRoot, "run-42")
+    Graft.corpus.sweep(spark, cRoot, graceMs = -1L)
+    operators.TextIndex.sweepUnreferenced(spark, tRoot, graceMs = -1L)
+    operators.AnnIndex.sweepUnreferenced(spark, aRoot, graceMs = -1L)
+    intercept[IllegalArgumentException] { Graft.corpus.asOf(spark, cRoot, cV) }
+    intercept[IllegalArgumentException] {
+      Graft.text.bm25TopkAt(spark, tRoot, terms, 10, asOf = Some(tV)).collect()
+    }
+    // pinning an already-swept version fails loudly at pin time
+    intercept[IllegalArgumentException] {
+      Graft.corpus.pin(spark, cRoot, "too-late", cV)
+    }
+  }
+
+  test("text index format stamp: a pre-v4 (unstamped) root read with this library errors with a rebuild hint instead of scoring nulls") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_text_fmt").toString
+    operators.TextIndex.build(
+      Seq((1L, "vector alpha")).toDF("doc_id", "text"), root)
+    // the stamp is written on every publish…
+    assert(Graft.text.bm25TopkAt(spark, root, Seq("vector"), 5).count() == 1L)
+    // …simulate a pre-v4 root: strip the format line from the live
+    // manifest; every explicit-root read must now fail loudly
+    val p = java.nio.file.Paths.get(root, "_GRAFT_TEXT_MANIFEST")
+    val stripped = java.nio.file.Files.readAllLines(p).toArray.map(_.toString)
+      .filterNot(_.startsWith("format:")).mkString("\n")
+    // the local Hadoop FS keeps a sidecar checksum; drop it so the
+    // hand-edited (simulated legacy) manifest reads cleanly
+    def rewrite(content: String): Unit = {
+      java.nio.file.Files.writeString(p, content)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, "._GRAFT_TEXT_MANIFEST.crc")); ()
+    }
+    rewrite(stripped)
+    val e = intercept[IllegalArgumentException] {
+      Graft.text.bm25TopkAt(spark, root, Seq("vector"), 5).count()
+    }
+    assert(e.getMessage.contains("format") && e.getMessage.contains("rebuild"),
+      e.getMessage)
+    // a WRONG stamp (not just a missing one) also refuses
+    rewrite("format:3\n" + stripped)
+    intercept[IllegalArgumentException] {
+      Graft.text.bm25TopkAt(spark, root, Seq("vector"), 5).count()
+    }
+  }
+
 }
