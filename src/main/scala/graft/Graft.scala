@@ -195,6 +195,16 @@ object Graft {
     def passageCoverage(df: DataFrame, idCol: String, textCol: String): DataFrame =
       Dedup.passageCoverageOf(asDocs(df, idCol, textCol))
 
+    /** EXACT repeated-substring spans at suffix-array grade (Lee et
+      * al. 2022's criterion, token coordinates): maximal cross-doc
+      * repeated spans of ≥ `w` tokens with md5 content witnesses —
+      * the collision-free upgrade of [[passageCoverage]]'s hashed
+      * signal. Returns (doc_id, span_start, span_end, n_tokens,
+      * span_digest). */
+    def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+        w: Int = Dedup.ExactW): DataFrame =
+      Dedup.exactSubstringSpansOf(asDocs(df, idCol, textCol), w)
+
     /** The actuator for [[passageCoverage]]'s signal: REMOVE every
       * token position covered by a cross-doc-repeated 5-token shingle
       * (Lee et al. 2022 cut repeated substrings out of the training
@@ -1343,6 +1353,25 @@ object Graft {
       * decode — the per-record hash for [[phashPairs]]. */
     def phashOf(imageBytes: Array[Byte]): (Long, Long) =
       Multimodal.phashOf(imageBytes)
+
+    /** Band-energy fingerprint of one WAV via a REAL PCM decode — the
+      * per-record hash for [[audioFpPairs]] (64 integer window
+      * energies vs the track mean, gain-robust by construction). */
+    def audioFpOf(wavBytes: Array[Byte]): Long =
+      Multimodal.audioFpOf(Multimodal.decodeWavSamples(wavBytes))
+
+    /** Near-dup audio pairs from a `(doc_id, afp)` frame — the
+      * [[phashPairs]] Hamming-band machinery on audio fingerprints:
+      * 16-bit bands (exact recall at Hamming ≤ 3 by pigeonhole),
+      * occupancy-capped buckets, never all-pairs. Returns
+      * (a_id, b_id, hamming). */
+    def audioFpPairs(fps: DataFrame,
+        maxHamming: Int = Multimodal.AudioMaxHamming): DataFrame =
+      Multimodal.audioFpPairsOf(fps, maxHamming)
+
+    /** Band-bucket occupancy audit for [[audioFpPairs]]. */
+    def audioFpBucketStats(fps: DataFrame): DataFrame =
+      Multimodal.audioFpBucketStats(fps)
   }
 
   /** The manifest-versioned document lake — time travel on the corpus

@@ -1246,6 +1246,114 @@ object Dedup {
   private def dStripSpans: Q = (s, dir) =>
     stripRepeatedSpansOf(Tables.documents(s, dir))
 
+  // ----------------------------------------------------------------
+  // EXACT repeated-substring spans (suffix-array-grade dedup signal)
+  // ----------------------------------------------------------------
+
+  /** Minimum repeated length, in tokens. (Lee et al. 2022 use 50 BPE
+    * tokens on web corpora; the harness documents are short, so the
+    * registered fixture uses 8 — the knob, not the algorithm.) */
+  private[graft] val ExactW = 8
+
+  /** EXACT repeated-substring spans, the suffix-array-grade upgrade of
+    * the hashed-shingle signal ([[passageCoverageOf]] can false-flag on
+    * a 30-bit hash collision; this never does): a token position is
+    * covered iff some `w`-token window containing it occurs at ANOTHER
+    * document verbatim — equivalent to "inside a cross-doc repeated
+    * substring of length ≥ w" (if |S| ≥ w repeats, every w-window of S
+    * repeats at the partner; conversely a repeated w-window IS such an
+    * S), which is exactly the published exact-substring criterion (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") at token granularity. Consecutive repeated windows chain
+    * into MAXIMAL spans (the suffix-group match extension), emitted as
+    * `(doc_id, span_start, span_end, n_tokens, span_digest)` in
+    * filtered-token coordinates with the span's md5 as the content
+    * witness.
+    *
+    * Exactness without shuffling text: the window KEY is the 128-bit
+    * md5 of the verbatim window (the [[datasetDiff]] collision-safety
+    * argument — 2⁻¹²⁸ beats any verify pass at corpus scale), so
+    * shuffle rows are (doc, pos, 16-byte digest). The repeated test is
+    * a min≠max window over the digest partition (one shuffle, the
+    * [[passageCoverageOf]] plan); NO pair set is ever materialized, so
+    * the suffix groups need no occupancy cap — group size costs
+    * linear aggregation only. Span assembly is a per-doc
+    * gaps-and-islands window (same doc_id shuffle as every per-doc
+    * reduction here), then one doc-level join back for the digest
+    * slice. Three shuffles total, none carrying document text beyond
+    * the final doc-sized slice join. */
+  private[graft] def exactSubstringSpansOf(docs0: DataFrame,
+      w: Int = ExactW): DataFrame = {
+    val docs = docs0.select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+    val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
+    // posexplode_outer + null filter, not posexplode: the inner
+    // generator's InferFiltersFromGenerate pre-filter would evaluate
+    // the whole md5-window array twice per row (the passageCoverageOf
+    // lesson)
+    val win = toks.select(col("doc_id"),
+        posexplode_outer(expr(
+          s"""CASE WHEN size(toks) >= $w
+             |THEN transform(sequence(0, size(toks) - $w),
+             |  i -> md5(cast(array_join(slice(toks, i + 1, $w), ' ') as binary)))
+             |ELSE array() END""".stripMargin)).as(Seq("pos", "wkey")))
+      .filter(col("wkey").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wkey"))
+    val wk = Window.partitionBy(col("wkey"))
+    val rep = win
+      .withColumn("rep", min(col("doc_id")).over(wk) =!= max(col("doc_id")).over(wk))
+      .filter(col("rep"))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: windows at p, p' merge iff p' ≤ p + w (their
+    // covered intervals [p, p+w) ∪ [p', p'+w) stay contiguous)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = rep
+      .withColumn("prev", lag(col("pos"), 1).over(wd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + w).as("span_end"))
+    spans.join(toks, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"),
+        md5(expr("cast(array_join(slice(toks, cast(span_start + 1 as int), " +
+          "cast(span_end - span_start as int)), ' ') as binary)"))
+          .as("span_digest"))
+  }
+
+  private def dExactSubstring: Q = (s, dir) =>
+    exactSubstringSpansOf(Tables.documents(s, dir))
+
+  private val dExactSubstringSql = {
+    val w = ExactW
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+       |win AS (SELECT doc_id, toks,
+       |          unnest(range(0, greatest(nt - $w + 1, 0))) AS pos FROM n),
+       |wk AS (SELECT doc_id, pos,
+       |         md5(array_to_string(toks[pos + 1 : (pos + $w)::INT], ' ')) AS wkey
+       |       FROM win),
+       |rep AS (SELECT wkey FROM wk GROUP BY wkey HAVING min(doc_id) <> max(doc_id)),
+       |r AS (SELECT doc_id, pos FROM wk JOIN rep USING (wkey)),
+       |g AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > $w
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM r WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS UNBOUNDED PRECEDING) AS island FROM g),
+       |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |              CAST(max(pos) + $w AS BIGINT) AS span_end
+       |       FROM i GROUP BY doc_id, island)
+       |SELECT sp.doc_id, span_start, span_end,
+       |       span_end - span_start AS n_tokens,
+       |       md5(array_to_string(toks[span_start + 1 : span_end::INT], ' '))
+       |         AS span_digest
+       |FROM sp JOIN t ON sp.doc_id = t.doc_id""".stripMargin
+  }
+
   /** Content-defined chunking stats (the Rabin/FastCDC idea on token
     * streams): a chunk boundary wherever the rolling W-shingle hash ≡
     * 0 (mod 16) — boundaries depend only on LOCAL content, so an
@@ -1426,6 +1534,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d_dataset_diff" -> dDatasetDiff,
     "d_passage_coverage" -> dPassageCoverage,
+    "d_exact_substring" -> dExactSubstring,
     "d_strip_spans" -> dStripSpans,
     "d_cdc_chunks" -> dCdcChunks,
     "d_contamination" -> dContamination,
@@ -1445,6 +1554,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d_passage_coverage" -> dPassageCoverageSql,
+    "d_exact_substring" -> dExactSubstringSql,
     "d_strip_spans" -> dStripSpansSql,
     "d_cdc_chunks" -> dCdcChunksSql,
     "d_contamination" -> dContaminationSql,

@@ -202,7 +202,14 @@ object Multimodal {
     * the REAL codec — [[decodeWavStats]] decodes with the JDK's
     * WaveFileReader, so a malformed header here breaks the round-trip
     * law and the oracle row. */
-  private[graft] def synthWav(docId: Long, nSamples: Int): Array[Byte] = {
+  private[graft] def synthWav(docId: Long, nSamples: Int): Array[Byte] =
+    synthWavOf(Array.tabulate(nSamples)(i => ampAt(i, docId)))
+
+  /** The same RIFF writer over an EXPLICIT sample array — the re-encode
+    * half of the audio near-dup fixtures (gain-shift → re-contain →
+    * re-decode, all through the real codec path). */
+  private[graft] def synthWavOf(samples: Array[Int]): Array[Byte] = {
+    val nSamples = samples.length
     val dataLen = nSamples * 2
     val out = new Array[Byte](44 + dataLen)
     def w32(off: Int, v: Int): Unit = {
@@ -230,7 +237,7 @@ object Multimodal {
     tag(36, "data"); w32(40, dataLen)
     var i = 0
     while (i < nSamples) {
-      val s = ampAt(i, docId)
+      val s = samples(i)
       out(44 + 2 * i) = (s & 0xff).toByte
       out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -840,6 +847,190 @@ object Multimodal {
        |FROM occ GROUP BY band""".stripMargin
 
   // ----------------------------------------------------------------
+  // Audio perceptual dedup (band-energy fingerprint, Hamming-band LSH)
+  // ----------------------------------------------------------------
+
+  private[graft] val AudioFpWindows = 64
+  /** Hamming ≤ 3 over 4 × 16-bit bands — the [[PhashMaxHamming]]
+    * pigeonhole recall argument verbatim, on the audio fingerprint. */
+  private[graft] val AudioMaxHamming = 3
+  private[graft] val AudioReplicaMod = 50L
+  private[graft] val AudioReplicaOffset = 1000000L
+
+  /** Decoded signed 16-bit samples of a WAV — the [[decodeWavStats]]
+    * byte walk returning the stream instead of its moments (same SPI
+    * reader, both endiannesses). */
+  private[graft] def decodeWavSamples(wav: Array[Byte]): Array[Int] = {
+    val ais = wavReader(wav)
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16, s"not 16-bit PCM: $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val big = fmt.isBigEndian
+    Array.tabulate(bytes.length / 2) { i =>
+      val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+      val hi = bytes(2 * i + (if (big) 0 else 1)).toInt
+      (hi << 8) | lo
+    }
+  }
+
+  /** Band-energy audio fingerprint (the aHash discipline on the time
+    * axis): the decoded stream splits into 64 time windows (sample i →
+    * window ⌊i·64/n⌋), window energies are EXACT integer sums of
+    * squared amplitudes, and bit k compares window k's energy against
+    * the track mean by integer cross-multiplication (64·e_k > Σe —
+    * no division, so DuckDB recomputes the hash arithmetically from
+    * the closed-form tone). Gain changes scale every window together,
+    * so a gain-shifted re-encode keeps (almost) the same bit pattern —
+    * the perceptual property the near-dup fixtures exercise. */
+  private[graft] def audioFpOf(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= AudioFpWindows,
+      s"audio fingerprint needs ≥ $AudioFpWindows samples, got $n")
+    val e = new Array[Long](AudioFpWindows)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val k = (i.toLong * AudioFpWindows / n).toInt
+      val s = samples(i).toLong
+      e(k) += s * s
+      i += 1
+    }
+    var k = 0
+    while (k < AudioFpWindows) { total += e(k); k += 1 }
+    var fp = 0L
+    k = 0
+    while (k < AudioFpWindows) {
+      if (e(k) * AudioFpWindows > total) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
+  /** Corpus audio fingerprints PLUS planted near-dups: every
+    * `AudioReplicaMod`-th track is gain-shifted (every sample halved,
+    * trunc toward zero), RE-ENCODED as a real WAV and RE-DECODED —
+    * fingerprints come from the genuine codec round-trip on both
+    * sides, the [[phashes]] discipline. One map-side decode scan. */
+  private def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val base = decodeWavSamples(synthWav(id, samplesOf(id)))
+          val orig = (id, audioFpOf(base))
+          if (id % AudioReplicaMod == 0) {
+            val rep = decodeWavSamples(synthWavOf(base.map(_ / 2)))
+            Iterator(orig, (id + AudioReplicaOffset, audioFpOf(rep)))
+          } else Iterator(orig)
+        }
+      }
+      .toDF("doc_id", "afp")
+  }
+
+  /** 4 × 16-bit Hamming bands over the fingerprint — the
+    * [[phashBanded]] machinery on the audio hash. */
+  private def audioFpBanded(fps: DataFrame): DataFrame = {
+    val bandArr = (0 until PhashBands)
+      .map(b => s"shiftright(afp, ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")
+      .mkString("array(", ", ", ")")
+    fps.select(col("doc_id"), col("afp"),
+      posexplode(expr(bandArr)).as(Seq("band", "bucket")))
+  }
+
+  /** Near-dup audio pairs: banded candidates (exact pigeonhole recall
+    * at Hamming ≤ 3), occupancy-capped representatives, bit_count
+    * confirm — never all-pairs. Output (a_id, b_id, hamming). */
+  def audioFpPairsOf(fps: DataFrame,
+      maxHamming: Int = AudioMaxHamming): DataFrame = {
+    val banded = audioFpBanded(fps)
+    val kept = Dedup.keptBandedOf(banded, Dedup.MaxBucketOccupancy)
+    kept.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.afp ^ y.afp)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Band-bucket occupancy audit — the `*_bucket_stats` twin every
+    * capped candidate generator ships with. */
+  def audioFpBucketStats(fps: DataFrame,
+      cap: Int = Dedup.MaxBucketOccupancy): DataFrame =
+    audioFpBanded(fps)
+      .groupBy(col("band").cast("long").as("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occupancy"),
+        sum(least(col("occ"), lit(cap.toLong))).as("docs_kept"),
+        sum(greatest(col("occ") - cap, lit(0L))).as("docs_truncated"))
+
+  private def mAudioFpDedup: Q = (s, dir) => audioFpPairsOf(audioFingerprints(s, dir))
+
+  private def mAudioFpBucketStats: Q = (s, dir) =>
+    audioFpBucketStats(audioFingerprints(s, dir))
+
+  /** Shared oracle CTEs through `banded`: the closed-form tone (and
+    * its trunc-halved replica) → integer window energies → the packed
+    * 64-bit fingerprint (bit 63 via the signed-minimum add, the
+    * [[phashBandedCte]] trick) → 16-bit bands. No codec in DuckDB — a
+    * decode/re-encode bug on the Spark side breaks parity. */
+  private val audioFpBandedCte = {
+    val bit63 = "(-9223372036854775807 - 1)"
+    val bandList = (0 until PhashBands)
+      .map(b => s"(afp >> ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")
+      .mkString("[", ", ", "]")
+    s"""d AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents),
+       |base AS (SELECT doc_id AS src_id, doc_id, n, 0 AS g FROM d
+       |         UNION ALL
+       |         SELECT doc_id, doc_id + $AudioReplicaOffset, n, 1
+       |         FROM d WHERE doc_id % $AudioReplicaMod = 0),
+       |smp AS (SELECT src_id, doc_id, n, g, unnest(range(0, n)) AS i FROM base),
+       |amps AS (SELECT doc_id, n, i,
+       |           CASE WHEN g = 1
+       |             THEN CAST(trunc(((((i * 7919 + src_id * 104729) % 65536) - 32768) / 2.0)) AS BIGINT)
+       |             ELSE ((i * 7919 + src_id * 104729) % 65536) - 32768 END AS amp
+       |         FROM smp),
+       |we AS (SELECT doc_id, (i * $AudioFpWindows) // n AS k, sum(amp * amp) AS e
+       |       FROM amps GROUP BY doc_id, (i * $AudioFpWindows) // n),
+       |tot AS (SELECT doc_id, sum(e) AS te FROM we GROUP BY doc_id),
+       |fp AS (SELECT we.doc_id,
+       |         CAST(sum(CASE WHEN e * $AudioFpWindows > te AND k < 63
+       |           THEN 1::BIGINT << k::INT ELSE 0 END) AS BIGINT)
+       |         + CASE WHEN max(CASE WHEN k = 63 AND e * $AudioFpWindows > te
+       |                         THEN 1 ELSE 0 END) = 1
+       |                THEN $bit63 ELSE 0 END AS afp
+       |       FROM we JOIN tot ON we.doc_id = tot.doc_id GROUP BY we.doc_id),
+       |banded AS (SELECT doc_id, afp, unnest(range(0, $PhashBands)) AS band,
+       |                  unnest($bandList) AS bucket
+       |           FROM fp)""".stripMargin
+  }
+
+  private val mAudioFpDedupSql =
+    s"""WITH $audioFpBandedCte,
+       |kept AS (SELECT doc_id, afp, band, bucket FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) rn
+       |           FROM banded) WHERE rn <= ${Dedup.MaxBucketOccupancy})
+       |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |       bit_count(xor(x.afp, y.afp))::BIGINT AS hamming
+       |FROM kept x JOIN banded y
+       |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.afp, y.afp)) <= $AudioMaxHamming""".stripMargin
+
+  private val mAudioFpBucketStatsSql =
+    s"""WITH $audioFpBandedCte,
+       |occ AS (SELECT band, bucket, count(*) AS occ FROM banded GROUP BY band, bucket)
+       |SELECT band, count(*)::BIGINT AS n_buckets,
+       |       CAST(max(occ) AS BIGINT) AS max_occupancy,
+       |       CAST(sum(least(occ, ${Dedup.MaxBucketOccupancy})) AS BIGINT) AS docs_kept,
+       |       CAST(sum(greatest(occ - ${Dedup.MaxBucketOccupancy}, 0)) AS BIGINT) AS docs_truncated
+       |FROM occ GROUP BY band""".stripMargin
+
+  // ----------------------------------------------------------------
   // Per-partition batch decode plumbing (Dataset + mapPartitions)
   // ----------------------------------------------------------------
 
@@ -923,7 +1114,9 @@ object Multimodal {
     "m_patches" -> mPatches,
     "m_image_embed_topk" -> mImageEmbedTopk,
     "m_phash_dedup" -> mPhashDedup,
-    "m_phash_bucket_stats" -> mPhashBucketStats)
+    "m_phash_bucket_stats" -> mPhashBucketStats,
+    "m_audiofp_dedup" -> mAudioFpDedup,
+    "m_audiofp_bucket_stats" -> mAudioFpBucketStats)
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
@@ -934,5 +1127,7 @@ object Multimodal {
     "m_patches" -> mPatchesSql,
     "m_image_embed_topk" -> mImageEmbedTopkSql,
     "m_phash_dedup" -> mPhashDedupSql,
-    "m_phash_bucket_stats" -> mPhashBucketStatsSql)
+    "m_phash_bucket_stats" -> mPhashBucketStatsSql,
+    "m_audiofp_dedup" -> mAudioFpDedupSql,
+    "m_audiofp_bucket_stats" -> mAudioFpBucketStatsSql)
 }

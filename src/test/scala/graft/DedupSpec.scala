@@ -12,6 +12,49 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
   }
 
+  test("exact substring spans: planted passage found at exact boundaries; sub-W repeats stay silent; every exact span is shingle-covered (law vs the hashed twin)") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens = ExactW
+    val docs = Seq(
+      (1L, s"unique one two three $passage tail1 only here"),
+      (2L, s"different prefix words $passage closing words vary"),
+      // a 7-token shared run sits BELOW the threshold — no span
+      (3L, "start p q r s t u v endone"),
+      (4L, "finish p q r s t u v endtwo")).toDF("doc_id", "text")
+    val spans = operators.Dedup.exactSubstringSpansOf(docs, w = 8).collect()
+    val byDoc = spans.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(spans.length == 2, spans.mkString(","))
+    // exact token boundaries: doc1 has 4 tokens before the passage,
+    // doc2 has 3 — match extension stops exactly where sharing stops
+    assert(byDoc(1L)._1 == 4L && byDoc(1L)._2 == 12L && byDoc(1L)._3 == 8L)
+    assert(byDoc(2L)._1 == 3L && byDoc(2L)._2 == 11L && byDoc(2L)._3 == 8L)
+    // the digests witness the SAME content on both sides
+    assert(byDoc(1L)._4 == byDoc(2L)._4)
+
+    // chaining: lengthen the shared run to 10 tokens → ONE maximal
+    // span of 10, not two overlapping 8s
+    val longer = Seq(
+      (1L, s"unique one two three $passage iota kappa tail"),
+      (2L, s"x $passage iota kappa y")).toDF("doc_id", "text")
+    val sp2 = operators.Dedup.exactSubstringSpansOf(longer, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(sp2(1L) == ((4L, 10L)) && sp2(2L) == ((1L, 10L)), sp2.toString)
+
+    // LAW vs the hashed-shingle twin on the harness corpus: exact
+    // spans are a SUBSET of the W=5 shingle coverage (an 8-window
+    // repeat makes every inner 5-window repeat at the same partner),
+    // so per doc the exact covered mass never exceeds the twin's
+    val exact = Dedup.queries("d_exact_substring")(spark, sf)
+      .groupBy("doc_id").agg(sum("n_tokens").as("exact_tokens"))
+    val twin = Dedup.queries("d_passage_coverage")(spark, sf)
+      .select(col("doc_id"), col("n_covered"))
+    assert(exact.join(twin, Seq("doc_id"), "left_anti").count() == 0)
+    assert(exact.join(twin, "doc_id")
+      .filter(col("exact_tokens") > col("n_covered")).count() == 0)
+    assert(exact.count() > 0) // the fixture actually exercises it
+  }
+
   test("d_ngram_jaccard: pairs are ordered, jaccard in (0,1]") {
     val df = Dedup.queries("d_ngram_jaccard")(spark, sf)
     assert(df.filter(col("a_id") >= col("b_id")).count() == 0)

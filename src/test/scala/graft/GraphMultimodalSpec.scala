@@ -202,6 +202,35 @@ class GraphMultimodalSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), s"$pairs")
   }
 
+  test("audio fingerprint dedup: exact dup and gain-shifted re-encode pair with the base; unrelated track does not") {
+    import spark.implicits._
+    // designed envelopes over n=640 samples → exactly 10 samples per
+    // fingerprint window; signs alternate so there's no DC bias
+    val n = 640
+    def track(level: Int => Int): Array[Int] =
+      Array.tabulate(n)(i => level(i) * (if (i % 2 == 0) 1 else -1))
+    val base = track(i => if (i < n / 2) 8000 else 100)  // loud half, quiet half
+    val gain = base.map(_ / 2)                           // gain-shifted copy
+    val far = track(i => if ((i / 10) % 2 == 0) 8000 else 100) // alternating windows
+    // the REAL round-trip: samples → RIFF container → SPI decode → fp
+    def fp(samples: Array[Int]): Long =
+      Graft.media.audioFpOf(operators.Multimodal.synthWavOf(samples))
+    // gain scaling is uniform across windows (all amps even → energies
+    // quarter exactly), so the fingerprint is bit-identical
+    assert(fp(base) == fp(gain))
+    val fps = Seq(1L -> base, 2L -> base, 3L -> gain, 4L -> far)
+      .map { case (id, smp) => (id, fp(smp)) }.toDF("doc_id", "afp")
+    val pairs = Graft.media.audioFpPairs(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"$pairs")  // exact dup
+    assert(pairs.get((1L, 3L)).exists(_ <= 3L), s"$pairs") // re-encoded near-dup
+    // unrelated envelope: no band collides, no pair forms
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"$pairs")
+    // the audit twin reports the banding this ran with
+    val stats = Graft.media.audioFpBucketStats(fps).collect()
+    assert(stats.length == 4 && stats.forall(_.getLong(4) == 0L)) // nothing truncated
+  }
+
   test("m_frame_sample only emits every 4th frame") {
     val df = Multimodal.queries("m_frame_sample")(spark, sf)
     assert(df.filter(col("frame_idx") % 4 =!= 0).count() == 0)
