@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.ScalaUDF
 import org.apache.spark.sql.catalyst.plans.Cross
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CommandResult, GlobalLimit, Join, LeafNode, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Window => LWindow}
 import org.apache.spark.sql.execution.{SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -102,5 +102,45 @@ object PlanLint {
 
     out.distinct.sortBy(identity).toSeq
       .toDF("severity", "finding", "detail")
+  }
+
+  /** TRUE when collecting this (optimized) plan would pull an
+    * UNBOUNDED relation onto the driver — the anti-pattern the house
+    * rules call out hardest, now a lintable predicate: some
+    * table-backed leaf is reachable from the root without crossing an
+    * aggregate, a limit, or a node Catalyst can statically bound
+    * (`maxRows`). Driver-side collects are legitimate exactly when
+    * the collected set is MODEL-sized (quantizer codebooks, probe
+    * plans, bucket meta) — and model-sized plans all pass through an
+    * aggregate or a limit on their way down from a scan, so this
+    * check separates them from "someone collected the fact table".
+    *
+    * Local/command leaves are driver-resident already (collecting
+    * them moves nothing), so they are safe regardless of size; any
+    * other unbounded leaf (file scan, catalog table, cached relation,
+    * big Range) flags. PlanSpec runs this over every collect() the
+    * registered suite performs, with a commented exemption list —
+    * the self-gate that keeps new driver loops out of the engine. */
+  def unboundedCollect(plan: LogicalPlan): Boolean = {
+    def safe(p: LogicalPlan): Boolean = p match {
+      case _ if bounded(p) => true
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation | _: CommandResult => true
+      // a CACHED relation hides its lineage behind a leaf; look
+      // through to the cached PHYSICAL plan — if that aggregates or
+      // limits, the cache holds the same bounded result the logical
+      // nodes would prove (the persisted k-row model-frame idiom:
+      // train → persist → collect). String scan, not tree traversal:
+      // AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) hold
+      // their subtrees outside `children`, the same reason lint()'s
+      // physical pass scans strings.
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val cached = imr.cachedPlan.toString
+        cached.contains("Aggregate") || cached.contains("Limit") ||
+          cached.contains("TakeOrdered")
+      case _: LeafNode => false
+      case other => other.children.forall(safe)
+    }
+    !safe(plan)
   }
 }

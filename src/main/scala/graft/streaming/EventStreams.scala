@@ -133,6 +133,19 @@ object EventStreams {
   def streamingTumbling(s: SparkSession, dir: String): DataFrame =
     tumbling(eventStream(s, dir))
 
+  /** Session windows as a genuine streaming query — the stateful twin
+    * of the batch [[sessions]] (same transform, the unified-API
+    * contract): `session_window` keeps one open window per (user,
+    * session) in the state store, MERGES windows when a late-but-
+    * within-watermark event bridges two provisional sessions, and
+    * emits a session exactly once, when the watermark passes its
+    * close (append mode) — so the streamed output over a finished
+    * input equals the batch sessions of the same events (StreamingSpec
+    * law, including the late-arrival merge case). State is bounded by
+    * the watermark: only sessions that can still grow are held. */
+  def streamingSessions(s: SparkSession, dir: String): DataFrame =
+    sessions(eventStream(s, dir))
+
   /** Stream-static enrichment join: every micro-batch broadcast-joins a
     * static dimension (no state, no watermark interaction) — the
     * standard lookup-enrichment stage of a streaming pipeline. */

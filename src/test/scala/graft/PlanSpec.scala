@@ -592,4 +592,71 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"lint findings outside exemptions:\n${bad.mkString("\n")}")
   }
 
+  test("plan lint: unbounded driver collects — predicate unit cases, and the whole suite's builder collects gate clean outside exemptions") {
+    import graft.plans.PlanLint
+    // unit cases: a bare full-scan collect flags; a limit, an
+    // aggregate, or a local relation does not
+    val li = Tables.lineitem(spark, sf)
+    assert(PlanLint.unboundedCollect(li.queryExecution.optimizedPlan))
+    assert(!PlanLint.unboundedCollect(li.limit(5).queryExecution.optimizedPlan))
+    assert(!PlanLint.unboundedCollect(
+      li.groupBy("l_returnflag").count().queryExecution.optimizedPlan))
+    assert(!PlanLint.unboundedCollect(
+      li.select(org.apache.spark.sql.functions.max("l_quantity"))
+        .queryExecution.optimizedPlan))
+    // a window/filter chain with no bound still flags (the shape that
+    // needs an explicit exemption when its size is bounded only by
+    // construction)
+    assert(PlanLint.unboundedCollect(
+      li.filter(col("l_quantity") > 0).queryExecution.optimizedPlan))
+
+    // suite gate: run every registered BUILDER (their internal
+    // collects — probe plans, quantizer training, manifest pruning —
+    // execute during construction) under a QueryExecutionListener that
+    // applies the predicate to each collect's optimized plan.
+    // Exemptions are the named sites whose collected sets are bounded
+    // by CONSTRUCTION (not provable from the plan):
+    //  - s_ann_lsh_batch / s_ann_recall_panel: the budget-bounded
+    //    multi-probe plan — ≤ (bits+1)·|panel| rows by the fixed-panel
+    //    + occupancy-budget discipline (Similarity.budgetProbesOf);
+    //    the panel filter bounds it semantically, not statically
+    val exempt = Set("s_ann_lsh_batch", "s_ann_recall_panel")
+    val flagged = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var current = ""
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "collect" && PlanLint.unboundedCollect(qe.optimizedPlan)) {
+          flagged.add(current); ()
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // QueryExecutionListener events ride the shared listener bus
+    // asynchronously; drain it per query so flags attribute correctly
+    val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+      .invoke(spark.sparkContext)
+    val drain = bus.getClass.getMethods
+      .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0).get
+    spark.listenerManager.register(listener)
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        current = name
+        fn(spark, sf)
+        drain.invoke(bus)
+      }
+      // planted violation: the gate actually fires through the listener
+      current = "__planted__"
+      Tables.lineitem(spark, sf).collect()
+      drain.invoke(bus)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val hits = flagged.asScala.toSet
+    assert(hits("__planted__"), "planted full-scan collect did not flag")
+    val bad = (hits - "__planted__") -- exempt
+    assert(bad.isEmpty, s"unbounded collects outside exemptions: ${bad.mkString(", ")}")
+  }
+
 }

@@ -53,6 +53,63 @@ class StreamingSpec extends SparkSpec {
     assert(overlaps.count() == 0)
   }
 
+  test("streaming session windows: closed sessions equal the batch sessions, including a late-arrival MERGE of two provisional sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600000L)
+    val input = MemoryStream[(Long, Long)] // (user_id, hour offset)
+    val events = input.toDF().toDF("user_id", "h")
+      .withColumn("ts", timestamp_millis(col("h") * 3600000L +
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime)))
+      .drop("h")
+      .withWatermark("ts", "6 hours")
+    val q = EventStreams.sessions(events)
+      .writeStream.format("memory").queryName("sess_law")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 at h=0 and h=10 — with the 8h gap these are TWO
+      // provisional sessions; user 2 one event
+      input.addData((1L, 0L), (1L, 10L), (2L, 1L))
+      q.processAllAvailable()
+      // batch 2: the LATE event (h=5 arrives after h=10; watermark is
+      // 10h − 6h = 4h, so 5h is within-watermark) BRIDGES user 1's two
+      // provisional sessions — the state store must MERGE them
+      input.addData((1L, 5L))
+      q.processAllAvailable()
+      // nothing closed yet: watermark (4h) is before every session end
+      assert(spark.table("sess_law").isEmpty)
+      // batch 3: a sentinel far ahead pushes the watermark past every
+      // close — the merged sessions emit exactly once
+      input.addData((9L, 100L))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_law")
+        .orderBy("user_id").collect().toSeq
+      // LAW: streamed closed sessions == the batch transform over the
+      // same events (sentinel excluded — its session never closed)
+      val all = Seq((1L, t(0)), (1L, t(10)), (2L, t(1)), (1L, t(5)))
+        .toDF("user_id", "ts")
+      val batch = EventStreams.sessions(all).orderBy("user_id").collect().toSeq
+      assert(streamed == batch, s"\n$streamed\nvs\n$batch")
+      // the merge really happened: user 1 has ONE session of 3 events
+      // spanning [0h, 10h + 8h)
+      assert(streamed.length == 2)
+      val u1 = streamed.head
+      assert(u1.getLong(0) == 1L && u1.getTimestamp(1) == t(0) &&
+        u1.getTimestamp(2) == t(18) && u1.getLong(3) == 3L, u1.toString)
+      // and the batch twin agrees with TimeSeries.sessionize's
+      // gap-island formulation on (start, count) — the two session
+      // operators share semantics away from exact-gap boundaries
+      val ts = graft.operators.TimeSeries.sessionize(
+          all.withColumn("event_id", col("user_id"))
+            .withColumn("value", lit(1.0)),
+          "user_id", "ts", "event_id", "value", gapMinutes = 480)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy("user_id").collect().toSeq
+      assert(ts == streamed.map(r => Row(r.getLong(0), r.getTimestamp(1), r.getLong(3))))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to prior views within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
