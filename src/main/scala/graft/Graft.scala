@@ -1236,6 +1236,13 @@ object Graft {
     def sliding(events: DataFrame): DataFrame = EventStreams.sliding(events)
     def sessions(events: DataFrame): DataFrame = EventStreams.sessions(events)
 
+    /** Session windows as a genuine streaming query over the events
+      * source — stateful session_window with watermark-driven close
+      * and late-event MERGE; closed sessions equal the batch
+      * [[sessions]] of the same events (StreamingSpec law). */
+    def streamingSessions(spark: SparkSession, dir: String): DataFrame =
+      EventStreams.streamingSessions(spark, dir)
+
     /** Stream-stream interval join (watermarked both sides): purchases
       * attributed to prior same-user views within 1 day. */
     def attributedPurchases(views: DataFrame, purchases: DataFrame): DataFrame =
@@ -1412,6 +1419,13 @@ object Graft {
     def compact(spark: SparkSession, root: String,
         smallSegBytes: Long = 64L * 1024 * 1024): DataFrame =
       sources.CorpusStore.compact(spark, root, smallSegBytes)
+    /** The compaction POLICY loop: fold iff more than
+      * `maxSmallSegments` live segments sit under the threshold. */
+    def compactIfFragmented(spark: SparkSession, root: String,
+        maxSmallSegments: Int = 16,
+        smallSegBytes: Long = 64L * 1024 * 1024): Option[DataFrame] =
+      sources.CorpusStore.compactIfFragmented(spark, root,
+        maxSmallSegments, smallSegBytes)
     /** Training-run pin registry: a pinned version never expires from
       * the retention sweep until unpinned. */
     def pin(spark: SparkSession, root: String, tag: String, v: Long): Unit =

@@ -538,6 +538,23 @@ object CorpusStore {
     }
   }
 
+  /** [[compact]] made a POLICY (the [[graft.operators.TextIndex
+    * .compactIfBloated]] loop for the lake): fold iff more than
+    * `maxSmallSegments` live segments sit under the size threshold —
+    * what a streaming ingest runs every N batches so segment count
+    * tracks corpus size, not batch history. Returns Some(accounting)
+    * when it compacted, None within budget. */
+  def compactIfFragmented(s: SparkSession, root: String,
+      maxSmallSegments: Int = 16,
+      smallSegBytes: Long = 64L * 1024 * 1024): Option[DataFrame] = {
+    val (rootPath, fs) = fsOf(s, root)
+    val small = liveSegs(s, root).count { g =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(rootPath, g))
+        .getLength < smallSegBytes
+    }
+    if (small > maxSmallSegments) Some(compact(s, root, smallSegBytes)) else None
+  }
+
   // ----------------------------------------------------------------
   // Training-run pin registry (shared Pins discipline — see
   // graft.operators.Pins)

@@ -874,9 +874,13 @@ class TemporalSamplingSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sizeOfBig = fsc.getContentSummary(
       new org.apache.hadoop.fs.Path(s"$root/seg-4")).getLength
-    val acct3 = Graft.corpus.compact(spark, root,
-      smallSegBytes = sizeOfBig / 2).collect()(0)
+    // the POLICY loop: 3 small segments sit within a budget of 8 → None
+    assert(Graft.corpus.compactIfFragmented(spark, root,
+      maxSmallSegments = 8, smallSegBytes = sizeOfBig / 2).isEmpty)
+    // …and over a budget of 2 it compacts exactly the small tail:
     // seg-3 (8 tiny docs), seg-5, seg-6 fold; seg-4 carried by reference
+    val acct3 = Graft.corpus.compactIfFragmented(spark, root,
+      maxSmallSegments = 2, smallSegBytes = sizeOfBig / 2).get.collect()(0)
     assert(acct3.getAs[Long]("segs_folded") == 3L, acct3.toString)
     val segsNow = Graft.corpus.read(spark, root).inputFiles
       .map(_.split("/").takeRight(2)(0)).distinct.sorted
