@@ -82,7 +82,7 @@ object TextIndex {
     * handle that within a partition. */
   val Buckets = 64
 
-  private val TextIndexVersion = 4 // v2: signed-delta gens + docs registry; v3: fielded (title/body) postings; v4: positional postings (indexed phrase)
+  private val TextIndexVersion = 5 // v2: signed-delta gens + docs registry; v3: fielded (title/body) postings; v4: positional postings (indexed phrase); v5: term-sorted bucket files (row-group skipping)
 
   /** Exact JVM twin of `graft_polyhash` ([[PortableHash.polyHash]]):
     * fold (acc·31 + codePOINT) mod P — code points, not UTF-16 units,
@@ -433,8 +433,8 @@ object TextIndex {
         .map(_.stripPrefix("format:").trim).getOrElse("pre-4 (unstamped)")
       require(fmt == TextIndexVersion.toString,
         s"text index at $root has format $fmt but this reader requires " +
-          s"format $TextIndexVersion — its generations lack (or mis-lay) the " +
-          "v4 positional/fielded posting columns and would score null/wrong; " +
+          s"format $TextIndexVersion — its generations lack (or mis-lay) " +
+          "this format's posting columns/layout and would score null/wrong; " +
           "rebuild the index (TextIndex.build) or read it with a matching " +
           "library version")
     }
@@ -525,13 +525,33 @@ object TextIndex {
     postings
       .select(col("doc_id"), col("term"), col("tf"), col("tf_t"),
         col("dl"), col("dl_t"), col("pos"), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/postings")
+      // TERM-SORTED within each bucket partition (r13): a probe's
+      // `term IN (…)` predicate pushes to the parquet reader, and with
+      // files sorted by term the row-group min/max stats skip every
+      // group holding none of the query's terms — probe IO tracks the
+      // QUERY TERMS' postings, not the bucket's total volume (which
+      // grows with the corpus: the r13 100× sweep read warm text
+      // probes at 2.2–2.5× before this layout, 64 buckets × 100×
+      // postings each). The repartition puts each bucket in one task
+      // so partitionBy emits one sorted file per bucket.
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
+      // small row groups make the sort actionable: a grown bucket file
+      // would otherwise be ONE row group whose min/max covers every
+      // term (nothing skips); 4 MB groups give the reader's stat
+      // filter real granularity — probe IO tracks the query terms'
+      // groups as the bucket grows. Serving-read trade, deliberately
+      // Lucene-shaped; bulk analytics over postings never happens.
+      .write.mode("overwrite").option("parquet.block.size", 4 * 1024 * 1024)
+      .partitionBy("bucket").parquet(s"$genDir/postings")
     // df delta per term = Σ row signs: +1 for each live (doc, term)
     // added, −1 for each cancelled — summed over generations this IS
     // the per-term live-doc count, exactly
     postings.groupBy(col("term"), col("bucket"))
       .agg(sum(when(col("tf") > 0, 1L).otherwise(-1L)).as("df"))
       .select(col("term"), col("df"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$genDir/df")
     statsDelta.select(col("n_docs"), col("s_dl"), col("s_dlt"))
       .write.mode("overwrite").parquet(s"$genDir/stats")
