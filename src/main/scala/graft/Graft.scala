@@ -742,6 +742,18 @@ object Graft {
         terms: Seq[String], k: Int = 20): DataFrame =
       operators.TextIndex.bm25TopkIndexed(spark, dir, terms, k)
 
+    /** BUDGET-BOUNDED BM25 top-k from the champion-list head tier:
+      * candidates per term capped at the build-time budget (impact-
+      * ordered tf/dl), df/stats stay global and exact — returned
+      * scores equal the exact probe's, membership beyond the budget
+      * may differ (gated by `t_bm25_head_recall`). Probe IO is
+      * bounded at any corpus size — the `budgetProbesOf` discipline
+      * for text. Exact when every term's df ≤ the budget
+      * (spec-pinned). */
+    def bm25TopkHead(spark: SparkSession, dir: String,
+        terms: Seq[String], k: Int = 20): DataFrame =
+      operators.TextIndex.bm25TopkHead(spark, dir, terms, k)
+
     /** BM25F top-k served from the SAME persisted index — the title
       * components are denormalized onto the postings (body = total −
       * title), so fielded scoring rides the identical bucket-pruned

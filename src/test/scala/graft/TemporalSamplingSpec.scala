@@ -994,6 +994,48 @@ class TemporalSamplingSpec extends SparkSpec {
     }
   }
 
+  test("champion-list head tier: a non-binding budget returns the exact answer; binding budgets keep exact scores and are gated by the recall panel") {
+    import spark.implicits._
+    // find a RARE term (0 < df <= HeadB) and a HEAVY one (df > HeadB)
+    // from the corpus itself, so the law tracks the fixture
+    val byDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Graft.text.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val rare = byDoc.filter(col("df") > 0 && col("df") <= 64)
+      .orderBy(col("df").desc, col("t")).limit(1)
+      .collect().headOption.map(_.getString(0))
+    val heavy = byDoc.filter(col("df") > operators.TextIndex.HeadB)
+      .orderBy(col("df").desc, col("t")).limit(1)
+      .collect()(0).getString(0)
+    // LAW 1 (the ANN budget's fixture-parity property): when no term's
+    // df exceeds the budget, the head probe IS the exact probe
+    rare.foreach { t =>
+      val head = operators.TextIndex.bm25TopkHead(spark, sf, Seq(t), 10)
+        .collect().toSeq
+      val exact = operators.TextIndex.bm25TopkIndexed(spark, sf, Seq(t), 10)
+        .collect().toSeq
+      assert(head == exact, s"non-binding budget diverged on '$t'")
+    }
+    // LAW 2: under a BINDING budget, every returned (doc, score) pair
+    // still matches the exact probe's score for that doc — the budget
+    // narrows membership, never the arithmetic (global df/stats)
+    val head = operators.TextIndex.bm25TopkHead(spark, sf, Seq(heavy), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactAll = operators.TextIndex
+      .bm25TopkIndexed(spark, sf, Seq(heavy), 10000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(head.nonEmpty && head.forall { case (d, s) => exactAll(d) == s })
+    // LAW 3: the recall panel is well-formed — n_hits within [0, k],
+    // recall = n_hits/k, and the single-term panel query is EXACT
+    // (one term ⇒ score order == impact order ⇒ champions contain the
+    // true top-k whenever k ≤ HeadB)
+    val panel = operators.TextIndex.queries("t_bm25_head_recall")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(panel.values.forall { case (h, r) => h >= 0 && h <= 10 && r == h / 10.0 })
+    assert(panel(3L) == ((10L, 1.0)), panel.toString) // query 3 = single-term
+  }
+
   test("text index format stamp: a pre-v4 (unstamped) root read with this library errors with a rebuild hint instead of scoring nulls") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_text_fmt").toString
