@@ -38,10 +38,25 @@ object StreamingCorpusIngest {
     * a text index (both must exist — [[CorpusStore.create]] +
     * [[TextIndex.build]], typically from the same founding frame).
     * Every micro-batch becomes one corpus version and one index
-    * generation; re-sent ids supersede on both surfaces. */
+    * generation; re-sent ids supersede on both surfaces.
+    *
+    * `compactEvery > 0` runs the MAINTENANCE POLICY LOOPS in-cadence,
+    * after every `compactEvery`-th batch's publishes: the corpus
+    * folds its small streamed segments when more than
+    * `maxSmallSegments` have accumulated ([[CorpusStore
+    * .compactIfFragmented]]) and the index folds when its dead-posting
+    * fraction exceeds budget ([[TextIndex.compactIfBloated]]) — so a
+    * long-lived stream's manifest length and read fan-out track corpus
+    * SIZE, not batch history, without an operator running compactions
+    * by hand. Both policies republish with the `batch:` ledger intact
+    * (spec-pinned), so an in-cadence fold between a batch's publish
+    * and its checkpoint commit cannot make a crash replay re-apply
+    * the batch. */
   def ingest(docs: DataFrame, corpusRoot: String, indexRoot: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0, maxSmallSegments: Int = 16,
+      smallSegBytes: Long = 64L * 1024 * 1024): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -61,6 +76,12 @@ object StreamingCorpusIngest {
           }
           if (!TextIndex.batchApplied(s, indexRoot, tag)) {
             TextIndex.upsert(batch, indexRoot, Some(tag)); ()
+          }
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+            CorpusStore.compactIfFragmented(s, corpusRoot,
+              maxSmallSegments, smallSegBytes)
+            TextIndex.compactIfBloated(s, indexRoot)
+            ()
           }
         }
       }

@@ -466,6 +466,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed ingest with in-cadence compaction: segment count tracks corpus size, ledger and mid-stream snapshots survive the folds") {
+    import spark.implicits._
+    val corpus = java.nio.file.Files.createTempDirectory("graft-ing-cmp-c").toString + "/c"
+    val index = java.nio.file.Files.createTempDirectory("graft-ing-cmp-i").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ing-cmp-ck").toString
+    val v1 = Seq((1L, "vector alpha"), (2L, "hash beta")).toDF("doc_id", "text")
+    sources.CorpusStore.create(v1, corpus)
+    graft.operators.TextIndex.build(v1, index)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = streaming.StreamingCorpusIngest.ingest(
+      input.toDF().toDF("doc_id", "text"), corpus, index, ckpt,
+      compactEvery = 2, maxSmallSegments = 1)
+    var pinV = 0L
+    try {
+      for (b <- 0 until 5) {
+        // every batch adds one new doc AND revises doc 2 — the
+        // erase+append churn that fragments an uncompacted lake
+        input.addData((10L + b, s"stream doc $b vector"), (2L, s"hash beta rev$b"))
+        q.processAllAvailable()
+        if (b == 1) pinV = sources.CorpusStore.currentVersion(spark, corpus)
+      }
+    } finally q.stop()
+    val live = sources.CorpusStore.read(spark, corpus)
+    assert(live.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 10L, 11L, 12L, 13L, 14L))
+    assert(live.filter(col("doc_id") === 2L).select("text")
+      .collect()(0).getString(0) == "hash beta rev4")
+    // WITHOUT compaction, 5 batches leave ≥ 10 segments (append +
+    // erase-rewrite each); the in-cadence policy folded them
+    val segs = live.inputFiles.map(_.split("/").takeRight(2)(0)).distinct
+    assert(segs.length <= 3, segs.mkString(","))
+    // the ledger survives every fold — a crash replay still skips
+    for (b <- 0 until 5)
+      assert(sources.CorpusStore.batchApplied(spark, corpus, s"stream-$b"),
+        s"stream-$b lost from the ledger")
+    // a mid-stream snapshot taken before later folds still replays
+    assert(sources.CorpusStore.asOf(spark, corpus, pinV)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 10L, 11L))
+    // the text surface stayed consistent through its own policy loop
+    val terms = Seq("vector", "hash")
+    assert(Graft.text.bm25TopkAt(spark, index, terms, 10).collect().toSeq ==
+      graft.operators.TextAnalysis.bm25TopkOf(
+        live.select(col("doc_id"), col("text")), terms, 10).collect().toSeq)
+  }
+
   test("CDC batch reduction: seq orders multiple events per key within one micro-batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-text-cdc-seq").toString
