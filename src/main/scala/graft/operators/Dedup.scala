@@ -1002,13 +1002,13 @@ object Dedup {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
     val v = vectors.select(col("vec_id"), col("embedding"))
-    val model = Similarity.kmeansFit(v, k, rounds)
-    val assigned0 = v.crossJoin(broadcast(model.select(col("cell"), col("ce"), col("cn"))))
-      .withColumn("score", col("cn") - lit(2.0) * expr(foldDot("embedding", "ce")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("score"), col("cell"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("embedding"))
+    val model = Similarity.kmeansFitCentroids(v, k, rounds)
+    // assignment = ONE projection against the driver-local model
+    // (Similarity.bestCellCol — the old broadcast-join + per-vector
+    // argmin shuffle removed; same score bits, same ties)
+    val assigned0 = v.select(col("vec_id"),
+        Similarity.bestCellCol(model, col("embedding")).getField("cell").as("cell"),
+        col("embedding"))
       .withColumn("nrm", expr(s"sqrt(${foldDot("embedding", "embedding")})"))
     // persist: the corpus-scale assignment (a corpus×model broadcast
     // join + groupBy) feeds THREE consumers — the capped rep panel,

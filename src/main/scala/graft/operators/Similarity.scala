@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -984,21 +984,23 @@ object Similarity {
     * story next to the persisted-index layout. */
   private def sIvfTrained: Q = (s, dir) => {
     val v = withNorm(Tables.embeddings(s, dir))
-    val model = kmeansFit(v.select(col("vec_id"), col("embedding")),
+    val model = kmeansFitCentroids(v.select(col("vec_id"), col("embedding")),
       IvfCells, KmeansRounds)
-    val assigned = v.crossJoin(broadcast(model.select(col("cell"), col("ce"), col("cn"))))
-      .withColumn("score", col("cn") - lit(2.0) * expr(foldDot("embedding", "ce")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("score"), col("cell"))).as("best"),
-        first(col("label")).as("label"),
-        first(col("embedding")).as("embedding"),
-        first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-        col("best.cell").as("cell"))
+    // assignment = ONE projection against the driver-local model
+    // (bestCellCol — the old broadcast-join + per-vector argmin
+    // shuffle removed; same score bits, same ties)
+    val assigned = v.select(col("vec_id"), col("label"), col("embedding"),
+      col("nrm"), bestCellCol(model, col("embedding")).getField("cell").as("cell"))
     val q = v.filter(col("vec_id") === QueryVec)
       .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
-    val probes = model.crossJoin(broadcast(q))
-      .withColumn("pscore", col("cn") - lit(2.0) * expr(foldDot("qe", "ce")))
+    // probes: the literal codebook exploded against the query's 1 row
+    val cellsArr = array(model.sortBy(_.cell).map { c =>
+      struct(lit(c.cell).as("cell"), lit(c.cn).as("cn"), typedlit(c.ce).as("ce"))
+    }: _*)
+    val probes = q.select(explode(cellsArr).as("c"), col("qe"))
+      .select(col("c.cell").as("cell"),
+        (col("c.cn") - lit(2.0) *
+          call_function("graft_dot", col("qe"), col("c.ce"))).as("pscore"))
       .orderBy(col("pscore").asc, col("cell").asc)
       .limit(NProbe)
       .select(col("cell"))
@@ -1232,38 +1234,49 @@ object Similarity {
     * accumulator (aggregation order can't matter), so encode, table,
     * and ranking are bit-identical in the oracle.
     *
-    * Scale shape: training reads the corpus PqRounds times per
-    * subspace with k-row broadcast models ([[kmeansFit]]); encode is
-    * ONE corpus scan against the broadcast M·K-row codebook union,
-    * collapsing map-side to (vec_id, m, code); the ADC scan joins
-    * codes to the broadcast M×K distance table and shuffles (vec_id,
-    * decimal) partials. At serving scale the codes frame IS the index
-    * (stored, 64× smaller than the vectors); only it is scanned. */
+    * Scale shape (r14): training is ONE [[kmeansFitGrouped]] loop over
+    * all M subspaces — one corpus scan per round instead of M (guide
+    * §1.2, fewer passes); encode is a pure PROJECTION against the
+    * driver-local codebooks ([[bestCellCol]] per subspace — no
+    * broadcast join, no per-(vector, subspace) argmin shuffle); the
+    * query's M×K ADC table explodes the literal codebook against the
+    * query's one row; the ADC scan joins codes to that broadcast
+    * table and shuffles (vec_id, decimal) partials. At serving scale
+    * the codes frame IS the index (stored, 64× smaller than the
+    * vectors); only it is scanned. */
   private def sPqAdc: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val v = Tables.embeddings(s, dir)
-    val models = (0 until PqM).map { m =>
-      kmeansFit(v.select(col("vec_id"),
-          expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("embedding")),
-        PqK, PqRounds)
-        .select(lit(m).as("mm"), col("cell"), col("ce"), col("cn"))
-    }.reduce(_ unionByName _)
     val subs = pqSubsExpr("embedding")
-    val scored = v
+    def vall = v
       .select(col("vec_id"), col("label"), explode(expr(subs)).as("p"))
       .select(col("vec_id"), col("label"), col("p.m").as("m"), col("p.sv").as("sv"))
-      .join(broadcast(models), col("m") === col("mm"))
-      .select(col("vec_id"), col("label"), col("m"), col("cell"),
-        (col("cn") - lit(2.0) * expr(foldDot("sv", "ce"))).as("score"))
-    val codes = scored
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("score"), col("cell"))).as("best"),
-        first(col("label")).as("label"))
-      .select(col("vec_id"), col("label"), col("m"), col("best.cell").as("code"))
-    // the query's ADC table is its own scored rows — M×K entries
-    val dt = scored.filter(col("vec_id") === QueryVec)
-      .select(col("m").as("dm"), col("cell").as("dcell"), col("score").as("dscore"))
-    codes.filter(col("vec_id") =!= QueryVec)
+    val (modelRows, _) = kmeansFitGroupedRows(
+      vall.select(col("m"), col("vec_id"), col("sv").as("embedding")),
+      PqK, PqRounds)
+    val byM: Map[Int, Seq[Centroid]] = modelRows.toSeq.map { r =>
+      (r.getInt(0), Centroid(r.getInt(1), r.getDouble(3), r.getSeq[Float](2)))
+    }.groupBy(_._1).map { case (m, cs) => m -> cs.map(_._2) }
+    val ms = byM.keys.toSeq.sorted
+    def chain(f: Int => Column): Column =
+      ms.tail.foldLeft(when(col("m") === ms.head, f(ms.head))) {
+        (acc, mv) => acc.when(col("m") === mv, f(mv))
+      }
+    val codes = vall.filter(col("vec_id") =!= QueryVec)
+      .select(col("vec_id"), col("label"), col("m"),
+        chain(mv => bestCellCol(byM(mv), col("sv")).getField("cell")).as("code"))
+    // the query's ADC table: the literal codebook exploded against the
+    // query's single row — M×K entries, same score formula as encode
+    def cellsOf(mv: Int): Column = array(byM(mv).sortBy(_.cell).map { c =>
+      struct(lit(c.cell).as("cell"), lit(c.cn).as("cn"),
+        typedlit(c.ce).as("ce"))
+    }: _*)
+    val dt = vall.filter(col("vec_id") === QueryVec)
+      .select(col("m"), col("sv"), explode(chain(cellsOf)).as("c"))
+      .select(col("m").as("dm"), col("c.cell").as("dcell"),
+        (col("c.cn") - lit(2.0) *
+          call_function("graft_dot", col("sv"), col("c.ce"))).as("dscore"))
+    codes
       .join(broadcast(dt), col("m") === col("dm") && col("code") === col("dcell"))
       .groupBy(col("vec_id"))
       .agg(first(col("label")).as("label"),
@@ -2195,55 +2208,126 @@ object Similarity {
     out
   }
 
+  /** One trained centroid, driver-local: `(cell, cn = ‖ce‖², ce)`. */
+  private[operators] final case class Centroid(cell: Int, cn: Double, ce: Seq[Float])
+
+  /** Shuffle-free nearest-cell assignment against a DRIVER-LOCAL model:
+    * `least(struct(score, cell), …)` over the k centroids inlined as
+    * literals — score = ‖c‖² − 2·x·c with the same `graft_dot`
+    * left-fold, ties → lowest cell via the struct order, exactly
+    * [[kmeansFit]]'s old broadcast-join + `min(struct)` E-step but as
+    * ONE codegen projection: no broadcast exchange, no per-vector
+    * shuffle of (score, cell) candidates (guide §2.4 — the r14 round's
+    * biggest per-round saving; at corpus scale the assign pass now
+    * shuffles nothing at all). Returns a struct column; read
+    * `.getField("cell")`. */
+  private[operators] def bestCellCol(model: Seq[Centroid], emb: Column): Column = {
+    val structs = model.sortBy(_.cell).map { c =>
+      struct((lit(c.cn) - lit(2.0) *
+        call_function("graft_dot", emb, typedlit(c.ce))).as("score"),
+        lit(c.cell).as("cell"))
+    }
+    if (structs.size == 1) structs.head else least(structs: _*)
+  }
+
   /** The Lloyd loop itself: returns the final model as a DRIVER-LOCAL
     * literal frame `(cell int, ce array<float>, cn double, n_vectors
     * long)` — k tiny rows, fully materialized so no persisted loop
     * frame leaks and the returned plan is self-contained (a literal
     * scan, broadcastable into any downstream join). Shared by
     * [[kmeansOf]] (long-format model) and [[Dedup.semDeDupOf]]
-    * (corpus-scale assign + in-cell prune). */
-  private[operators] def kmeansFit(v0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    org.apache.spark.sql.graft.GraftFunctions.register(v0.sparkSession)
-    val v = v0.select(col("vec_id"), col("embedding"))
-    // seeds = the k lowest ids (TakeOrdered, k rows), cells numbered
-    // 0..k-1 in id order — id-scheme-agnostic, and identical to
-    // "cell = vec_id" on the harness fixture's 0-based ids
-    var cent = v.orderBy(col("vec_id")).limit(k)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("cell"), col("embedding").as("ce"))
-      .withColumn("cn", expr(foldDot("ce", "ce")))
-      .withColumn("n_vectors", lit(0L))
-    cent.persist().count()
-    var r = 0
-    while (r < rounds) {
-      val assigned = v.crossJoin(broadcast(cent.select(col("cell"), col("ce"), col("cn"))))
-        .withColumn("score", col("cn") - lit(2.0) * expr(foldDot("embedding", "ce")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("score"), col("cell"))).as("best"),
-          first(col("embedding")).as("embedding"))
-        .select(col("best.cell").as("cell"), col("embedding"))
-      val next = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "cv")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("cv")).as("m"), count(lit(1)).as("n"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> cast(s.m as float))").as("ce"),
-          first(col("n")).as("n_vectors"))
-        .withColumn("cn", expr(foldDot("ce", "ce")))
-      next.persist().count()
-      cent.unpersist()
-      cent = next
-      r += 1
-    }
-    // the model is k rows — safe to fully materialize before the
-    // backing frame unpersists (callers hold only the tiny result)
-    val rows = cent.collect()
-    val schema = cent.schema
-    cent.unpersist()
+    * (corpus-scale assign + in-cell prune). Thin wrapper over the
+    * grouped trainer (one constant group). */
+  private[operators] def kmeansFit(v0: DataFrame, k: Int, rounds: Int): DataFrame =
+    kmeansFitGrouped(v0.select(lit(0).as("m"), col("vec_id"), col("embedding")),
+      k, rounds)
+      .select(col("cell"), col("ce"), col("cn"), col("n_vectors"))
+
+  /** Grouped multi-round Lloyd: trains an INDEPENDENT k-means model per
+    * distinct value of `m` in ONE loop — every round is a single job
+    * over a single input scan for ALL groups (the PQ build trains its
+    * M subspace codebooks here: M× fewer corpus scans and driver
+    * rounds than the per-subspace loops it replaces — guide §1.2 step
+    * 1, fewer passes). Per-group arithmetic is IDENTICAL to the
+    * ungrouped loop: seeds = the k lowest vec_ids of the group, E-step
+    * = [[bestCellCol]] against the group's literal centroids (same
+    * score formula, same tie order), M-step = per-(m, cell, dim) exact
+    * double avg of float32 values cast back to float32. The model
+    * rows live on the DRIVER between rounds (k·M tiny rows per round —
+    * a bounded collect), so rounds chain literal → scan → agg →
+    * collect with no persist/unpersist bookkeeping and no broadcast
+    * exchange. Returns `(m, cell, ce, cn, n_vectors)` as a local
+    * literal frame. */
+  private[operators] def kmeansFitGrouped(v0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val (rows, schema) = kmeansFitGroupedRows(v0, k, rounds)
     v0.sparkSession.createDataFrame(
       v0.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
+
+  /** The grouped trainer's core: final model as driver-local rows
+    * `(m, cell, ce, cn, n_vectors)` + their schema (no extra job to
+    * re-collect when the caller wants [[Centroid]]s, not a frame). */
+  private[operators] def kmeansFitGroupedRows(v0: DataFrame, k: Int,
+      rounds: Int): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val spark = v0.sparkSession
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val v = v0.select(col("m"), col("vec_id"), col("embedding"))
+    // seeds = per group, the k lowest ids, cells numbered 0..k-1 in id
+    // order — id-scheme-agnostic, and identical to "cell = vec_id" on
+    // the harness fixture's 0-based ids
+    val seed = v
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("m")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("m"), (col("rn") - 1).cast("int").as("cell"),
+        col("embedding").as("ce"))
+      .withColumn("cn", expr(foldDot("ce", "ce")))
+      .withColumn("n_vectors", lit(0L))
+      .select(col("m"), col("cell"), col("ce"), col("cn"), col("n_vectors"))
+    val schema = seed.schema
+    def toCentroids(rows: Array[org.apache.spark.sql.Row]): Map[Int, Seq[Centroid]] =
+      rows.toSeq.map { r =>
+        (r.getInt(0), Centroid(r.getInt(1), r.getDouble(3), r.getSeq[Float](2)))
+      }.groupBy(_._1).map { case (m, cs) => m -> cs.map(_._2) }
+    var model = seed.collect()
+    var r = 0
+    while (r < rounds) {
+      val byM = toCentroids(model)
+      val ms = byM.keys.toSeq.sorted
+      // nearest cell per row, all groups in one projection (CASE over
+      // the group id; each branch is the group's literal-model argmin)
+      val cellCol =
+        if (ms.size == 1) bestCellCol(byM(ms.head), col("embedding")).getField("cell")
+        else ms.tail.foldLeft(when(col("m") === ms.head,
+            bestCellCol(byM(ms.head), col("embedding")).getField("cell"))) {
+          (acc, mv) => acc.when(col("m") === mv,
+            bestCellCol(byM(mv), col("embedding")).getField("cell"))
+        }
+      val next = v
+        .select(col("m"), cellCol.as("cell"), col("embedding"))
+        .select(col("m"), col("cell"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(avg(col("cv")).as("mu"), count(lit(1)).as("n"))
+        .groupBy(col("m"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), s -> cast(s.mu as float))").as("ce"),
+          first(col("n")).as("n_vectors"))
+        .withColumn("cn", expr(foldDot("ce", "ce")))
+        .select(col("m"), col("cell"), col("ce"), col("cn"), col("n_vectors"))
+      model = next.collect()
+      r += 1
+    }
+    (model, schema)
+  }
+
+  /** The trained model as driver-local [[Centroid]]s — the form
+    * [[bestCellCol]] consumes (single group, `m = 0`). */
+  private[operators] def kmeansFitCentroids(v0: DataFrame, k: Int,
+      rounds: Int): Seq[Centroid] =
+    kmeansFitGroupedRows(
+      v0.select(lit(0).as("m"), col("vec_id"), col("embedding")), k, rounds)
+      ._1.toSeq.map { r =>
+        Centroid(r.getInt(1), r.getDouble(3), r.getSeq[Float](2))
+      }
 
   private def sKmeans: Q = (s, dir) =>
     kmeansOf(Tables.embeddings(s, dir), KmeansK, KmeansRounds)
