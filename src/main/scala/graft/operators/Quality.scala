@@ -36,8 +36,8 @@ object Quality {
     // struct-field path — both at the source read and at the
     // generated cnt_/nd_ alias reads below
     def bt(c: String): Column = col(s"`$c`")
-    def distinctOf(c: String): Column =
-      if (exact) count_distinct(bt(c)) else approx_count_distinct(bt(c))
+    if (exact) return profileExact(df, cols, bt)
+    def distinctOf(c: String): Column = approx_count_distinct(bt(c))
     val aggs = cols.flatMap { c =>
       Seq(count(bt(c)).as(s"cnt_$c"), distinctOf(c).as(s"nd_$c"),
         min(bt(c)).cast("string").as(s"mn_$c"),
@@ -55,6 +55,29 @@ object Quality {
         .as("p"))
       .select("p.*")
   }
+
+  /** The exact profile as ONE UNION BRANCH PER COLUMN, each a
+    * single-distinct aggregate (r14, guide §2.3): a SINGLE
+    * `count_distinct` plans as a plain two-phase aggregate over that
+    * column's values, so the k-fold multi-distinct Expand of the old
+    * wide form is gone entirely. Scan bytes are unchanged at any scale
+    * (each branch's parquet scan prunes to its one column, so the k
+    * branches together read exactly the k columns the wide scan read),
+    * while the shuffle carries per-column DISTINCT VALUES instead of
+    * k+1 copies of every row. Values identical: same counts, same
+    * distincts, same string-cast min/max. */
+  private def profileExact(df: DataFrame, cols: Seq[String],
+      bt: String => Column): DataFrame =
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"), count(bt(c)).as("cnt"),
+          count_distinct(bt(c)).as("nd"),
+          min(bt(c)).cast("string").as("mn"),
+          max(bt(c)).cast("string").as("mx"))
+        .select(lit(c).as("column"), col("n_rows"),
+          (col("n_rows") - col("cnt")).as("n_nulls"),
+          col("nd").as("n_distinct"),
+          col("mn").as("min_repr"), col("mx").as("max_repr"))
+    }.reduce(_ unionByName _)
 
   /** The profile query: exact per-column stats of `orders` (mixed
     * long/string/double/timestamp columns — the representative

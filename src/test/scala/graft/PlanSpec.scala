@@ -208,16 +208,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("documents.parquet"), p)
   }
 
-  test("profile approx: single-pass plan, no multi-distinct Expand (the exact variant's price)") {
+  test("profile: BOTH variants plan without a multi-distinct Expand") {
     val o = Tables.orders(spark, sf)
     val approx = operators.Quality.profile(o, exact = false)
       .queryExecution.executedPlan.toString
     assert(!approx.contains("Expand"), approx)
-    // ...and the contrast that justifies exposing both: the exact
-    // profile pays the k-fold Expand for its exact distincts
+    // r14: the exact profile is one union branch per column, each a
+    // SINGLE-distinct aggregate — plans as plain two-phase aggs, no
+    // k-fold Expand (the old wide multi-distinct form's price); each
+    // branch's scan prunes to its own column
     val exact = operators.Quality.profile(o, exact = true)
       .queryExecution.executedPlan.toString
-    assert(exact.contains("Expand"), exact)
+    assert(!exact.contains("Expand"), exact)
+    assert(exact.contains("Union"), exact)
   }
 
   test("s_ivf_ann_indexed: data scan prunes to the NProbe cell partitions") {
