@@ -392,13 +392,7 @@ object Dedup {
   private[graft] def minhashCandidatesFromSig(sig: DataFrame,
       bucketCap: Int = MaxBucketOccupancy,
       bands: Int = Bands, rowsPerBand: Int = Rows): DataFrame = {
-    val banded = bandedOf(sig, bands, rowsPerBand)
-    val kept = keptBandedOf(banded, bucketCap)
-    val cand = kept.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    val cand = minhashCandidatePairsFromSig(sig, bucketCap, bands, rowsPerBand)
     // est_jaccard divides by the signature's OWN length, so the
     // estimate tracks whatever numPerms the caller built
     cand
@@ -408,6 +402,23 @@ object Dedup {
         round(expr("size(filter(sequence(1, size(sa)), i -> element_at(sa, i) = element_at(sb, i)))")
           / expr("cast(size(sa) as double)"), 6)
           .as("est_jaccard"))
+  }
+
+  /** The capped band join alone — candidate pair ids + band count,
+    * WITHOUT the est_jaccard decoration (two sig joins + a per-pair
+    * signature compare). Consumers that only need the pair SET (the
+    * recall measurement) use this form; [[minhashCandidatesFromSig]]
+    * decorates it. */
+  private[graft] def minhashCandidatePairsFromSig(sig: DataFrame,
+      bucketCap: Int = MaxBucketOccupancy,
+      bands: Int = Bands, rowsPerBand: Int = Rows): DataFrame = {
+    val banded = bandedOf(sig, bands, rowsPerBand)
+    val kept = keptBandedOf(banded, bucketCap)
+    kept.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
   }
 
   private def dMinhashLsh: Q = (s, dir) => minhashCandidates(s, dir)
@@ -486,13 +497,20 @@ object Dedup {
       .filter(round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
         >= threshold)
       .select(col("a_id"), col("b_id"))
-    val cand = minhashCandidatesFromSig(signaturesOf(docs, storage))
+    // pair SET only — the est_jaccard decoration (two sig joins + a
+    // per-pair signature compare) is dead weight for a recall count
+    val cand = minhashCandidatePairsFromSig(signaturesOf(docs, storage))
       .select(col("a_id"), col("b_id"))
-    val nt = truth.agg(count(lit(1)).as("n_true"))
-    val nc = cand.agg(count(lit(1)).as("n_candidates"))
-    val ncap = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
-      .agg(count(lit(1)).as("n_captured"))
-    nt.crossJoin(nc).crossJoin(ncap)
+    // ONE aggregate over the full-outer pair join carries all three
+    // counts (r14): the old three separate 1-row aggregates evaluated
+    // the truth filter and the band join twice each (guide §1.2 —
+    // don't compute things twice)
+    truth.withColumn("t", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("a_id", "b_id"), "full_outer")
+      .agg(count(col("t")).as("n_true"),
+        count(col("c")).as("n_candidates"),
+        count(when(col("t").isNotNull && col("c").isNotNull, lit(1)))
+          .as("n_captured"))
       .select(col("n_true"), col("n_candidates"), col("n_captured"),
         when(col("n_true") === 0L, lit(0.0))
           .otherwise(round(col("n_captured").cast("double") / col("n_true"), 6))
