@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -185,11 +185,16 @@ object Sampling {
     // (the same rule as Graft.text.fingerprint)
     df.withColumn("split_band",
         pmod(call_function("graft_polyhash", col(contentCol)), lit(100)))
-      .withColumn("split",
-        when(col("split_band") < TrainBand, "train")
-          .when(col("split_band") < ValBand, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitFromBand(col("split_band")))
   }
+
+  /** The ONE band→label mapping, shared by [[splitByHash]] and
+    * consumers that carry a precomputed `split_band` (CleanCorpus's
+    * release manifest) so the thresholds can't drift. */
+  private[graft] def splitFromBand(band: Column): Column =
+    when(band < TrainBand, "train")
+      .when(band < ValBand, "validation")
+      .otherwise("test")
 
   private def p11Split: Q = (s, dir) =>
     splitByHash(Tables.documents(s, dir), "text")

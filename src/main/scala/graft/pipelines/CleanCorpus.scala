@@ -30,23 +30,38 @@ object CleanCorpus {
   private val EstJaccardDrop = 0.75
   private val MinQuality = 0.75
 
-  def clean(s: SparkSession, dir: String): DataFrame = {
+  def clean(s: SparkSession, dir: String): DataFrame =
+    cleanWide(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+      col("n_words"), col("quality"))
+
+  /** [[clean]] plus the columns its downstream composites used to
+    * re-derive by RE-JOINING and RE-TOKENIZING `documents` (r14, guide
+    * §1.2 — don't compute things twice): the exact-dedup fingerprint,
+    * the token count (= n_words, the same tokenizer), and the
+    * content-hash split band all ride the quality gate's ONE text
+    * pass. Values are identical per row — same exprs over the same
+    * text — so clean/shards/manifest outputs are unchanged; the text
+    * column is scanned once here instead of 2-3 times per composite. */
+  private def cleanWide(s: SparkSession, dir: String): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(s)
 
     // stage 1 — quality gate: the SHARED heuristic definition
     // (TextAnalysis.withQualityHeuristics), so t_quality_score and
-    // this gate can never drift apart
+    // this gate can never drift apart. `toks` is the same tokenizer as
+    // Dedup.toksExpr (both the reference's normalize+split), so the
+    // fingerprint's normalized form and the token count reuse it.
     val scored = graft.operators.TextAnalysis.withQualityHeuristics(Tables.documents(s, dir))
     val quality = scored.filter(col("quality") >= MinQuality)
+      .withColumn("norm", concat_ws(" ", col("toks")))
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        col("n_words").cast("long").as("n_words"), round(col("quality"), 2).as("quality"))
+        col("n_words").cast("long").as("n_words"), round(col("quality"), 2).as("quality"),
+        expr(PortableHash.polyHashSql("norm")).as("fp"),
+        col("n_words").cast("long").as("n_tokens"),
+        pmod(call_function("graft_polyhash", col("text")), lit(100)).as("split_band"))
 
     // stage 2 — exact dedup among survivors (keep lowest doc_id per fp)
-    val fp = Tables.documents(s, dir)
-      .withColumn("norm", concat_ws(" ", expr(Dedup.toksExpr)))
-      .select(col("doc_id"), expr(PortableHash.polyHashSql("norm")).as("fp"))
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val exact = quality.join(fp, "doc_id")
+    val exact = quality
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("fp", "rn")
@@ -109,11 +124,11 @@ object CleanCorpus {
     * full text is touched exactly twice (once to score, once to redact
     * at emit). */
   def trainingShards(s: SparkSession, dir: String): DataFrame = {
-    val kept = clean(s, dir).select(col("doc_id"), col("lang"))
+    // n_tokens rides cleanWide's first pass; the docs join is for the
+    // raw text the redaction needs (the one remaining text touch)
+    val kept = cleanWide(s, dir).select(col("doc_id"), col("lang"), col("n_tokens"))
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    graft.operators.TextAnalysis.withPackId(
-        kept.join(docs, "doc_id")
-          .withColumn("n_tokens", size(expr(Dedup.toksExpr)).cast("long")))
+    graft.operators.TextAnalysis.withPackId(kept.join(docs, "doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
         graft.operators.TextAnalysis.redactPii(col("text")).as("redacted"))
   }
@@ -138,10 +153,11 @@ object CleanCorpus {
     * of its split. Stats are split×lang-sized after one pass over the
     * kept docs' text; the share window runs on that tiny aggregate. */
   def releaseManifest(s: SparkSession, dir: String): DataFrame = {
-    val kept = clean(s, dir).select(col("doc_id"), col("lang"))
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val split = graft.operators.Sampling.splitByHash(kept.join(docs, "doc_id"), "text")
-      .withColumn("n_tokens", size(expr(Dedup.toksExpr)).cast("long"))
+    // split_band and n_tokens ride cleanWide's first pass — no
+    // documents re-join at all (the old path re-joined text solely to
+    // re-hash and re-tokenize it)
+    val split = cleanWide(s, dir)
+      .withColumn("split", graft.operators.Sampling.splitFromBand(col("split_band")))
     val stats = split.groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     val w = Window.partitionBy(col("split"))
