@@ -1363,26 +1363,32 @@ object Similarity {
     * `(mm, cell, ce, cn)`, M·K rows. THE shared build used by the
     * in-query [[sIvfpqRerank]] and the persisted [[ivfpqIndex]], so
     * the two paths cannot diverge (the [[ivfAssignment]] discipline). */
-  private def pqOneIterCodebooks(s: SparkSession, dir: String): DataFrame =
-    (0 until PqM).map { m =>
-      val sub = Tables.embeddings(s, dir).select(col("vec_id"),
-        expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
-      val seeds = sub.filter(col("vec_id") < PqK)
-        .select(col("vec_id").cast("int").as("cell"), col("sv").as("se"))
-        .withColumn("sn", expr(foldDot("se", "se")))
-      sub.crossJoin(broadcast(seeds))
-        .withColumn("score", col("sn") - lit(2.0) * expr(foldDot("sv", "se")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("score"), col("cell"))).as("best"),
-          first(col("sv")).as("sv"))
-        .select(col("best.cell").as("cell"), col("sv"))
-        .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "cv")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("cv")).as("mn"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), x -> cast(x.mn as float))").as("ce"))
-        .withColumn("cn", expr(foldDot("ce", "ce")))
-        .select(lit(m).as("mm"), col("cell"), col("ce"), col("cn"))
-    }.reduce(_ unionByName _)
+  private def pqOneIterCodebooks(s: SparkSession, dir: String): DataFrame = {
+    // ONE grouped branch over the exploded subspaces instead of an
+    // M-way union of identical 3-shuffle branches (r14): one corpus
+    // scan, each groupBy keyed by (subspace, …) — per-subspace
+    // arithmetic identical (same seeds, same argmin ties, same exact
+    // float-mean M-step), still one lazy plan end to end.
+    val sub = Tables.embeddings(s, dir)
+      .select(col("vec_id"), explode(expr(pqSubsExpr("embedding"))).as("p"))
+      .select(col("p.m").as("mm0"), col("vec_id"), col("p.sv").as("sv"))
+    val seeds = sub.filter(col("vec_id") < PqK)
+      .select(col("mm0").as("sm"), col("vec_id").cast("int").as("cell"),
+        col("sv").as("se"))
+      .withColumn("sn", expr(foldDot("se", "se")))
+    sub.join(broadcast(seeds), col("mm0") === col("sm"))
+      .withColumn("score", col("sn") - lit(2.0) * expr(foldDot("sv", "se")))
+      .groupBy(col("mm0"), col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("mm0"), col("best.cell").as("cell"), col("sv"))
+      .select(col("mm0"), col("cell"), posexplode(col("sv")).as(Seq("pos", "cv")))
+      .groupBy(col("mm0"), col("cell"), col("pos")).agg(avg(col("cv")).as("mn"))
+      .groupBy(col("mm0"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), x -> cast(x.mn as float))").as("ce"))
+      .withColumn("cn", expr(foldDot("ce", "ce")))
+      .select(col("mm0").as("mm"), col("cell"), col("ce"), col("cn"))
+  }
 
   private def sIvfpqRerank: Q = (s, dir) => {
     org.apache.spark.sql.graft.GraftFunctions.register(s)

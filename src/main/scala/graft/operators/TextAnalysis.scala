@@ -1740,12 +1740,16 @@ object TextAnalysis {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((r.toLong, a, b, cnt))
-        // apply the merge; eager localCheckpoint keeps the per-round
-        // lineage flat (same discipline as the graph driver loops) and
-        // lets `words` unpersist safely after the loop
-        cur = cur.crossJoin(broadcast(Seq((a, b)).toDF("a", "b")))
-          .select(expr(MergeFold).as("syms"), col("freq"))
-          .localCheckpoint()
+        // apply the merge — except on the LAST round, whose merged
+        // vocab nothing ever reads (the oracle's unrolled chain makes
+        // the same cut: "last round never applies its merge"). The
+        // checkpoint is LAZY: the next round's top-pair collect is the
+        // materializing action, so each round is ONE job, not two
+        // (r14; the graph loops' lazy-checkpoint discipline).
+        if (r < rounds - 1)
+          cur = cur.crossJoin(broadcast(Seq((a, b)).toDF("a", "b")))
+            .select(expr(MergeFold).as("syms"), col("freq"))
+            .localCheckpoint(false)
       }
       r += 1
     }
