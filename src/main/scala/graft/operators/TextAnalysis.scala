@@ -1936,29 +1936,41 @@ object TextAnalysis {
       .filter(col("w0") =!= "")
       .select(col("doc_id"), substring(col("w0"), 1, SegMaxWordLen).as("w"))
     val wf = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
-    // piece vocabulary: corpus-weighted substring counts
-    val pieces = (1 to 3).map { l =>
-      wf.select(col("f"), explode(expr(
-          s"transform(sequence(1, length(w) - ${l - 1}), i -> substring(w, i, $l))"))
-          .as("p"))
-        .filter(length(col("p")) === l) // short words yield no l-grams
-        .groupBy(col("p")).agg(sum(col("f")).as("cnt"))
-    }.reduce(_ unionByName _)
+    // piece vocabulary: corpus-weighted substring counts. ONE explode
+    // of all three gram lengths + ONE groupBy (r14): grams of
+    // different lengths are distinct strings, so a single groupBy(p)
+    // forms exactly the groups the old 3-branch union formed — and wf
+    // (a full corpus tokenize + agg) is computed once here, not three
+    // times.
+    val allGrams = (1 to 3).map { l =>
+      s"CASE WHEN length(w) >= $l THEN transform(sequence(1, length(w) - ${l - 1}), i -> substring(w, i, $l)) ELSE cast(array() as array<string>) END"
+    }.mkString("concat(", ", ", ")")
+    val pieces = wf.select(col("f"), explode(expr(allGrams)).as("p"))
+      .groupBy(col("p")).agg(sum(col("f")).as("cnt"))
       .filter(length(col("p")) === 1 || col("cnt") >= SegMinGramCount)
     // per word, per position i, the count of the piece ENDING at i for
-    // each length (sentinel −1 = not in vocabulary / i < l)
-    val wpos = wf.select(col("w"),
-      explode(expr("sequence(1, length(w))")).as("i"))
-    val cands = (1 to 3).map { l =>
-      wpos.withColumn("p",
-          when(col("i") >= l, expr(s"substring(w, i - ${l - 1}, $l)")))
-        .join(pieces.withColumnRenamed("p", "vp"),
-          col("p") === col("vp"), "left")
-        .groupBy(col("w"))
-        .agg(expr("transform(array_sort(collect_list(named_struct(" +
-          "'i', i, 'c', coalesce(cnt, -1L)))), x -> x.c)").as(s"c$l"))
-    }
-    val dp0 = cands.reduce(_.join(_, "w"))
+    // each length (sentinel −1 = not in vocabulary / i < l). ONE
+    // (w, i, l) explode + ONE vocab join + ONE groupBy replace the old
+    // per-length join/groupBy triple and their 2 recombining joins:
+    // collect_list skips the CASE's nulls, so each c$l array gathers
+    // exactly its length's rows, in the same (i-sorted) order, with
+    // the same −1 sentinel for out-of-vocab / i < l.
+    val cands = wf
+      .select(col("w"), explode(expr("sequence(1, length(w))")).as("i"))
+      .select(col("w"), col("i"), explode(expr("array(1, 2, 3)")).as("l"))
+      .withColumn("p",
+        when(col("i") >= col("l"), expr("substring(w, i - l + 1, l)")))
+      .join(pieces.withColumnRenamed("p", "vp"),
+        col("p") === col("vp"), "left")
+      .groupBy(col("w"))
+      .agg(
+        expr("transform(array_sort(collect_list(CASE WHEN l = 1 THEN named_struct(" +
+          "'i', i, 'c', coalesce(cnt, -1L)) END)), x -> x.c)").as("c1"),
+        expr("transform(array_sort(collect_list(CASE WHEN l = 2 THEN named_struct(" +
+          "'i', i, 'c', coalesce(cnt, -1L)) END)), x -> x.c)").as("c2"),
+        expr("transform(array_sort(collect_list(CASE WHEN l = 3 THEN named_struct(" +
+          "'i', i, 'c', coalesce(cnt, -1L)) END)), x -> x.c)").as("c3"))
+    val dp0 = cands
       .withColumn("n", length(col("w"))).withColumn("b0", lit(0L))
     val dp = (1 to SegMaxWordLen).foldLeft(dp0) { (acc, i) =>
       val terms = (1 to 3).filter(_ <= i).map { l =>
