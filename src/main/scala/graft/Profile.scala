@@ -14,17 +14,17 @@ object Profile {
     val spark = BenchKit.session(cpus)
     BenchKit.warmup(spark, sfDir)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    @volatile var taskMs = 0L
+    val taskMs = new java.util.concurrent.atomic.LongAdder
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.put(j.jobId, (j.time, ""))
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        val (t0, _) = jobs.get(j.jobId)
-        println(f"[job] id=${j.jobId}%3d wall=${(j.time - t0) / 1000.0}%7.3fs")
-      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        Option(jobs.get(j.jobId)).foreach { case (t0, _) =>
+          println(f"[job] id=${j.jobId}%3d wall=${(j.time - t0) / 1000.0}%7.3fs")
+        }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null)
-          taskMs += t.taskMetrics.executorRunTime
+          taskMs.add(t.taskMetrics.executorRunTime)
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val tm = Option(i.taskMetrics)
@@ -39,14 +39,14 @@ object Profile {
     spark.sparkContext.addSparkListener(listener)
     // two passes like Bench: pass 1 warms JIT/codegen, pass 2 is the number
     (1 to 2).foreach { pass =>
-      taskMs = 0L
+      taskMs.reset()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       Thread.sleep(300)
-      println(f"[pass $pass] wall=$wall%.3fs summedTask=${taskMs / 1000.0}%.3fs")
+      println(f"[pass $pass] wall=$wall%.3fs summedTask=${taskMs.sum() / 1000.0}%.3fs")
     }
     spark.stop()
   }

@@ -1253,7 +1253,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("p.m").as("m"), col("p.sv").as("sv"))
     val (modelRows, _) = kmeansFitGroupedRows(
       vall.select(col("m"), col("vec_id"), col("sv").as("embedding")),
-      PqK, PqRounds)
+      PqK, PqRounds, 0 until PqM)
     val byM: Map[Int, Seq[Centroid]] = modelRows.toSeq.map { r =>
       (r.getInt(0), Centroid(r.getInt(1), r.getDouble(3), r.getSeq[Float](2)))
     }.groupBy(_._1).map { case (m, cs) => m -> cs.map(_._2) }
@@ -2233,7 +2233,11 @@ object Similarity {
         call_function("graft_dot", emb, typedlit(c.ce))).as("score"),
         lit(c.cell).as("cell"))
     }
-    if (structs.size == 1) structs.head else least(structs: _*)
+    // empty model = empty training input: a typed null struct keeps
+    // the caller's plan well-formed (empty in → empty out, no throw)
+    if (structs.isEmpty) lit(null).cast("struct<score:double,cell:int>")
+    else if (structs.size == 1) structs.head
+    else least(structs: _*)
   }
 
   /** The Lloyd loop itself: returns the final model as a DRIVER-LOCAL
@@ -2246,7 +2250,7 @@ object Similarity {
     * grouped trainer (one constant group). */
   private[operators] def kmeansFit(v0: DataFrame, k: Int, rounds: Int): DataFrame =
     kmeansFitGrouped(v0.select(lit(0).as("m"), col("vec_id"), col("embedding")),
-      k, rounds)
+      k, rounds, Seq(0))
       .select(col("cell"), col("ce"), col("cn"), col("n_vectors"))
 
   /** Grouped multi-round Lloyd: trains an INDEPENDENT k-means model per
@@ -2264,8 +2268,9 @@ object Similarity {
     * collect with no persist/unpersist bookkeeping and no broadcast
     * exchange. Returns `(m, cell, ce, cn, n_vectors)` as a local
     * literal frame. */
-  private[operators] def kmeansFitGrouped(v0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val (rows, schema) = kmeansFitGroupedRows(v0, k, rounds)
+  private[operators] def kmeansFitGrouped(v0: DataFrame, k: Int, rounds: Int,
+      groups: Seq[Int]): DataFrame = {
+    val (rows, schema) = kmeansFitGroupedRows(v0, k, rounds, groups)
     v0.sparkSession.createDataFrame(
       v0.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
@@ -2274,30 +2279,43 @@ object Similarity {
     * `(m, cell, ce, cn, n_vectors)` + their schema (no extra job to
     * re-collect when the caller wants [[Centroid]]s, not a frame). */
   private[operators] def kmeansFitGroupedRows(v0: DataFrame, k: Int,
-      rounds: Int): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+      rounds: Int, groups: Seq[Int]): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
     val spark = v0.sparkSession
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val v = v0.select(col("m"), col("vec_id"), col("embedding"))
     // seeds = per group, the k lowest ids, cells numbered 0..k-1 in id
     // order — id-scheme-agnostic, and identical to "cell = vec_id" on
-    // the harness fixture's 0-based ids
-    val seed = v
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("m")).orderBy(col("vec_id"))))
-      .filter(col("rn") <= k)
-      .select(col("m"), (col("rn") - 1).cast("int").as("cell"),
-        col("embedding").as("ce"))
+    // the harness fixture's 0-based ids. One TakeOrdered (orderBy +
+    // limit k) per group, unioned: each branch is a fully parallel
+    // per-partition top-k merged on the driver — no task ever sees
+    // more than k rows per input partition (the r14 row_number over
+    // Window.partitionBy(m) funneled the WHOLE corpus through one
+    // task per group; guide §2.5). `groups` is the caller's constant
+    // group-id set (M is a small constant everywhere), so the union
+    // is M tiny bounded branches and the collect is ≤ M·k rows.
+    val seedTop = groups.sorted.map { mv =>
+        v.filter(col("m") === lit(mv)).orderBy(col("vec_id")).limit(k)
+      }.reduce(_.unionAll(_))
+      .select(col("m"), col("vec_id"), col("embedding").as("ce"))
       .withColumn("cn", expr(foldDot("ce", "ce")))
-      .withColumn("n_vectors", lit(0L))
-      .select(col("m"), col("cell"), col("ce"), col("cn"), col("n_vectors"))
-    val schema = seed.schema
+    val schema = seedTop
+      .select(col("m"), lit(0).cast("int").as("cell"), col("ce"),
+        col("cn"), lit(0L).as("n_vectors")).schema
+    // cells numbered 0..k-1 in vec_id order, driver-side (≤ M·k rows)
+    def seedModel(): Array[org.apache.spark.sql.Row] = seedTop.collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1).flatMap { case (mv, rs) =>
+        rs.sortBy(_.getLong(1)).zipWithIndex.map { case (sr, i) =>
+          org.apache.spark.sql.Row(mv, i, sr.getSeq[Float](2), sr.getDouble(3), 0L)
+        }
+      }.toArray
     def toCentroids(rows: Array[org.apache.spark.sql.Row]): Map[Int, Seq[Centroid]] =
       rows.toSeq.map { r =>
         (r.getInt(0), Centroid(r.getInt(1), r.getDouble(3), r.getSeq[Float](2)))
       }.groupBy(_._1).map { case (m, cs) => m -> cs.map(_._2) }
-    var model = seed.collect()
+    var model = seedModel()
     var r = 0
-    while (r < rounds) {
+    // empty model = empty training input: skip the loop, empty out
+    while (r < rounds && model.nonEmpty) {
       val byM = toCentroids(model)
       val ms = byM.keys.toSeq.sorted
       // nearest cell per row, all groups in one projection (CASE over
@@ -2330,7 +2348,7 @@ object Similarity {
   private[operators] def kmeansFitCentroids(v0: DataFrame, k: Int,
       rounds: Int): Seq[Centroid] =
     kmeansFitGroupedRows(
-      v0.select(lit(0).as("m"), col("vec_id"), col("embedding")), k, rounds)
+      v0.select(lit(0).as("m"), col("vec_id"), col("embedding")), k, rounds, Seq(0))
       ._1.toSeq.map { r =>
         Centroid(r.getInt(1), r.getDouble(3), r.getSeq[Float](2))
       }
