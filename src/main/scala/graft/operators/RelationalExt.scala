@@ -1606,28 +1606,51 @@ object RelationalExt {
     * distinct-value frame only. The sorted frame scales with value
     * CARDINALITY, not row count — the 10× sweep dropped 3.7× → flat
     * when the full-row row_number() sort was replaced by this. */
-  private def a14Winsorize: Q = (s, dir) => {
-    val r = Tables.lineitem(s, dir)
+  /** The shared counting-sort frames: `counts(flag, v, c)` (ONE
+    * lineitem scan — everything exact downstream derives from it) and
+    * `cum` (the per-flag ordered cumulative counts over the DISTINCT
+    * values — cardinality-, not row-scaled). */
+  private def winsorCum(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // persist: the cardinality-bounded counts table feeds the ordered
+    // window chain AND the weighted clip-aggregates (2-4 consumers per
+    // query); without it each consumer re-runs the lineitem scan +
+    // groupBy (the before-plan re-scanned lineitem per consumer)
+    val counts = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
-    val counts = r.groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cum = counts
       .withColumn("cum",
         sum(col("c")).over(Window.partitionBy(col("flag")).orderBy(col("v").asc)))
       .withColumn("n",
         sum(col("c")).over(Window.partitionBy(col("flag"))))
+    (counts, cum)
+  }
+
+  /** Exact winsorized stats off the counting-sort frames. The clipped
+    * mean and clip counts aggregate the WEIGHTED distinct values
+    * (`Σ c·clip(v)` — exact-decimal, identical to the per-row sum), so
+    * lineitem is scanned ONCE per query instead of twice (guide §1.2:
+    * fewer passes; the r14 shape re-scanned raw rows for the final
+    * clip-aggregate). */
+  private def winsorExact(counts: DataFrame, cum: DataFrame): DataFrame = {
     val bounds = cum.groupBy(col("flag")).agg(
       min(when(expr("cum >= (n + 19) div 20"), col("v"))).as("lo"),
       min(when(expr("cum >= (19 * n + 19) div 20"), col("v"))).as("hi"))
-    r.join(broadcast(bounds), "flag")
+    counts.join(broadcast(bounds), "flag")
       .groupBy(col("flag"), col("lo"), col("hi"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L).otherwise(0L))
-          .as("n_clipped"),
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("v") < col("lo") || col("v") > col("hi"), col("c"))
+          .otherwise(0L)).as("n_clipped"),
         expr(TextAnalysis.r6(
           "CAST(sum(CAST((CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END)" +
-            " AS DECIMAL(18,2))) AS DOUBLE) / count(*)")).as("wmean"))
+            " AS DECIMAL(18,2)) * c) AS DOUBLE) / sum(c)")).as("wmean"))
       .select(col("flag"), col("n"), col("n_clipped"), col("lo"), col("hi"), col("wmean"))
-      .orderBy(col("flag").asc)
+  }
+
+  private def a14Winsorize: Q = (s, dir) => {
+    val (counts, cum) = winsorCum(s, dir)
+    winsorExact(counts, cum).orderBy(col("flag").asc)
   }
 
   private val a14WinsorizeSql =
@@ -1668,21 +1691,46 @@ object RelationalExt {
   private def a14WinsorizeApprox: Q = (s, dir) => {
     val r = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
-    val exact = a14Winsorize(s, dir).drop("n_clipped")
+    val (counts, cum) = winsorCum(s, dir)
+    val exact = winsorExact(counts, cum).drop("n_clipped")
+    // the GK sketch over the raw column IS the operator on display —
+    // the one remaining row-scaled pass besides the counts build
     val ab = r.groupBy(col("flag"))
-      .agg(expr("percentile_approx(v, array(0.05, 0.95), 1000)").as("ab"),
-        expr("percentile(v, array(0.04, 0.06, 0.94, 0.96))").as("env"))
+      .agg(expr("percentile_approx(v, array(0.05, 0.95), 1000)").as("ab"))
       .select(col("flag"),
-        element_at(col("ab"), 1).as("alo"), element_at(col("ab"), 2).as("ahi"),
-        element_at(col("env"), 1).as("p04"), element_at(col("env"), 2).as("p06"),
-        element_at(col("env"), 3).as("p94"), element_at(col("env"), 4).as("p96"))
-    val am = r.join(broadcast(ab.select(col("flag"), col("alo"), col("ahi"))), "flag")
+        element_at(col("ab"), 1).as("alo"), element_at(col("ab"), 2).as("ahi"))
+    // exact-percentile ENVELOPE off the counting-sort frame (same
+    // order-statistic + linear interpolation arithmetic as Spark's
+    // percentile(): 0-based position (n-1)·q, lower/higher neighbor
+    // values, lower + (higher-lower)·frac) — the r14 shape paid a
+    // separate percentile() pass that buffered EVERY raw row per
+    // group in one aggregate (row-scaled memory, guide §5); this is
+    // cardinality-scaled and rides the frames the exact stats already
+    // built.
+    val qs = Seq(0.04 -> "p04", 0.06 -> "p06", 0.94 -> "p94", 0.96 -> "p96")
+    def pos(q: Double): org.apache.spark.sql.Column =
+      (col("n") - lit(1L)).cast("double") * lit(q)
+    val envAggs = qs.flatMap { case (q, nm) =>
+      val rank = floor(pos(q)).cast("long") + lit(1L)
+      Seq(min(when(col("cum") >= rank, col("v"))).cast("double").as(s"${nm}_lo"),
+        min(when(col("cum") >= rank + lit(1L), col("v"))).cast("double").as(s"${nm}_hi"),
+        max(pos(q) - floor(pos(q))).as(s"${nm}_f"))
+    }
+    val env = cum.groupBy(col("flag")).agg(envAggs.head, envAggs.drop(1): _*)
+      .select(col("flag") +: qs.map { case (_, nm) =>
+        (col(s"${nm}_lo")
+          + (col(s"${nm}_hi") - col(s"${nm}_lo")) * col(s"${nm}_f")).as(nm)
+      }: _*)
+    // approx-clipped mean from the weighted distinct values (Σ c·clip —
+    // exact-decimal-identical to the per-row sum, no third raw scan)
+    val am = counts.join(broadcast(ab), "flag")
       .groupBy(col("flag"), col("alo"), col("ahi"))
       .agg(expr(TextAnalysis.r6(
         "CAST(sum(CAST((CASE WHEN v < alo THEN alo WHEN v > ahi THEN ahi ELSE v END)" +
-          " AS DECIMAL(18,2))) AS DOUBLE) / count(*)")).as("awmean"))
+          " AS DECIMAL(18,2)) * c) AS DOUBLE) / sum(c)")).as("awmean"))
       .select(col("flag"), col("awmean"))
-    exact.join(broadcast(ab), "flag").join(broadcast(am), "flag")
+    exact.join(broadcast(ab), "flag").join(broadcast(env), "flag")
+      .join(broadcast(am), "flag")
       .select(col("flag"), col("n"), col("lo"), col("hi"), col("wmean"),
         (col("alo") >= col("p04") && col("alo") <= col("p06")).as("lo_within_bounds"),
         (col("ahi") >= col("p94") && col("ahi") <= col("p96")).as("hi_within_bounds"),

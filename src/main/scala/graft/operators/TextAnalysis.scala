@@ -400,11 +400,21 @@ object TextAnalysis {
       .select(col("doc_id"), explode_outer(col("bgs")).as("bg"))
       .filter(col("bg").isNotNull)
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    // persist the vocab-bounded c2 table: its THREE consumers (probe
+    // build side, c1, V) otherwise re-derive the whole corpus
+    // tokenize+bigram pass each — the r14 plan ran the Generate FOUR
+    // times (exchange reuse never fired across the renumbered
+    // subtrees). One corpus count pass + one probe pass now (guide
+    // §1.2: don't compute things twice). c1 rides the cached frame and
+    // is FUSED onto c2 as one broadcast model, so the probe stream
+    // pays one broadcast join instead of two.
     val c2 = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
     val vocab = c2.select(col("a").as("t")).union(c2.select(col("b").as("t")))
       .distinct().agg(count(lit(1)).as("v"))
-    bi.join(c2, Seq("a", "b")).join(c1, Seq("a")).crossJoin(broadcast(vocab))
+    val model = c2.join(c1, Seq("a"))
+    bi.join(broadcast(model), Seq("a", "b")).crossJoin(broadcast(vocab))
       .withColumn("p",
         (col("c2") + lit(k)) / (col("c1") + lit(k) * col("v")))
   }
