@@ -34,8 +34,16 @@ object RelationalExt {
     // side was dead weight carried through the shuffle (r3 VERDICT #2)
     val l = Tables.lineitem(s, dir)
       .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(Salt)))
+    // SHUFFLE_HASH, not broadcast: the planner otherwise broadcasts the
+    // REPLICATED build side (8x orders — a multi-second single-threaded
+    // driver hash-relation build here, an 8x-inflated broadcast at any
+    // scale), which defeats the pattern: salting exists to level a
+    // SHUFFLED join's reducers (guide §2.5/§3.1 — the build side per
+    // partition is the small one, hash beats sort-merge, and a
+    // broadcastable side would need no salt at all)
     val o = Tables.orders(s, dir)
       .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+      .hint("shuffle_hash")
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
