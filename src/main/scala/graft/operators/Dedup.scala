@@ -154,7 +154,22 @@ object Dedup {
   private[graft] def rareShinglePairStatsOf(docs: DataFrame,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val sh = shingleHashesOf(docs)
+    // persist the exploded index too: the df-count build and the
+    // rare-filtered probe otherwise EACH run the corpus
+    // tokenize+shingle pass (2 text scans → 1). At 100 TB this is the
+    // same step the comment below says you'd materialize to a table.
+    val sh0 = shingleHashesOf(docs)
+    val sh = if (storage == org.apache.spark.storage.StorageLevel.NONE) sh0
+      else sh0.persist(storage)
+    rareShinglePairStatsFromIndex(sh, storage)
+  }
+
+  /** The pair-stats core over a PRE-BUILT (ideally persisted) shingle
+    * index — lets [[lshRecallOf]] share ONE index build between the
+    * truth side and the signature side instead of running the corpus
+    * text pass per generator. */
+  private[graft] def rareShinglePairStatsFromIndex(sh: DataFrame,
+      storage: org.apache.spark.storage.StorageLevel): DataFrame = {
     val rare = sh.groupBy("h").count()
       .filter(col("count") <= MaxShingleDf).select("h")
     // persist: the filtered index feeds three consumers (sizes + both
@@ -279,8 +294,15 @@ object Dedup {
   private[graft] def signaturesOf(docs: DataFrame,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
-      numPerms: Int = K): DataFrame = {
-    val sig = shingleHashesOf(docs)
+      numPerms: Int = K): DataFrame =
+    signaturesFromIndex(shingleHashesOf(docs), storage, numPerms)
+
+  /** Signature aggregation over a PRE-BUILT shingle index — see
+    * [[rareShinglePairStatsFromIndex]] for why the index is shared. */
+  private[graft] def signaturesFromIndex(sh: DataFrame,
+      storage: org.apache.spark.storage.StorageLevel,
+      numPerms: Int): DataFrame = {
+    val sig = sh
       .groupBy("doc_id")
       .agg(
         min(expr(PortableHash.permSql("h", 0))).as("m0"),
@@ -493,13 +515,19 @@ object Dedup {
       threshold: Double = JaccardThreshold,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val truth = rareShinglePairStatsOf(docs, storage)
+    // ONE shared persisted shingle index for BOTH pair generators —
+    // the truth side and the signature side each ran their own corpus
+    // tokenize+shingle pass before (2 text scans → 1)
+    val sh0 = shingleHashesOf(docs)
+    val sh = if (storage == org.apache.spark.storage.StorageLevel.NONE) sh0
+      else sh0.persist(storage)
+    val truth = rareShinglePairStatsFromIndex(sh, storage)
       .filter(round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
         >= threshold)
       .select(col("a_id"), col("b_id"))
     // pair SET only — the est_jaccard decoration (two sig joins + a
     // per-pair signature compare) is dead weight for a recall count
-    val cand = minhashCandidatePairsFromSig(signaturesOf(docs, storage))
+    val cand = minhashCandidatePairsFromSig(signaturesFromIndex(sh, storage, K))
       .select(col("a_id"), col("b_id"))
     // ONE aggregate over the full-outer pair join carries all three
     // counts (r14): the old three separate 1-row aggregates evaluated
