@@ -64,4 +64,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spread a low-parallelism scan across the session's cores before a
+    * HEAVY per-row pass (the multimodal codec round-trips: PNG/WAV
+    * encode + decode per row). The harness parquet files are
+    * single-row-group, so a scan plans ONE task no matter the core
+    * count — profiled, the video featurize ran 2.4 s serial at
+    * local[30] while 29 cores idled. When the scan plans fewer
+    * partitions than `defaultParallelism`, a round-robin repartition
+    * (deterministic: Spark sorts before round-robin, SPARK-23207)
+    * moves the few narrow rows once and unlocks the cores; any
+    * real-scale input already has enough splits, so this is the
+    * identity there and no extra exchange is ever paid (guide §2.6
+    * stragglers/idle capacity). NOT worth it before cheap per-row
+    * passes (measured: it LOST time on the tokenize/shingle scans —
+    * task+shuffle overhead exceeds the ~0.4 s serial saving); reserve
+    * it for decode-grade work, ~1 ms+/row. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

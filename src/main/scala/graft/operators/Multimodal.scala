@@ -396,8 +396,9 @@ object Multimodal {
     * Map-side only, no shuffle; linear in input splits. */
   private def mFeatures: Q = (s, dir) => {
     import s.implicits._
-    dims(Tables.documents(s, dir))
-      .select(col("doc_id"), col("width").cast("int"), col("height").cast("int"))
+    // spread: serial PNG encode+decode otherwise (see mVideoFeatures)
+    Tables.spread(dims(Tables.documents(s, dir))
+        .select(col("doc_id"), col("width").cast("int"), col("height").cast("int")))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
         // ImageIO reader-SPI lookup and temp-cache config happen once
@@ -446,8 +447,8 @@ object Multimodal {
     * splits. */
   private def mAudioFeatures: Q = (s, dir) => {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"))
+    // spread: serial WAV encode+decode otherwise (see mVideoFeatures)
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -489,8 +490,9 @@ object Multimodal {
     * frames·1000/4 fps = frames·250. Map-side only, no shuffle. */
   private def mVideoFeatures: Q = (s, dir) => {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"))
+    // spread: ~2.4 s of serial PNG encode+decode per pass otherwise
+    // (single-row-group scan = one task; only doc_ids move)
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
       .as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -594,8 +596,9 @@ object Multimodal {
   private def histograms(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    dims(df)
-      .select(col("doc_id"), col("width").cast("int"), col("height").cast("int"))
+    // spread: serial PNG encode+decode otherwise (see mVideoFeatures)
+    Tables.spread(dims(df)
+        .select(col("doc_id"), col("width").cast("int"), col("height").cast("int")))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -721,8 +724,11 @@ object Multimodal {
     * map-side decode scan, the [[mFeatures]] batching discipline. */
   private def phashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    dims(Tables.documents(s, dir))
-      .select(col("doc_id"), col("width").cast("int"), col("height").cast("int"))
+    // spread: serial PNG encode+decode otherwise (see mVideoFeatures);
+    // persist: the pair join consumes the hash frame on BOTH sides
+    // (probe + capped representatives), which would re-run the decode
+    Tables.spread(dims(Tables.documents(s, dir))
+        .select(col("doc_id"), col("width").cast("int"), col("height").cast("int")))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -732,6 +738,7 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "ahash", "dhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Near-dup image pairs from a precomputed `(doc_id, ahash, dhash)`
@@ -914,8 +921,8 @@ object Multimodal {
     * sides, the [[phashes]] discipline. One map-side decode scan. */
   private def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"))
+    // spread: serial WAV round-trips otherwise (see mVideoFeatures)
+    Tables.spread(Tables.documents(s, dir).select(col("doc_id")))
       .as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
