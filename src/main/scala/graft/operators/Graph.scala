@@ -292,8 +292,13 @@ object Graph {
   def labelPropagate(undirected: DataFrame, reliable: Boolean = false): DataFrame = {
     // materialize the edge list ONCE: every round joins against it, so
     // an expensive caller lineage would otherwise re-execute per round
-    // (the facade passes arbitrary user frames here)
-    val und = materialize(undirected, reliable)
+    // (the facade passes arbitrary user frames here). Pre-partition it
+    // by the join key first — checkpoint preserves the partitioning,
+    // so every round's edge-side exchange disappears (guide §2.4:
+    // establish a partitioning once and reuse it; labels come out of
+    // each round's groupBy(node) already partitioned on their key).
+    // One up-front shuffle buys rounds-many of them.
+    val und = materialize(undirected.repartition(col("src")), reliable)
     var labels = materialize(
       und.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")), reliable)
