@@ -59,18 +59,12 @@ object CleanCorpus {
         col("n_words").cast("long").as("n_tokens"),
         pmod(call_function("graft_polyhash", col("text")), lit(100)).as("split_band"))
 
-    // stage 2 — exact dedup among survivors (keep lowest doc_id per fp).
-    // Persist the NARROW survivor frame (ids + counts, no text): three
-    // consumers read it (both semi-join sides of the near-dup prune and
-    // the final anti-join's left side), and each would otherwise re-run
-    // the stage-1 text pass + the fp window (plan evidence: documents
-    // scans per composite 7-8 → 2-3; guide §1.2).
+    // stage 2 — exact dedup among survivors (keep lowest doc_id per fp)
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val exact = quality
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("fp", "rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 3 — near-dup prune: drop the later doc of each candidate
     // pair when both sides survived stages 1-2
