@@ -1641,11 +1641,24 @@ object RelationalExt {
     * lineitem is scanned ONCE per query instead of twice (guide §1.2:
     * fewer passes; the r14 shape re-scanned raw rows for the final
     * clip-aggregate). */
-  private def winsorExact(counts: DataFrame, cum: DataFrame): DataFrame = {
-    val bounds = cum.groupBy(col("flag")).agg(
+  private def winsorExact(counts: DataFrame, cum: DataFrame): DataFrame =
+    winsorExactFromBounds(counts, winsorBounds(cum, Nil))
+
+  /** The p05/p95 cut bounds off the cumulative-count frame, plus any
+    * caller-supplied aggregates that should ride the SAME groupBy (the
+    * approx variant's percentile envelope — one window execution + one
+    * aggregation job instead of two). */
+  private def winsorBounds(cum: DataFrame,
+      extraAggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val aggs = Seq(
       min(when(expr("cum >= (n + 19) div 20"), col("v"))).as("lo"),
-      min(when(expr("cum >= (19 * n + 19) div 20"), col("v"))).as("hi"))
-    counts.join(broadcast(bounds), "flag")
+      min(when(expr("cum >= (19 * n + 19) div 20"), col("v"))).as("hi")) ++ extraAggs
+    cum.groupBy(col("flag")).agg(aggs.head, aggs.drop(1): _*)
+  }
+
+  private def winsorExactFromBounds(counts: DataFrame,
+      bounds: DataFrame): DataFrame = {
+    counts.join(broadcast(bounds.select(col("flag"), col("lo"), col("hi"))), "flag")
       .groupBy(col("flag"), col("lo"), col("hi"))
       .agg(sum(col("c")).as("n"),
         sum(when(col("v") < col("lo") || col("v") > col("hi"), col("c"))
@@ -1700,7 +1713,6 @@ object RelationalExt {
     val r = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
     val (counts, cum) = winsorCum(s, dir)
-    val exact = winsorExact(counts, cum).drop("n_clipped")
     // the GK sketch over the raw column IS the operator on display —
     // the one remaining row-scaled pass besides the counts build
     val ab = r.groupBy(col("flag"))
@@ -1724,7 +1736,11 @@ object RelationalExt {
         min(when(col("cum") >= rank + lit(1L), col("v"))).cast("double").as(s"${nm}_hi"),
         max(pos(q) - floor(pos(q))).as(s"${nm}_f"))
     }
-    val env = cum.groupBy(col("flag")).agg(envAggs.head, envAggs.drop(1): _*)
+    // the envelope aggregates RIDE the exact-bounds groupBy — one
+    // window execution and one aggregation job for both
+    val boundsEnv = winsorBounds(cum, envAggs)
+    val exact = winsorExactFromBounds(counts, boundsEnv).drop("n_clipped")
+    val env = boundsEnv
       .select(col("flag") +: qs.map { case (_, nm) =>
         (col(s"${nm}_lo")
           + (col(s"${nm}_hi") - col(s"${nm}_lo")) * col(s"${nm}_f")).as(nm)
